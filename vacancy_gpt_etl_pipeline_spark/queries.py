@@ -1,0 +1,1020 @@
+"""Named query registry: every implemented operator from SURVEY.md §2 plus
+the north-star extensions, each as (Spark callable, ANSI-SQL DuckDB oracle).
+
+Cross-engine determinism rules used throughout (Spark must hash-match DuckDB
+bit-for-bit):
+- Sums of doubles are decimal-cast first (``CAST(SUM(CAST(x AS
+  DECIMAL(12,2))) AS DOUBLE)``) — exact and order-independent; raw double
+  sums are neither.
+- Averages are decimal-sum / count in double, never engine-native AVG over
+  decimals (result-type rules differ).
+- ROUND only on decimals or on values whose binary representation cannot sit
+  on a rounding boundary (cosines, ratios) — Spark rounds the SHORTEST
+  DECIMAL REPR of a double (BigDecimal.valueOf), DuckDB rounds the binary
+  value; they disagree on doubles like 2.675.
+- Every ORDER BY ... LIMIT has a total tie-break; timestamps are emitted as
+  formatted strings.
+- Array outputs are sorted and joined to strings.
+
+Rows-only entries (no SQL-expressible oracle): xxhash64-based MinHash /
+SimHash signatures and the stubbed multimodal decode — the driver records
+the weaker rows-only check for those.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vacancy_gpt_etl_pipeline_spark.functions.scalars import truncate_with_ellipsis
+from vacancy_gpt_etl_pipeline_spark.functions.text import (
+    LANG_STOPWORDS,
+    PUNCT_CLASS,
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from vacancy_gpt_etl_pipeline_spark.operators.dedup import (
+    dedup_exact_text,
+    dedup_keep_first,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from vacancy_gpt_etl_pipeline_spark.operators.enrichment import (
+    UNDEFINED,
+    KeywordRule,
+    MockKeywordEnricher,
+    enrich_column,
+)
+from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+    attach_text_payload,
+    decode_images,
+)
+from vacancy_gpt_etl_pipeline_spark.operators.relational import ratio_of_total
+from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
+    embedding_near_duplicates,
+    knn_brute_force,
+    knn_lsh,
+)
+from vacancy_gpt_etl_pipeline_spark.sources.parquet_source import read_table
+from vacancy_gpt_etl_pipeline_spark.session import configure_session
+from vacancy_gpt_etl_pipeline_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+@dataclass
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver runs rows-only check
+
+
+def _dsum(col: str, alias: str, scale: int = 2) -> F.Column:
+    """Deterministic sum of a double column via exact decimal arithmetic."""
+    return (
+        F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+    )
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure_session(spark)
+    return read_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Mock enrichers: deterministic keyword taxonomies over the documents table
+# (stand-ins for the reference's 21-label title / 18-label field taxonomies,
+# dag/vacancy_pipline_gpt_rerty.py:187-209, :493-511). The SAME rule list
+# drives the Spark mapInPandas path and the SQL CASE oracle.
+# --------------------------------------------------------------------------
+
+TITLE_RULES = [
+    KeywordRule("vector", {"normalized_title": "ML/AI-инженер"}),
+    KeywordRule("spark", {"normalized_title": "Разработчик"}),
+    KeywordRule("stream", {"normalized_title": "DevOps-инженер"}),
+    KeywordRule("window", {"normalized_title": "BI-аналитик"}),
+    KeywordRule("join", {"normalized_title": "Системный аналитик"}),
+    KeywordRule("merge", {"normalized_title": "Бизнес аналитик"}),
+    KeywordRule("data", {"normalized_title": "Аналитик данных"}),
+    KeywordRule("query", {"normalized_title": "Веб-аналитик"}),
+    KeywordRule("filter", {"normalized_title": "Финансовый аналитик"}),
+    KeywordRule("table", {"normalized_title": "Продуктовый аналитик"}),
+    KeywordRule("hash", {"normalized_title": "Маркетолог"}),
+    KeywordRule("batch", {"normalized_title": "Менеджер продукта"}),
+]
+TITLE_ENRICHER = MockKeywordEnricher(
+    rules=TITLE_RULES,
+    outputs=("normalized_title",),
+    defaults={"normalized_title": UNDEFINED},
+)
+
+FIELD_RULES = [
+    # longer keys first so 'src1' can't shadow 'src10'
+    KeywordRule("src10", {"category": "Телеком", "specialization": "B2B"}),
+    KeywordRule("src11", {"category": "Недвижимость", "specialization": "Коммерческая"}),
+    KeywordRule("src12", {"category": "Энергетика", "specialization": "Генерация"}),
+    KeywordRule("src13", {"category": "Государственный сектор", "specialization": "Госуслуги"}),
+    KeywordRule("src14", {"category": "Консалтинг", "specialization": "Стратегия"}),
+    KeywordRule("src15", {"category": "Развлечения", "specialization": "Медиа"}),
+    KeywordRule("src0", {"category": "IT", "specialization": "Backend"}),
+    KeywordRule("src1", {"category": "Финансы", "specialization": "Банкинг"}),
+    KeywordRule("src2", {"category": "Ритейл", "specialization": "Офлайн"}),
+    KeywordRule("src3", {"category": "E-commerce", "specialization": "Маркетплейс"}),
+    KeywordRule("src4", {"category": "Производство", "specialization": "Промышленность"}),
+    KeywordRule("src5", {"category": "Медицина", "specialization": "Клиники"}),
+    KeywordRule("src6", {"category": "Образование", "specialization": "EdTech"}),
+    KeywordRule("src7", {"category": "Маркетинг", "specialization": "Digital"}),
+    KeywordRule("src8", {"category": "Другое", "specialization": "Другое"}),
+    KeywordRule("src9", {"category": "Не определена", "specialization": "Не определена"}),
+]
+FIELD_ENRICHER = MockKeywordEnricher(
+    rules=FIELD_RULES,
+    outputs=("category", "specialization"),
+    defaults={"category": UNDEFINED, "specialization": UNDEFINED},
+)
+
+_TITLE_CASE = TITLE_ENRICHER.case_sql("text", "normalized_title")
+_CAT_CASE = FIELD_ENRICHER.case_sql("source", "category")
+_SPEC_CASE = FIELD_ENRICHER.case_sql("source", "specialization")
+
+
+def _normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → the reference's normalized_vacancies shape, via the real
+    enrichment operator (distinct → mapInPandas → broadcast join back)."""
+    docs = _t(spark, sf_dir, "documents")
+    titled = enrich_column(docs, "text", TITLE_ENRICHER, batch_size=50, max_retries=0)
+    fielded = enrich_column(
+        titled, "source", FIELD_ENRICHER, batch_size=10, max_retries=0
+    )
+    return fielded.select(
+        F.col("doc_id").alias("id"),
+        F.col("text").alias("title"),
+        "normalized_title",
+        F.col("source").alias("ai_field_of_activity"),
+        "category",
+        "specialization",
+        F.col("n_chars").cast("double").alias("salary_to"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.2-§2.8: relational core on the TPC-H-ish tables
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (A5/F10/P4 composite, TPC-H Q1 shape): filtered scan →
+    grouped aggregate. Catalyst pushes the shipdate filter into the parquet
+    scan and prunes to 7 columns; AQE coalesces the post-shuffle partitions."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") < F.lit("2000-01-01"))
+    dec = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(12,2)") + dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '2000-01-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def j1_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: small-dim lookup joins planned as BroadcastHashJoin (the Spark
+    rewrite of the reference's driver-side dict probe, dag/...py:385-396)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dsum("c_acctbal", "total_acctbal"),
+        )
+    )
+
+
+J1_SQL = """
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def j2_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/P7: left-semi membership (dag/...py:590-603)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+J2_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
+def u2_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: set-difference residue as anti-join (dag/...py:296-302)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_without_urgent"))
+    )
+
+
+U2_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_without_urgent FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+def a1_full_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: dropDuplicates (dag/...py:117-122) — projected to a low-cardinality
+    pair so duplicates actually exist in the fixture."""
+    return _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").dropDuplicates()
+
+
+A1_SQL = "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+
+def a2_keyed_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 deterministic variant: keep-first survivor per key under an explicit
+    order (dag/...py:125 keep='first' made reproducible)."""
+    o = _t(spark, sf_dir, "orders")
+    latest = dedup_keep_first(
+        o, ["o_custkey"], [F.desc("o_orderdate"), F.asc("o_orderkey")]
+    )
+    return latest.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+
+
+A2_SQL = """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def a3_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: distinct trimmed non-empty values — the enrichment operator's
+    dedup-before-expensive-work contract (dag/...py:159)."""
+    from vacancy_gpt_etl_pipeline_spark.operators.relational import distinct_values
+
+    return distinct_values(_t(spark, sf_dir, "part"), "p_type")
+
+
+A3_SQL = """
+SELECT DISTINCT trim(p_type) AS original FROM part
+WHERE p_type IS NOT NULL AND trim(p_type) != ''
+"""
+
+
+def a4_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: Counter → groupBy().count() (dag/...py:406)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+A4_SQL = "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type"
+
+
+def a6_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: success-vs-total conditional aggregate (dag/...py:414-416)."""
+    from vacancy_gpt_etl_pipeline_spark.operators.relational import (
+        conditional_success_counts,
+    )
+
+    return conditional_success_counts(
+        _t(spark, sf_dir, "orders"), "o_orderstatus", ("F",)
+    )
+
+
+A6_SQL = """
+SELECT COUNT(*) AS total,
+  SUM(CASE WHEN o_orderstatus NOT IN ('F') THEN 1 ELSE 0 END) AS successes
+FROM orders
+"""
+
+
+def w1_ratio_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/A7: grand-total window over an aggregate (vacancy_analysis.sql:27).
+    Single-partition window is safe here: input is group-cardinality-sized."""
+    seg = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return seg.select("c_mktsegment", "cnt", ratio_of_total("cnt", "pct"))
+
+
+W1_SQL = """
+SELECT c_mktsegment, COUNT(*) AS cnt,
+  ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 1) AS pct
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def a8_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: key → member-list index (dag/...py:149-157), emitted as a sorted
+    joined string so the comparison is order-insensitive."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("s_name")), ",").alias(
+                "supplier_names"
+            )
+        )
+    )
+
+
+A8_SQL = """
+SELECT n_name, array_to_string(list_sort(list(DISTINCT s_name)), ',') AS supplier_names
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def t2_top_k_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: most_common(k) with total tie-break (dag/...py:409). Plans as
+    TakeOrderedAndProject — no global sort."""
+    return (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("p_brand"))
+        .limit(20)
+    )
+
+
+T2_SQL = """
+SELECT p_brand, COUNT(*) AS cnt FROM part
+GROUP BY p_brand ORDER BY cnt DESC, p_brand LIMIT 20
+"""
+
+
+def t3_order_by_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: ORDER BY ... LIMIT (vacancy_analysis.sql:18-19)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+T3_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def t4_truncated_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: ordered sample + 50-char truncation (dag/...py:424-432)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(10)
+        .select("doc_id", truncate_with_ellipsis("text", 50).alias("sample"))
+    )
+
+
+T4_SQL = """
+SELECT doc_id,
+  CASE WHEN length(text) > 50 THEN substring(text, 1, 50) || '...' ELSE text END AS sample
+FROM documents ORDER BY doc_id LIMIT 10
+"""
+
+
+def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: schema-aligned union (dag/...py:111-115) of two branches."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT")
+    high = o.where(F.col("o_orderpriority") == "2-HIGH")
+    return (
+        urgent.unionByName(high)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"), _dsum("o_totalprice", "revenue"))
+    )
+
+
+U1_SQL = """
+SELECT o_orderpriority, COUNT(*) AS cnt,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM (
+  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderpriority = '2-HIGH'
+) GROUP BY o_orderpriority
+"""
+
+
+def f_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F12 scalar pack: trim/upper/length/substring/concat/endswith/round.
+    ROUND runs on exact decimals (see module docstring)."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.upper(F.trim("p_name")).alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.substring("p_name", 1, 8), F.lit("...")).alias("name_trunc"),
+        F.col("p_type").endswith("Y").cast("int").alias("ends_y"),
+        F.expr(
+            "CAST(ROUND(CAST(p_retailprice AS DECIMAL(12,2)) * 0.1, 2) AS DOUBLE)"
+        ).alias("tithe"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+F_SCALAR_SQL = """
+SELECT p_partkey,
+  upper(trim(p_name)) AS name_upper,
+  length(p_name) AS name_len,
+  substring(p_name, 1, 8) || '...' AS name_trunc,
+  CAST(p_type LIKE '%Y' AS INT) AS ends_y,
+  CAST(ROUND(CAST(p_retailprice AS DECIMAL(12,2)) * 0.1, 2) AS DOUBLE) AS tithe,
+  concat_ws('-', p_brand, p_type) AS brand_type
+FROM part WHERE p_partkey <= 500
+"""
+
+
+def f8_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: JSON field extraction from the events props column."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+    )
+
+
+F8_SQL = """
+SELECT event_type,
+  COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+def f9_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: timestamp bucketing/formatting (dag/...py:820-822) → monthly revenue."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.count("*").alias("n_orders"), _dsum("o_totalprice", "revenue"))
+    )
+
+
+F9_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders GROUP BY 1
+"""
+
+
+def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension window pack: row_number / lag / lead per user over event time."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 5)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+WINDOW_SQL = """
+SELECT event_id, user_id,
+  row_number() OVER w AS rn,
+  lag(event_type) OVER w AS prev_type,
+  lead(event_type) OVER w AS next_type
+FROM events WHERE user_id < 5
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (free in Spark, absent in the reference)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+  COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), _dsum("l_quantity", "sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event-type counts per user (manual CASE oracle)."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.groupBy("user_id").pivot("event_type", types).count().na.fill(0)
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events WHERE user_id < 10 GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.10 + §3: the enrichment operator and the reference's SQL surface
+# --------------------------------------------------------------------------
+
+
+def enrich_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full enrichment operator (distinct → Arrow-batched mapInPandas →
+    broadcast join back): both taxonomies applied to documents."""
+    return _normalized_docs(spark, sf_dir).select(
+        "id", "normalized_title", "category", "specialization"
+    )
+
+
+ENRICH_SQL = f"""
+SELECT doc_id AS id,
+  {_TITLE_CASE} AS normalized_title,
+  {_CAT_CASE} AS category,
+  {_SPEC_CASE} AS specialization
+FROM documents
+"""
+
+
+def ref_q1_top_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vacancy_analysis.sql:11-19 over the enriched view (deterministic
+    tie-break added; the verbatim SQL runs in tests/golden)."""
+    nv = _normalized_docs(spark, sf_dir)
+    return (
+        nv.where(F.col("normalized_title") != UNDEFINED)
+        .groupBy("normalized_title")
+        .agg(
+            F.count("*").alias("vacancy_count"),
+            F.round(F.avg("salary_to"), 0).alias("avg_salary_to"),
+        )
+        .orderBy(F.desc("vacancy_count"), F.asc("normalized_title"))
+        .limit(20)
+    )
+
+
+REF_Q1_SQL = f"""
+SELECT normalized_title, COUNT(*) AS vacancy_count,
+  ROUND(AVG(salary_to), 0) AS avg_salary_to
+FROM (
+  SELECT {_TITLE_CASE} AS normalized_title, CAST(n_chars AS DOUBLE) AS salary_to
+  FROM documents
+)
+WHERE normalized_title != 'Не определена'
+GROUP BY normalized_title
+ORDER BY vacancy_count DESC, normalized_title
+LIMIT 20
+"""
+
+
+def ref_q2_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vacancy_analysis.sql:23-31 over the enriched view."""
+    nv = _normalized_docs(spark, sf_dir)
+    agg = (
+        nv.where(~F.col("category").isin(UNDEFINED, "Другое", "Не указано"))
+        .groupBy("category")
+        .agg(F.count("*").alias("vacancy_count"))
+    )
+    return agg.select(
+        "category",
+        "vacancy_count",
+        ratio_of_total("vacancy_count", "market_share_percent", 1),
+    )
+
+
+REF_Q2_SQL = f"""
+SELECT category, COUNT(*) AS vacancy_count,
+  ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 1) AS market_share_percent
+FROM (SELECT {_CAT_CASE} AS category FROM documents)
+WHERE category NOT IN ('Не определена', 'Другое', 'Не указано')
+GROUP BY category
+"""
+
+
+# --------------------------------------------------------------------------
+# Streaming-shaped event-time windows (batch semantics, oracle-checkable)
+# --------------------------------------------------------------------------
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    agg = tumbling_window_agg(e, "ts", "1 hour", ["event_type"], "value")
+    return agg.select(
+        F.date_format("window_start", _TS_FMT_SPARK).alias("ws"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+TUMBLING_SQL = f"""
+SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS ws, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def sliding_window_half_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    agg = sliding_window_agg(e, "ts", "1 hour", "30 minutes", "value")
+    return agg.select(
+        F.date_format("window_start", _TS_FMT_SPARK).alias("ws"),
+        "n_events",
+        "sum_value",
+    )
+
+
+SLIDING_SQL = f"""
+WITH b AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS tb, value FROM events),
+w AS (
+  SELECT tb AS ws, value FROM b
+  UNION ALL
+  SELECT tb - INTERVAL '30 minutes' AS ws, value FROM b
+)
+SELECT strftime(ws, '{_TS_FMT_DUCK}') AS ws, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM w GROUP BY 1
+"""
+
+
+def session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    agg = session_window_agg(e, "ts", "30 minutes", ["user_id"])
+    return agg.select(
+        "user_id",
+        F.date_format("session_start", _TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_end", _TS_FMT_SPARK).alias("session_end"),
+        "n_events",
+    )
+
+
+SESSION_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+  strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+  strftime(MAX(ts) + INTERVAL '30 minutes', '{_TS_FMT_DUCK}') AS session_end,
+  COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+# --------------------------------------------------------------------------
+# North-star extensions: dedup / similarity / text / multimodal
+# --------------------------------------------------------------------------
+
+
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact_text(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash,
+  MIN(doc_id) AS survivor_id, COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-Jaccard near-dup pairs (threshold 0.5)."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n=3,
+        threshold=0.5,
+        max_shingle_freq=None,
+    )
+
+
+NGRAM_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 2, 0)),
+      i -> string_split_regex(trim(lower(text)), '\\s+')[i] || ' ' ||
+           string_split_regex(trim(lower(text)), '\\s+')[i+1] || ' ' ||
+           string_split_regex(trim(lower(text)), '\\s+')[i+2]
+    )) AS grams
+  FROM documents
+),
+sized AS (SELECT doc_id, grams, len(grams) AS n FROM sh WHERE len(grams) > 0),
+inv AS (SELECT doc_id, unnest(grams) AS g, n FROM sized),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter, a.n AS na, b.n AS nb
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, a.n, b.n
+)
+SELECT id_a, id_b, ROUND(inter / (na + nb - inter), 6) AS jaccard
+FROM pairs WHERE ROUND(inter / (na + nb - inter), 6) >= 0.5
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (rows-only: xxhash64 signatures are not
+    SQL-portable). Verified against exact Jaccard in pytest instead."""
+    return minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", jaccard_threshold=0.5
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (rows-only for the same reason)."""
+    return simhash_near_duplicates(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-duplicate pairs over the embeddings table."""
+    return embedding_near_duplicates(
+        _t(spark, sf_dir, "embeddings"), threshold=0.85
+    )
+
+
+EMB_NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.85
+"""
+
+
+def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for query vectors vec_id < 5 (the ANN baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_brute_force(emb, queries, k=10)
+
+
+ANN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    ROUND(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+  FROM q, embeddings e WHERE e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM s
+) WHERE rank <= 10
+"""
+
+# deterministic pseudo-random hyperplanes for the LSH variant (fixed seed
+# unrolled so no RNG is needed at plan time)
+_LSH_PLANES = [
+    [(((i * 64 + j) * 2654435761 + 1013904223) % 2000001) / 1000000.0 - 1.0 for j in range(64)]
+    for i in range(6)
+]
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (rows-only; recall vs brute force is
+    asserted in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_lsh(emb, queries, _LSH_PLANES, k=10)
+
+
+_STOP_EN = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+_LANG_SCORES = {
+    lang: f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN ({', '.join(chr(39) + w + chr(39) for w in stops)})))"
+    for lang, stops in LANG_STOPWORDS.items()
+}
+_BEST = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_STOPWORDS) + ")"
+_LANG_CASE = "CASE " + " ".join(
+    f"WHEN {_BEST} > 0 AND s_{lang} = {_BEST} THEN '{lang}'" for lang in LANG_STOPWORDS
+) + " ELSE 'und' END"
+
+
+def text_analysis_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis pack: token counts, BPE-ish count, punctuation ratio,
+    stopword ratio, heuristic language id, quality score, fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio("text").alias("stopword_ratio"),
+        language_id("text").alias("lang_pred"),
+        quality_score("text").alias("quality"),
+        fingerprint("text").alias("fingerprint"),
+    )
+
+
+TEXT_PROFILE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, text,
+    {", ".join(f"{expr} AS s_{lang}" for lang, expr in _LANG_SCORES.items())}
+  FROM documents
+)
+SELECT doc_id,
+  len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
+  len(regexp_extract_all(text, '[A-Za-zА-Яа-яЁё]+|[0-9]|[^\\sA-Za-zА-Яа-яЁё0-9]')) AS n_bpe_tokens,
+  ROUND((length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}<>/\\\\|@#$%^&*_+=~-]', '', 'g'))) / greatest(length(text), 1), 6) AS punct_ratio,
+  ROUND(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN ({_STOP_EN}))) / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1), 6) AS stopword_ratio,
+  {_LANG_CASE} AS lang_pred,
+  ROUND(
+    least(length(text) / 500.0, 1.0) * 0.4
+    + (CASE WHEN length(text) / greatest(CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE), 1.0) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.3
+    + (1.0 - least(((length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}<>/\\\\|@#$%^&*_+=~-]', '', 'g'))) / greatest(length(text), 1)) * 5, 1.0)) * 0.3,
+  6) AS quality,
+  md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM scored
+"""
+
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload attach + metadata projection.
+    Column pruning keeps the payload out of the scan when only metadata is
+    read — checked in pytest via the optimized plan."""
+    d = attach_text_payload(_t(spark, sf_dir, "documents"), "text", "image")
+    return d.select(
+        "doc_id",
+        "modality",
+        "mime_type",
+        F.octet_length("content").cast("long").alias("n_bytes"),
+    )
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id, 'image' AS modality, 'application/x-fake-image' AS mime_type,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed image decode through the real Arrow/mapInPandas plumbing
+    (rows-only: byte-level math is not SQL-expressible)."""
+    d = attach_text_payload(_t(spark, sf_dir, "documents"), "text", "image")
+    return decode_images(d.withColumn("asset_id", F.col("doc_id")))
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+REGISTRY: dict[str, QuerySpec] = {
+    "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
+    "j1_broadcast_join": QuerySpec(j1_broadcast_join, J1_SQL),
+    "j2_semi_join": QuerySpec(j2_semi_join, J2_SQL),
+    "u2_anti_join": QuerySpec(u2_anti_join, U2_SQL),
+    "a1_full_distinct": QuerySpec(a1_full_distinct, A1_SQL),
+    "a2_keyed_keep_first": QuerySpec(a2_keyed_keep_first, A2_SQL),
+    "a3_distinct_values": QuerySpec(a3_distinct_values, A3_SQL),
+    "a4_frequency": QuerySpec(a4_frequency, A4_SQL),
+    "a6_conditional_agg": QuerySpec(a6_conditional_agg, A6_SQL),
+    "w1_ratio_of_total": QuerySpec(w1_ratio_of_total, W1_SQL),
+    "a8_inverted_index": QuerySpec(a8_inverted_index, A8_SQL),
+    "t2_top_k_by_count": QuerySpec(t2_top_k_by_count, T2_SQL),
+    "t3_order_by_limit": QuerySpec(t3_order_by_limit, T3_SQL),
+    "t4_truncated_sample": QuerySpec(t4_truncated_sample, T4_SQL),
+    "u1_union_all": QuerySpec(u1_union_all, U1_SQL),
+    "f_scalar_functions": QuerySpec(f_scalar_functions, F_SCALAR_SQL),
+    "f8_json_extract": QuerySpec(f8_json_extract, F8_SQL),
+    "f9_date_functions": QuerySpec(f9_date_functions, F9_SQL),
+    "window_rank_lag": QuerySpec(window_rank_lag, WINDOW_SQL),
+    "rollup_status_priority": QuerySpec(rollup_status_priority, ROLLUP_SQL),
+    "cube_flags": QuerySpec(cube_flags, CUBE_SQL),
+    "pivot_event_types": QuerySpec(pivot_event_types, PIVOT_SQL),
+    "enrich_documents": QuerySpec(enrich_documents, ENRICH_SQL),
+    "ref_q1_top_titles": QuerySpec(ref_q1_top_titles, REF_Q1_SQL),
+    "ref_q2_market_share": QuerySpec(ref_q2_market_share, REF_Q2_SQL),
+    "tumbling_window_hourly": QuerySpec(tumbling_window_hourly, TUMBLING_SQL),
+    "sliding_window_half_hour": QuerySpec(sliding_window_half_hour, SLIDING_SQL),
+    "session_windows_per_user": QuerySpec(session_windows_per_user, SESSION_SQL),
+    "dedup_exact_documents": QuerySpec(dedup_exact_documents, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None),
+    "dedup_simhash": QuerySpec(dedup_simhash, None),
+    "embedding_near_dup": QuerySpec(embedding_near_dup, EMB_NEARDUP_SQL),
+    "ann_brute_force": QuerySpec(ann_brute_force, ANN_SQL),
+    "ann_lsh": QuerySpec(ann_lsh, None),
+    "text_analysis_profile": QuerySpec(text_analysis_profile, TEXT_PROFILE_SQL),
+    "multimodal_metadata": QuerySpec(multimodal_metadata, MULTIMODAL_SQL),
+    "multimodal_decode_stub": QuerySpec(multimodal_decode_stub, None),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.spark for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}

@@ -1,0 +1,37 @@
+"""Parquet sources for the driver's testdata star schema (TESTDATA.md).
+
+Parquet is the engine's internal format: min/max row-group pruning, predicate
+pushdown, and column pruning all reach the scan (``.explain`` shows
+``PushedFilters`` / ``ReadSchema``) — none of which the reference's CSV
+round-trip (dag/vacancy_pipline_gpt_rerty.py:827-849) can do.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vacancy_gpt_etl_pipeline_spark.schemas import TESTDATA_TABLES
+from vacancy_gpt_etl_pipeline_spark.session import configure_session
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = TESTDATA_TABLES,
+    register_views: bool = True,
+) -> dict[str, DataFrame]:
+    """Load testdata tables; optionally register temp views for the SQL surface."""
+    configure_session(spark)
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = read_table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
