@@ -49,10 +49,19 @@ def punct_ratio(c: Column | str, ndigits: int = 6) -> Column:
     return F.round(n_punct / F.greatest(F.length(col), F.lit(1)), ndigits)
 
 
+def _in_set(col: Column, values: tuple[str, ...]) -> Column:
+    """Membership test usable inside higher-order-function lambdas (where
+    Column.isin is not supported)."""
+    expr = F.lit(False)
+    for v in values:
+        expr = expr | (col == F.lit(v))
+    return expr
+
+
 def stopword_ratio(c: Column | str, lang: str = "en", ndigits: int = 6) -> Column:
     stop = LANG_STOPWORDS[lang]
     toks = tokens(c)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop)))
+    n_stop = F.size(F.filter(toks, lambda t: _in_set(t, stop)))
     return F.round(n_stop / F.greatest(F.size(toks), F.lit(1)), ndigits)
 
 
@@ -60,8 +69,14 @@ def language_id(c: Column | str) -> Column:
     """Stopword-vote language heuristic: the language whose stopwords hit the
     most tokens wins; 'und' (undetermined) when nothing hits."""
     toks = tokens(c)
+
+    def hit_counter(stop: tuple[str, ...]):
+        # closure, NOT a default arg: PySpark maps every lambda parameter to
+        # a lambda variable, so `lambda t, s=stop` would become a 2-arg HOF
+        return lambda t: _in_set(t, stop)
+
     scores = [
-        (lang, F.size(F.filter(toks, lambda t, s=stop: t.isin(*s))))
+        (lang, F.size(F.filter(toks, hit_counter(stop))))
         for lang, stop in LANG_STOPWORDS.items()
     ]
     best = F.greatest(*[s for _, s in scores])

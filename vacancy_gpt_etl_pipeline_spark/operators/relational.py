@@ -35,7 +35,7 @@ def top_k_by_count(df: DataFrame, col: str, k: int) -> DataFrame:
 
 
 def ratio_of_total(
-    df: DataFrame, count_col: str = "count", out_col: str = "pct", ndigits: int = 1
+    count_col: str = "count", out_col: str = "pct", ndigits: int = 1
 ) -> Column:
     """W1/A7 (vacancy_analysis.sql:27): share of unpartitioned total.
 

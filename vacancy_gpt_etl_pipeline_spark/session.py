@@ -63,3 +63,7 @@ def configure_session(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # pandas-written parquet may carry TIMESTAMP(NANOS) (e.g. events.ts),
+    # which Spark rejects by default; read as long and convert on load
+    # (sources/parquet_source.py restores a µs TimestampType column).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -11,13 +11,22 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from vacancy_gpt_etl_pipeline_spark.schemas import TESTDATA_TABLES
 from vacancy_gpt_etl_pipeline_spark.session import configure_session
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    configure_session(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # nanosAsLong surfaces TIMESTAMP(NANOS) columns as bigint; restore a
+    # proper µs TimestampType column (the fixtures carry no sub-µs parts).
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
 
 
 def load_tables(
