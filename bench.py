@@ -1,0 +1,68 @@
+"""Per-query benchmark harness.
+
+Times every registry query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE
+JSON line:
+
+    {"metric": "registry_wall_total", "value": <sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": <sec>, ...}, "sf": 0.1}
+
+Execution is forced through the noop sink (full plan runs, nothing is
+collected to the driver), so the timing reflects the distributed work, not
+driver materialization. All diagnostic chatter goes to stderr; stdout carries
+only the JSON line the driver parses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+import traceback
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from vacancy_gpt_etl_pipeline_spark.queries import queries
+    from vacancy_gpt_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    # warm the JVM + parquet footers so q1 doesn't pay session cold-start
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in queries().items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            timings[name] = round(dt, 3)
+            total += dt
+            print(f"[bench] {name}: {dt:.3f}s", file=sys.stderr)
+        except Exception:
+            print(f"[bench] {name}: FAILED", file=sys.stderr)
+            traceback.print_exc(file=sys.stderr)
+            timings[name] = -1.0
+    print(
+        json.dumps(
+            {
+                "metric": "registry_wall_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -15,9 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 # vacancy_analysis.sql:11-19 — top job titles with count + rounded avg salary
+# (verbatim apart from the table name: the reference reads the Datalens
+# connection ``processed.normalized_vacancies``, here a temp view).
 REF_Q1_TOP_TITLES = """
 SELECT
-    normalized_title,
+    normalized_title AS vacancy_position,
     COUNT(*) AS vacancy_count,
     ROUND(AVG(salary_to), 0) AS avg_salary_to
 FROM normalized_vacancies
@@ -27,11 +29,14 @@ ORDER BY vacancy_count DESC
 LIMIT 20
 """
 
-# vacancy_analysis.sql:23-31 — category market share via grand-total window
+# vacancy_analysis.sql:23-31 — category market share via grand-total window;
+# carries FOUR output columns incl. ROUND(AVG(salary_to), 0)
+# (vacancy_analysis.sql:26).
 REF_Q2_MARKET_SHARE = """
 SELECT
     category,
     COUNT(*) AS vacancy_count,
+    ROUND(AVG(salary_to), 0) AS avg_salary_to,
     ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER(), 1) AS market_share_percent
 FROM normalized_vacancies
 WHERE category NOT IN ('Не определена', 'Другое', 'Не указано')

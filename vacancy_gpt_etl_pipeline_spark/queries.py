@@ -342,7 +342,7 @@ def a6_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A6_SQL = """
 SELECT COUNT(*) AS total,
-  SUM(CASE WHEN o_orderstatus NOT IN ('F') THEN 1 ELSE 0 END) AS successes
+  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F') THEN 1 ELSE 0 END) AS BIGINT) AS successes
 FROM orders
 """
 
@@ -645,13 +645,18 @@ def ref_q1_top_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("vacancy_count"),
             F.round(F.avg("salary_to"), 0).alias("avg_salary_to"),
         )
-        .orderBy(F.desc("vacancy_count"), F.asc("normalized_title"))
+        .select(
+            F.col("normalized_title").alias("vacancy_position"),
+            "vacancy_count",
+            "avg_salary_to",
+        )
+        .orderBy(F.desc("vacancy_count"), F.asc("vacancy_position"))
         .limit(20)
     )
 
 
 REF_Q1_SQL = f"""
-SELECT normalized_title, COUNT(*) AS vacancy_count,
+SELECT normalized_title AS vacancy_position, COUNT(*) AS vacancy_count,
   ROUND(AVG(salary_to), 0) AS avg_salary_to
 FROM (
   SELECT {_TITLE_CASE} AS normalized_title, CAST(n_chars AS DOUBLE) AS salary_to
@@ -659,30 +664,36 @@ FROM (
 )
 WHERE normalized_title != 'Не определена'
 GROUP BY normalized_title
-ORDER BY vacancy_count DESC, normalized_title
+ORDER BY vacancy_count DESC, vacancy_position
 LIMIT 20
 """
 
 
 def ref_q2_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """vacancy_analysis.sql:23-31 over the enriched view."""
+    """vacancy_analysis.sql:23-31 over the enriched view (all FOUR output
+    columns, incl. the avg_salary_to the reference's Q2 carries)."""
     nv = _normalized_docs(spark, sf_dir)
     agg = (
         nv.where(~F.col("category").isin(UNDEFINED, "Другое", "Не указано"))
         .groupBy("category")
-        .agg(F.count("*").alias("vacancy_count"))
+        .agg(
+            F.count("*").alias("vacancy_count"),
+            F.round(F.avg("salary_to"), 0).alias("avg_salary_to"),
+        )
     )
     return agg.select(
         "category",
         "vacancy_count",
+        "avg_salary_to",
         ratio_of_total("vacancy_count", "market_share_percent", 1),
     )
 
 
 REF_Q2_SQL = f"""
 SELECT category, COUNT(*) AS vacancy_count,
+  ROUND(AVG(salary_to), 0) AS avg_salary_to,
   ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 1) AS market_share_percent
-FROM (SELECT {_CAT_CASE} AS category FROM documents)
+FROM (SELECT {_CAT_CASE} AS category, CAST(n_chars AS DOUBLE) AS salary_to FROM documents)
 WHERE category NOT IN ('Не определена', 'Другое', 'Не указано')
 GROUP BY category
 """
@@ -753,7 +764,7 @@ SESSION_SQL = f"""
 WITH marked AS (
   SELECT user_id, ts,
     CASE WHEN lag(ts) OVER w IS NULL
-           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
          THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
