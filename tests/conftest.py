@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 
@@ -8,6 +10,11 @@ def spark():
     from vacancy_gpt_etl_pipeline_spark.session import get_spark
 
     s = get_spark(app_name="tests", cpus=8, shuffle_partitions=8)
+    # executor-crossing test helpers (mock enrichers) must be importable by
+    # Spark python workers, which don't have tests/ on their path
+    s.sparkContext.addPyFile(
+        os.path.join(os.path.dirname(__file__), "mock_enrichers.py")
+    )
     yield s
     s.stop()
 

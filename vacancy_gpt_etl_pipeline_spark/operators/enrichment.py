@@ -241,12 +241,22 @@ def enrich_column(
     sleep_s: float = 0.0,
     broadcast_mapping: bool = True,
     empty_key_default: str | None = None,
+    max_partitions: int | None = None,
+    partitions_per_slot: int = 4,
 ) -> DataFrame:
     """Enrich ``df`` with ``enricher.output_cols`` derived from ``key_col``.
 
-    Plan: distinct(trim(key)) → repartition to ⌈n/batch_size⌉ → mapInPandas
-    batch-call with retry-residue → broadcast left join back → coalesce
-    defaults. See module docstring for the 100 TB rationale.
+    Plan: distinct(trim(key)) → repartition to min(⌈n/batch_size⌉,
+    partition cap) → mapInPandas batch-call with retry-residue → broadcast
+    left join back → coalesce defaults. See module docstring for the 100 TB
+    rationale.
+
+    The partition count is capped at ``max_partitions`` (default
+    ``partitions_per_slot × defaultParallelism``): one-partition-per-batch
+    is right while batches ≪ cluster slots, but at 100 M distinct keys it
+    would mean millions of tasks — a scheduler killer. ``run()`` re-chunks
+    WITHIN each partition, so ``batch_size`` per LLM call is preserved
+    regardless of the cap; the cap only bounds task count.
     """
     defaults = defaults or {c: UNDEFINED for c in enricher.output_cols}
     out_cols = list(enricher.output_cols)
@@ -268,7 +278,11 @@ def enrich_column(
     if n_keys == 0:
         mapping = df.sparkSession.createDataFrame([], schema)
     else:
-        n_parts = max(1, math.ceil(n_keys / batch_size))
+        if max_partitions is None:
+            max_partitions = max(
+                1, partitions_per_slot * df.sparkSession.sparkContext.defaultParallelism
+            )
+        n_parts = min(max(1, math.ceil(n_keys / batch_size)), max_partitions)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             buf: list[str] = []

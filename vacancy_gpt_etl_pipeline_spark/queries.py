@@ -764,7 +764,7 @@ SESSION_SQL = f"""
 WITH marked AS (
   SELECT user_id, ts,
     CASE WHEN lag(ts) OVER w IS NULL
-           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
          THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -65,19 +65,26 @@ def read_vacancies_csv(
     paths: list[str] | str,
     schema: T.StructType = VACANCIES_RAW,
     with_provenance: bool = True,
+    escape: str = '"',
 ) -> DataFrame:
     """Schema-declared CSV scan (S2) with per-row file provenance.
 
     Multi-path read is the implicit union-all (U1; dag/...py:111-115) — one
     distributed scan instead of a per-file pandas loop. ``_input_file`` feeds
     the deterministic keep-first dedup survivor policy (operators/dedup.py).
+
+    ``escape`` defaults to ``'"'`` — the RFC-4180 doubled-quote convention
+    pandas ``to_csv`` uses (the reference writes its CSVs with pandas,
+    dag/...py:827-830, where backslash is a literal character, not an
+    escape). Pass ``"\\\\"`` only for sources that genuinely
+    backslash-escape.
     """
     reader = (
         spark.read.schema(schema)
         .option("header", True)
         .option("encoding", "UTF-8")
         .option("quote", '"')
-        .option("escape", "\\")
+        .option("escape", escape)
         .option("mode", "PERMISSIVE")
     )
     df = reader.csv(paths)

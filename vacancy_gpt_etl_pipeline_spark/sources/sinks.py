@@ -28,17 +28,60 @@ def write_normalized_csv(
     path: str,
     single_file: bool = False,
     mode: str = "overwrite",
+    bom: bool = False,
 ) -> None:
-    """CSV sink with the reference's encoding/quoting options (S3)."""
-    out = df.coalesce(1) if single_file else df
-    (
-        out.write.mode(mode)
-        .option("header", True)
-        .option("encoding", "UTF-8")
-        .option("quote", '"')
-        .option("escape", "\\")
-        .csv(path)
+    """CSV sink with the reference's encoding/quoting options (S3).
+
+    Quoting follows RFC-4180 doubled quotes (escape='"'), matching what the
+    reference's pandas ``to_csv`` emits (dag/...py:827-830) so our own
+    :func:`read_vacancies_csv` and pandas both round-trip the output.
+
+    ``single_file=True`` reproduces the reference's exact sink contract: ONE
+    CSV object at ``path`` (not a directory of shards), optionally prefixed
+    with a UTF-8 BOM (``bom=True`` ≙ the reference's ``encoding='utf-8-sig'``,
+    dag/...py:830, which Excel-facing consumers rely on). The shard is still
+    written by an executor; only the O(files) rename/concat step runs on the
+    driver — never O(data) like the reference's ``df.to_csv`` string build.
+    """
+    writer_opts = dict(header=True, encoding="UTF-8", quote='"', escape='"')
+    if not single_file:
+        w = df.write.mode(mode)
+        for k, v in writer_opts.items():
+            w = w.option(k, v)
+        w.csv(path)
+        return
+
+    spark = df.sparkSession
+    tmp = path.rstrip("/") + "__tmp"
+    w = df.coalesce(1).write.mode("overwrite")
+    for k, v in writer_opts.items():
+        w = w.option(k, v)
+    w.csv(tmp)
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = tmp_path.getFileSystem(conf)
+    part = next(
+        s.getPath()
+        for s in fs.listStatus(tmp_path)
+        if s.getPath().getName().startswith("part-")
     )
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    if fs.exists(dst):
+        fs.delete(dst, True)
+    out = fs.create(dst)
+    try:
+        if bom:
+            out.write(bytearray(b"\xef\xbb\xbf"))
+        src = fs.open(part)
+        try:
+            jvm.org.apache.hadoop.io.IOUtils.copyBytes(src, out, 65536, False)
+        finally:
+            src.close()
+    finally:
+        out.close()
+    fs.delete(tmp_path, True)
 
 
 def write_parquet(

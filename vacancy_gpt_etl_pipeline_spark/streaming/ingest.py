@@ -43,6 +43,7 @@ def dedup_stream(
     dropDuplicatesWithinWatermark — duplicate keys arriving within the
     watermark horizon are suppressed; state is evicted past it (unbounded
     state is the failure mode of naive streaming dedup at scale)."""
+    df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
 
 
