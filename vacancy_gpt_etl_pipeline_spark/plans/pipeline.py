@@ -48,10 +48,16 @@ def run_pipeline(
     title_batch_size: int = 15,
     field_batch_size: int = 10,
     max_retries: int = 1,
+    observer=None,
 ) -> DataFrame:
     """End-to-end: discover CSVs → newest-k → read+union → dedup → enrich
     title (→ normalized_title) → enrich field (→ category, specialization)
-    → metadata. Returns the normalized DataFrame (caller picks the sink)."""
+    → metadata. Returns the normalized DataFrame (caller picks the sink).
+
+    Pass a :class:`~vacancy_gpt_etl_pipeline_spark.plans.observability.PipelineObserver`
+    to collect per-stage row counts during the sink action (df.observe —
+    zero extra jobs; the reference's per-stage count logging,
+    dag/...py:118-129, re-expressed for one-pass execution)."""
     files = list_csv_files(spark, input_path)
     picked = latest_k_paths(files, latest_k)
     if not picked:
@@ -59,11 +65,15 @@ def run_pipeline(
 
         return spark.createDataFrame([], VACANCIES_RAW)  # empty-input early exit
     raw = read_vacancies_csv(spark, picked)
+    if observer is not None:
+        raw = observer.stage(raw, "ingest")
     deduped = dedup_keep_first(
         raw.dropDuplicates([c for c in raw.columns if c != "_input_file"]),
         key_cols=["id"],
         order_cols=[F.asc("_input_file")],
     )
+    if observer is not None:
+        deduped = observer.stage(deduped, "deduped")
     titled = enrich_column(
         deduped,
         "title",
