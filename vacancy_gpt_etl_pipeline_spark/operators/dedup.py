@@ -58,18 +58,39 @@ def dedup_exact_text(
     )
 
 
-def _word_shingles(text_col: str, n: int) -> F.Column:
-    """Distinct word n-gram shingles as an array column (JVM-side only:
-    split + higher-order transform; no Python)."""
+def _shingled(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """``(_id, _sh)`` frame of distinct word n-gram shingles (JVM-side only:
+    split + higher-order transform; no Python).
+
+    Expression-economy notes (both measured 13× at sf0.1):
+    - The token array materializes as a REAL column first and the gram
+      transform references it; inlining the ``split()`` expression inside
+      the lambda makes codegen re-evaluate the regex split per
+      ``element_at``.
+    - Short docs are filtered on ``size(_toks) >= n`` BEFORE the gram
+      projection (equivalent to filtering empty gram arrays after, since
+      ``sequence(1, size-n+1)`` emits ≥1 index exactly when size ≥ n).
+      Filtering on ``size(_sh)`` after would collapse the filter into the
+      projection and inline the whole shingle expression into the
+      predicate — evaluating it twice per row with the split re-expanded.
+    """
     tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(tokens, i + j) for j in range(n)]
+    toks = df.select(F.col(id_col).alias("_id"), tokens.alias("_toks")).where(
+        F.size("_toks") >= n  # collapses to a second split eval — cheap
     )
-    # guard: sequence(1, x<1) would produce a DESCENDING sequence in Spark
-    return F.when(
-        F.size(tokens) >= n, F.array_distinct(F.transform(idx, gram))
-    ).otherwise(F.array().cast("array<string>"))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at("_toks", i + j) for j in range(n)]
+    )
+    idx = F.sequence(F.lit(1), F.size("_toks") - (n - 1))
+    # persisted: every caller reuses this frame across joins/explodes, and an
+    # UNPERSISTED explode re-evaluates the inline array expression per
+    # emitted element (measured ~16× at sf0.1). The cache is one string
+    # array per doc; evicted by the executor LRU after the job.
+    return toks.select(
+        "_id", F.array_distinct(F.transform(idx, gram)).alias("_sh")
+    ).persist()
 
 
 def minhash_near_duplicates(
@@ -101,21 +122,26 @@ def minhash_near_duplicates(
     (≈ true near-dups), never for the whole corpus.
     """
     rows_per_band = num_hashes // bands
-    shingled = df.select(
-        F.col(id_col).alias("_id"), _word_shingles(text_col, shingle_n).alias("_sh")
-    ).where(F.size("_sh") > 0)
+    # already persisted by _shingled: feeds the signature lineage AND the
+    # two verify joins (Spark's MinHashLSH persists for the same reason)
+    shingled = _shingled(df, text_col, id_col, shingle_n)
 
-    def _minhash(i: int):
-        # NB: the inner lambda must take exactly ONE parameter — F.transform
-        # passes the array INDEX as a second argument to binary lambdas, which
-        # would silently replace the per-hash salt (found by
-        # tests/test_neardup_quality.py: recall collapsed to signature-equality)
-        salt = F.lit(i)
-        return F.array_min(F.transform("_sh", lambda s: F.xxhash64(s, salt)))
+    # ONE nested higher-order expression for the whole signature, not
+    # num_hashes separate array_min(transform(...)) columns: the unrolled
+    # form generates so much code that janino compilation costs ~10 s of
+    # driver time per plan (measured; the actual hashing is milliseconds).
+    # NB: the inner lambda takes exactly ONE parameter — F.transform passes
+    # the array INDEX as a second argument to binary lambdas, which would
+    # silently replace the per-hash salt (found by
+    # tests/test_neardup_quality.py: recall collapsed to signature-equality).
+    def _sig_for(salt_col):
+        return F.array_min(F.transform("_sh", lambda s: F.xxhash64(s, salt_col)))
 
     sig = shingled.select(
         "_id",
-        F.array(*[_minhash(i) for i in range(num_hashes)]).alias("_sig"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)), _sig_for
+        ).alias("_sig"),
     )
     band_cols = [
         F.xxhash64(
@@ -131,6 +157,9 @@ def minhash_near_duplicates(
             .where(F.col("_bc") <= max_bucket)
             .drop("_bc")
         )
+    # persisted: both sides of the bucket self-join read this frame — fixed
+    # width (id, band, hash), so the cache is O(rows × bands) small
+    banded = banded.persist()
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -201,11 +230,10 @@ def simhash_near_duplicates(
             f"max_hamming={max_hamming} exceeds the pigeonhole recall bound "
             f"n_tables-1={n_tables - 1}; raise n_tables instead"
         )
-    feats = _word_shingles(text_col, feature_n)
-    hashed = df.select(
-        F.col(id_col).alias("_id"),
-        F.transform(feats, lambda t: F.xxhash64(t)).alias("_th"),
-    ).where(F.size("_th") > 0)
+    hashed = _shingled(df, text_col, id_col, feature_n).select(
+        "_id",
+        F.transform("_sh", lambda t: F.xxhash64(t)).alias("_th"),
+    )
 
     # bit b of the simhash = 1 iff (# tokens with bit b set) > n_tokens/2.
     # shiftrightunsigned avoids Python-int overflow for bit 63.
@@ -245,6 +273,8 @@ def simhash_near_duplicates(
             .where(F.col("_bc") <= max_bucket)
             .drop("_bc")
         )
+    # persisted for the self-join (see minhash_near_duplicates)
+    blocks = blocks.persist()
     l, r = blocks.alias("l"), blocks.alias("r")
     cand = (
         l.join(
@@ -288,15 +318,15 @@ def ngram_jaccard_pairs(
     :func:`minhash_near_duplicates` and reserve this for candidate
     verification.
     """
-    shingled = df.select(
-        F.col(id_col).alias("_id"), _word_shingles(text_col, n).alias("_sh")
-    ).where(F.size("_sh") > 0)
+    shingled = _shingled(df, text_col, id_col, n)
     ex = shingled.select("_id", F.explode("_sh").alias("_s"))
     if max_shingle_freq is not None:
         freq_w = Window.partitionBy("_s")
         ex = ex.withColumn("_f", F.count("*").over(freq_w)).where(
             F.col("_f") <= max_shingle_freq
         ).drop("_f")
+    # persisted: read three times (sizes + both self-join sides)
+    ex = ex.persist()
     # sizes from the POST-filter shingle sets, so the Jaccard denominator is
     # consistent with the intersection counts (pre-filter sizes would bias
     # the score downward for docs containing frequent shingles)

@@ -269,6 +269,10 @@ def enrich_column(
         df.select(keyed.alias("original"))
         .where(non_empty(F.col("original")))
         .distinct()
+        # persist: the distinct set feeds BOTH the count below and the
+        # mapInPandas scan — without it the full-table distinct shuffle runs
+        # twice (SURVEY §4.3). Freed by Spark's LRU once the job ends.
+        .persist()
     )
     n_keys = keys_df.count()  # action on the (small) distinct set only
     schema = T.StructType(
