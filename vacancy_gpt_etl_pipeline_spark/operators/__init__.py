@@ -18,8 +18,14 @@ from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
     knn_brute_force,
     knn_lsh,
 )
+from vacancy_gpt_etl_pipeline_spark.operators.curation import (
+    curate_documents,
+    quality_filter,
+)
 
 __all__ = [
+    "curate_documents",
+    "quality_filter",
     "Enricher",
     "HttpLLMEnricher",
     "MockKeywordEnricher",

@@ -1057,6 +1057,70 @@ FROM scored
 """
 
 
+# DuckDB fragments mirroring functions/text.py expressions (shared by the
+# curation oracles below and TEXT_PROFILE_SQL above)
+_SQL_NTOK = r"len(string_split_regex(trim(lower(text)), '\s+'))"
+_SQL_FP = r"md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))"
+_SQL_QUALITY = (
+    "ROUND("
+    "least(length(text) / 500.0, 1.0) * 0.4"
+    " + (CASE WHEN length(text) / greatest(CAST(" + _SQL_NTOK + " AS DOUBLE), 1.0)"
+    " BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.3"
+    " + (1.0 - least(((length(text) - length(regexp_replace(text,"
+    " '[.,;:!?''\"()\\[\\]{}<>/\\\\|@#$%^&*_+=~-]', '', 'g')))"
+    " / greatest(length(text), 1)) * 5, 1.0)) * 0.3, 6)"
+)
+
+
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style rule filter over documents: quality score ≥ 0.5 and
+    token count in [20, 80]. Pure codegen column expressions — the filter
+    runs inside the parquet scan stage at 100 TB."""
+    from vacancy_gpt_etl_pipeline_spark.operators.curation import quality_filter
+
+    return quality_filter(
+        _t(spark, sf_dir, "documents"),
+        min_quality=0.5,
+        min_tokens=20,
+        max_tokens=80,
+    ).select("doc_id", "n_tokens", "quality", "fingerprint")
+
+
+QUALITY_FILTER_SQL = f"""
+SELECT doc_id, {_SQL_NTOK} AS n_tokens, {_SQL_QUALITY} AS quality, {_SQL_FP} AS fingerprint
+FROM documents
+WHERE {_SQL_QUALITY} >= 0.5 AND {_SQL_NTOK} BETWEEN 20 AND 80
+"""
+
+
+def training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pass (quality filter → fingerprint keep-first
+    dedup): the manifest a tokenization job would join back on. Filters run
+    BEFORE the dedup shuffle (content-pure predicates keep the surviving
+    set identical while shrinking the shuffle)."""
+    from vacancy_gpt_etl_pipeline_spark.operators.curation import curate_documents
+
+    return curate_documents(
+        _t(spark, sf_dir, "documents"),
+        min_quality=0.5,
+        min_tokens=20,
+        max_tokens=80,
+    )
+
+
+TRAINING_PREP_SQL = f"""
+WITH filtered AS (
+  SELECT doc_id, {_SQL_NTOK} AS n_tokens, {_SQL_QUALITY} AS quality, {_SQL_FP} AS fingerprint
+  FROM documents
+  WHERE {_SQL_QUALITY} >= 0.5 AND {_SQL_NTOK} BETWEEN 20 AND 80
+)
+SELECT doc_id, n_tokens, quality, fingerprint FROM (
+  SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM filtered
+) WHERE rn = 1
+"""
+
+
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload attach + metadata projection.
     Column pruning keeps the payload out of the scan when only metadata is
@@ -1125,6 +1189,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_brute_force": QuerySpec(ann_brute_force, ANN_SQL),
     "ann_lsh": QuerySpec(ann_lsh, ANN_LSH_SQL),
     "text_analysis_profile": QuerySpec(text_analysis_profile, TEXT_PROFILE_SQL),
+    "text_quality_filter": QuerySpec(text_quality_filter, QUALITY_FILTER_SQL),
+    "training_prep_pipeline": QuerySpec(training_prep_pipeline, TRAINING_PREP_SQL),
     "multimodal_metadata": QuerySpec(multimodal_metadata, MULTIMODAL_SQL),
     "multimodal_decode_stub": QuerySpec(multimodal_decode_stub, None),
 }
