@@ -152,9 +152,13 @@ def _normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → the reference's normalized_vacancies shape, via the real
     enrichment operator (distinct → mapInPandas → broadcast join back)."""
     docs = _t(spark, sf_dir, "documents")
-    titled = enrich_column(docs, "text", TITLE_ENRICHER, batch_size=50, max_retries=0)
+    # batch sizes sized for a high-throughput enricher: each mapInPandas task
+    # costs ~60 ms of Arrow/worker overhead, so tiny batches (the reference's
+    # LLM-prompt-constrained 15/10) would spend more on task dispatch than
+    # work; per-call chunking semantics are pinned separately in pytest
+    titled = enrich_column(docs, "text", TITLE_ENRICHER, batch_size=500, max_retries=0)
     fielded = enrich_column(
-        titled, "source", FIELD_ENRICHER, batch_size=10, max_retries=0
+        titled, "source", FIELD_ENRICHER, batch_size=50, max_retries=0
     )
     return fielded.select(
         F.col("doc_id").alias("id"),
