@@ -1,0 +1,78 @@
+"""Skew-handling helpers (SURVEY north star: 'skewed keys hurt — salting
+for skew').
+
+AQE's skew-join splitting handles JOIN skew automatically
+(``spark.sql.adaptive.skewJoin.enabled``, on in session.py). What AQE does
+NOT fix is single-key AGGREGATION skew with high-cardinality per-key state
+(``collect_list``/``collect_set``-style aggregates, where one hot key's
+buffer exceeds an executor): for those, two-stage salted aggregation is the
+standard rewrite, expressed here for the decomposable aggregates
+(count / sum — anything where partial results merge associatively).
+
+For plain count/sum Spark's partial aggregation already combines map-side,
+so salting buys nothing — use these helpers when the aggregate is
+buffer-heavy or when upstream partial aggregation is defeated (e.g. after
+an explode whose output feeds a single hot group).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, buckets: int, col_name: str = "_salt") -> DataFrame:
+    """Uniform salt in [0, buckets) — deterministic per row via a hash of the
+    whole row's partition-local position is NOT reproducible, so we salt by
+    ``monotonically_increasing_id % buckets`` (stable within a run; salting
+    only redistributes, never changes results)."""
+    return df.withColumn(
+        col_name, (F.monotonically_increasing_id() % buckets).cast("int")
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, tuple[Column, Column]],
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation for associative aggregates.
+
+    ``aggs`` maps output column name → (stage-1 aggregate over raw rows,
+    stage-2 merge over stage-1 partials). Example — count and sum::
+
+        salted_agg(df, ["k"], {
+            "cnt": (F.count("*"),       F.sum("cnt")),
+            "tot": (F.sum("v"),         F.sum("tot")),
+        }, buckets=32)
+
+    Stage 1 groups on (key, salt) — a hot key fans out across ``buckets``
+    reducers; stage 2 merges the ≤ buckets partial rows per key. The second
+    shuffle moves one row per (key, salt), so its cost is O(keys × buckets),
+    independent of row skew.
+    """
+    stage1_exprs = [expr.alias(name) for name, (expr, _) in aggs.items()]
+    stage2_exprs = [merge.alias(name) for name, (_, merge) in aggs.items()]
+    salted = with_salt(df, buckets)
+    partial = salted.groupBy(*group_cols, "_salt").agg(*stage1_exprs)
+    return partial.groupBy(*group_cols).agg(*stage2_exprs)
+
+
+def salted_collect_set(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    buckets: int = 16,
+    out_col: str = "values",
+) -> DataFrame:
+    """Skew-safe ``collect_set``: per-(key, salt) sets are built in parallel
+    (each ≤ 1/buckets of a hot key's values), then unioned with
+    ``array_distinct(flatten(...))`` in the small second stage."""
+    salted = with_salt(df, buckets)
+    partial = salted.groupBy(*group_cols, "_salt").agg(
+        F.collect_set(value_col).alias("_part")
+    )
+    return partial.groupBy(*group_cols).agg(
+        F.array_distinct(F.flatten(F.collect_list("_part"))).alias(out_col)
+    )

@@ -333,6 +333,22 @@ def a4_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 A4_SQL = "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type"
 
 
+def a4_frequency_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 computed through the two-stage SALTED aggregation (operators/
+    skew.py): hot keys fan out across 16 salt buckets in stage 1, partials
+    merge in stage 2. Same result as a4_frequency by construction — the
+    oracle proves it; the plan (groupBy event_type, _salt → groupBy
+    event_type) is the skew-safe rewrite for buffer-heavy aggregates."""
+    from vacancy_gpt_etl_pipeline_spark.operators.skew import salted_agg
+
+    return salted_agg(
+        _t(spark, sf_dir, "events"),
+        ["event_type"],
+        {"cnt": (F.count("*"), F.sum("cnt").cast("long"))},
+        buckets=16,
+    )
+
+
 def a6_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: success-vs-total conditional aggregate (dag/...py:414-416)."""
     from vacancy_gpt_etl_pipeline_spark.operators.relational import (
@@ -1165,6 +1181,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "a2_keyed_keep_first": QuerySpec(a2_keyed_keep_first, A2_SQL),
     "a3_distinct_values": QuerySpec(a3_distinct_values, A3_SQL),
     "a4_frequency": QuerySpec(a4_frequency, A4_SQL),
+    "a4_frequency_salted": QuerySpec(a4_frequency_salted, A4_SQL),
     "a6_conditional_agg": QuerySpec(a6_conditional_agg, A6_SQL),
     "w1_ratio_of_total": QuerySpec(w1_ratio_of_total, W1_SQL),
     "a8_inverted_index": QuerySpec(a8_inverted_index, A8_SQL),
