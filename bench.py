@@ -33,8 +33,12 @@ def main() -> None:
     from vacancy_gpt_etl_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
-    # warm the JVM + parquet footers so q1 doesn't pay session cold-start
-    spark.range(1).count()
+    # warm the JVM paths the queries use (parquet reader, shuffle, noop sink,
+    # codegen) so the FIRST timed query doesn't absorb session cold-start
+    warm = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    warm.groupBy("l_returnflag").count().write.mode("overwrite").format(
+        "noop"
+    ).save()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -28,6 +28,27 @@ class FlakyEnricher(Enricher):
         return f"```json\n{body}\n```"
 
 
+class CallCountingEnricher(Enricher):
+    """Drops a marker file per respond() call so the driver can count how
+    many LLM calls actually happened across executors."""
+
+    output_cols = ("normalized_title",)
+    retry_values = frozenset()
+
+    def __init__(self, marker_dir):
+        self.marker_dir = marker_dir
+
+    def respond(self, keys, attempt):
+        import os
+        import uuid
+
+        with open(os.path.join(self.marker_dir, f"{uuid.uuid4().hex}.call"), "w") as f:
+            f.write(str(len(keys)))
+        return json.dumps(
+            [{"original": k, "normalized_title": f"T:{k}"} for k in keys]
+        )
+
+
 class BatchSizeEcho(Enricher):
     """Labels each key with the size of the batch it arrived in."""
 

@@ -253,6 +253,26 @@ def test_partition_cap_preserves_batch_size(spark):
     assert sum(1 for s in sizes if s == 5) >= 190  # nearly all full batches
 
 
+def test_mapping_cached_across_actions(spark, tmp_path):
+    """Two actions over one enriched frame must NOT call the LLM twice —
+    the mapping persists after the first action (cost idempotence)."""
+    from mock_enrichers import CallCountingEnricher
+
+    df = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(40)], "id int, title string"
+    )
+    out = enrich_column(
+        df, "title", CallCountingEnricher(str(tmp_path)), batch_size=10, max_retries=0
+    )
+    out.count()
+    calls_after_first = len(list(tmp_path.glob("*.call")))
+    # ~40/10 calls; round-robin partitions aren't exactly even so a ragged
+    # partition can add a short chunk
+    assert 4 <= calls_after_first <= 8
+    out.count()  # second action: served from the persisted mapping
+    assert len(list(tmp_path.glob("*.call"))) == calls_after_first
+
+
 def test_output_column_collision_raises(spark):
     df = spark.createDataFrame([(1, "x", "old")], "id int, title string, normalized_title string")
     with pytest.raises(ValueError, match="already exists"):

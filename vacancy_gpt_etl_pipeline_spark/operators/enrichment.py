@@ -302,9 +302,13 @@ def enrich_column(
                     _process_chunk(buf, enricher, max_retries, defaults, sleep_s)
                 )
 
-        # round-robin repartition → ⌈n/batch_size⌉ even partitions; one
-        # HTTP-bound task per ~batch; parallelism = executor slots.
-        mapping = keys_df.repartition(n_parts).mapInPandas(run, schema=schema)
+        # round-robin repartition → bounded even partitions; one HTTP-bound
+        # task per ~batch; parallelism = executor slots. The mapping is
+        # PERSISTED: every downstream action over the enriched frame would
+        # otherwise re-run the mapInPandas stage — i.e. re-call the LLM —
+        # once per action. Caching makes enrichment cost once-per-key, not
+        # once-per-key-per-action (tested in test_enrichment_failures).
+        mapping = keys_df.repartition(n_parts).mapInPandas(run, schema=schema).persist()
 
     joined = df.join(
         F.broadcast(mapping) if broadcast_mapping else mapping,
