@@ -1141,6 +1141,79 @@ SELECT doc_id, n_tokens, quality, fingerprint FROM (
 """
 
 
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash split (~81/19): the split a training
+    pipeline must make reproducibly on any cluster layout. Keyed on a hash
+    of the CONTENT fingerprint, not the id — id-keyed splits leak when ids
+    are reassigned, and content-keyed splits keep exact duplicates in the
+    SAME split by construction. md5's first hex digit < 'd' ⇔ 13/16 of the
+    space → train."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")))
+    split = F.when(F.substring(fp, 1, 1) < "d", "train").otherwise("test")
+    return (
+        d.select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+TRAIN_TEST_SPLIT_SQL = """
+SELECT CASE WHEN substring(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 1) < 'd'
+            THEN 'train' ELSE 'test' END AS split,
+  COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set contamination audit: exact-duplicate content shared between
+    train and test splits. The fixture has no natural dups, so the query
+    PLANTS copies of the first 40 docs under ids shifted by 500001 (the +1 changes id%5, so a copy can land in the other split) and splits BY ID
+    (the leaky strategy) — each planted copy lands independently of its
+    original, so cross-split duplicate pairs exist and the audit must find
+    them. (The content-hash split above is immune by construction — that's
+    the point of auditing.)"""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 500001).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(planted)
+    fp = F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")))
+    labeled = corpus.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.when(F.col("doc_id") % 5 < 4, "train").otherwise("test").alias("split"),
+    )
+    train = labeled.where(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_id"), "fingerprint"
+    )
+    test = labeled.where(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_id"), "fingerprint"
+    )
+    return train.join(test, "fingerprint").select(
+        "fingerprint", "train_id", "test_id"
+    )
+
+
+SPLIT_CONTAMINATION_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500001 AS doc_id, text FROM documents WHERE doc_id < 40
+),
+labeled AS (
+  SELECT doc_id,
+    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+    CASE WHEN doc_id % 5 < 4 THEN 'train' ELSE 'test' END AS split
+  FROM corpus
+)
+SELECT a.fingerprint, a.doc_id AS train_id, b.doc_id AS test_id
+FROM labeled a JOIN labeled b ON a.fingerprint = b.fingerprint
+WHERE a.split = 'train' AND b.split = 'test'
+"""
+
+
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload attach + metadata projection.
     Column pruning keeps the payload out of the scan when only metadata is
@@ -1212,6 +1285,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_analysis_profile": QuerySpec(text_analysis_profile, TEXT_PROFILE_SQL),
     "text_quality_filter": QuerySpec(text_quality_filter, QUALITY_FILTER_SQL),
     "training_prep_pipeline": QuerySpec(training_prep_pipeline, TRAINING_PREP_SQL),
+    "train_test_split": QuerySpec(train_test_split, TRAIN_TEST_SPLIT_SQL),
+    "split_contamination": QuerySpec(split_contamination, SPLIT_CONTAMINATION_SQL),
     "multimodal_metadata": QuerySpec(multimodal_metadata, MULTIMODAL_SQL),
     "multimodal_decode_stub": QuerySpec(multimodal_decode_stub, None),
 }
