@@ -1141,6 +1141,71 @@ SELECT doc_id, n_tokens, quality, fingerprint FROM (
 """
 
 
+def chunk_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token windows, stride 24) —
+    the RAG/pretraining 1→N expansion as a narrow no-shuffle map stage."""
+    from vacancy_gpt_etl_pipeline_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, stride=24
+    )
+
+
+CHUNK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+  WHERE len(string_split_regex(trim(lower(text)), '\s+')) > 0
+),
+w AS (
+  SELECT doc_id, t,
+    1 + CAST(ceil(greatest(len(t) - 32, 0) / 24.0) AS INT) AS n_win
+  FROM toks
+),
+idx AS (SELECT doc_id, t, unnest(generate_series(0, n_win - 1)) AS i FROM w)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+  array_to_string(t[i*24 + 1 : i*24 + 32], ' ') AS chunk_text,
+  len(t[i*24 + 1 : i*24 + 32]) AS n_tokens
+FROM idx
+"""
+
+
+def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 completeness: INTERSECT (distinct set semantics) — customers
+    placing both urgent AND high-priority orders."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = o.where(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return urgent.intersect(high)
+
+
+U3_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+"""
+
+
+def u4_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 completeness: EXCEPT ALL (multiset difference, multiplicity
+    preserved) — urgent order slots per customer minus high-priority ones."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = o.where(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return urgent.exceptAll(high).groupBy("o_custkey").agg(
+        F.count("*").alias("residual_urgent")
+    )
+
+
+U4_SQL = """
+SELECT o_custkey, COUNT(*) AS residual_urgent FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+) GROUP BY o_custkey
+"""
+
+
 def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash split (~81/19): the split a training
     pipeline must make reproducibly on any cluster layout. Keyed on a hash
@@ -1287,6 +1352,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "training_prep_pipeline": QuerySpec(training_prep_pipeline, TRAINING_PREP_SQL),
     "train_test_split": QuerySpec(train_test_split, TRAIN_TEST_SPLIT_SQL),
     "split_contamination": QuerySpec(split_contamination, SPLIT_CONTAMINATION_SQL),
+    "chunk_documents": QuerySpec(chunk_documents_query, CHUNK_SQL),
+    "u3_intersect": QuerySpec(u3_intersect, U3_SQL),
+    "u4_except_all": QuerySpec(u4_except_all, U4_SQL),
     "multimodal_metadata": QuerySpec(multimodal_metadata, MULTIMODAL_SQL),
     "multimodal_decode_stub": QuerySpec(multimodal_decode_stub, None),
 }
