@@ -126,22 +126,21 @@ def minhash_near_duplicates(
     # two verify joins (Spark's MinHashLSH persists for the same reason)
     shingled = _shingled(df, text_col, id_col, shingle_n)
 
-    # ONE nested higher-order expression for the whole signature, not
-    # num_hashes separate array_min(transform(...)) columns: the unrolled
-    # form generates so much code that janino compilation costs ~10 s of
-    # driver time per plan (measured; the actual hashing is milliseconds).
+    # num_hashes UNROLLED array_min(transform(...)) columns, not one nested
+    # transform-over-sequence: the nested form evaluates fully interpreted
+    # and costs 16× at 50 k docs (40 s vs 2.5 s measured); unrolling keeps
+    # each column in the optimized per-expression path.
     # NB: the inner lambda takes exactly ONE parameter — F.transform passes
     # the array INDEX as a second argument to binary lambdas, which would
     # silently replace the per-hash salt (found by
     # tests/test_neardup_quality.py: recall collapsed to signature-equality).
-    def _sig_for(salt_col):
-        return F.array_min(F.transform("_sh", lambda s: F.xxhash64(s, salt_col)))
+    def _minhash(i: int):
+        salt = F.lit(i)
+        return F.array_min(F.transform("_sh", lambda s: F.xxhash64(s, salt)))
 
     sig = shingled.select(
         "_id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)), _sig_for
-        ).alias("_sig"),
+        F.array(*[_minhash(i) for i in range(num_hashes)]).alias("_sig"),
     )
     band_cols = [
         F.xxhash64(

@@ -38,6 +38,11 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # local mode runs driver+executors in ONE JVM whose default heap is
+        # 1g — far too small for broadcast builds / cached frames on a big
+        # box (found by a 50k-doc scale run OOMing a broadcast). Must be set
+        # before JVM launch; on a real cluster spark-submit overrides it.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
