@@ -163,6 +163,77 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     emb.unpersist()
 
 
+def test_ann_ivf_exhaustive_probe_equals_brute_force(spark):
+    """nprobe = n_cells must degenerate to exact search — the IVF recall
+    dial's boundary condition."""
+    from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
+        knn_ivf,
+        sampled_centroids,
+    )
+
+    emb = _embeddings(spark)
+    emb.cache().count()
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = sampled_centroids(emb, 8, 23)
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in knn_brute_force(emb, queries, k=10).collect()
+    }
+    full_probe = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in knn_ivf(emb, queries, cents, k=10, nprobe=8).collect()
+    }
+    assert full_probe == exact
+    emb.unpersist()
+
+
+def test_ann_ivf_partial_probe_recall(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
+        knn_ivf,
+        sampled_centroids,
+    )
+
+    emb = _embeddings(spark)
+    emb.cache().count()
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = sampled_centroids(emb, 8, 23)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_brute_force(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivf(emb, queries, cents, k=10, nprobe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # probing 3/8 cells of gaussian data: recall must beat the ~3/8
+    # random-cell floor (centroid-directed probing is the whole point)
+    assert recall >= 0.35, f"ann_ivf recall {recall:.2f}"
+    emb.unpersist()
+
+
+def test_lloyd_refine_descends_inertia_and_preserves_k(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
+        ivf_inertia,
+        lloyd_refine,
+        sampled_centroids,
+    )
+
+    emb = _embeddings(spark, n=150)
+    emb.cache().count()
+    seeds = sampled_centroids(emb, 6, 17)
+    before = ivf_inertia(emb, seeds)
+    refined = lloyd_refine(emb, seeds, iters=2)
+    assert refined.count() == 6, "Lloyd must never lose a cell"
+    after = ivf_inertia(emb, refined)
+    assert after <= before + 1e-9, f"inertia rose: {before:.4f} -> {after:.4f}"
+    emb.unpersist()
+
+
 def test_ann_lsh_is_exact_for_near_identical_vectors(spark):
     from vacancy_gpt_etl_pipeline_spark.queries import _pseudo_tables
 

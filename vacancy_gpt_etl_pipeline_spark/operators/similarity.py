@@ -150,6 +150,177 @@ def knn_lsh(
     )
 
 
+def sampled_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    stride: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: the first ``n_centroids`` corpus
+    vectors whose id is a multiple of ``stride``, ordered by id.
+
+    Determinism (vs k-means++ style random init) is deliberate: the exact
+    same centroid set is reproducible in plain SQL, so the whole IVF path —
+    assignment, probing, scoring — can be hash-verified against an oracle.
+    :func:`lloyd_refine` upgrades these seeds to proper k-means centroids
+    when recall matters more than oracle parity.
+    """
+    return (
+        corpus.where((F.col(id_col) % stride) == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid"))
+    )
+
+
+def _cell_scores(df: DataFrame, vec_col: str, centroids: DataFrame) -> DataFrame:
+    """Cross every vector with the (broadcast, tiny) centroid set and score.
+
+    Cosines are rounded to 6 digits BEFORE any argmax/rank so assignment
+    tie-breaking is bit-identical to an oracle that rounds the same way.
+    """
+    c = centroids.select("cell", F.col("centroid").alias("_cent"))
+    return df.crossJoin(F.broadcast(c)).withColumn(
+        "_ccos", cosine_similarity_col(vec_col, "_cent")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid cell.
+
+    Scale shape: centroids broadcast (bounded by contract); the ×C
+    score expansion collapses map-side via ``max_by`` partial aggregation —
+    the only shuffle carries one (id, vector, cell) row per corpus vector,
+    never the ×C expansion. Ties break to the lowest cell id
+    (max on (cosine, -cell)), matching ``ORDER BY cos DESC, cell`` in SQL.
+    """
+    scored = _cell_scores(
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        "_v",
+        centroids,
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.max_by(
+                "cell", F.struct(F.col("_ccos"), (-F.col("cell")).alias("_neg"))
+            ).alias("cell"),
+            F.first("_v").alias("_v"),
+        )
+        .select(F.col("_id").alias(id_col), F.col("_v").alias(vec_col), "cell")
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) search: corpus vectors are
+    bucketed into centroid cells once; each query exhaustively scores only
+    the ``nprobe`` cells nearest to it.
+
+    ``nprobe`` is the recall/cost dial — probing all cells degenerates to
+    exact search (asserted in tests/test_neardup_quality.py). Scale shape:
+    cell assignment is one map-side-combined aggregation; the probe join is
+    broadcast (query side bounded); scoring touches ~nprobe/C of the corpus
+    per query and the top-k window shuffles only (query, neighbor, cosine)
+    triples.
+    """
+    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    q_scored = _cell_scores(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        ),
+        "_qv",
+        centroids,
+    )
+    from pyspark.sql import Window
+
+    pw = Window.partitionBy("query_id").orderBy(F.desc("_ccos"), F.asc("cell"))
+    probes = (
+        q_scored.withColumn("_crank", F.row_number().over(pw))
+        .where(F.col("_crank") <= nprobe)
+        .select("query_id", "_qv", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine_similarity_col("_qv", vec_col).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lloyd_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd (k-means) refinement of an IVF centroid set.
+
+    Each iteration: assign (map-side-combined argmax) → elementwise mean per
+    cell via posexplode + groupBy(cell, dim) — the mean never leaves the
+    cluster, no driver collect. Cells that lose every member keep their old
+    centroid (anti-join + union) so k never shrinks. Iterative refinement is
+    inherently non-SQL-expressible, so this path is pytest-verified
+    (inertia monotonicity) rather than oracle-verified.
+    """
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+        means = (
+            assigned.select("cell", F.posexplode(vec_col).alias("_dim", "_x"))
+            .groupBy("cell", "_dim")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_dim", "_m"))),
+                    lambda s: s["_m"].cast("float"),
+                ).alias("centroid")
+            )
+        )
+        kept = centroids.join(means.select("cell"), "cell", "left_anti")
+        centroids = means.unionByName(kept)
+    return centroids
+
+
+def ivf_inertia(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Mean cosine distance (1 - cos) of each vector to its assigned
+    centroid — the quantity :func:`lloyd_refine` descends."""
+    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    scored = assigned.join(F.broadcast(centroids), "cell").select(
+        (F.lit(1.0) - cosine_similarity_col(vec_col, "centroid")).alias("_d")
+    )
+    return scored.agg(F.avg("_d")).first()[0]
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.9,

@@ -62,7 +62,9 @@ from vacancy_gpt_etl_pipeline_spark.operators.relational import ratio_of_total
 from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
     embedding_near_duplicates,
     knn_brute_force,
+    knn_ivf,
     knn_lsh,
+    sampled_centroids,
 )
 from vacancy_gpt_etl_pipeline_spark.sources.parquet_source import read_table
 from vacancy_gpt_etl_pipeline_spark.session import configure_session
@@ -1028,6 +1030,65 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+_IVF_STRIDE, _IVF_CELLS, _IVF_NPROBE = 61, 8, 3
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: corpus bucketed into 8 deterministic
+    stride-sampled centroid cells, queries probe their 3 nearest cells.
+
+    The oracle reproduces the exact centroid choice (vec_id % 61, first 8)
+    and rounded-cosine tie-breaking, so assignment + probing + scoring are
+    all hash-verified; recall vs brute force and the nprobe=C ≡ exact
+    invariant are asserted in tests/test_neardup_quality.py. Lloyd-refined
+    centroids (operators/similarity.lloyd_refine) are the production path
+    when recall matters more than oracle parity."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sampled_centroids(emb, _IVF_CELLS, _IVF_STRIDE)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_ivf(emb, queries, cents, k=10, nprobe=_IVF_NPROBE)
+
+
+ANN_IVF_SQL = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (
+  SELECT vec_id AS cell, e AS ce FROM base
+  WHERE vec_id % {_IVF_STRIDE} = 0 ORDER BY vec_id LIMIT {_IVF_CELLS}
+),
+ca AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT b.vec_id, b.e, c.cell,
+      row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY ROUND(list_cosine_similarity(b.e, c.ce), 6) DESC, c.cell
+      ) AS rnk
+    FROM base b, cents c
+  ) WHERE rnk = 1
+),
+qa AS (
+  SELECT query_id, qe, cell FROM (
+    SELECT b.vec_id AS query_id, b.e AS qe, c.cell,
+      row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY ROUND(list_cosine_similarity(b.e, c.ce), 6) DESC, c.cell
+      ) AS rnk
+    FROM base b, cents c WHERE b.vec_id < 5
+  ) WHERE rnk <= {_IVF_NPROBE}
+),
+s AS (
+  SELECT qa.query_id, ca.vec_id AS neighbor_id,
+    ROUND(list_cosine_similarity(qa.qe, ca.e), 6) AS cosine
+  FROM qa JOIN ca USING (cell) WHERE ca.vec_id != qa.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM s
+) WHERE rank <= 10
+"""
+
+
 _STOP_EN = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
 _LANG_SCORES = {
     lang: f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN ({', '.join(chr(39) + w + chr(39) for w in stops)})))"
@@ -1347,6 +1408,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "embedding_near_dup": QuerySpec(embedding_near_dup, EMB_NEARDUP_SQL),
     "ann_brute_force": QuerySpec(ann_brute_force, ANN_SQL),
     "ann_lsh": QuerySpec(ann_lsh, ANN_LSH_SQL),
+    "ann_ivf": QuerySpec(ann_ivf, ANN_IVF_SQL),
     "text_analysis_profile": QuerySpec(text_analysis_profile, TEXT_PROFILE_SQL),
     "text_quality_filter": QuerySpec(text_quality_filter, QUALITY_FILTER_SQL),
     "training_prep_pipeline": QuerySpec(training_prep_pipeline, TRAINING_PREP_SQL),
