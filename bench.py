@@ -55,6 +55,12 @@ def main() -> None:
             print(f"[bench] {name}: FAILED", file=sys.stderr)
             traceback.print_exc(file=sys.stderr)
             timings[name] = -1.0
+        # drop persists leaked by the previous query (the near-dup operators
+        # persist candidate frames internally) so each measurement is
+        # independent — without this, accumulated storage + GC pressure
+        # inflated late-registry queries ~2× (22.7s vs 11.1s standalone for
+        # dedup_simhash at sf0.1)
+        spark.catalog.clearCache()
     print(
         json.dumps(
             {

@@ -16,7 +16,16 @@ from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
     cosine_similarity_col,
     embedding_near_duplicates,
     knn_brute_force,
+    knn_ivf,
     knn_lsh,
+    lloyd_refine,
+    sampled_centroids,
+)
+from vacancy_gpt_etl_pipeline_spark.operators.sketches import (
+    approx_quantiles_per_group,
+    distinct_count_rollup,
+    hll_rollup,
+    hll_sketch_table,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.curation import (
     curate_documents,
@@ -39,5 +48,12 @@ __all__ = [
     "cosine_similarity_col",
     "embedding_near_duplicates",
     "knn_brute_force",
+    "knn_ivf",
     "knn_lsh",
+    "lloyd_refine",
+    "sampled_centroids",
+    "approx_quantiles_per_group",
+    "distinct_count_rollup",
+    "hll_rollup",
+    "hll_sketch_table",
 ]

@@ -1089,6 +1089,55 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type answered from MERGED daily HLL
+    sketches, never the raw rows (operators/sketches.py — the mergeable
+    pre-aggregation pattern for 100 TB dashboards). Rows-only: DataSketches
+    HLL state is not SQL-expressible; the merge-identity (daily-merge ==
+    direct, exact equality) and the error bound vs exact COUNT(DISTINCT)
+    are asserted in tests/test_sketches.py."""
+    from vacancy_gpt_etl_pipeline_spark.operators.sketches import (
+        distinct_count_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return distinct_count_rollup(
+        ev, ["event_type", "day"], ["event_type"], "user_id"
+    ).orderBy("event_type")
+
+
+def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group price quantiles via the mergeable Greenwald-Khanna sketch
+    (percentile_approx). The GK rank error is floor(n/accuracy) per group —
+    0 whenever accuracy ≥ group size, which holds at the sf0.01 correctness
+    gate, so the oracle compares EXACT discrete quantiles; the approx
+    regime (accuracy < n) is bounded in tests/test_sketches.py."""
+    from vacancy_gpt_etl_pipeline_spark.operators.sketches import (
+        approx_quantiles_per_group,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = approx_quantiles_per_group(
+        li, ["l_returnflag"], "l_quantity", [0.25, 0.5, 0.75], accuracy=100000
+    )
+    return out.select(
+        "l_returnflag",
+        F.concat_ws(
+            ",", F.transform("quantiles", lambda q: q.cast("decimal(12,2)").cast("string"))
+        ).alias("quantiles_csv"),
+    )
+
+
+SKETCH_QUANTILES_SQL = """
+SELECT l_returnflag,
+  CAST(CAST(quantile_disc(l_quantity, 0.25) AS DECIMAL(12,2)) AS VARCHAR)
+  || ',' || CAST(CAST(quantile_disc(l_quantity, 0.5) AS DECIMAL(12,2)) AS VARCHAR)
+  || ',' || CAST(CAST(quantile_disc(l_quantity, 0.75) AS DECIMAL(12,2)) AS VARCHAR)
+  AS quantiles_csv
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 _STOP_EN = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
 _LANG_SCORES = {
     lang: f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN ({', '.join(chr(39) + w + chr(39) for w in stops)})))"
@@ -1409,6 +1458,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_brute_force": QuerySpec(ann_brute_force, ANN_SQL),
     "ann_lsh": QuerySpec(ann_lsh, ANN_LSH_SQL),
     "ann_ivf": QuerySpec(ann_ivf, ANN_IVF_SQL),
+    "sketch_distinct_rollup": QuerySpec(sketch_distinct_rollup, None),
+    "sketch_quantiles": QuerySpec(sketch_quantiles, SKETCH_QUANTILES_SQL),
     "text_analysis_profile": QuerySpec(text_analysis_profile, TEXT_PROFILE_SQL),
     "text_quality_filter": QuerySpec(text_quality_filter, QUALITY_FILTER_SQL),
     "training_prep_pipeline": QuerySpec(training_prep_pipeline, TRAINING_PREP_SQL),

@@ -44,6 +44,13 @@ def get_spark(
         # before JVM launch; on a real cluster spark-submit overrides it.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.sql.shuffle.partitions", str(shuffle))
+        # static conf, default 100 generated-class entries: a many-query
+        # session (the 47-entry bench registry) evicts the big unrolled
+        # minhash/simhash classes and re-pays ~15-20 s of janino compile on
+        # re-encounter (measured: dedup_minhash_lsh 26.7 s late in the
+        # bench vs 6.4 s in a short session). Classes are small; 1000
+        # entries is noise next to a 32 g heap.
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
