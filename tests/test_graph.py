@@ -1,0 +1,104 @@
+"""Connected components / dedup clustering (operators/graph.py).
+
+Cross-checks the distributed large-star/small-star implementation against a
+driver-side union-find on graphs chosen to stress it: long chains (worst
+case for plain label propagation), star unions, multi-component mixes, and
+an empty edge set.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from vacancy_gpt_etl_pipeline_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node per component
+    comp = {}
+    for n in list(parent):
+        comp[n] = find(n)
+    return comp
+
+
+def _run_cc(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    want = set(_union_find(edges).items())
+    return got, want
+
+
+def test_chain_collapses_to_min(spark):
+    # 0-1-2-...-19: one component rooted at 0; O(log n) rounds must close
+    # a diameter-19 path
+    edges = [(i, i + 1) for i in range(19)]
+    got, want = _run_cc(spark, edges)
+    assert got == want
+    assert {c for _, c in got} == {0}
+
+
+def test_multi_component_mix(spark):
+    edges = (
+        [(i, i + 1) for i in range(5)]          # chain 0..5
+        + [(100, v) for v in (101, 102, 103)]   # star at 100
+        + [(200, 201), (201, 202), (200, 202)]  # triangle
+        + [(300, 301)]                          # lone pair
+    )
+    got, want = _run_cc(spark, edges)
+    assert got == want
+    assert {c for _, c in got} == {0, 100, 200, 300}
+
+
+def test_duplicate_and_reversed_edges(spark):
+    edges = [(1, 2), (2, 1), (1, 2), (3, 2), (4, 4)]  # self-loop dropped
+    got, want = _run_cc(spark, [(1, 2), (2, 1), (1, 2), (3, 2)])
+    assert got == want
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {(r["node"], r["component"]) for r in connected_components(df).collect()}
+    assert out == {(1, 1), (2, 1), (3, 1)}  # self-loop node 4 is not emitted
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(df).count() == 0
+
+
+def test_pseudo_random_graph_matches_union_find(spark):
+    # deterministic LCG edge set over 200 nodes, ~150 edges
+    seed, edges = 7, []
+    for _ in range(150):
+        seed = (seed * 1103515245 + 12345) % (2**31)
+        a = seed % 200
+        seed = (seed * 1103515245 + 12345) % (2**31)
+        b = seed % 200
+        if a != b:
+            edges.append((a, b))
+    got, want = _run_cc(spark, edges)
+    assert got == want
+
+
+def test_dedup_clusters_column_contract(spark):
+    pairs = spark.createDataFrame([(10, 20), (20, 30)], "id_a long, id_b long")
+    out = dedup_clusters(pairs)
+    assert out.columns == ["doc_id", "cluster_id"]
+    rows = {(r["doc_id"], r["cluster_id"]) for r in out.collect()}
+    assert rows == {(10, 10), (20, 10), (30, 10)}

@@ -862,6 +862,62 @@ WHERE ROUND(inter / (sa.n + sb.n - inter), 6) >= 0.5
 """
 
 
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS: the trigram-Jaccard pairs (same
+    scale-safe config as dedup_ngram_jaccard) fed through distributed
+    connected components (large-star/small-star, operators/graph.py);
+    cluster_id = min doc_id in the transitive component. Oracle: the same
+    pair set closed with a DuckDB recursive CTE — a full value-hash gate
+    over an iterative distributed algorithm."""
+    from vacancy_gpt_etl_pipeline_spark.operators.graph import dedup_clusters
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n=3,
+        threshold=0.5,
+        max_shingle_freq=100,
+    )
+    return dedup_clusters(pairs).orderBy("doc_id")
+
+
+CC_CLUSTERS_SQL = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 2, 0)),
+      i -> string_split_regex(trim(lower(text)), '\\s+')[i] || ' ' ||
+           string_split_regex(trim(lower(text)), '\\s+')[i+1] || ' ' ||
+           string_split_regex(trim(lower(text)), '\\s+')[i+2]
+    )) AS grams
+  FROM documents
+),
+inv0 AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE len(grams) > 0),
+freq AS (SELECT g, COUNT(*) AS f FROM inv0 GROUP BY g),
+inv AS (SELECT doc_id, inv0.g AS g FROM inv0 JOIN freq ON inv0.g = freq.g WHERE freq.f <= 100),
+sized AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT id_a, id_b FROM cand
+  JOIN sized sa ON cand.id_a = sa.doc_id
+  JOIN sized sb ON cand.id_b = sb.doc_id
+  WHERE ROUND(inter / (sa.n + sb.n - inter), 6) >= 0.5
+),
+edges AS (SELECT id_a AS s, id_b AS d FROM jp UNION SELECT id_b, id_a FROM jp),
+r(id, rt) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.id, e.d FROM r JOIN edges e ON r.rt = e.s
+)
+SELECT id AS doc_id, MIN(rt) AS cluster_id FROM r GROUP BY id
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (rows-only: xxhash64 signatures are not
     SQL-portable). Candidate precision/recall vs exact Jaccard is asserted
@@ -1452,6 +1508,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "session_windows_per_user": QuerySpec(session_windows_per_user, SESSION_SQL),
     "dedup_exact_documents": QuerySpec(dedup_exact_documents, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "dedup_cc_clusters": QuerySpec(dedup_cc_clusters, CC_CLUSTERS_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None),
     "dedup_simhash": QuerySpec(dedup_simhash, None),
     "embedding_near_dup": QuerySpec(embedding_near_dup, EMB_NEARDUP_SQL),
