@@ -126,25 +126,24 @@ def minhash_near_duplicates(
     # two verify joins (Spark's MinHashLSH persists for the same reason)
     shingled = _shingled(df, text_col, id_col, shingle_n)
 
-    # num_hashes UNROLLED array_min(transform(...)) columns, not one nested
-    # transform-over-sequence: the nested form evaluates fully interpreted
-    # and costs 16× at 50 k docs (40 s vs 2.5 s measured); unrolling keeps
-    # each column in the optimized per-expression path.
-    # NB: the inner lambda takes exactly ONE parameter — F.transform passes
-    # the array INDEX as a second argument to binary lambdas, which would
-    # silently replace the per-hash salt (found by
-    # tests/test_neardup_quality.py: recall collapsed to signature-equality).
-    def _minhash(i: int):
-        salt = F.lit(i)
-        return F.array_min(F.transform("_sh", lambda s: F.xxhash64(s, salt)))
-
-    sig = shingled.select(
-        "_id",
-        F.array(*[_minhash(i) for i in range(num_hashes)]).alias("_sig"),
+    # Signature via explode → num_hashes MIN aggregates, NOT higher-order
+    # array_min(transform(...)) columns: HOFs are codegen-unsupported, so
+    # 64 of them cost 64 interpreted passes over every shingle array
+    # (measured 61.6 s end-to-end at sf0.1). The exploded form is one
+    # whole-stage-codegen pass computing 64 salted hashes per shingle into
+    # 64 partial-min accumulators; the shuffle carries one 64-long row per
+    # doc (map-side combine), never the shingles. Same values either way:
+    # min over identical per-shingle hashes.
+    ex = shingled.select("_id", F.explode("_sh").alias("_s"))
+    sig = ex.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64("_s", F.lit(i))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
     )
     band_cols = [
         F.xxhash64(
-            *[F.element_at("_sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+            *[F.col(f"_h{b * rows_per_band + r}") for r in range(rows_per_band)]
         ).alias(f"_b{b}")
         for b in range(bands)
     ]
@@ -229,26 +228,36 @@ def simhash_near_duplicates(
             f"max_hamming={max_hamming} exceeds the pigeonhole recall bound "
             f"n_tables-1={n_tables - 1}; raise n_tables instead"
         )
-    hashed = _shingled(df, text_col, id_col, feature_n).select(
-        "_id",
-        F.transform("_sh", lambda t: F.xxhash64(t)).alias("_th"),
+    # Bit votes via explode → ``bits`` conditional-SUM aggregates, NOT
+    # ``bits`` higher-order filter() passes over the hash array: HOFs run
+    # interpreted, and 64 of them over every doc's shingle array measured
+    # 118.9 s end-to-end at sf0.1. Exploded, this is one codegen pass
+    # extracting 64 bits per shingle hash into 64 partial sums; the
+    # shuffle carries one 65-long row per doc. bit b of the simhash = 1
+    # iff (# features with bit b set) > n_features/2 — identical either
+    # way. shiftrightunsigned avoids sign trouble for bit 63.
+    ex = (
+        _shingled(df, text_col, id_col, feature_n)
+        .select("_id", F.explode("_sh").alias("_s"))
+        .select("_id", F.xxhash64("_s").alias("_h"))
     )
-
-    # bit b of the simhash = 1 iff (# tokens with bit b set) > n_tokens/2.
-    # shiftrightunsigned avoids Python-int overflow for bit 63.
-    bit = lambda b: (  # noqa: E731
-        F.size(
-            F.filter(
-                "_th",
-                lambda h: F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == F.lit(1),
-            )
-        )
-        > (F.size("_th") / F.lit(2.0))
-    ).cast("long")
-    sim = hashed.select(
+    votes = ex.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.shiftrightunsigned("_h", b).bitwiseAND(F.lit(1))).alias(f"_v{b}")
+            for b in range(bits)
+        ],
+    )
+    sim = votes.select(
         "_id",
         sum(
-            [F.shiftleft(bit(b), b) for b in range(bits)], F.lit(0).cast("long")
+            [
+                F.shiftleft(
+                    (F.col(f"_v{b}") > F.col("_n") / F.lit(2.0)).cast("long"), b
+                )
+                for b in range(bits)
+            ],
+            F.lit(0).cast("long"),
         ).alias("_sim"),
     )
     block_bits = bits // n_tables
@@ -285,17 +294,19 @@ def simhash_near_duplicates(
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            F.col("l._sim").alias("_sa"),
-            F.col("r._sim").alias("_sb"),
+            F.bit_count(F.col("l._sim").bitwiseXOR(F.col("r._sim"))).alias(
+                "hamming"
+            ),
         )
+        # hamming-filter BEFORE dropDuplicates: the predicate is map-side
+        # in the join stage, so the dedup shuffle carries only true
+        # near-dups (~0.05% of candidates at sf0.1: 234 of 408 k), not the
+        # whole candidate set. Measured 8 s saved at sf0.1; at 100 TB the
+        # candidate set is the operator's largest intermediate.
+        .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
-    return (
-        cand.withColumn("hamming", ham)
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return cand.select("id_a", "id_b", "hamming")
 
 
 def ngram_jaccard_pairs(
