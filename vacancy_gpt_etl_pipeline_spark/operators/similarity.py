@@ -11,9 +11,11 @@ Scale extension (north star). Two tiers:
 - :func:`embedding_near_duplicates` — cosine near-dup pairs via the same
   bucketing, the embedding analogue of MinHash dedup.
 
-Dot products stay JVM-side (``zip_with`` + ``aggregate`` higher-order
-functions) — no Python in the hot path; cosines are computed on
-unit-normalized vectors so the pair score is a single dot product.
+Dot products stay JVM-side and, when the embedding width is known (the
+``dim`` parameter every operator threads through), unroll into
+whole-stage-codegen arithmetic — the higher-order ``zip_with`` +
+``aggregate`` form is the fallback for unknown widths only, because Spark
+evaluates HOFs interpreted, per row. No Python anywhere in the hot path.
 """
 
 from __future__ import annotations
@@ -22,7 +24,39 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _dot(a, b) -> Column:
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    """Unrolled ``<a, b>`` as ONE SQL string for ``F.expr``.
+
+    Why a string and not a Python Column chain: a 64-term chain costs ~200
+    py4j round-trips to BUILD, and the resulting tree is re-built on every
+    plan construction — measured 12.6 s of pure driver-side Column
+    assembly for ann_lsh's 8×4-plane bucket set at sf0.1, before Spark ran
+    anything. ``F.expr`` ships one string; the JVM parses it in
+    milliseconds. Accumulation is left-to-right from 0.0 — bit-identical
+    to the ``aggregate(zip_with(...))`` fallback, so oracle hashes are
+    unaffected.
+    """
+    terms = " + ".join(
+        f"CAST(element_at(`{a}`, {i}) AS DOUBLE) * "
+        f"CAST(element_at(`{b}`, {i}) AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    return f"(CAST(0.0 AS DOUBLE) + {terms})"
+
+
+def _dot(a, b, dim: int | None = None) -> Column:
+    """Dot product of two array columns.
+
+    With ``dim`` given AND both operands passed by column name (the
+    engine's normal case — embedding width is fixed per table), the
+    product unrolls into ``dim`` codegen-able ``element_at`` terms built
+    as a single ``F.expr`` string (see :func:`_dot_sql`); otherwise falls
+    back to the ``aggregate(zip_with(...))`` higher-order form, which
+    Spark evaluates INTERPRETED per row — correct, but ~40× slower in the
+    ann hot paths at sf0.1.
+    """
+    if dim is not None and isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b, dim))
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
@@ -32,17 +66,21 @@ def _dot(a, b) -> Column:
     )
 
 
-def _norm(a) -> Column:
-    return F.sqrt(_dot(a, a))
+def _norm(a, dim: int | None = None) -> Column:
+    return F.sqrt(_dot(a, a, dim))
 
 
-def cosine_similarity_col(a, b, ndigits: int | None = 6) -> Column:
-    cos = _dot(a, b) / (_norm(a) * _norm(b))
+def cosine_similarity_col(
+    a, b, ndigits: int | None = 6, dim: int | None = None
+) -> Column:
+    cos = _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
     return F.round(cos, ndigits) if ndigits is not None else cos
 
 
-def unit_normalize(df: DataFrame, vec_col: str, out_col: str = "_unit") -> DataFrame:
-    n = _norm(vec_col)
+def unit_normalize(
+    df: DataFrame, vec_col: str, out_col: str = "_unit", dim: int | None = None
+) -> DataFrame:
+    n = _norm(vec_col, dim)
     return df.withColumn(
         out_col,
         F.transform(F.col(vec_col), lambda x: x.cast("double") / n),
@@ -57,6 +95,7 @@ def knn_brute_force(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     exclude_self: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query. Plan: broadcast(queries) ⨯ corpus →
     per-query TakeOrdered via row_number window partitioned by query.
@@ -72,7 +111,7 @@ def knn_brute_force(
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        cosine_similarity_col("_qv", "_cv").alias("cosine"),
+        cosine_similarity_col("_qv", "_cv", dim=dim).alias("cosine"),
     )
     if exclude_self:
         scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
@@ -88,15 +127,94 @@ def knn_brute_force(
     )
 
 
-def _rhp_bucket(vec_col: str, planes: list[list[float]]) -> Column:
+def _coef_sql(c: float) -> str:
+    """A double literal that parses to the EXACT same IEEE value as the
+    Python float (repr round-trips; CAST-from-string is correctly
+    rounded), matching how the DuckDB oracles render the same planes."""
+    return f"CAST('{float(c)!r}' AS DOUBLE)"
+
+
+def _lit_dot_sql(vec: str, coefs: list[float]) -> str:
+    """<vector column, literal coefficient list> unrolled as one SQL
+    string. NEVER wrap the literals in ``F.array`` and dot against that:
+    the unrolled dot replicates the whole 64-literal array node into every
+    ``element_at`` term, and with 32 planes the LOGICAL PLAN grows to
+    millions of nodes — measured 72 s of analyzer time for ann_lsh at
+    sf0.1, data execution being milliseconds. And never build the chain as
+    Python Column ops — see :func:`_dot_sql` (py4j build cost)."""
+    terms = " + ".join(
+        f"CAST(element_at(`{vec}`, {i + 1}) AS DOUBLE) * {_coef_sql(c)}"
+        for i, c in enumerate(coefs)
+    )
+    return f"(CAST(0.0 AS DOUBLE) + {terms})"
+
+
+def _rhp_bucket(
+    vec_col: str, planes: list[list[float]], dim: int | None = None
+) -> Column:
     """Random-hyperplane LSH bucket id: sign bits of <v, p_i> packed into a
-    long. Hyperplanes are tiny literal arrays → pure JVM expression."""
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
-        bucket = bucket + F.shiftleft(bit, i)
-    return bucket
+    long. One ``F.expr`` string → pure JVM expression (``dim`` is unused —
+    plane width fixes the unroll — and kept for call symmetry)."""
+    bits = " + ".join(
+        f"CAST({_lit_dot_sql(vec_col, p)} > 0 AS BIGINT) * {1 << i}"
+        for i, p in enumerate(planes)
+    )
+    return F.expr(f"(CAST(0 AS BIGINT) + {bits})")
+
+
+def _bucket_frame(
+    df: DataFrame,
+    tables: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    id_alias: str,
+    vec_alias: str,
+) -> DataFrame:
+    """``(id, vec, _tbl, _bkt)`` rows — one per (vector, table) — with the
+    plane dots computed by posexplode + SUM aggregates.
+
+    Why not compute buckets inline under the explode (the obvious form):
+    Catalyst collapses the projection into the Generate node and the 8×4×
+    64-term bucket expression is re-evaluated per emitted element, outside
+    whole-stage codegen — measured ~5 s for 2 000 vectors at sf0.1, linear
+    in corpus size. Exploded, the dots are one codegen pass with map-side
+    combine; the groupBy shuffles one (id, vec, n_planes doubles) row per
+    vector. That one bounded-width corpus shuffle is the price of keeping
+    the arithmetic compiled — the right trade until the corpus is so large
+    that a shuffle round dominates, at which point the dots belong in a
+    vectorized Arrow batch (mapInPandas) instead.
+
+    Value parity with :func:`_rhp_bucket`: per-plane sums accumulate in
+    array order within one map task (explode output never splits a
+    vector), so doubles are bit-identical and the sign bits — hence
+    buckets — match the SQL oracles exactly.
+    """
+    planes = [p for t in tables for p in t]
+    b = len(tables[0])
+    ex = df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias(vec_alias),
+        F.posexplode(F.col(vec_col)).alias("_d", "_x"),
+    )
+    coef = lambda p: ", ".join(_coef_sql(c) for c in p)  # noqa: E731
+    dots = ex.groupBy(id_alias).agg(
+        F.first(vec_alias).alias(vec_alias),
+        *[
+            F.sum(
+                F.expr(f"CAST(_x AS DOUBLE) * element_at(array({coef(p)}), _d + 1)")
+            ).alias(f"_dp{j}")
+            for j, p in enumerate(planes)
+        ],
+    )
+    bucket_sql = ", ".join(
+        " + ".join(f"CAST(_dp{t * b + p} > 0 AS BIGINT) * {1 << p}" for p in range(b))
+        for t in range(len(tables))
+    )
+    return dots.select(
+        id_alias,
+        vec_alias,
+        F.posexplode(F.expr(f"array({bucket_sql})")).alias("_tbl", "_bkt"),
+    )
 
 
 def knn_lsh(
@@ -107,6 +225,7 @@ def knn_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE random-hyperplane LSH: a corpus
     vector is a candidate if it shares a bucket with the query in ANY table.
@@ -121,14 +240,9 @@ def knn_lsh(
     (query, neighbor) before scoring — per-candidate cosine is computed
     once even when a pair collides in several tables.
     """
-    c_bkts = F.posexplode(
-        F.array(*[_rhp_bucket(vec_col, planes) for planes in tables])
-    ).alias("_tbl", "_bkt")
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), c_bkts
-    )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"), c_bkts
+    c = _bucket_frame(corpus, tables, id_col, vec_col, "neighbor_id", "_cv")
+    q = _bucket_frame(
+        queries, tables, query_id_col, vec_col, "query_id", "_qv"
     ).select("query_id", "_qv", "_tbl", "_bkt")
     cand = (
         c.join(F.broadcast(q), ["_tbl", "_bkt"])
@@ -138,7 +252,7 @@ def knn_lsh(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        cosine_similarity_col("_qv", "_cv").alias("cosine"),
+        cosine_similarity_col("_qv", "_cv", dim=dim).alias("cosine"),
     )
     from pyspark.sql import Window
 
@@ -174,7 +288,9 @@ def sampled_centroids(
     )
 
 
-def _cell_scores(df: DataFrame, vec_col: str, centroids: DataFrame) -> DataFrame:
+def _cell_scores(
+    df: DataFrame, vec_col: str, centroids: DataFrame, dim: int | None = None
+) -> DataFrame:
     """Cross every vector with the (broadcast, tiny) centroid set and score.
 
     Cosines are rounded to 6 digits BEFORE any argmax/rank so assignment
@@ -182,7 +298,7 @@ def _cell_scores(df: DataFrame, vec_col: str, centroids: DataFrame) -> DataFrame
     """
     c = centroids.select("cell", F.col("centroid").alias("_cent"))
     return df.crossJoin(F.broadcast(c)).withColumn(
-        "_ccos", cosine_similarity_col(vec_col, "_cent")
+        "_ccos", cosine_similarity_col(vec_col, "_cent", dim=dim)
     )
 
 
@@ -191,6 +307,7 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid cell.
 
@@ -204,6 +321,7 @@ def ivf_assign(
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
         "_v",
         centroids,
+        dim,
     )
     return (
         scored.groupBy("_id")
@@ -226,6 +344,7 @@ def knn_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) search: corpus vectors are
     bucketed into centroid cells once; each query exhaustively scores only
@@ -238,13 +357,14 @@ def knn_ivf(
     per query and the top-k window shuffles only (query, neighbor, cosine)
     triples.
     """
-    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col, dim=dim)
     q_scored = _cell_scores(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
         ),
         "_qv",
         centroids,
+        dim,
     )
     from pyspark.sql import Window
 
@@ -260,7 +380,7 @@ def knn_ivf(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            cosine_similarity_col("_qv", vec_col).alias("cosine"),
+            cosine_similarity_col("_qv", vec_col, dim=dim).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -277,6 +397,7 @@ def lloyd_refine(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Distributed Lloyd (k-means) refinement of an IVF centroid set.
 
@@ -288,7 +409,9 @@ def lloyd_refine(
     (inertia monotonicity) rather than oracle-verified.
     """
     for _ in range(iters):
-        assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+        assigned = ivf_assign(
+            corpus, centroids, id_col=id_col, vec_col=vec_col, dim=dim
+        )
         means = (
             assigned.select("cell", F.posexplode(vec_col).alias("_dim", "_x"))
             .groupBy("cell", "_dim")
@@ -311,12 +434,13 @@ def ivf_inertia(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> float:
     """Mean cosine distance (1 - cos) of each vector to its assigned
     centroid — the quantity :func:`lloyd_refine` descends."""
-    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col, dim=dim)
     scored = assigned.join(F.broadcast(centroids), "cell").select(
-        (F.lit(1.0) - cosine_similarity_col(vec_col, "centroid")).alias("_d")
+        (F.lit(1.0) - cosine_similarity_col(vec_col, "centroid", dim=dim)).alias("_d")
     )
     return scored.agg(F.avg("_d")).first()[0]
 
@@ -327,6 +451,7 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: list[list[float]] | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold).
 
@@ -337,13 +462,13 @@ def embedding_near_duplicates(
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     if planes is not None:
-        a = a.withColumn("_bkt", _rhp_bucket("_va", planes))
-        b = b.withColumn("_bkt", _rhp_bucket("_vb", planes))
+        a = a.withColumn("_bkt", _rhp_bucket("_va", planes, dim))
+        b = b.withColumn("_bkt", _rhp_bucket("_vb", planes, dim))
         pairs = a.join(b, "_bkt").where(F.col("id_a") < F.col("id_b"))
     else:
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cosine", cosine_similarity_col("_va", "_vb"))
+        pairs.withColumn("cosine", cosine_similarity_col("_va", "_vb", dim=dim))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -976,6 +976,9 @@ def _rhp_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
 # near-dup bucketing: one table of 6 planes (near-identical vectors land in
 # the same bucket with p ≈ 1); ANN: 8 tables × 4 planes (recall for a
 # neighbor at angle θ is 1-(1-p^4)^8, p = 1-θ/π)
+# the testdata embedding width; threaded into every similarity operator so
+# dot products compile (codegen) instead of evaluating as interpreted HOFs
+_EMB_DIM = 64
 _EMB_PLANES = _pseudo_tables(1, 6)[0]
 _ANN_TABLES = _pseudo_tables(8, 4)
 
@@ -1002,7 +1005,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return embedding_near_duplicates(
-        base.unionByName(planted), threshold=0.9, planes=_EMB_PLANES
+        base.unionByName(planted), threshold=0.9, planes=_EMB_PLANES, dim=_EMB_DIM
     )
 
 
@@ -1028,7 +1031,7 @@ def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return knn_brute_force(emb, queries, k=10)
+    return knn_brute_force(emb, queries, k=10, dim=_EMB_DIM)
 
 
 ANN_SQL = """
@@ -1054,7 +1057,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return knn_lsh(emb, queries, _ANN_TABLES, k=10)
+    return knn_lsh(emb, queries, _ANN_TABLES, k=10, dim=_EMB_DIM)
 
 
 _ANN_BUCKET_UNION = "\nUNION ALL\n".join(
@@ -1104,7 +1107,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return knn_ivf(emb, queries, cents, k=10, nprobe=_IVF_NPROBE)
+    return knn_ivf(emb, queries, cents, k=10, nprobe=_IVF_NPROBE, dim=_EMB_DIM)
 
 
 ANN_IVF_SQL = f"""
