@@ -27,6 +27,12 @@ from vacancy_gpt_etl_pipeline_spark.operators.sketches import (
     hll_rollup,
     hll_sketch_table,
 )
+from vacancy_gpt_etl_pipeline_spark.operators.asof import asof_join
+from vacancy_gpt_etl_pipeline_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+from vacancy_gpt_etl_pipeline_spark.operators.text_search import bm25_topk
 from vacancy_gpt_etl_pipeline_spark.operators.curation import (
     curate_documents,
     quality_filter,
@@ -56,4 +62,8 @@ __all__ = [
     "distinct_count_rollup",
     "hll_rollup",
     "hll_sketch_table",
+    "asof_join",
+    "bm25_topk",
+    "connected_components",
+    "dedup_clusters",
 ]

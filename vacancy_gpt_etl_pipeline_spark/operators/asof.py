@@ -1,0 +1,90 @@
+"""As-of (temporal) join — match each left row to the most recent right row
+at or before its timestamp, per key.
+
+Scale extension (north star): the canonical event-attribution /
+dimension-versioning primitive (purchase → latest prior signup, reading →
+prevailing config). Spark has no ASOF JOIN; the naive rewrites are a range
+join (quadratic explosion on hot keys) or a per-key collect (driver-bound).
+
+The Spark-first shape used here is the union + last(ignorenulls) window:
+tag both sides, union them, and for each left row take the last non-null
+right payload in (ts, side) order within the key partition. ONE shuffle of
+left+right fixed-width rows, no pair explosion, no Python — the same plan
+shape Flink's temporal join and kdb's aj compile to on sorted streams.
+
+Tie semantics: a right row at exactly left.ts MATCHES (backward as-of is
+``right.ts <= left.ts``) — the union orders (ts, side) with right rows
+first at equal ts. Right-side duplicates per (key, ts) are resolved before
+the window (keep the row with the highest ``seq_col``) so results are
+deterministic and oracle-comparable — DuckDB's ASOF JOIN leaves the pick
+among equal timestamps unspecified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    payload_cols: list[str],
+    seq_col: str | None = None,
+    payload_prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join: every ``left`` row, plus ``payload_cols`` (and
+    the timestamp, as ``<prefix><ts_col>``) from the latest ``right`` row
+    with ``right.ts_col <= left.ts_col`` and equal ``on`` keys; nulls when
+    no such row exists (left-join semantics).
+    """
+    out_ts = f"{payload_prefix}{ts_col}"
+    outs = [f"{payload_prefix}{c}" for c in payload_cols]
+
+    r = right
+    if seq_col is not None:
+        dw = Window.partitionBy(*on, ts_col).orderBy(F.desc(seq_col))
+        r = (
+            r.withColumn("_rn", F.row_number().over(dw))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    r_tagged = r.select(
+        *on,
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        F.col(ts_col).alias(out_ts),
+        *[F.col(c).alias(o) for c, o in zip(payload_cols, outs)],
+        *[F.lit(None).alias(f"_l_{c}") for c in left.columns if c not in on and c != ts_col],
+    )
+    l_tagged = left.select(
+        *on,
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema[ts_col].dataType).alias(out_ts),
+        *[F.lit(None).cast(r.schema[c].dataType).alias(o) for c, o in zip(payload_cols, outs)],
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns if c not in on and c != ts_col],
+    )
+    u = r_tagged.unionByName(l_tagged)
+    # right rows sort before left rows at equal ts → "<=" match semantics
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *on,
+        ts_col,
+        "_side",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in [out_ts, *outs]],
+        *[F.col(f"_l_{c}") for c in left.columns if c not in on and c != ts_col],
+    )
+    return filled.where(F.col("_side") == 1).select(
+        *on,
+        ts_col,
+        *[F.col(f"_l_{c}").alias(c) for c in left.columns if c not in on and c != ts_col],
+        out_ts,
+        *outs,
+    )

@@ -1,0 +1,103 @@
+"""BM25 keyword search over the documents table.
+
+Scale extension (north star): the retrieval half of a training-data
+pipeline — dedup tells you what to drop, keyword search tells you what you
+have (corpus audits, targeted subset extraction, contamination probes by
+query). Complements the embedding ANN tier in operators/similarity.py with
+lexical ranking.
+
+Scale shape — everything is proportional to MATCHED postings, never the
+corpus token stream:
+- the exploded token stream is semi-joined against the (broadcast, tiny)
+  query-term set BEFORE any aggregation, so the per-term tf groupBy
+  shuffles only tokens that can score;
+- document lengths aggregate map-side to one (id, dl) row per doc;
+- corpus stats (N, avgdl) are a 1-row aggregate broadcast into the scorer;
+- the final top-k is a per-query row_number window over (query, doc,
+  score) triples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str):
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+) -> DataFrame:
+    """Okapi BM25 top-k: for each query row, the ``k`` highest-scoring
+    documents as ``(query_id, doc_id, score, rank)``.
+
+    Lucene-style scoring: ``idf = ln(1 + (N - df + .5)/(df + .5))``,
+    ``tf_norm = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``, score =
+    Σ_terms idf·tf_norm, rounded to 6 digits BEFORE ranking so rank
+    tie-breaking (doc_id asc) is oracle-stable.
+    """
+    # distinct (query, term) pairs — duplicated words in a query count once,
+    # the standard bag-of-terms simplification that keeps the oracle simple
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(_tokens(query_text_col)).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    toks = docs.select(F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_t"))
+    doclen = toks.select("doc_id", F.size("_t").alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    # early semi-join: only tokens that appear in some query reach the tf agg
+    matched = (
+        toks.select("doc_id", F.explode("_t").alias("term"))
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        matched.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_t), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        # decimal accumulator: per-term contributions are doubles (JVM log
+        # vs libm log can differ in the last ulp), so quantize each term to
+        # 12 decimals and sum EXACTLY — the aggregate is then independent
+        # of partition/merge order and matches the oracle that quantizes
+        # the same way
+        .agg(
+            F.round(
+                F.sum((idf * tf_norm).cast("decimal(28,12)")).cast("double"), 6
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

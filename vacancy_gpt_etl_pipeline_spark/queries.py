@@ -1148,6 +1148,117 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 over the documents table for three fixed queries
+    (operators/text_search.py). Early semi-join keeps the tf aggregation
+    proportional to MATCHED postings; scoring quantizes per-term
+    contributions to decimal(28,12) so the sum is order-independent and
+    the oracle (identical formula in DuckDB) hash-matches."""
+    from vacancy_gpt_etl_pipeline_spark.operators.text_search import bm25_topk
+
+    queries = spark.createDataFrame(
+        [(0, "spark join"), (1, "window agg stream"), (2, "vector scan")],
+        "query_id long, query string",
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, queries, k=10)
+
+
+BM25_SQL = """
+WITH q(query_id, query) AS (
+  VALUES (CAST(0 AS BIGINT), 'spark join'),
+         (CAST(1 AS BIGINT), 'window agg stream'),
+         (CAST(2 AS BIGINT), 'vector scan')
+),
+qterms AS (
+  SELECT DISTINCT query_id, unnest(string_split_regex(trim(lower(query)), '\\s+')) AS term
+  FROM q
+),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+),
+doclen AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM doclen),
+matched AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, term
+),
+df_t AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM matched GROUP BY term),
+scored AS (
+  SELECT qt.query_id, m.doc_id,
+    ROUND(CAST(SUM(CAST(
+      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+      (m.tf * 2.2) / (m.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+    AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
+  FROM matched m
+  JOIN qterms qt ON m.term = qt.term
+  JOIN df_t d ON m.term = d.term
+  JOIN doclen dl ON m.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, m.doc_id
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py): each purchase event matched
+    to the user's latest signup at or before it — the event-attribution
+    primitive. Spark plan is the union + last(ignorenulls) window (ONE
+    shuffle, no range-join explosion); the oracle is DuckDB's native ASOF
+    LEFT JOIN over the deduplicated build side."""
+    from vacancy_gpt_etl_pipeline_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases,
+        signups,
+        on=["user_id"],
+        ts_col="ts",
+        payload_cols=["value"],
+        seq_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.date_format("ts", _TS_FMT_SPARK).alias("purchase_ts"),
+        F.date_format("asof_ts", _TS_FMT_SPARK).alias("signup_ts"),
+        F.col("asof_value").alias("signup_value"),
+    )
+
+
+ASOF_SQL = f"""
+WITH p AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+),
+s0 AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'signup'
+),
+s AS (
+  SELECT user_id, ts, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM s0
+  ) WHERE rn = 1
+)
+SELECT p.user_id, p.event_id AS purchase_id,
+  strftime(p.ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+  strftime(s.ts, '{_TS_FMT_DUCK}') AS signup_ts,
+  s.value AS signup_value
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
 def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event_type answered from MERGED daily HLL
     sketches, never the raw rows (operators/sketches.py — the mergeable
@@ -1518,6 +1629,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_brute_force": QuerySpec(ann_brute_force, ANN_SQL),
     "ann_lsh": QuerySpec(ann_lsh, ANN_LSH_SQL),
     "ann_ivf": QuerySpec(ann_ivf, ANN_IVF_SQL),
+    "bm25_search": QuerySpec(bm25_search, BM25_SQL),
+    "asof_attribution": QuerySpec(asof_attribution, ASOF_SQL),
     "sketch_distinct_rollup": QuerySpec(sketch_distinct_rollup, None),
     "sketch_quantiles": QuerySpec(sketch_quantiles, SKETCH_QUANTILES_SQL),
     "text_analysis_profile": QuerySpec(text_analysis_profile, TEXT_PROFILE_SQL),
