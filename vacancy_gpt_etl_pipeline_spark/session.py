@@ -51,6 +51,16 @@ def get_spark(
         # bench vs 6.4 s in a short session). Classes are small; 1000
         # entries is noise next to a 32 g heap.
         .config("spark.sql.codegen.cache.maxEntries", "1000")
+        # Spark's default hugeMethodLimit (65535) accepts generated methods
+        # far beyond the JVM JIT's 8000-bytecode compile ceiling, so wide-
+        # aggregate stages (the 64-accumulator minhash/simhash signatures)
+        # execute as INTERPRETED generated code — slower than Spark's own
+        # non-codegen path. Capping at the JIT limit makes Spark fall back
+        # automatically for exactly those stages. Measured at sf0.1:
+        # dedup_simhash 26.5 s -> 9.0 s cold (15.3 -> 5.0 warm),
+        # dedup_minhash_lsh 13.2 -> 3.8 s; small-stage queries (q1 etc.)
+        # keep whole-stage codegen and are unaffected.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
