@@ -32,6 +32,14 @@ from vacancy_gpt_etl_pipeline_spark.operators.graph import (
     connected_components,
     dedup_clusters,
 )
+from vacancy_gpt_etl_pipeline_spark.operators.packing import (
+    pack_sequences,
+    pack_summary,
+)
+from vacancy_gpt_etl_pipeline_spark.operators.sampling import (
+    hash_permille,
+    stratified_sample,
+)
 from vacancy_gpt_etl_pipeline_spark.operators.text_search import bm25_topk
 from vacancy_gpt_etl_pipeline_spark.operators.curation import (
     curate_documents,
@@ -66,4 +74,8 @@ __all__ = [
     "bm25_topk",
     "connected_components",
     "dedup_clusters",
+    "hash_permille",
+    "pack_sequences",
+    "pack_summary",
+    "stratified_sample",
 ]

@@ -1,0 +1,60 @@
+"""Deterministic stratified sampling — training-mix curation.
+
+Scale extension (north star): corpus mixing ("keep 30% of web, 100% of
+books, 5% of logs") needs a sample that is (a) per-stratum exact in
+expectation, (b) DETERMINISTIC — re-running the pipeline, or running it
+incrementally on new partitions, must keep/drop the same rows — and (c)
+joinable: two tables sampled on the same key agree, so lineage survives.
+``df.sample()`` gives none of these (seeded per-partition RNG changes with
+partitioning); hash-gating on a stable key gives all three.
+
+The hash is the first 8 hex chars of md5(key) — chosen over xxhash64
+because every engine in the stack (Spark, DuckDB, Python) computes the
+same md5, so the decision is portable and oracle-verifiable. Keep rule:
+``md5_int(key) % 1000 < permille(stratum)``.
+
+Scale shape: the predicate is a map-side filter (pure projection math);
+per-stratum rates join in as a broadcast of the (tiny, bounded) strata
+table. No shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_permille(key: Column) -> Column:
+    """Stable uniform [0, 1000) bucket from any key column: first 32 bits
+    of md5(key) mod 1000. Identical in DuckDB as
+    ``CAST(concat('0x', substr(md5(key), 1, 8)) AS BIGINT) % 1000``."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(1000),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically in
+    ``key_col``. ``rates`` maps stratum value → fraction (resolution 1/1000,
+    exact at that granularity); strata not listed keep ``default_rate``.
+    """
+    strata = df.sparkSession.createDataFrame(
+        [(k, int(round(v * 1000))) for k, v in rates.items()],
+        f"{stratum_col} string, _permille int",
+    )
+    return (
+        df.join(F.broadcast(strata), stratum_col, "left")
+        .withColumn(
+            "_permille",
+            F.coalesce(F.col("_permille"), F.lit(int(round(default_rate * 1000)))),
+        )
+        .where(hash_permille(F.col(key_col)) < F.col("_permille"))
+        .drop("_permille")
+    )

@@ -1148,6 +1148,66 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language training-mix sample
+    (operators/sampling.py): en 50%, zh 80%, de 20%, others dropped. The
+    keep decision is md5-gated on doc_id, so the oracle reproduces the
+    EXACT row set (not just the rate) — determinism is the operator's
+    contract and what's being verified."""
+    from vacancy_gpt_etl_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = stratified_sample(
+        docs, "lang", {"en": 0.5, "zh": 0.8, "de": 0.2}, "doc_id"
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+STRATIFIED_SQL = """
+WITH r(lang, permille) AS (VALUES ('en', 500), ('zh', 800), ('de', 200))
+SELECT doc_id, d.lang
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+      < r.permille
+"""
+
+
+def pack_sequences_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): documents binned into
+    ~512-token training packs per source via the offset-bin window rule;
+    result aggregated to one row per pack. Oracle: the identical window
+    cumsum in SQL."""
+    from vacancy_gpt_etl_pipeline_spark.operators.packing import (
+        pack_sequences,
+        pack_summary,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, target_tokens=512, by="source")
+    return pack_summary(packed, "source").orderBy("source", "pack_id")
+
+
+PACKING_SQL = """
+WITH toks AS (
+  SELECT source, doc_id,
+    len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT source, doc_id, n_tokens,
+    CAST(floor((SUM(n_tokens) OVER w - n_tokens) / 512.0) AS BIGINT) AS pack_id
+  FROM toks
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT source, pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM packed GROUP BY source, pack_id
+"""
+
+
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 over the documents table for three fixed queries
     (operators/text_search.py). Early semi-join keeps the tf aggregation
@@ -1630,6 +1690,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_lsh": QuerySpec(ann_lsh, ANN_LSH_SQL),
     "ann_ivf": QuerySpec(ann_ivf, ANN_IVF_SQL),
     "bm25_search": QuerySpec(bm25_search, BM25_SQL),
+    "stratified_sample_docs": QuerySpec(stratified_sample_docs, STRATIFIED_SQL),
+    "pack_sequences_by_source": QuerySpec(pack_sequences_by_source, PACKING_SQL),
     "asof_attribution": QuerySpec(asof_attribution, ASOF_SQL),
     "sketch_distinct_rollup": QuerySpec(sketch_distinct_rollup, None),
     "sketch_quantiles": QuerySpec(sketch_quantiles, SKETCH_QUANTILES_SQL),
