@@ -71,3 +71,33 @@ def grouped_stats(
         F.count("*").alias("vacancy_count"),
         F.round(F.avg(value_col), avg_digits).alias("avg_value"),
     )
+
+
+def merge_upsert(
+    snapshot: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+) -> DataFrame:
+    """Latest-wins keyed merge (SCD type-1 upsert): union snapshot and
+    updates, keep one row per key — highest ``version_col`` wins, ties
+    break to the updates side. The incremental-load primitive the
+    reference approximates with pandas keep-first dedup after concat
+    (dag/vacancy_pipline_gpt_rerty.py:117-125), generalized to versioned
+    upserts.
+
+    Scale shape: ONE shuffle on the merge keys (the window). No join —
+    a join-based MERGE shuffles both sides too, but then needs a second
+    pass to union the not-matched rows; union+window does it in one.
+    """
+    tagged = snapshot.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(version_col), F.desc("_src")
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )

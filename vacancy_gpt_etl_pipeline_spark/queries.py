@@ -1148,6 +1148,69 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins keyed upsert (operators/relational.merge_upsert): a
+    snapshot of orders merged with an update batch that modifies every
+    10th order (price +1000, status 'U' — an exact-in-double delta, so
+    the decimal cast is boundary-free in both engines) and inserts new
+    keys. One
+    window shuffle, no join; oracle mirrors the union + row_number."""
+    from vacancy_gpt_etl_pipeline_spark.operators.relational import merge_upsert
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    snap = o.withColumn("version", F.lit(0))
+    upd = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+            F.lit("U").alias("o_orderstatus"),
+        )
+        .withColumn("version", F.lit(1))
+    )
+    new = o.where(F.col("o_orderkey") % 1000 == 7).select(
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1).alias("version"),
+    )
+    merged = merge_upsert(snap, upd.unionByName(new), ["o_orderkey"], "version")
+    return merged.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "o_orderstatus",
+        "version",
+    )
+
+
+MERGE_UPSERT_SQL = """
+WITH snap AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus, 0 AS version, 0 AS src
+  FROM orders
+),
+upd AS (
+  SELECT o_orderkey, o_totalprice + CAST(1000.0 AS DOUBLE) AS o_totalprice,
+         'U' AS o_orderstatus, 1 AS version, 1 AS src
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+newr AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice,
+         'N' AS o_orderstatus, 1 AS version, 1 AS src
+  FROM orders WHERE o_orderkey % 1000 = 7
+),
+u AS (SELECT * FROM snap UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM newr),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC, src DESC) AS rn
+  FROM u
+)
+SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price, o_orderstatus,
+       CAST(version AS INT) AS version
+FROM r WHERE rn = 1
+"""
+
+
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language training-mix sample
     (operators/sampling.py): en 50%, zh 80%, de 20%, others dropped. The
@@ -1691,6 +1754,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_ivf": QuerySpec(ann_ivf, ANN_IVF_SQL),
     "bm25_search": QuerySpec(bm25_search, BM25_SQL),
     "stratified_sample_docs": QuerySpec(stratified_sample_docs, STRATIFIED_SQL),
+    "merge_upsert_orders": QuerySpec(merge_upsert_orders, MERGE_UPSERT_SQL),
     "pack_sequences_by_source": QuerySpec(pack_sequences_by_source, PACKING_SQL),
     "asof_attribution": QuerySpec(asof_attribution, ASOF_SQL),
     "sketch_distinct_rollup": QuerySpec(sketch_distinct_rollup, None),

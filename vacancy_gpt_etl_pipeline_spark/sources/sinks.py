@@ -16,6 +16,7 @@ from __future__ import annotations
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def timestamped_path(base: str, prefix: str = "vacancies_normalized", now: datetime | None = None) -> str:
@@ -96,3 +97,56 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_parquet_sized(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int = 1_000_000,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink with small-file control — the writer a 1000-executor
+    job needs.
+
+    A naive ``partitionBy`` write has EVERY task open a file in EVERY
+    partition directory it touches: 1000 tasks × 365 days = 365 000 tiny
+    files per load. Repartitioning by the partition columns first routes
+    each directory's rows to one task (AQE may split skewed ones), and
+    ``maxRecordsPerFile`` re-splits oversized outputs — so file count is
+    ~``ceil(rows_per_dir / max_records)``, independent of task count.
+
+    ``sort_by`` sorts within the write tasks so parquet row-group min/max
+    stats become selective — the cheap half of Z-ordering, enough for
+    range predicates on one column to skip row groups at read time.
+    """
+    if partition_by:
+        df = df.repartition(*[F.col(c) for c in partition_by])
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    writer = df.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int = 1_000_000,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Rewrite a small-files dataset into right-sized files (the scheduled
+    compaction job every streaming/incremental sink eventually needs —
+    AvailableNow micro-batches append a few files per trigger and read
+    amplification grows until compacted)."""
+    write_parquet_sized(
+        spark.read.parquet(src_path),
+        dst_path,
+        partition_by=partition_by,
+        max_records_per_file=max_records_per_file,
+        sort_by=sort_by,
+    )
