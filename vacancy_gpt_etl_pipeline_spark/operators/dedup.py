@@ -361,3 +361,39 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Batch-vs-corpus dedup: rows of ``new_docs`` whose normalized content
+    hash does NOT already exist in ``history`` — the incremental-ingest
+    stage that keeps a growing corpus exact-duplicate-free without ever
+    re-deduping the whole corpus.
+
+    Scale shape: LEFT ANTI join on a 16-byte hash. The history side
+    projects to hashes only (at 100 TB, a bucketed/Z-ordered hash table
+    a fraction the corpus size); new-batch payloads are carried through
+    the join but the shuffle key is the hash. Within-batch duplicates are
+    also collapsed (keep min id) so the output is ingestible as-is.
+    """
+
+    def _h(col):
+        norm = F.col(col)
+        if normalize:
+            norm = F.lower(F.regexp_replace(F.trim(norm), r"\s+", " "))
+        return F.md5(norm)
+
+    seen = history.select(_h(text_col).alias("content_hash")).distinct()
+    batch = new_docs.withColumn("content_hash", _h(text_col))
+    w = Window.partitionBy("content_hash").orderBy(F.asc(id_col))
+    fresh = (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return fresh.join(seen, "content_hash", "left_anti").drop("content_hash")

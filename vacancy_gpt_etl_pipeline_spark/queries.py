@@ -862,6 +862,44 @@ WHERE ROUND(inter / (sa.n + sb.n - inter), 6) >= 0.5
 """
 
 
+def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus incremental dedup (operators/dedup.incremental_dedup):
+    docs ≥ 250 plus planted copies of history docs arrive as a batch; the
+    anti-join on content hash drops the copies and in-batch dups without
+    re-deduping history. Oracle reproduces hash, keep-first, and anti-join."""
+    from vacancy_gpt_etl_pipeline_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    history = docs.where(F.col("doc_id") < 250)
+    plants = history.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    batch = docs.where(F.col("doc_id") >= 250).unionByName(plants)
+    return incremental_dedup(batch, history).select("doc_id").orderBy("doc_id")
+
+
+INCR_DEDUP_SQL = """
+WITH d AS (
+  SELECT doc_id,
+    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents
+),
+hist AS (SELECT DISTINCT h FROM d WHERE doc_id < 250),
+batch AS (
+  SELECT doc_id, h FROM d WHERE doc_id >= 250
+  UNION ALL
+  SELECT doc_id + 900000 AS doc_id, h FROM d WHERE doc_id < 50
+),
+keepfirst AS (
+  SELECT doc_id, h,
+    row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM batch
+)
+SELECT doc_id FROM keepfirst
+WHERE rn = 1 AND h NOT IN (SELECT h FROM hist)
+"""
+
+
 def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate CLUSTERS: the trigram-Jaccard pairs (same
     scale-safe config as dedup_ngram_jaccard) fed through distributed
@@ -1746,6 +1784,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_exact_documents": QuerySpec(dedup_exact_documents, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_cc_clusters": QuerySpec(dedup_cc_clusters, CC_CLUSTERS_SQL),
+    "incremental_dedup_batch": QuerySpec(incremental_dedup_batch, INCR_DEDUP_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None),
     "dedup_simhash": QuerySpec(dedup_simhash, None),
     "embedding_near_dup": QuerySpec(embedding_near_dup, EMB_NEARDUP_SQL),
