@@ -15,6 +15,7 @@ only the JSON line the driver parses.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -61,6 +62,11 @@ def main() -> None:
         # inflated late-registry queries ~2× (22.7s vs 11.1s standalone for
         # dedup_simhash at sf0.1)
         spark.catalog.clearCache()
+        # clearCache misses localCheckpoint RDDs (connected components
+        # truncates lineage per round); dropping the Python refs lets the
+        # ContextCleaner reclaim those blocks before the next measurement
+        df = None
+        gc.collect()
     print(
         json.dumps(
             {
