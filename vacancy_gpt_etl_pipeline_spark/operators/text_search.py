@@ -11,7 +11,8 @@ corpus token stream:
 - the exploded token stream is semi-joined against the (broadcast, tiny)
   query-term set BEFORE any aggregation, so the per-term tf groupBy
   shuffles only tokens that can score;
-- document lengths aggregate map-side to one (id, dl) row per doc;
+- document length rides along through the explode and survives the tf
+  aggregate as first(dl) — no O(corpus) doclen join-back;
 - corpus stats (N, avgdl) are a 1-row aggregate broadcast into the scorer;
 - the final top-k is a per-query row_number window over (query, doc,
   score) triples.
@@ -62,12 +63,15 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    # early semi-join: only tokens that appear in some query reach the tf agg
+    # early semi-join: only tokens that appear in some query reach the tf
+    # agg. dl rides along through the explode (first() per group) instead
+    # of joining the O(corpus) doclen frame back later — that join would
+    # shuffle every document's length row to score a handful of matches
     matched = (
-        toks.select("doc_id", F.explode("_t").alias("term"))
+        toks.select("doc_id", F.size("_t").alias("dl"), F.explode("_t").alias("term"))
         .join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
     df_t = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
@@ -81,7 +85,6 @@ def bm25_topk(
     scored = (
         matched.join(F.broadcast(qterms), "term")
         .join(F.broadcast(df_t), "term")
-        .join(doclen, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         # decimal accumulator: per-term contributions are doubles (JVM log
