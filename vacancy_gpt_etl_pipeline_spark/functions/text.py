@@ -125,3 +125,38 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(text_col).alias("quality"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+# --- PII scrubbing (training-data hygiene) ---------------------------------
+# Pattern set kept deliberately conservative (emails, IPv4,
+# international-ish phone numbers) — JVM regexp_replace, whole-stage
+# codegen, no Python. Order matters: emails before phones (the phone
+# pattern would eat an address's digit-heavy local part) and IPs before
+# phones (dotted quads match the phone charset).
+
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(c: Column | str) -> Column:
+    """Replace emails / phone numbers / IPv4 addresses with typed
+    placeholder tokens. Pure column expression — composes into any scan
+    projection, so at 100 TB the scrub is free riding on the first read."""
+    col = F.col(c) if isinstance(c, str) else c
+    for pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return col
+
+
+def pii_hit_counts(c: Column | str) -> list[Column]:
+    """Per-pattern hit counts (for observability dashboards): how many
+    redactions each pattern would make in the column."""
+    col = F.col(c) if isinstance(c, str) else c
+    names = ("emails", "ips", "phones")
+    return [
+        F.coalesce(F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))), F.lit(0)).alias(n)
+        for (pat, _), n in zip(PII_PATTERNS, names)
+    ]

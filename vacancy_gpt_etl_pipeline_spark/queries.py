@@ -956,6 +956,54 @@ SELECT id AS doc_id, MIN(rt) AS cluster_id FROM r GROUP BY id
 """
 
 
+def dedup_survivor_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final stage end-to-end: near-dup pairs →
+    connected components → quality-ranked survivor per cluster (longest
+    text wins, ties to min doc_id). Output is the DROP LIST: every doc
+    that loses to its cluster survivor — exactly what a curation job
+    anti-joins against the corpus. Oracle: the recursive-CTE closure
+    wrapped with the same ranking."""
+    from vacancy_gpt_etl_pipeline_spark.operators.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, max_shingle_freq=100
+    )
+    clusters = dedup_clusters(pairs)
+    ranked = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = ranked.withColumn("_rn", F.row_number().over(w))
+    survivors = ranked.where(F.col("_rn") == 1).select(
+        "cluster_id", F.col("doc_id").alias("survivor_id")
+    )
+    return (
+        ranked.where(F.col("_rn") > 1)
+        .join(survivors, "cluster_id")
+        .select("doc_id", "cluster_id", "survivor_id")
+        .orderBy("doc_id")
+    )
+
+
+def _survivor_sql() -> str:
+    return f"""
+WITH cc AS ({CC_CLUSTERS_SQL}),
+m AS (
+  SELECT cc.doc_id, cc.cluster_id, d.n_chars
+  FROM cc JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+  ) AS rn FROM m
+),
+s AS (SELECT cluster_id, doc_id AS survivor_id FROM r WHERE rn = 1)
+SELECT r.doc_id, r.cluster_id, s.survivor_id
+FROM r JOIN s USING (cluster_id) WHERE r.rn > 1
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (rows-only: xxhash64 signatures are not
     SQL-portable). Candidate precision/recall vs exact Jaccard is asserted
@@ -1306,6 +1354,57 @@ packed AS (
 SELECT source, pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
 FROM packed GROUP BY source, pack_id
+"""
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions/text.redact_pii): synthetic emails/phones/IPs
+    planted per doc (the fixture corpus is clean), then redacted to typed
+    placeholders; output is the redacted-text hash plus per-pattern hit
+    counts. Pure regexp column expressions — the scrub rides the scan."""
+    from vacancy_gpt_etl_pipeline_spark.functions.text import (
+        pii_hit_counts,
+        redact_pii,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1 555 123 4567 from 10.0.0."),
+            (F.col("doc_id") % 200).cast("string"),
+        ).alias("text"),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(redact_pii("text")).alias("redacted_hash"),
+        *pii_hit_counts("text"),
+    ).orderBy("doc_id")
+
+
+PII_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@mail.example.com or +1 555 123 4567 from 10.0.0.'
+         || CAST(doc_id % 200 AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id,
+  md5(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+      '\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g')
+  ) AS redacted_hash,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS emails,
+  CAST(len(regexp_extract_all(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INT) AS ips,
+  CAST(len(regexp_extract_all(text, '\\+?\\d[\\d\\s().-]{7,}\\d')) AS INT) AS phones
+FROM planted
 """
 
 
@@ -1785,6 +1884,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_cc_clusters": QuerySpec(dedup_cc_clusters, CC_CLUSTERS_SQL),
     "incremental_dedup_batch": QuerySpec(incremental_dedup_batch, INCR_DEDUP_SQL),
+    "dedup_survivor_selection": QuerySpec(dedup_survivor_selection, _survivor_sql()),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None),
     "dedup_simhash": QuerySpec(dedup_simhash, None),
     "embedding_near_dup": QuerySpec(embedding_near_dup, EMB_NEARDUP_SQL),
@@ -1792,6 +1892,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_lsh": QuerySpec(ann_lsh, ANN_LSH_SQL),
     "ann_ivf": QuerySpec(ann_ivf, ANN_IVF_SQL),
     "bm25_search": QuerySpec(bm25_search, BM25_SQL),
+    "pii_redaction": QuerySpec(pii_redaction, PII_SQL),
     "stratified_sample_docs": QuerySpec(stratified_sample_docs, STRATIFIED_SQL),
     "merge_upsert_orders": QuerySpec(merge_upsert_orders, MERGE_UPSERT_SQL),
     "pack_sequences_by_source": QuerySpec(pack_sequences_by_source, PACKING_SQL),
