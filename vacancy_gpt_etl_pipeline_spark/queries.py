@@ -1466,6 +1466,53 @@ SELECT query_id, doc_id, score, rank FROM (
 """
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup → first-purchase conversion funnel: per user, the delay from
+    first signup to first subsequent purchase, bucketed into hour bins
+    with user counts. Two map-side-combined min-aggregations + one join on
+    user_id — no window, no explosion; the classic funnel shape at scale."""
+    ev = _t(spark, sf_dir, "events")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    pu = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    first_purchase = (
+        pu.join(su, "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    delay_h = F.floor(
+        (F.col("purchase_ts").cast("double") - F.col("signup_ts").cast("double"))
+        / F.lit(3600.0)
+    )
+    return (
+        first_purchase.select(delay_h.alias("delay_hours"))
+        .groupBy("delay_hours")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("delay_hours")
+    )
+
+
+FUNNEL_SQL = """
+WITH su AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+fp AS (
+  SELECT p.user_id, su.signup_ts, MIN(p.ts) AS purchase_ts
+  FROM events p JOIN su ON p.user_id = su.user_id
+  WHERE p.event_type = 'purchase' AND p.ts >= su.signup_ts
+  GROUP BY p.user_id, su.signup_ts
+)
+SELECT CAST(floor(epoch(purchase_ts - signup_ts) / 3600.0) AS BIGINT) AS delay_hours,
+  CAST(COUNT(*) AS BIGINT) AS n_users
+FROM fp GROUP BY 1
+"""
+
+
 def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (operators/asof.py): each purchase event matched
     to the user's latest signup at or before it — the event-attribution
@@ -1897,6 +1944,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "merge_upsert_orders": QuerySpec(merge_upsert_orders, MERGE_UPSERT_SQL),
     "pack_sequences_by_source": QuerySpec(pack_sequences_by_source, PACKING_SQL),
     "asof_attribution": QuerySpec(asof_attribution, ASOF_SQL),
+    "funnel_conversion": QuerySpec(funnel_conversion, FUNNEL_SQL),
     "sketch_distinct_rollup": QuerySpec(sketch_distinct_rollup, None),
     "sketch_quantiles": QuerySpec(sketch_quantiles, SKETCH_QUANTILES_SQL),
     "text_analysis_profile": QuerySpec(text_analysis_profile, TEXT_PROFILE_SQL),
