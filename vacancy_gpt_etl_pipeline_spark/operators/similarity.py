@@ -459,13 +459,22 @@ def embedding_near_duplicates(
     (approximate, scales linearly); without, an all-pairs self-join (exact,
     quadratic — small corpora / verification only).
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     if planes is not None:
-        a = a.withColumn("_bkt", _rhp_bucket("_va", planes, dim))
-        b = b.withColumn("_bkt", _rhp_bucket("_vb", planes, dim))
+        # buckets via the explode-aggregate frame (one bounded-width
+        # shuffle, codegen dots) — the inline 384-term bucket projection
+        # costs plan analysis + an interpreted fallback on both join
+        # sides; computed once here and self-joined
+        bkt = _bucket_frame(df, [planes], id_col, vec_col, "_id", "_v")
+        a = bkt.select(
+            F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_bkt"
+        )
+        b = bkt.select(
+            F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_bkt"
+        )
         pairs = a.join(b, "_bkt").where(F.col("id_a") < F.col("id_b"))
     else:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn("cosine", cosine_similarity_col("_va", "_vb", dim=dim))
