@@ -1237,21 +1237,27 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-wins keyed upsert (operators/relational.merge_upsert): a
     snapshot of orders merged with an update batch that modifies every
-    10th order (price +1000, status 'U' — an exact-in-double delta, so
-    the decimal cast is boundary-free in both engines) and inserts new
-    keys. One
-    window shuffle, no join; oracle mirrors the union + row_number."""
+    10th order (price +1000, status 'U') and inserts new keys. The price
+    is cast to decimal(18,2) BEFORE the +1000 delta so the arithmetic is
+    exact decimal in both engines — double arithmetic followed by a
+    decimal cast rounds .xx5 boundaries differently in Spark (HALF_UP)
+    vs DuckDB. One window shuffle, no join; oracle mirrors the
+    union + row_number."""
     from vacancy_gpt_etl_pipeline_spark.operators.relational import merge_upsert
 
     o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", "o_orderstatus"
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        "o_orderstatus",
     )
     snap = o.withColumn("version", F.lit(0))
     upd = (
         o.where(F.col("o_orderkey") % 10 == 0)
         .select(
             "o_orderkey",
-            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+            (F.col("o_totalprice") + F.lit(1000))
+            .cast("decimal(18,2)")
+            .alias("o_totalprice"),
             F.lit("U").alias("o_orderstatus"),
         )
         .withColumn("version", F.lit(1))
@@ -1265,7 +1271,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = merge_upsert(snap, upd.unionByName(new), ["o_orderkey"], "version")
     return merged.select(
         "o_orderkey",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.col("o_totalprice").alias("price"),
         "o_orderstatus",
         "version",
     )
@@ -1273,16 +1279,19 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MERGE_UPSERT_SQL = """
 WITH snap AS (
-  SELECT o_orderkey, o_totalprice, o_orderstatus, 0 AS version, 0 AS src
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+         o_orderstatus, 0 AS version, 0 AS src
   FROM orders
 ),
 upd AS (
-  SELECT o_orderkey, o_totalprice + CAST(1000.0 AS DOUBLE) AS o_totalprice,
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1000 AS DECIMAL(18,2)) AS o_totalprice,
          'U' AS o_orderstatus, 1 AS version, 1 AS src
   FROM orders WHERE o_orderkey % 10 = 0
 ),
 newr AS (
-  SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice,
+  SELECT o_orderkey + 10000000 AS o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
          'N' AS o_orderstatus, 1 AS version, 1 AS src
   FROM orders WHERE o_orderkey % 1000 = 7
 ),
@@ -1291,7 +1300,7 @@ r AS (
   SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC, src DESC) AS rn
   FROM u
 )
-SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price, o_orderstatus,
+SELECT o_orderkey, o_totalprice AS price, o_orderstatus,
        CAST(version AS INT) AS version
 FROM r WHERE rn = 1
 """
