@@ -1562,10 +1562,15 @@ FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
 def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event_type answered from MERGED daily HLL
     sketches, never the raw rows (operators/sketches.py — the mergeable
-    pre-aggregation pattern for 100 TB dashboards). Rows-only: DataSketches
-    HLL state is not SQL-expressible; the merge-identity (daily-merge ==
-    direct, exact equality) and the error bound vs exact COUNT(DISTINCT)
-    are asserted in tests/test_sketches.py."""
+    pre-aggregation pattern for 100 TB dashboards).
+
+    Exact-regime oracle (same gate as sketch_quantiles): at the sf0.01
+    correctness scale each group holds ~150 distinct users, far below the
+    lgk=12 sketch's coupon-mode capacity, so the DataSketches estimate —
+    including through the daily-sketch union — equals the true count and
+    the oracle compares against exact COUNT(DISTINCT). The approx regime
+    (sf0.1 is ~1% under) is bounded in tests/test_sketches.py, and the
+    merge-identity (daily-merge == direct) is asserted there exactly."""
     from vacancy_gpt_etl_pipeline_spark.operators.sketches import (
         distinct_count_rollup,
     )
@@ -1574,6 +1579,12 @@ def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_count_rollup(
         ev, ["event_type", "day"], ["event_type"], "user_id"
     ).orderBy("event_type")
+
+
+SKETCH_ROLLUP_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv_estimate
+FROM events GROUP BY event_type
+"""
 
 
 def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1909,7 +1920,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "merge_upsert_orders": QuerySpec(merge_upsert_orders, MERGE_UPSERT_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None),
     "dedup_simhash": QuerySpec(dedup_simhash, None),
-    "sketch_distinct_rollup": QuerySpec(sketch_distinct_rollup, None),
+    "sketch_distinct_rollup": QuerySpec(sketch_distinct_rollup, SKETCH_ROLLUP_SQL),
     "pii_redaction": QuerySpec(pii_redaction, PII_SQL),
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
     "j1_broadcast_join": QuerySpec(j1_broadcast_join, J1_SQL),
