@@ -103,6 +103,7 @@ def minhash_near_duplicates(
     jaccard_threshold: float = 0.5,
     verify: bool = True,
     max_bucket: int | None = 64,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs.
 
@@ -120,6 +121,14 @@ def minhash_near_duplicates(
     Scale shape: the band explode shuffles O(rows × bands) fixed-width
     tuples; the verify joins shuffle shingles only for candidate ids
     (≈ true near-dups), never for the whole corpus.
+
+    ``portable_hash=True`` swaps xxhash64 for salted md5 HEX STRINGS
+    (min over fixed-width lowercase hex is numeric min, and md5 renders
+    identically in every engine), so the whole pipeline can be mirrored
+    in ANSI-ish SQL for oracle verification. Identical candidate/pair
+    semantics, ~2× the signature bytes — keep the xxhash64 default in
+    production; the portable mode exists so correctness gates can check
+    the banding/bucketing/verify logic value-for-value.
     """
     rows_per_band = num_hashes // bands
     # already persisted by _shingled: feeds the signature lineage AND the
@@ -129,21 +138,26 @@ def minhash_near_duplicates(
     # Signature via explode → num_hashes MIN aggregates, NOT higher-order
     # array_min(transform(...)) columns: HOFs are codegen-unsupported, so
     # 64 of them cost 64 interpreted passes over every shingle array
-    # (measured 61.6 s end-to-end at sf0.1). The exploded form is one
+    # (measured 61.6 s at sf0.1). The exploded form is one
     # whole-stage-codegen pass computing 64 salted hashes per shingle into
     # 64 partial-min accumulators; the shuffle carries one 64-long row per
     # doc (map-side combine), never the shingles. Same values either way:
     # min over identical per-shingle hashes.
+    if portable_hash:
+        salted = lambda i: F.md5(  # noqa: E731
+            F.concat_ws(":", F.lit(str(i)), F.col("_s"))
+        )
+        band_hash = lambda cols: F.md5(F.concat_ws("|", *cols))  # noqa: E731
+    else:
+        salted = lambda i: F.xxhash64("_s", F.lit(i))  # noqa: E731
+        band_hash = lambda cols: F.xxhash64(*cols)  # noqa: E731
     ex = shingled.select("_id", F.explode("_sh").alias("_s"))
     sig = ex.groupBy("_id").agg(
-        *[
-            F.min(F.xxhash64("_s", F.lit(i))).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ]
+        *[F.min(salted(i)).alias(f"_h{i}") for i in range(num_hashes)]
     )
     band_cols = [
-        F.xxhash64(
-            *[F.col(f"_h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_hash(
+            [F.col(f"_h{b * rows_per_band + r}") for r in range(rows_per_band)]
         ).alias(f"_b{b}")
         for b in range(bands)
     ]
@@ -195,6 +209,7 @@ def simhash_near_duplicates(
     n_tables: int = 8,
     max_bucket: int | None = 128,
     feature_n: int = 3,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature = sign(Σ feature weight
     vectors), candidate join on ``n_tables`` sub-fingerprint blocks, verified
@@ -222,57 +237,127 @@ def simhash_near_duplicates(
 
     All JVM-side: token hash via xxhash64, bit votes via higher-order
     aggregate over bit positions.
-    """
+
+    ``portable_hash=True`` (oracle mode, see
+    :func:`minhash_near_duplicates`): the feature hash becomes the first
+    16 hex digits of md5, bit votes run per hex digit, and the signature
+    is rendered as a 16-char hex STRING whose 2-char substrings are the
+    ``n_tables=8`` blocks — every step has an exact SQL twin in any
+    engine with md5. Requires the default 64-bit/8-table geometry.
+    Production default stays xxhash64 (one 64-bit hash per feature vs 16
+    digit extractions)."""
     if max_hamming > n_tables - 1:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the pigeonhole recall bound "
             f"n_tables-1={n_tables - 1}; raise n_tables instead"
         )
-    # Bit votes via explode → ``bits`` conditional-SUM aggregates, NOT
-    # ``bits`` higher-order filter() passes over the hash array: HOFs run
-    # interpreted, and 64 of them over every doc's shingle array measured
-    # 118.9 s end-to-end at sf0.1. Exploded, this is one codegen pass
-    # extracting 64 bits per shingle hash into 64 partial sums; the
-    # shuffle carries one 65-long row per doc. bit b of the simhash = 1
-    # iff (# features with bit b set) > n_features/2 — identical either
-    # way. shiftrightunsigned avoids sign trouble for bit 63.
-    ex = (
-        _shingled(df, text_col, id_col, feature_n)
-        .select("_id", F.explode("_sh").alias("_s"))
-        .select("_id", F.xxhash64("_s").alias("_h"))
-    )
-    votes = ex.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("_n"),
-        *[
-            F.sum(F.shiftrightunsigned("_h", b).bitwiseAND(F.lit(1))).alias(f"_v{b}")
-            for b in range(bits)
-        ],
-    )
-    sim = votes.select(
-        "_id",
-        sum(
+    if portable_hash and (bits != 64 or n_tables != 8):
+        raise ValueError("portable_hash requires bits=64, n_tables=8")
+    shingled = _shingled(df, text_col, id_col, feature_n)
+    if portable_hash:
+        # Hex-digit layout: digit p (1-based, leftmost first) carries vote
+        # bits k=0..3 as (digit >> k) & 1. The same 64 conditional-SUM
+        # aggregates as the fast path, just indexed (digit, bit) instead
+        # of bit-of-long.
+        hexmap = F.array(*[F.lit(c) for c in "0123456789abcdef"])
+        ex = (
+            shingled.select("_id", F.explode("_sh").alias("_s"))
+            .select("_id", F.substring(F.md5("_s"), 1, 16).alias("_h"))
+            .select(
+                "_id",
+                *[
+                    F.conv(F.substring("_h", p, 1), 16, 10)
+                    .cast("int")
+                    .alias(f"_d{p}")
+                    for p in range(1, 17)
+                ],
+            )
+        )
+        votes = ex.groupBy("_id").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.shiftright(f"_d{p}", k).bitwiseAND(F.lit(1))).alias(
+                    f"_v{p}_{k}"
+                )
+                for p in range(1, 17)
+                for k in range(4)
+            ],
+        )
+        digit = lambda p: sum(  # noqa: E731
             [
-                F.shiftleft(
-                    (F.col(f"_v{b}") > F.col("_n") / F.lit(2.0)).cast("long"), b
+                (F.col(f"_v{p}_{k}") > F.col("_n") / F.lit(2.0)).cast("int")
+                * (1 << k)
+                for k in range(4)
+            ],
+            F.lit(0),
+        )
+        sim = votes.select(
+            "_id",
+            F.concat(
+                *[F.element_at(hexmap, digit(p) + 1) for p in range(1, 17)]
+            ).alias("_sim"),
+        )
+        block_of = lambda t: F.substring("_sim", 2 * t + 1, 2)  # noqa: E731
+        hex_digit = lambda side, p: F.conv(  # noqa: E731
+            F.substring(F.col(f"{side}._sim"), p, 1), 16, 10
+        ).cast("int")
+        hamming_expr = sum(
+            [
+                F.bit_count(hex_digit("l", p).bitwiseXOR(hex_digit("r", p)))
+                for p in range(1, 17)
+            ],
+            F.lit(0),
+        ).cast("int")
+    else:
+        # Bit votes via explode → ``bits`` conditional-SUM aggregates, NOT
+        # ``bits`` higher-order filter() passes over the hash array: HOFs
+        # run interpreted, and 64 of them over every doc's shingle array
+        # measured 118.9 s end-to-end at sf0.1. Exploded, this is one
+        # codegen pass extracting 64 bits per shingle hash into 64 partial
+        # sums; the shuffle carries one 65-long row per doc. bit b of the
+        # simhash = 1 iff (# features with bit b set) > n_features/2 —
+        # identical either way. shiftrightunsigned avoids sign trouble for
+        # bit 63.
+        ex = (
+            shingled.select("_id", F.explode("_sh").alias("_s"))
+            .select("_id", F.xxhash64("_s").alias("_h"))
+        )
+        votes = ex.groupBy("_id").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.shiftrightunsigned("_h", b).bitwiseAND(F.lit(1))).alias(
+                    f"_v{b}"
                 )
                 for b in range(bits)
             ],
-            F.lit(0).cast("long"),
-        ).alias("_sim"),
-    )
-    block_bits = bits // n_tables
-    mask = (1 << block_bits) - 1
+        )
+        sim = votes.select(
+            "_id",
+            sum(
+                [
+                    F.shiftleft(
+                        (F.col(f"_v{b}") > F.col("_n") / F.lit(2.0)).cast("long"),
+                        b,
+                    )
+                    for b in range(bits)
+                ],
+                F.lit(0).cast("long"),
+            ).alias("_sim"),
+        )
+        block_bits = bits // n_tables
+        mask = (1 << block_bits) - 1
+        block_of = lambda t: F.shiftrightunsigned(  # noqa: E731
+            "_sim", t * block_bits
+        ).bitwiseAND(F.lit(mask))
+        hamming_expr = F.bit_count(
+            F.col("l._sim").bitwiseXOR(F.col("r._sim"))
+        )
     blocks = sim.select(
         "_id",
         "_sim",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("_sim", t * block_bits).bitwiseAND(F.lit(mask))
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("_tbl", "_blk"),
+        F.posexplode(F.array(*[block_of(t) for t in range(n_tables)])).alias(
+            "_tbl", "_blk"
+        ),
     )
     if max_bucket is not None:
         bucket_w = Window.partitionBy("_tbl", "_blk")
@@ -294,9 +379,7 @@ def simhash_near_duplicates(
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            F.bit_count(F.col("l._sim").bitwiseXOR(F.col("r._sim"))).alias(
-                "hamming"
-            ),
+            hamming_expr.alias("hamming"),
         )
         # hamming-filter BEFORE dropDuplicates: the predicate is map-side
         # in the join stage, so the dedup shuffle carries only true

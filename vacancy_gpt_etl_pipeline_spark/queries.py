@@ -989,26 +989,180 @@ FROM r JOIN s USING (cluster_id) WHERE r.rn > 1
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup (rows-only: xxhash64 signatures are not
-    SQL-portable). Candidate precision/recall vs exact Jaccard is asserted
-    in tests/test_neardup_quality.py on a seeded near-dup fixture."""
+    """MinHash + banded LSH near-dup pairs in PORTABLE-HASH mode
+    (salted-md5 signatures, operators/dedup.minhash_near_duplicates):
+    every stage — shingling, 64 min-hashes, 16 band hashes, the
+    max_bucket=64 skew cap, candidate self-join, exact-Jaccard verify —
+    is mirrored value-for-value by the DuckDB oracle. Production default
+    stays xxhash64 (same pipeline, cheaper hash); candidate
+    precision/recall vs exact Jaccard is additionally asserted in
+    tests/test_neardup_quality.py on a seeded near-dup fixture."""
     return minhash_near_duplicates(
         _t(spark, sf_dir, "documents"),
         "text",
         "doc_id",
         jaccard_threshold=0.5,
         max_bucket=64,
+        portable_hash=True,
     )
+
+
+def _grams_cte(table: str = "documents") -> str:
+    """Shared DuckDB CTE mirroring operators/dedup._shingled (trigram,
+    distinct, ≥3-token docs) — the same fragment NGRAM_JACCARD_SQL uses."""
+    return f"""
+sh AS (
+  SELECT doc_id AS _id,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 2, 0)),
+      i -> string_split_regex(trim(lower(text)), '\\s+')[i] || ' ' ||
+           string_split_regex(trim(lower(text)), '\\s+')[i+1] || ' ' ||
+           string_split_regex(trim(lower(text)), '\\s+')[i+2]
+    )) AS grams
+  FROM {table}
+),
+shn AS (SELECT _id, grams FROM sh WHERE len(grams) > 0)"""
+
+
+def _minhash_lsh_sql(
+    num_hashes: int = 64, bands: int = 16, max_bucket: int = 64
+) -> str:
+    rows_per_band = num_hashes // bands
+    mins = ",\n    ".join(
+        f"MIN(md5('{i}:' || s)) AS h{i}" for i in range(num_hashes)
+    )
+    band_structs = ",\n    ".join(
+        "{'band': %d, 'bh': md5(%s)}"
+        % (
+            b,
+            " || '|' || ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_grams_cte()},
+ex AS (SELECT _id, unnest(grams) AS s FROM shn),
+sig AS (
+  SELECT _id,
+    {mins}
+  FROM ex GROUP BY _id
+),
+banded AS (
+  SELECT _id, unnest([
+    {band_structs}
+  ], recursive := true) FROM sig
+),
+capped AS (
+  SELECT _id, band, bh FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, bh) AS bc FROM banded
+  ) WHERE bc <= {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT a._id AS id_a, b._id AS id_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bh = b.bh AND a._id < b._id
+)
+SELECT id_a, id_b,
+  ROUND(len(list_intersect(ga.grams, gb.grams))
+        / (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))),
+        6) AS jaccard
+FROM cand
+JOIN shn ga ON ga._id = cand.id_a
+JOIN shn gb ON gb._id = cand.id_b
+WHERE ROUND(len(list_intersect(ga.grams, gb.grams))
+        / (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))),
+        6) >= 0.5
+"""
+
+
+MINHASH_LSH_SQL = _minhash_lsh_sql()
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup (rows-only for the same reason). 8 tables × 8-bit
-    blocks pigeonhole-certify recall for hamming ≤ 7 (the verification
-    bound, so candidate recall is total); precision/recall asserted in
-    tests/test_neardup_quality.py."""
+    """SimHash near-dup pairs in PORTABLE-HASH mode (hex-digit md5
+    signatures rendered as 16-char strings; 8 tables × 2-hex-digit blocks
+    pigeonhole-certify recall for hamming ≤ 7). The DuckDB oracle mirrors
+    the digit votes, signature rendering, block join, max_bucket=128 cap,
+    and hamming verify exactly; precision/recall vs planted near-dups is
+    additionally asserted in tests/test_neardup_quality.py. Production
+    default stays xxhash64."""
     return simhash_near_duplicates(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", max_bucket=128
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        max_bucket=128,
+        portable_hash=True,
     )
+
+
+def _simhash_sql(max_bucket: int = 128, max_hamming: int = 7) -> str:
+    digits = ",\n    ".join(
+        f"strpos('0123456789abcdef', substr(h, {p}, 1)) - 1 AS d{p}"
+        for p in range(1, 17)
+    )
+    votes = ",\n    ".join(
+        f"SUM((d{p} >> {k}) & 1) AS v{p}_{k}"
+        for p in range(1, 17)
+        for k in range(4)
+    )
+    sig_digits = "\n    || ".join(
+        "substr('0123456789abcdef', 1 + ("
+        + " + ".join(
+            f"CAST(v{p}_{k} > n / 2.0 AS INT) * {1 << k}" for k in range(4)
+        )
+        + "), 1)"
+        for p in range(1, 17)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(strpos('0123456789abcdef', substr(sim_a, {p}, 1)) - 1, "
+        f"strpos('0123456789abcdef', substr(sim_b, {p}, 1)) - 1))"
+        for p in range(1, 17)
+    )
+    return f"""
+WITH {_grams_cte()},
+ex AS (
+  SELECT _id, substr(md5(s), 1, 16) AS h
+  FROM (SELECT _id, unnest(grams) AS s FROM shn)
+),
+dg AS (
+  SELECT _id,
+    {digits}
+  FROM ex
+),
+votes AS (
+  SELECT _id, COUNT(*) AS n,
+    {votes}
+  FROM dg GROUP BY _id
+),
+sig AS (
+  SELECT _id,
+    {sig_digits}
+    AS sim
+  FROM votes
+),
+blocks AS (
+  SELECT _id, sim, gs.tbl AS tbl, substr(sim, 2 * gs.tbl + 1, 2) AS blk
+  FROM sig, generate_series(0, 7) gs(tbl)
+),
+capped AS (
+  SELECT _id, sim, tbl, blk FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY tbl, blk) AS bc FROM blocks
+  ) WHERE bc <= {max_bucket}
+),
+pairs AS (
+  SELECT DISTINCT l._id AS id_a, r._id AS id_b, l.sim AS sim_a, r.sim AS sim_b
+  FROM capped l JOIN capped r
+    ON l.tbl = r.tbl AND l.blk = r.blk AND l._id < r._id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT id_a, id_b, CAST({ham} AS INT) AS hamming FROM pairs
+) WHERE hamming <= {max_hamming}
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1918,8 +2072,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "multimodal_metadata": QuerySpec(multimodal_metadata, MULTIMODAL_SQL),
     "multimodal_decode_stub": QuerySpec(multimodal_decode_stub, None),
     "merge_upsert_orders": QuerySpec(merge_upsert_orders, MERGE_UPSERT_SQL),
-    "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None),
-    "dedup_simhash": QuerySpec(dedup_simhash, None),
+    "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, MINHASH_LSH_SQL),
+    "dedup_simhash": QuerySpec(dedup_simhash, SIMHASH_SQL),
     "sketch_distinct_rollup": QuerySpec(sketch_distinct_rollup, SKETCH_ROLLUP_SQL),
     "pii_redaction": QuerySpec(pii_redaction, PII_SQL),
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
