@@ -18,6 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from vacancy_gpt_etl_pipeline_spark.operators.caching import (
+    CacheScope,
+    persist_in,
+)
+
 
 def dedup_exact(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     """A1/A2: distinct rows (or by key subset). Survivor is arbitrary — use
@@ -59,7 +64,11 @@ def dedup_exact_text(
 
 
 def _shingled(
-    df: DataFrame, text_col: str, id_col: str, n: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    cache_scope: CacheScope | None = None,
 ) -> DataFrame:
     """``(_id, _sh)`` frame of distinct word n-gram shingles (JVM-side only:
     split + higher-order transform; no Python).
@@ -88,9 +97,12 @@ def _shingled(
     # UNPERSISTED explode re-evaluates the inline array expression per
     # emitted element (measured ~16× at sf0.1). The cache is one string
     # array per doc; evicted by the executor LRU after the job.
-    return toks.select(
-        "_id", F.array_distinct(F.transform(idx, gram)).alias("_sh")
-    ).persist()
+    return persist_in(
+        toks.select(
+            "_id", F.array_distinct(F.transform(idx, gram)).alias("_sh")
+        ),
+        cache_scope,
+    )
 
 
 def minhash_near_duplicates(
@@ -104,6 +116,7 @@ def minhash_near_duplicates(
     verify: bool = True,
     max_bucket: int | None = 64,
     portable_hash: bool = False,
+    cache_scope: CacheScope | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs.
 
@@ -133,7 +146,7 @@ def minhash_near_duplicates(
     rows_per_band = num_hashes // bands
     # already persisted by _shingled: feeds the signature lineage AND the
     # two verify joins (Spark's MinHashLSH persists for the same reason)
-    shingled = _shingled(df, text_col, id_col, shingle_n)
+    shingled = _shingled(df, text_col, id_col, shingle_n, cache_scope)
 
     # Signature via explode → num_hashes MIN aggregates, NOT higher-order
     # array_min(transform(...)) columns: HOFs are codegen-unsupported, so
@@ -171,7 +184,7 @@ def minhash_near_duplicates(
         )
     # persisted: both sides of the bucket self-join read this frame — fixed
     # width (id, band, hash), so the cache is O(rows × bands) small
-    banded = banded.persist()
+    banded = persist_in(banded, cache_scope)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -210,6 +223,7 @@ def simhash_near_duplicates(
     max_bucket: int | None = 128,
     feature_n: int = 3,
     portable_hash: bool = False,
+    cache_scope: CacheScope | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature = sign(Σ feature weight
     vectors), candidate join on ``n_tables`` sub-fingerprint blocks, verified
@@ -253,7 +267,7 @@ def simhash_near_duplicates(
         )
     if portable_hash and (bits != 64 or n_tables != 8):
         raise ValueError("portable_hash requires bits=64, n_tables=8")
-    shingled = _shingled(df, text_col, id_col, feature_n)
+    shingled = _shingled(df, text_col, id_col, feature_n, cache_scope)
     if portable_hash:
         # Hex-digit layout: digit p (1-based, leftmost first) carries vote
         # bits k=0..3 as (digit >> k) & 1. The same 64 conditional-SUM
@@ -367,7 +381,7 @@ def simhash_near_duplicates(
             .drop("_bc")
         )
     # persisted for the self-join (see minhash_near_duplicates)
-    blocks = blocks.persist()
+    blocks = persist_in(blocks, cache_scope)
     l, r = blocks.alias("l"), blocks.alias("r")
     cand = (
         l.join(
@@ -399,6 +413,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = 100,
+    cache_scope: CacheScope | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
@@ -411,7 +426,7 @@ def ngram_jaccard_pairs(
     :func:`minhash_near_duplicates` and reserve this for candidate
     verification.
     """
-    shingled = _shingled(df, text_col, id_col, n)
+    shingled = _shingled(df, text_col, id_col, n, cache_scope)
     ex = shingled.select("_id", F.explode("_sh").alias("_s"))
     if max_shingle_freq is not None:
         freq_w = Window.partitionBy("_s")
@@ -419,7 +434,7 @@ def ngram_jaccard_pairs(
             F.col("_f") <= max_shingle_freq
         ).drop("_f")
     # persisted: read three times (sizes + both self-join sides)
-    ex = ex.persist()
+    ex = persist_in(ex, cache_scope)
     # sizes from the POST-filter shingle sets, so the Jaccard denominator is
     # consistent with the intersection counts (pre-filter sizes would bias
     # the score downward for docs containing frequent shingles)

@@ -21,13 +21,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, buckets: int, col_name: str = "_salt") -> DataFrame:
-    """Uniform salt in [0, buckets) — deterministic per row via a hash of the
-    whole row's partition-local position is NOT reproducible, so we salt by
-    ``monotonically_increasing_id % buckets`` (stable within a run; salting
-    only redistributes, never changes results)."""
+def with_salt(
+    df: DataFrame,
+    buckets: int,
+    col_name: str = "_salt",
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
+    """Uniform salt in [0, buckets), DETERMINISTIC per row content:
+    ``pmod(xxhash64(salt_cols or all columns), buckets)``.
+
+    Determinism is a correctness requirement, not a nicety: a
+    position-based salt (monotonically_increasing_id, rand) is
+    nondeterministic across task re-execution, so on shuffle-fetch
+    failure a recomputed map task can assign rows different salts than
+    the attempt other reducers already fetched — double-counting or
+    dropping rows in the downstream aggregate, precisely in the at-scale
+    failure scenario salting targets. A content hash reproduces
+    identically on every replay.
+
+    Trade-off: EXACT duplicate rows share a salt. Pass ``salt_cols``
+    (e.g. a unique id) when the input carries one; otherwise all columns
+    are hashed and residual duplicate-row skew is bounded by the
+    duplication factor, not the key's row count."""
+    cols = [F.col(c) for c in (salt_cols or df.columns)]
     return df.withColumn(
-        col_name, (F.monotonically_increasing_id() % buckets).cast("int")
+        col_name, F.pmod(F.xxhash64(*cols), F.lit(buckets)).cast("int")
     )
 
 
@@ -36,6 +54,7 @@ def salted_agg(
     group_cols: list[str],
     aggs: dict[str, tuple[Column, Column]],
     buckets: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-stage salted aggregation for associative aggregates.
 
@@ -54,7 +73,7 @@ def salted_agg(
     """
     stage1_exprs = [expr.alias(name) for name, (expr, _) in aggs.items()]
     stage2_exprs = [merge.alias(name) for name, (_, merge) in aggs.items()]
-    salted = with_salt(df, buckets)
+    salted = with_salt(df, buckets, salt_cols=salt_cols)
     partial = salted.groupBy(*group_cols, "_salt").agg(*stage1_exprs)
     return partial.groupBy(*group_cols).agg(*stage2_exprs)
 
@@ -65,11 +84,12 @@ def salted_collect_set(
     value_col: str,
     buckets: int = 16,
     out_col: str = "values",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-safe ``collect_set``: per-(key, salt) sets are built in parallel
     (each ≤ 1/buckets of a hot key's values), then unioned with
     ``array_distinct(flatten(...))`` in the small second stage."""
-    salted = with_salt(df, buckets)
+    salted = with_salt(df, buckets, salt_cols=salt_cols)
     partial = salted.groupBy(*group_cols, "_salt").agg(
         F.collect_set(value_col).alias("_part")
     )

@@ -43,6 +43,10 @@ def write_normalized_csv(
     dag/...py:830, which Excel-facing consumers rely on). The shard is still
     written by an executor; only the O(files) rename/concat step runs on the
     driver — never O(data) like the reference's ``df.to_csv`` string build.
+    The ``mode`` contract holds in both branches: ``error`` raises if the
+    destination object exists, ``overwrite`` replaces it; ``append``/
+    ``ignore`` are rejected for a single object (appending to one CSV would
+    interleave headers, and DataFrame writers have no single-object append).
     """
     writer_opts = dict(header=True, encoding="UTF-8", quote='"', escape='"')
     if not single_file:
@@ -52,23 +56,31 @@ def write_normalized_csv(
         w.csv(path)
         return
 
+    if mode not in ("overwrite", "error", "errorifexists"):
+        raise ValueError(
+            f"single_file=True supports mode='overwrite' or 'error', got "
+            f"{mode!r}"
+        )
     spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    fs = dst.getFileSystem(conf)
+    if mode in ("error", "errorifexists") and fs.exists(dst):
+        raise FileExistsError(f"destination already exists: {path}")
+
     tmp = path.rstrip("/") + "__tmp"
     w = df.coalesce(1).write.mode("overwrite")
     for k, v in writer_opts.items():
         w = w.option(k, v)
     w.csv(tmp)
 
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
     tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs = tmp_path.getFileSystem(conf)
     part = next(
         s.getPath()
         for s in fs.listStatus(tmp_path)
         if s.getPath().getName().startswith("part-")
     )
-    dst = jvm.org.apache.hadoop.fs.Path(path)
     if fs.exists(dst):
         fs.delete(dst, True)
     out = fs.create(dst)
