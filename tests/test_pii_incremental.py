@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from vacancy_gpt_etl_pipeline_spark.functions.text import (
     pii_hit_counts,
+    pii_marker_counts,
     redact_pii,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.dedup import incremental_dedup
@@ -44,6 +45,26 @@ def test_hit_counts_per_pattern(spark):
     )
     row = df.select(*pii_hit_counts("text")).first()
     assert row["emails"] == 2 and row["ips"] == 1 and row["phones"] == 0
+
+
+def test_marker_counts_equal_replacements_made(spark):
+    """Single-pass counts = replacements actually made: the dotted quad is
+    consumed by the IP pattern, so unlike independent raw-text counts the
+    phone count does NOT also see it."""
+    df = spark.createDataFrame(
+        [("a@b.co and c@d.io from 10.0.0.1 call +1 555 123 4567",)],
+        "text string",
+    )
+    row = df.select(
+        *pii_marker_counts(redact_pii("text"))
+    ).first()
+    assert row["emails"] == 2 and row["ips"] == 1 and row["phones"] == 1
+
+
+def test_marker_counts_zero_on_clean_text(spark):
+    df = spark.createDataFrame([("nothing sensitive here",)], "text string")
+    row = df.select(*pii_marker_counts(redact_pii("text"))).first()
+    assert (row["emails"], row["ips"], row["phones"]) == (0, 0, 0)
 
 
 def _docs(spark, rows):

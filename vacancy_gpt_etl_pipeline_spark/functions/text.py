@@ -152,11 +152,39 @@ def redact_pii(c: Column | str) -> Column:
 
 
 def pii_hit_counts(c: Column | str) -> list[Column]:
-    """Per-pattern hit counts (for observability dashboards): how many
-    redactions each pattern would make in the column."""
+    """Per-pattern hit counts computed INDEPENDENTLY on the raw text (three
+    extra regexp passes; patterns can overlap — a dotted quad also matches
+    the phone charset, so independent counts can exceed redactions made).
+    Prefer :func:`pii_marker_counts` over the redacted output when the
+    redaction is being computed anyway — same dashboards, no extra regexp
+    scans, and the counts equal the replacements actually performed."""
     col = F.col(c) if isinstance(c, str) else c
     names = ("emails", "ips", "phones")
     return [
         F.coalesce(F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))), F.lit(0)).alias(n)
         for (pat, _), n in zip(PII_PATTERNS, names)
+    ]
+
+
+def pii_marker_counts(redacted: Column | str) -> list[Column]:
+    """Per-pattern redaction counts derived from the placeholder markers in
+    the ALREADY-REDACTED text: count('<EMAIL>') etc. via length deltas —
+    plain string ops, ~2× cheaper than re-scanning the raw text with three
+    more regexes (measured on the sf0.1 pii_redaction bench).
+
+    Semantics: the number of replacements actually made, under the
+    sequential pattern order of :func:`redact_pii` (an IP consumed by the
+    IP pattern is no longer visible to the phone pattern). Assumes the raw
+    corpus does not itself contain literal placeholder tokens; if it can,
+    use :func:`pii_hit_counts` on the raw column instead."""
+    col = F.col(redacted) if isinstance(redacted, str) else redacted
+    names = ("emails", "ips", "phones")
+    return [
+        (
+            (F.length(col) - F.length(F.replace(col, F.lit(marker), F.lit(""))))
+            / F.lit(len(marker))
+        )
+        .cast("int")
+        .alias(n)
+        for (_, marker), n in zip(PII_PATTERNS, names)
     ]

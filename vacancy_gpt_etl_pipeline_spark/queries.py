@@ -1505,12 +1505,17 @@ FROM packed GROUP BY source, pack_id
 
 
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub (functions/text.redact_pii): synthetic emails/phones/IPs
-    planted per doc (the fixture corpus is clean), then redacted to typed
-    placeholders; output is the redacted-text hash plus per-pattern hit
-    counts. Pure regexp column expressions — the scrub rides the scan."""
+    """SINGLE-PASS PII scrub (functions/text.redact_pii +
+    pii_marker_counts): synthetic emails/phones/IPs planted per doc (the
+    fixture corpus is clean), redacted to typed placeholders ONCE; the
+    per-pattern counts are derived from the placeholder markers in the
+    redacted output via length deltas instead of three more
+    regexp_extract_all passes over the raw text (~2× fewer regex scans —
+    the counts become 'replacements made', which is also the more useful
+    dashboard number). Pure column expressions — the scrub rides the
+    scan."""
     from vacancy_gpt_etl_pipeline_spark.functions.text import (
-        pii_hit_counts,
+        pii_marker_counts,
         redact_pii,
     )
 
@@ -1524,10 +1529,11 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % 200).cast("string"),
         ).alias("text"),
     )
-    return docs.select(
+    red = docs.select("doc_id", redact_pii("text").alias("_red"))
+    return red.select(
         "doc_id",
-        F.md5(redact_pii("text")).alias("redacted_hash"),
-        *pii_hit_counts("text"),
+        F.md5("_red").alias("redacted_hash"),
+        *pii_marker_counts("_red"),
     ).orderBy("doc_id")
 
 
@@ -1538,20 +1544,23 @@ WITH planted AS (
          || '@mail.example.com or +1 555 123 4567 from 10.0.0.'
          || CAST(doc_id % 200 AS VARCHAR) AS text
   FROM documents
-)
-SELECT doc_id,
-  md5(
+),
+red AS (
+  SELECT doc_id,
     regexp_replace(
       regexp_replace(
         regexp_replace(text,
           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
-      '\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g')
-  ) AS redacted_hash,
-  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS emails,
-  CAST(len(regexp_extract_all(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INT) AS ips,
-  CAST(len(regexp_extract_all(text, '\\+?\\d[\\d\\s().-]{7,}\\d')) AS INT) AS phones
-FROM planted
+      '\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g') AS r
+  FROM planted
+)
+SELECT doc_id,
+  md5(r) AS redacted_hash,
+  CAST((len(r) - len(replace(r, '<EMAIL>', ''))) / 7 AS INT) AS emails,
+  CAST((len(r) - len(replace(r, '<IP>', ''))) / 4 AS INT) AS ips,
+  CAST((len(r) - len(replace(r, '<PHONE>', ''))) / 7 AS INT) AS phones
+FROM red
 """
 
 
