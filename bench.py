@@ -16,12 +16,68 @@ only the JSON line the driver parses.
 from __future__ import annotations
 
 import gc
+import glob
 import json
 import os
 import re
 import sys
 import time
 import traceback
+
+REGRESSION_FACTOR = 1.5
+# ignore ratio noise on queries this fast — at sub-200ms, JVM/GC jitter
+# alone exceeds 1.5×
+REGRESSION_FLOOR_SEC = 0.2
+
+
+def _load_previous(repo_dir: str, sf) -> tuple[str, dict[str, float]] | None:
+    """Latest committed BENCH_r*.json with a per-query map at the SAME sf.
+
+    Cross-sf ratios are meaningless (an sf0.001 smoke run would flag every
+    query against the driver's sf0.1 record), so only a matching scale
+    factor counts as a baseline.
+    """
+    paths = sorted(
+        glob.glob(os.path.join(repo_dir, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+        reverse=True,
+    )
+    for path in paths:
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            parsed = data.get("parsed") if isinstance(data.get("parsed"), dict) else data
+            queries = parsed.get("queries")
+            prev_sf = parsed.get("sf", data.get("sf"))
+            if isinstance(queries, dict) and queries and prev_sf == sf:
+                return os.path.basename(path), {
+                    k: float(v) for k, v in queries.items()
+                }
+        except (OSError, ValueError, AttributeError):
+            continue
+    return None
+
+
+def _compare(prev_name, prev, timings) -> list[str]:
+    """Per-query delta table (stderr) + list of >1.5× regressed names."""
+    regressions = []
+    print(f"[bench] delta vs {prev_name}:", file=sys.stderr)
+    for name, now in timings.items():
+        before = prev.get(name)
+        if before is None or before <= 0 or now <= 0:
+            tag = "new" if before is None else "n/a"
+            print(f"[bench]   {name}: {now:.3f}s ({tag})", file=sys.stderr)
+            continue
+        ratio = now / before
+        flag = ""
+        if ratio > REGRESSION_FACTOR and now > REGRESSION_FLOOR_SEC:
+            flag = "  <-- REGRESSION"
+            regressions.append(name)
+        print(
+            f"[bench]   {name}: {now:.3f}s (was {before:.3f}s, {ratio:.2f}x){flag}",
+            file=sys.stderr,
+        )
+    return regressions
 
 
 def main() -> None:
@@ -67,17 +123,21 @@ def main() -> None:
         # ContextCleaner reclaim those blocks before the next measurement
         df = None
         gc.collect()
-    print(
-        json.dumps(
-            {
-                "metric": "registry_wall_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+
+    result = {
+        "metric": "registry_wall_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    previous = _load_previous(os.path.dirname(os.path.abspath(__file__)), sf)
+    if previous is not None:
+        prev_name, prev_queries = previous
+        regressions = _compare(prev_name, prev_queries, timings)
+        result["baseline_round"] = prev_name
+        result["regressions"] = regressions
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -82,6 +82,20 @@ def test_bm25_filters_tokens_before_tf_aggregate(spark, sf_dir):
     # BroadcastHashJoin consuming it — weak but executable: the plan
     # has >= 3 broadcast joins and the explode feeds one
     assert plan.count("BroadcastHashJoin") >= 3
+    # the O(corpus) doclen join was removed in 379c294 — dl rides the
+    # explode, so no sort-merge join may reappear anywhere in the plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_redaction_is_scan_local(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pii_redaction")
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    # one narrow projection over the scan: no hash-partition exchange
+    # (the only exchange is the oracle-ordering range partition), no
+    # joins, no Python boundary
+    assert "hashpartitioning" not in body.lower(), body[:1500]
+    assert "Join" not in body
+    assert "MapInPandas" not in body and "BatchEvalPython" not in body
 
 
 @pytest.mark.parametrize("name", ["asof_attribution", "merge_upsert_orders"])
