@@ -252,3 +252,75 @@ def test_ann_lsh_is_exact_for_near_identical_vectors(spark):
     assert {(r["query_id"], r["neighbor_id"]) for r in got} == {
         (i, i + 1000) for i in range(5)
     }
+
+
+# --- winnowing (rolling-hash) fingerprints ---------------------------------
+
+
+def test_winnowing_guarantee_catches_planted_near_dups(spark, corpus):
+    """The winnowing guarantee: any shared substring of length >= w+k-1
+    chars yields a shared fingerprint. Planted near-dups share long runs of
+    identical tokens, so every planted pair must surface as a candidate."""
+    from vacancy_gpt_etl_pipeline_spark.operators.dedup import winnowing_pairs
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in winnowing_pairs(
+            corpus, "text", "doc_id", k=16, w=16, min_shared=5, max_fp_freq=None
+        ).collect()
+    }
+    assert TIGHT <= got
+    assert NEAR_IDENTICAL <= got
+
+
+def test_winnowing_density_is_about_two_over_w_plus_one(spark, corpus):
+    """Winnowing keeps ~2/(w+1) of the gram hashes (SIGMOD'03 density bound
+    for random input). Check the measured ratio lands near the theoretical
+    density — this is the w/2x posting-volume reduction the operator exists
+    for."""
+    from vacancy_gpt_etl_pipeline_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 16, 16
+    n_fps = winnow_fingerprints(corpus, "text", "doc_id", k=k, w=w).count()
+    n_grams = (
+        corpus.select(
+            (
+                F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")) - k + 1
+            ).alias("g")
+        )
+        .agg(F.sum(F.greatest("g", F.lit(0))))
+        .collect()[0][0]
+    )
+    density = n_fps / n_grams
+    expected = 2 / (w + 1)
+    # distinct-collapse pushes the ratio slightly below 2/(w+1)
+    assert 0.5 * expected < density < 1.5 * expected, (density, expected)
+
+
+def test_winnowing_short_docs_produce_no_fingerprints(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "x" * 40)], "doc_id long, text string"
+    )
+    out = winnow_fingerprints(df, "text", "doc_id", k=16, w=16).collect()
+    # doc 1 has < k+w-1=31 normalized chars -> nothing; doc 2 qualifies
+    assert {r["doc_id"] for r in out} == {2}
+
+
+def test_winnowing_fp_freq_cap_drops_ubiquitous_spans(spark):
+    """A span shared by MANY docs is a stop-gram, not near-dup signal: with
+    the cap at 20, a 30-doc common prefix contributes no candidates."""
+    from vacancy_gpt_etl_pipeline_spark.operators.dedup import winnowing_pairs
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, common + f" unique tail {i} " + "z" * i) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = winnowing_pairs(
+        df, "text", "doc_id", k=16, w=16, min_shared=1, max_fp_freq=20
+    ).count()
+    uncapped = winnowing_pairs(
+        df, "text", "doc_id", k=16, w=16, min_shared=1, max_fp_freq=None
+    ).count()
+    assert uncapped > 0
+    assert capped < uncapped
