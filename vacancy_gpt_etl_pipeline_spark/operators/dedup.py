@@ -105,6 +105,23 @@ def _shingled(
     )
 
 
+# portable-hash family: (a·base + b) mod P over a 28-bit md5-derived base.
+# P = 2^31-1 (Mersenne); a < P, base < 2^28 → a·base + b < 2^59, exact in
+# int64 in every engine. Coefficients are seeded so Spark and the SQL
+# oracle embed the SAME literals.
+PORTABLE_PRIME = 2147483647
+
+
+def portable_affine_coeffs(n: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, PORTABLE_PRIME), rng.randrange(PORTABLE_PRIME))
+        for _ in range(n)
+    ]
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -135,13 +152,17 @@ def minhash_near_duplicates(
     tuples; the verify joins shuffle shingles only for candidate ids
     (≈ true near-dups), never for the whole corpus.
 
-    ``portable_hash=True`` swaps xxhash64 for salted md5 HEX STRINGS
-    (min over fixed-width lowercase hex is numeric min, and md5 renders
-    identically in every engine), so the whole pipeline can be mirrored
-    in ANSI-ish SQL for oracle verification. Identical candidate/pair
-    semantics, ~2× the signature bytes — keep the xxhash64 default in
-    production; the portable mode exists so correctness gates can check
-    the banding/bucketing/verify logic value-for-value.
+    ``portable_hash=True`` swaps xxhash64 for an engine-portable family:
+    ONE md5 per shingle yields a 28-bit base integer (7 hex chars —
+    keeps every product below 2^59, overflow-free in any int64 engine),
+    and the ``num_hashes`` permutations are affine transforms
+    ``(a_i·base + b_i) mod 2^31-1`` with fixed seeded coefficients —
+    the classical universal-hash family, mirrored symbol-for-symbol in
+    SQL. One md5 + 64 multiply-mods per shingle costs ~1/20 of the
+    earlier 64-md5s-per-shingle portable mode (measured 15.6 s → ~4 s
+    at sf0.1). Keep the xxhash64 default in production; portable mode
+    exists so correctness gates can check the banding/bucketing/verify
+    logic value-for-value.
     """
     rows_per_band = num_hashes // bands
     # already persisted by _shingled: feeds the signature lineage AND the
@@ -156,15 +177,24 @@ def minhash_near_duplicates(
     # 64 partial-min accumulators; the shuffle carries one 64-long row per
     # doc (map-side combine), never the shingles. Same values either way:
     # min over identical per-shingle hashes.
+    ex = shingled.select("_id", F.explode("_sh").alias("_s"))
     if portable_hash:
-        salted = lambda i: F.md5(  # noqa: E731
-            F.concat_ws(":", F.lit(str(i)), F.col("_s"))
+        coeffs = portable_affine_coeffs(num_hashes)
+        # _base as a real column: the num_hashes references keep
+        # CollapseProject from inlining the md5 into every affine term
+        ex = ex.withColumn(
+            "_base",
+            F.expr("CAST(conv(substring(md5(_s), 1, 7), 16, 10) AS BIGINT)"),
         )
-        band_hash = lambda cols: F.md5(F.concat_ws("|", *cols))  # noqa: E731
+        salted = lambda i: F.expr(  # noqa: E731
+            f"({coeffs[i][0]}L * _base + {coeffs[i][1]}L) % {PORTABLE_PRIME}"
+        )
+        band_hash = lambda cols: F.md5(  # noqa: E731
+            F.concat_ws("|", *[c.cast("string") for c in cols])
+        )
     else:
         salted = lambda i: F.xxhash64("_s", F.lit(i))  # noqa: E731
         band_hash = lambda cols: F.xxhash64(*cols)  # noqa: E731
-    ex = shingled.select("_id", F.explode("_sh").alias("_s"))
     sig = ex.groupBy("_id").agg(
         *[F.min(salted(i)).alias(f"_h{i}") for i in range(num_hashes)]
     )

@@ -907,6 +907,62 @@ FROM pairs WHERE n_shared >= 5
 """
 
 
+def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-purchase click attribution via the bucketed interval join
+    (operators/interval_join.py): each purchase opens a [ts-1h, ts)
+    window; same-user clicks inside the window attribute to it. The
+    bucket-explode equi-join replaces the O(n·m) nested-loop plan Spark
+    would otherwise pick for the containment predicate; the oracle runs
+    the plain inequality join (same semantics, DuckDB's planner problem).
+    Click values sum in decimal — order-independent, engine-exact."""
+    from vacancy_gpt_etl_pipeline_spark.operators.interval_join import (
+        interval_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return (
+        interval_join(
+            clicks,
+            purchases,
+            point_col="ts",
+            start_col="w_start",
+            end_col="w_end",
+            on=["user_id"],
+            bucket_width=3600.0,
+        )
+        .groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias(
+                "click_value_sum"
+            ),
+        )
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT p.event_id AS purchase_id,
+  CAST(COUNT(*) AS BIGINT) AS n_clicks,
+  SUM(CAST(c.value AS DECIMAL(12,2))) AS click_value_sum
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts < p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+GROUP BY 1
+"""
+
+
 def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-corpus incremental dedup (operators/dedup.incremental_dedup):
     docs ≥ 250 plus planted copies of history docs arrive as a batch; the
@@ -1088,23 +1144,35 @@ shn AS (SELECT _id, grams FROM sh WHERE len(grams) > 0)"""
 def _minhash_lsh_sql(
     num_hashes: int = 64, bands: int = 16, max_bucket: int = 64
 ) -> str:
+    from vacancy_gpt_etl_pipeline_spark.operators.dedup import (
+        PORTABLE_PRIME,
+        portable_affine_coeffs,
+    )
+
     rows_per_band = num_hashes // bands
+    coeffs = portable_affine_coeffs(num_hashes)
     mins = ",\n    ".join(
-        f"MIN(md5('{i}:' || s)) AS h{i}" for i in range(num_hashes)
+        f"MIN(({a} * base + {b}) % {PORTABLE_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
     )
     band_structs = ",\n    ".join(
         "{'band': %d, 'bh': md5(%s)}"
         % (
             b,
             " || '|' || ".join(
-                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+                f"h{b * rows_per_band + r}::VARCHAR"
+                for r in range(rows_per_band)
             ),
         )
         for b in range(bands)
     )
     return f"""
 WITH {_grams_cte()},
-ex AS (SELECT _id, unnest(grams) AS s FROM shn),
+ex AS (
+  SELECT _id,
+    ('0x' || substr(md5(s), 1, 7))::BIGINT AS base
+  FROM (SELECT _id, unnest(grams) AS s FROM shn)
+),
 sig AS (
   SELECT _id,
     {mins}
@@ -2145,6 +2213,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, MINHASH_LSH_SQL),
     "dedup_simhash": QuerySpec(dedup_simhash, SIMHASH_SQL),
     "dedup_winnowing": QuerySpec(dedup_winnowing, WINNOWING_SQL),
+    "range_join_attribution": QuerySpec(range_join_attribution, RANGE_JOIN_SQL),
     "sketch_distinct_rollup": QuerySpec(sketch_distinct_rollup, SKETCH_ROLLUP_SQL),
     "pii_redaction": QuerySpec(pii_redaction, PII_SQL),
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
