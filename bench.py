@@ -124,20 +124,30 @@ def main() -> None:
         df = None
         gc.collect()
 
-    result = {
-        "metric": "registry_wall_total",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }
+    # regression comparison goes to STDERR ONLY — round 3 lesson: appending
+    # baseline_round/regressions to the stdout JSON pushed the line past the
+    # driver's 2000-char stdout tail buffer, truncating it mid-line and
+    # yielding parsed:null in BENCH_r03.json
     previous = _load_previous(os.path.dirname(os.path.abspath(__file__)), sf)
     if previous is not None:
         prev_name, prev_queries = previous
-        regressions = _compare(prev_name, prev_queries, timings)
-        result["baseline_round"] = prev_name
-        result["regressions"] = regressions
-    print(json.dumps(result))
+        _compare(prev_name, prev_queries, timings)
+
+    # the driver parses the LAST ≤2000 chars of stdout; keep the line
+    # compact (no spaces, 2dp) and degrade to 1dp if the registry ever
+    # grows the line past a safe margin
+    for ndigits in (2, 1):
+        result = {
+            "metric": "registry_wall_total",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: round(v, ndigits) for k, v in timings.items()},
+            "sf": sf,
+        }
+        line = json.dumps(result, separators=(",", ":"))
+        if len(line) <= 1900:
+            break
+    print(line)
 
 
 if __name__ == "__main__":

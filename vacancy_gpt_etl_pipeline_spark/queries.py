@@ -942,9 +942,12 @@ def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("purchase_id")
         .agg(
             F.count(F.lit(1)).alias("n_clicks"),
-            F.sum(F.col("value").cast("decimal(12,2)")).alias(
-                "click_value_sum"
-            ),
+            # decimal sum (order-independent, exact) cast to double at the
+            # END — the q1 pattern; a decimal output column hash-mismatches
+            # the oracle on rendering even when numerically equal
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("click_value_sum"),
         )
     )
 
@@ -952,7 +955,7 @@ def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 RANGE_JOIN_SQL = """
 SELECT p.event_id AS purchase_id,
   CAST(COUNT(*) AS BIGINT) AS n_clicks,
-  SUM(CAST(c.value AS DECIMAL(12,2))) AS click_value_sum
+  CAST(SUM(CAST(c.value AS DECIMAL(12,2))) AS DOUBLE) AS click_value_sum
 FROM events p
 JOIN events c
   ON c.user_id = p.user_id
@@ -1536,9 +1539,13 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("version"),
     )
     merged = merge_upsert(snap, upd.unionByName(new), ["o_orderkey"], "version")
+    # decimal arithmetic above is exact; the comparison projection casts to
+    # double at the END (the q1 pattern) because a decimal(18,2) column and
+    # DuckDB's decimal render differently under the driver's value-hash
+    # ("205941.60" vs "205941.6") even when numerically equal
     return merged.select(
         "o_orderkey",
-        F.col("o_totalprice").alias("price"),
+        F.col("o_totalprice").cast("double").alias("price"),
         "o_orderstatus",
         "version",
     )
@@ -1567,7 +1574,7 @@ r AS (
   SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC, src DESC) AS rn
   FROM u
 )
-SELECT o_orderkey, o_totalprice AS price, o_orderstatus,
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price, o_orderstatus,
        CAST(version AS INT) AS version
 FROM r WHERE rn = 1
 """
