@@ -34,10 +34,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _bucket(col: Column, width: float) -> Column:
-    # timestamps cast to double = epoch seconds (fractional); numerics
-    # pass through — one quantizer for both temporal and numeric domains
-    return F.floor(col.cast("double") / F.lit(float(width))).cast("long")
+def _epoch_seconds(col: Column, dtype: str) -> Column:
+    """Column → fractional epoch seconds, one quantizer input for temporal
+    and numeric domains. TIMESTAMP_NTZ has no direct numeric cast in
+    Spark 4 and a cast through TIMESTAMP would be session-timezone
+    dependent (non-monotonic across DST), so it diffs against the NTZ
+    epoch in microseconds — pure wall-clock arithmetic, tz-free."""
+    if dtype == "timestamp_ntz":
+        return F.timestamp_diff(
+            "MICROSECOND", F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")), col
+        ) / F.lit(1_000_000.0)
+    if dtype == "date":
+        return F.unix_date(col) * F.lit(86400.0)
+    return col.cast("double")
+
+
+def _bucket(col: Column, dtype: str, width: float) -> Column:
+    return F.floor(_epoch_seconds(col, dtype) / F.lit(float(width))).cast("long")
 
 
 def interval_join(
@@ -62,7 +75,11 @@ def interval_join(
     residual work, so always pass them when the data model has them.
     """
     on = on or []
-    pb = points.withColumn("_bkt", _bucket(F.col(point_col), bucket_width))
+    p_types = dict(points.dtypes)
+    i_types = dict(intervals.dtypes)
+    pb = points.withColumn(
+        "_bkt", _bucket(F.col(point_col), p_types[point_col], bucket_width)
+    )
     guard = F.when(
         F.col("_nbkt") > max_buckets_per_interval,
         F.raise_error(
@@ -77,10 +94,14 @@ def interval_join(
         ),
     ).otherwise(F.col("_nbkt"))
     ib = (
-        intervals.withColumn("_b0", _bucket(F.col(start_col), bucket_width))
+        intervals.withColumn(
+            "_b0", _bucket(F.col(start_col), i_types[start_col], bucket_width)
+        )
         # end is exclusive, but a point in end's bucket can still precede
         # it — the interval must cover that bucket too
-        .withColumn("_b1", _bucket(F.col(end_col), bucket_width))
+        .withColumn(
+            "_b1", _bucket(F.col(end_col), i_types[end_col], bucket_width)
+        )
         .withColumn("_nbkt", F.col("_b1") - F.col("_b0") + 1)
         # the guarded count feeds the sequence bound so column pruning
         # can't elide the raise_error check (a dead guard column would)

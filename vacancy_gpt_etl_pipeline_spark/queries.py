@@ -1776,9 +1776,12 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "signup_ts")
         .agg(F.min("ts").alias("purchase_ts"))
     )
+    # TIMESTAMP_NTZ has no numeric cast in Spark 4; microsecond diff is
+    # exact wall-clock arithmetic (tz-free) and floor-compatible with the
+    # oracle's epoch()/3600 — both floor the exact fractional hour count
     delay_h = F.floor(
-        (F.col("purchase_ts").cast("double") - F.col("signup_ts").cast("double"))
-        / F.lit(3600.0)
+        F.timestamp_diff("MICROSECOND", F.col("signup_ts"), F.col("purchase_ts"))
+        / F.lit(3_600_000_000.0)
     )
     return (
         first_purchase.select(delay_h.alias("delay_hours"))
