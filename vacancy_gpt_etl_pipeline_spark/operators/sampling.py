@@ -58,3 +58,42 @@ def stratified_sample(
         .where(hash_permille(F.col(key_col)) < F.col("_permille"))
         .drop("_permille")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — top-``k`` rows
+    by the Efraimidis–Spirakis exponential key ``ln(u)/w`` (maximizing
+    ``u^(1/w)``; Efraimidis & Spirakis, IPL 97(5), 2006, "Weighted random
+    sampling with a reservoir").
+
+    ``u`` derives from md5(key) — the same portable-hash source as
+    :func:`hash_permille` — so the sample is reproducible across runs,
+    partitionings, and engines: u = (first 28 md5 bits)/2^28 ∈ (0,1],
+    +1 so u is never 0 (ln(0) = -inf would make weights irrelevant).
+
+    Scale shape: the key is map-side projection math; the global top-k is
+    a TakeOrderedAndProject (per-partition heaps + driver merge of k·P
+    rows), NOT a full sort — the canonical distributed reservoir
+    equivalent. Rows with weight ≤ 0 are dropped (never sampled).
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 7), 16, 10)
+        .cast("bigint")
+        + F.lit(1)
+    ) / F.lit(float(1 << 28))
+    es_key = F.log(u) / weight
+    return (
+        df.where(weight > F.lit(0))
+        .withColumn("_es_key", es_key)
+        # key tie-break: identical (u, weight) pairs produce identical keys
+        # in every engine, so the cutoff row must be pinned or the sample
+        # set itself becomes engine/partitioning-dependent
+        .orderBy(F.desc("_es_key"), F.col(key_col))
+        .limit(k)
+        .drop("_es_key")
+    )

@@ -104,3 +104,60 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_token_len: int = 3,
+) -> DataFrame:
+    """Corpus-wide TF-IDF keyword extraction: the ``k`` most
+    characteristic terms per document as ``(doc_id, term, score, rank)``.
+
+    The audit-side complement of :func:`bm25_topk` — no query set; every
+    document is profiled against the whole corpus. Smoothed
+    scikit-style idf ``ln((N+1)/(df+1)) + 1`` (never negative, defined
+    for df=N terms the synthetic small-vocab corpus is full of).
+
+    Scale shape: explode tokens → (doc, term) tf groupBy (map-side
+    combined, the one big shuffle) → per-term df re-aggregated FROM the
+    tf frame (one row per (doc, term) already — no second corpus pass)
+    → df broadcast back. The window ranks |docs|·|vocab-per-doc| scored
+    rows partitioned by doc — no skew beyond document length. Scores
+    quantize to decimal before ranking so tie-breaks (term asc) are
+    engine-stable.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("term")
+    ).where(F.length("term") >= min_token_len)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(
+        1.0
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        # quantize BEFORE ranking: JVM vs libm log differ in the last ulp,
+        # and a rank flip on an un-quantized score would hash-mismatch
+        .select(
+            "doc_id",
+            "term",
+            F.round((F.col("tf") * idf).cast("decimal(28,12)").cast("double"), 6).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "score", "rank")
+    )

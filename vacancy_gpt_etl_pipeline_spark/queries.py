@@ -2199,6 +2199,176 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(d.withColumn("asset_id", F.col("doc_id")))
 
 
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap sessionization (operators/sessionize.py): 30-minute gap
+    rule over every user's event stream, rolled up per session. ONE
+    shuffle — lag, running-sum and the (user, session) groupBy all share
+    the partitionBy(user_id) clustering. The oracle mirrors the
+    lag → boundary → cumulative-sum → rollup pipeline with SQL windows."""
+    from vacancy_gpt_etl_pipeline_spark.operators.sessionize import (
+        session_summary,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    out = session_summary(ev, gap_seconds=1800.0)
+    return out.select(
+        "user_id",
+        "session_seq",
+        F.date_format("session_start", _TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_end", _TS_FMT_SPARK).alias("session_end"),
+        "n_events",
+        "duration_sec",
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH b AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts - lag(ts) OVER w) > 1800.0
+         THEN 1 ELSE 0 END AS boundary
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+lab AS (
+  SELECT user_id, ts,
+    SUM(boundary) OVER (
+      PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+    ) AS session_seq
+  FROM b
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+  strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+  strftime(MAX(ts), '{_TS_FMT_DUCK}') AS session_end,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  ROUND(epoch(MAX(ts) - MIN(ts)), 6) AS duration_sec
+FROM lab GROUP BY 1, 2
+"""
+
+
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (operators/repetition.py):
+    per-document top-2-gram and duplicate-3-gram character fractions over
+    the n-gram character mass. Both metrics are defined tie-break-free
+    (max of count·len, not chars-of-argmax), so the values are exact in
+    any engine."""
+    from vacancy_gpt_etl_pipeline_spark.operators.repetition import (
+        repetition_signals,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_signals(docs, top_n=2, dup_n=3)
+
+
+def _repetition_sql() -> str:
+    def grams(n: int, alias: str) -> str:
+        concat = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+        return f"""
+{alias} AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(t) - {n - 1}), i -> {concat})) AS g
+  FROM toks WHERE len(t) >= {n}
+)"""
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+{grams(2, "g2")},
+c2 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, g),
+top2 AS (
+  SELECT doc_id,
+    ROUND(MAX(cnt * length(g)) / SUM(cnt * length(g)), 6) AS topf
+  FROM c2 GROUP BY doc_id
+),
+{grams(3, "g3")},
+c3 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g3 GROUP BY doc_id, g),
+dup3 AS (
+  SELECT doc_id,
+    ROUND(SUM(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END)
+          / SUM(cnt * length(g)), 6) AS dupf
+  FROM c3 GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(topf, 0.0) AS top2gram_char_frac,
+  COALESCE(dupf, 0.0) AS dup3gram_char_frac
+FROM documents d
+LEFT JOIN top2 USING (doc_id)
+LEFT JOIN dup3 USING (doc_id)
+"""
+
+
+REPETITION_SQL = _repetition_sql()
+
+
+def tfidf_keywords_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide TF-IDF keyword extraction (operators/text_search.
+    tfidf_keywords): top-5 characteristic terms per document, smoothed
+    scikit-style idf, scores quantized to decimal(28,12) before ranking
+    so the (score DESC, term) order is engine-exact."""
+    from vacancy_gpt_etl_pipeline_spark.operators.text_search import (
+        tfidf_keywords,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_keywords(docs, k=5)
+
+
+TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE length(term) >= 3 GROUP BY doc_id, term
+),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+    ROUND(CAST(CAST(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)
+                    AS DECIMAL(28,12)) AS DOUBLE), 6) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term
+  ) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.weighted_sample): 100 documents drawn with
+    probability proportional to length via the Efraimidis–Spirakis
+    exponential key over a portable md5-derived uniform — identical
+    sample set in any engine, any partitioning."""
+    from vacancy_gpt_etl_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(
+        docs, weight=F.col("n_chars").cast("double"), key_col="doc_id", k=100
+    ).orderBy("doc_id")
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH w AS (
+  SELECT doc_id, n_chars,
+    ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT + 1)
+       / 268435456.0) / CAST(n_chars AS DOUBLE) AS es_key
+  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+)
+SELECT doc_id, n_chars
+FROM w ORDER BY es_key DESC, doc_id LIMIT 100
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2210,6 +2380,10 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (green since round 1, also exact-compared every pytest run in
 # tests/test_oracle.py, which has no 50-entry window).
 REGISTRY: dict[str, QuerySpec] = {
+    "sessionize_events": QuerySpec(sessionize_events, SESSIONIZE_SQL),
+    "repetition_profile": QuerySpec(repetition_profile, REPETITION_SQL),
+    "tfidf_keywords": QuerySpec(tfidf_keywords_query, TFIDF_SQL),
+    "weighted_sample_docs": QuerySpec(weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
     "text_quality_filter": QuerySpec(text_quality_filter, QUALITY_FILTER_SQL),
     "training_prep_pipeline": QuerySpec(training_prep_pipeline, TRAINING_PREP_SQL),
     "train_test_split": QuerySpec(train_test_split, TRAIN_TEST_SPLIT_SQL),
