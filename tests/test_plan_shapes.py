@@ -103,3 +103,43 @@ def test_single_shuffle_union_window_ops(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "Window" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+def test_widen_scan_preserves_pushdown(spark, sf_dir):
+    """Filters and column pruning must push THROUGH widen_scan's
+    Repartition into the parquet scan — the claim widen_scan's
+    docstring makes (a widened scan that re-reads all columns or
+    post-filters would be a pushdown regression)."""
+    from pyspark.sql import functions as F
+
+    from vacancy_gpt_etl_pipeline_spark.sources.parquet_source import (
+        read_table,
+    )
+
+    import contextlib
+    import io
+
+    df = read_table(spark, sf_dir, "documents", widen=True)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.where(F.col("doc_id") > 100).select("doc_id").explain(
+            mode="formatted"
+        )
+    plan = buf.getvalue()
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]" in plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+    assert "RoundRobinPartitioning" in plan
+
+
+def test_widen_scan_noop_on_wide_input(spark, sf_dir):
+    """At real scale the scan already has >= parallelism splits and
+    widen_scan must not add an exchange."""
+    from vacancy_gpt_etl_pipeline_spark.sources.parquet_source import (
+        read_table,
+        widen_scan,
+    )
+
+    base = read_table(spark, sf_dir, "documents")
+    wide = base.repartition(
+        spark.sparkContext.defaultParallelism + 4
+    )
+    assert widen_scan(wide) is wide

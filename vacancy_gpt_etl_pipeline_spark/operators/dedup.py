@@ -300,29 +300,35 @@ def simhash_near_duplicates(
     shingled = _shingled(df, text_col, id_col, feature_n, cache_scope)
     if portable_hash:
         # Hex-digit layout: digit p (1-based, leftmost first) carries vote
-        # bits k=0..3 as (digit >> k) & 1. The same 64 conditional-SUM
-        # aggregates as the fast path, just indexed (digit, bit) instead
-        # of bit-of-long.
+        # bits k=0..3 as (digit >> k) & 1. The 16 hex digits decode as TWO
+        # 32-bit words (one conv each), not 16 per-digit convs — digit p's
+        # bit k is word >> (4·(8-p̂)+k) & 1 with p̂ the in-word position,
+        # value-identical and ~8× less per-shingle extraction work. The
+        # same 64 conditional-SUM aggregates as the fast path.
         hexmap = F.array(*[F.lit(c) for c in "0123456789abcdef"])
         ex = (
             shingled.select("_id", F.explode("_sh").alias("_s"))
-            .select("_id", F.substring(F.md5("_s"), 1, 16).alias("_h"))
+            .select("_id", F.md5("_s").alias("_h"))
             .select(
                 "_id",
-                *[
-                    F.conv(F.substring("_h", p, 1), 16, 10)
-                    .cast("int")
-                    .alias(f"_d{p}")
-                    for p in range(1, 17)
-                ],
+                F.conv(F.substring("_h", 1, 8), 16, 10)
+                .cast("bigint")
+                .alias("_w0"),
+                F.conv(F.substring("_h", 9, 8), 16, 10)
+                .cast("bigint")
+                .alias("_w1"),
             )
         )
+
+        def _bit(p: int, k: int):
+            word = "_w0" if p <= 8 else "_w1"
+            pos = p if p <= 8 else p - 8
+            return F.shiftright(word, 4 * (8 - pos) + k).bitwiseAND(F.lit(1))
+
         votes = ex.groupBy("_id").agg(
             F.count(F.lit(1)).alias("_n"),
             *[
-                F.sum(F.shiftright(f"_d{p}", k).bitwiseAND(F.lit(1))).alias(
-                    f"_v{p}_{k}"
-                )
+                F.sum(_bit(p, k)).alias(f"_v{p}_{k}")
                 for p in range(1, 17)
                 for k in range(4)
             ],
@@ -335,22 +341,30 @@ def simhash_near_duplicates(
             ],
             F.lit(0),
         )
+        # _sim stays the 16-char hex STRING (the oracle-visible rendering);
+        # the two decoded words ride along so the per-PAIR hamming in the
+        # candidate join is 2 xor + 2 bit_count, not 32 substring convs —
+        # the candidate set is the operator's largest intermediate
         sim = votes.select(
             "_id",
             F.concat(
                 *[F.element_at(hexmap, digit(p) + 1) for p in range(1, 17)]
             ).alias("_sim"),
+        ).select(
+            "_id",
+            "_sim",
+            F.conv(F.substring("_sim", 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("_shi"),
+            F.conv(F.substring("_sim", 9, 8), 16, 10)
+            .cast("bigint")
+            .alias("_slo"),
         )
+        carry_cols = ["_shi", "_slo"]
         block_of = lambda t: F.substring("_sim", 2 * t + 1, 2)  # noqa: E731
-        hex_digit = lambda side, p: F.conv(  # noqa: E731
-            F.substring(F.col(f"{side}._sim"), p, 1), 16, 10
-        ).cast("int")
-        hamming_expr = sum(
-            [
-                F.bit_count(hex_digit("l", p).bitwiseXOR(hex_digit("r", p)))
-                for p in range(1, 17)
-            ],
-            F.lit(0),
+        hamming_expr = (
+            F.bit_count(F.col("l._shi").bitwiseXOR(F.col("r._shi")))
+            + F.bit_count(F.col("l._slo").bitwiseXOR(F.col("r._slo")))
         ).cast("int")
     else:
         # Bit votes via explode → ``bits`` conditional-SUM aggregates, NOT
@@ -390,6 +404,7 @@ def simhash_near_duplicates(
         )
         block_bits = bits // n_tables
         mask = (1 << block_bits) - 1
+        carry_cols = []
         block_of = lambda t: F.shiftrightunsigned(  # noqa: E731
             "_sim", t * block_bits
         ).bitwiseAND(F.lit(mask))
@@ -399,6 +414,7 @@ def simhash_near_duplicates(
     blocks = sim.select(
         "_id",
         "_sim",
+        *carry_cols,
         F.posexplode(F.array(*[block_of(t) for t in range(n_tables)])).alias(
             "_tbl", "_blk"
         ),

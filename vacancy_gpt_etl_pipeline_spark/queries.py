@@ -88,9 +88,15 @@ def _dsum(col: str, alias: str, scale: int = 2) -> F.Column:
     )
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, widen: bool = False
+) -> DataFrame:
+    """``widen=True`` floors the scan width at executor parallelism
+    (sources/parquet_source.widen_scan) — set it ONLY on reads feeding
+    CPU-dense map work; see widen_scan's docstring for the measured
+    win/loss table."""
     configure_session(spark)
-    return read_table(spark, sf_dir, name)
+    return read_table(spark, sf_dir, name, widen=widen)
 
 
 # --------------------------------------------------------------------------
@@ -577,7 +583,7 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 
 def cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _t(spark, sf_dir, "lineitem")
+        _t(spark, sf_dir, "lineitem", widen=True)
         .cube("l_returnflag", "l_linestatus")
         .agg(F.count("*").alias("n"), _dsum("l_quantity", "sum_qty"))
         .select(
@@ -857,7 +863,7 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vacancy_gpt_etl_pipeline_spark.operators.dedup import winnowing_pairs
 
     return winnowing_pairs(
-        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "documents", widen=True),
         "text",
         "doc_id",
         k=16,
@@ -1221,7 +1227,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally asserted in tests/test_neardup_quality.py. Production
     default stays xxhash64."""
     return simhash_near_duplicates(
-        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "documents", widen=True),
         "text",
         "doc_id",
         max_bucket=128,
@@ -1349,7 +1355,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and identical buckets in SQL, so LSH candidate semantics (not just the
     cosine math) are what's being verified. No crossJoin anywhere: the
     registered plan joins on bucket equality only."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", widen=True)
     base = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
@@ -1655,7 +1661,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         redact_pii,
     )
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _t(spark, sf_dir, "documents", widen=True).select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -1935,7 +1941,7 @@ _LANG_CASE = "CASE " + " ".join(
 def text_analysis_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis pack: token counts, BPE-ish count, punctuation ratio,
     stopword ratio, heuristic language id, quality score, fingerprint."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", widen=True)
     return d.select(
         "doc_id",
         token_count("text").alias("n_tokens"),

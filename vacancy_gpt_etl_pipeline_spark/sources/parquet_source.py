@@ -17,9 +17,44 @@ from vacancy_gpt_etl_pipeline_spark.schemas import TESTDATA_TABLES
 from vacancy_gpt_etl_pipeline_spark.session import configure_session
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def widen_scan(df: DataFrame) -> DataFrame:
+    """Round-robin a narrow scan up to executor width — use below
+    CPU-DENSE map work (tokenize/md5/regex/rolling-hash/vector math), and
+    only there.
+
+    A parquet scan with fewer splits than executor slots leaves every
+    core but one idle for all map-side work above it, and single-row-group
+    files cannot be split by ``maxPartitionBytes``. On a 100 TB cluster
+    scans carry thousands of row-group splits and this is a no-op;
+    locally it is one round-robin pass of a small table that unlocks the
+    full executor width. Catalyst pushes filters and column pruning
+    THROUGH Repartition into the scan (asserted by
+    tests/test_plan_shapes.py), so pushdown is unaffected, and the
+    explicit partition count is exempt from AQE coalescing.
+
+    Deliberately NOT applied to every read (measured at sf0.1): scans
+    feeding cheap relational work (joins/aggregates/windows) gain nothing
+    — their first shuffle already re-partitions — and pay an extra
+    exchange per scan branch (merge_upsert 0.9 s → 2.2 s); Arrow/Python
+    boundaries (mapInPandas) pay a per-partition worker+batch setup that
+    dwarfs small inputs (multimodal decode 0.6 s → 4.9 s at 32
+    partitions). The CPU-dense text/embedding operators, by contrast,
+    drop 4-20× (winnowing 53.6 s → 2.4 s, simhash 25.6 s → 6.1 s,
+    BM25 28.5 s → 11.5 s, IVF 16.7 s → 4.7 s).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, widen: bool = False
+) -> DataFrame:
     configure_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if widen:
+        df = widen_scan(df)
     # nanosAsLong surfaces TIMESTAMP(NANOS) columns as bigint; restore a
     # proper µs TimestampType column (the fixtures carry no sub-µs parts).
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
