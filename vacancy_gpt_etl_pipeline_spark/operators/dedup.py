@@ -69,6 +69,7 @@ def _shingled(
     id_col: str,
     n: int,
     cache_scope: CacheScope | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """``(_id, _sh)`` frame of distinct word n-gram shingles (JVM-side only:
     split + higher-order transform; no Python).
@@ -93,16 +94,26 @@ def _shingled(
         " ", *[F.element_at("_toks", i + j) for j in range(n)]
     )
     idx = F.sequence(F.lit(1), F.size("_toks") - (n - 1))
-    # persisted: every caller reuses this frame across joins/explodes, and an
-    # UNPERSISTED explode re-evaluates the inline array expression per
-    # emitted element (measured ~16× at sf0.1). The cache is one string
+    # the per-row length guard makes the expression TOTAL: Spark's
+    # sequence(1, stop) DESCENDS for stop < 1 (yielding out-of-range
+    # element_at indices), and the optimizer may evaluate this projection
+    # before the size(_toks) filter once no persist boundary separates
+    # them (Generate's implicit non-empty filter collapses into the same
+    # predicate). Rows failing the guard are dropped by the WHERE either
+    # way — the branch only exists so evaluation order can't crash.
+    shingles = F.when(
+        F.size("_toks") >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
+    out = toks.select("_id", shingles.alias("_sh"))
+    # single-read callers (contamination audit) pass persist=False — a
+    # cache nothing re-reads is pure storage pressure
+    if not persist:
+        return out
+    # persisted: every other caller reuses this frame across joins/explodes,
+    # and an UNPERSISTED explode re-evaluates the inline array expression
+    # per emitted element (measured ~16× at sf0.1). The cache is one string
     # array per doc; evicted by the executor LRU after the job.
-    return persist_in(
-        toks.select(
-            "_id", F.array_distinct(F.transform(idx, gram)).alias("_sh")
-        ),
-        cache_scope,
-    )
+    return persist_in(out, cache_scope)
 
 
 # portable-hash family: (a·base + b) mod P over a 28-bit md5-derived base.

@@ -2375,6 +2375,107 @@ FROM w ORDER BY es_key DESC, doc_id LIMIT 100
 """
 
 
+def ngram_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13-gram eval-contamination audit (operators/curation.
+    ngram_contamination): the standard GPT-3-style passage-overlap check.
+    Train = doc_id % 10 != 0, test = the rest (the split_contamination
+    fixture); every test doc reports the fraction of its distinct
+    13-grams present anywhere in train. md5 gram keys keep the join
+    shuffle narrow AND oracle-portable."""
+    from vacancy_gpt_etl_pipeline_spark.operators.curation import (
+        ngram_contamination,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    test = docs.where(F.col("doc_id") % 10 == 0)
+    return ngram_contamination(train, test, n=13)
+
+
+NGRAM_CONTAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(generate_series(1, len(t) - 12),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+        || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] || ' '
+        || t[i+8] || ' ' || t[i+9] || ' ' || t[i+10] || ' ' || t[i+11]
+        || ' ' || t[i+12])) AS grams
+  FROM toks WHERE len(t) >= 13
+),
+tr AS (
+  SELECT DISTINCT md5(unnest(grams)) AS gh FROM sh WHERE doc_id % 10 != 0
+),
+te AS (
+  SELECT doc_id, md5(unnest(grams)) AS gh FROM sh WHERE doc_id % 10 = 0
+),
+per_doc AS (
+  SELECT te.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_grams,
+    CAST(SUM(CASE WHEN tr.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_contaminated
+  FROM te LEFT JOIN tr ON te.gh = tr.gh
+  GROUP BY te.doc_id
+)
+SELECT d.doc_id,
+  COALESCE(n_grams, 0) AS n_grams,
+  COALESCE(n_contaminated, 0) AS n_contaminated,
+  ROUND(COALESCE(CAST(n_contaminated AS DOUBLE) / n_grams, 0.0), 6)
+    AS contaminated_frac
+FROM documents d
+LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+WHERE d.doc_id % 10 = 0
+"""
+
+
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring (operators/lm_score.
+    bigram_lm_scores, the CCNet recipe): every document's mean bigram
+    log-probability under the corpus-trained add-0.5-smoothed bigram LM.
+    Per-bigram log terms quantize to decimal(28,12) before the mean, so
+    the aggregate is order-independent and engine-exact."""
+    from vacancy_gpt_etl_pipeline_spark.operators.lm_score import (
+        bigram_lm_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_scores(docs, add_k=0.5)
+
+
+BIGRAM_LM_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(t) - 1),
+                          i -> {'w1': t[i], 'w2': t[i+1]})) AS p
+  FROM toks WHERE len(t) >= 2
+),
+b AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM b GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+v AS (
+  SELECT COUNT(DISTINCT w) AS v FROM (
+    SELECT w2 AS w FROM b UNION ALL SELECT w1 AS w FROM b
+  )
+),
+scored AS (
+  SELECT b.doc_id,
+    CAST(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)) AS DECIMAL(28,12)) AS lp
+  FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2386,6 +2487,10 @@ FROM w ORDER BY es_key DESC, doc_id LIMIT 100
 # (green since round 1, also exact-compared every pytest run in
 # tests/test_oracle.py, which has no 50-entry window).
 REGISTRY: dict[str, QuerySpec] = {
+    "ngram_contamination_audit": QuerySpec(
+        ngram_contamination_audit, NGRAM_CONTAM_SQL
+    ),
+    "bigram_lm_score": QuerySpec(bigram_lm_score, BIGRAM_LM_SQL),
     "sessionize_events": QuerySpec(sessionize_events, SESSIONIZE_SQL),
     "repetition_profile": QuerySpec(repetition_profile, REPETITION_SQL),
     "tfidf_keywords": QuerySpec(tfidf_keywords_query, TFIDF_SQL),
