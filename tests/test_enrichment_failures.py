@@ -277,3 +277,24 @@ def test_output_column_collision_raises(spark):
     df = spark.createDataFrame([(1, "x", "old")], "id int, title string, normalized_title string")
     with pytest.raises(ValueError, match="already exists"):
         enrich_column(df, "title", FlakyEnricher())
+
+
+def test_keys_from_scopes_the_distinct_key_set(spark):
+    # keys_from is the chained-enrichment pruning hook: the mapping is
+    # built from keys_from's key column; df rows whose key is absent
+    # there fall through to the default (they were never sent upstream)
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "id int, title string"
+    )
+    keys_src = spark.createDataFrame([("alpha",)], "title string")
+    out = enrich_column(
+        df,
+        "title",
+        FlakyEnricher(),
+        batch_size=10,
+        max_retries=0,
+        keys_from=keys_src,
+    ).collect()
+    got = {r.id: r.normalized_title for r in out}
+    assert got[1] == "T:alpha"  # in keys_from → enriched
+    assert got[2] == UNDEFINED  # absent → default, never enriched

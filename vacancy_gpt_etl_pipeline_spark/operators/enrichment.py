@@ -243,6 +243,7 @@ def enrich_column(
     empty_key_default: str | None = None,
     max_partitions: int | None = None,
     partitions_per_slot: int = 4,
+    keys_from: DataFrame | None = None,
 ) -> DataFrame:
     """Enrich ``df`` with ``enricher.output_cols`` derived from ``key_col``.
 
@@ -257,6 +258,13 @@ def enrich_column(
     would mean millions of tasks — a scheduler killer. ``run()`` re-chunks
     WITHIN each partition, so ``batch_size`` per LLM call is preserved
     regardless of the cap; the cap only bounds task count.
+
+    ``keys_from``: when CHAINING enrichments, the distinct key set of a
+    later stage would otherwise be computed over the already-enriched
+    frame — executing every earlier stage's join just to read an
+    untouched column. Pass the raw upstream frame here (the caller's
+    assertion that ``key_col`` is identical in both); the distinct then
+    prunes to a bare column scan. The join-back still applies to ``df``.
     """
     defaults = defaults or {c: UNDEFINED for c in enricher.output_cols}
     out_cols = list(enricher.output_cols)
@@ -266,7 +274,8 @@ def enrich_column(
 
     keyed = F.trim(F.col(key_col))
     keys_df = (
-        df.select(keyed.alias("original"))
+        (keys_from if keys_from is not None else df)
+        .select(keyed.alias("original"))
         .where(non_empty(F.col("original")))
         .distinct()
         # persist: the distinct set feeds BOTH the count below and the

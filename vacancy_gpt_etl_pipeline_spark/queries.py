@@ -165,8 +165,12 @@ def _normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LLM-prompt-constrained 15/10) would spend more on task dispatch than
     # work; per-call chunking semantics are pinned separately in pytest
     titled = enrich_column(docs, "text", TITLE_ENRICHER, batch_size=500, max_retries=0)
+    # keys_from=docs: "source" is untouched by the title stage, so the
+    # field stage's distinct prunes to a bare column scan instead of
+    # executing the title join (chained-enrichment rule in enrich_column)
     fielded = enrich_column(
-        titled, "source", FIELD_ENRICHER, batch_size=50, max_retries=0
+        titled, "source", FIELD_ENRICHER, batch_size=50, max_retries=0,
+        keys_from=docs,
     )
     return fielded.select(
         F.col("doc_id").alias("id"),
