@@ -2496,6 +2496,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "bigram_lm_score": QuerySpec(bigram_lm_score, BIGRAM_LM_SQL),
     "sessionize_events": QuerySpec(sessionize_events, SESSIONIZE_SQL),
+    "funnel_conversion": QuerySpec(funnel_conversion, FUNNEL_SQL),
     "repetition_profile": QuerySpec(repetition_profile, REPETITION_SQL),
     "tfidf_keywords": QuerySpec(tfidf_keywords_query, TFIDF_SQL),
     "weighted_sample_docs": QuerySpec(weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
@@ -2548,7 +2549,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "stratified_sample_docs": QuerySpec(stratified_sample_docs, STRATIFIED_SQL),
     "pack_sequences_by_source": QuerySpec(pack_sequences_by_source, PACKING_SQL),
     "asof_attribution": QuerySpec(asof_attribution, ASOF_SQL),
-    "funnel_conversion": QuerySpec(funnel_conversion, FUNNEL_SQL),
     "sketch_quantiles": QuerySpec(sketch_quantiles, SKETCH_QUANTILES_SQL),
     "text_analysis_profile": QuerySpec(text_analysis_profile, TEXT_PROFILE_SQL),
     # -------- entries below are outside the driver's 50-entry window ----
