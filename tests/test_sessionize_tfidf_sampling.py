@@ -172,3 +172,48 @@ def test_weighted_sample_drops_nonpositive_weights(spark):
     )
     got = [r.doc_id for r in weighted_sample(df, F.col("w"), "doc_id", 10).collect()]
     assert got == [3]
+
+
+# ---------------------------------------------------------------- budget mix
+
+
+def _mix(spark, budgets, rows=None):
+    from vacancy_gpt_etl_pipeline_spark.operators.sampling import budget_mix
+
+    rows = rows or [
+        (i, "a" if i % 2 == 0 else "b", 100) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, source string, n_chars int")
+    return budget_mix(df, "source", budgets, "n_chars", "doc_id"), df
+
+
+def test_budget_mix_meets_budget_including_crossing_doc(spark):
+    out, _ = _mix(spark, {"a": 250})
+    got = out.collect()
+    # uniform 100-char docs against a 250 budget: cum_before < 250 keeps
+    # exactly 3 docs (0, 100, 200) → total 300 ≥ budget, crossing doc in
+    assert len(got) == 3
+    assert sum(r.n_chars for r in got) == 300
+    assert all(r.source == "a" for r in got)
+
+
+def test_budget_mix_full_stratum_when_budget_exceeds_mass(spark):
+    out, df = _mix(spark, {"b": 10_000})
+    assert out.count() == df.where("source = 'b'").count()
+
+
+def test_budget_mix_drops_unbudgeted_strata(spark):
+    out, _ = _mix(spark, {"a": 10_000})
+    assert {r.source for r in out.collect()} == {"a"}
+
+
+def test_budget_mix_partitioning_invariant(spark):
+    out1, df = _mix(spark, {"a": 300, "b": 500})
+    from vacancy_gpt_etl_pipeline_spark.operators.sampling import budget_mix
+
+    out2 = budget_mix(
+        df.repartition(7), "source", {"a": 300, "b": 500}, "n_chars", "doc_id"
+    )
+    assert sorted(r.doc_id for r in out1.collect()) == sorted(
+        r.doc_id for r in out2.collect()
+    )

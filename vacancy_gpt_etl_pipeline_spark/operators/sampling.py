@@ -20,7 +20,7 @@ table. No shuffle at all.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -96,4 +96,51 @@ def weighted_sample(
         .orderBy(F.desc("_es_key"), F.col(key_col))
         .limit(k)
         .drop("_es_key")
+    )
+
+
+def budget_mix(
+    df: DataFrame,
+    stratum_col: str,
+    budgets: dict[str, int],
+    weight_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Token-budget corpus mixing: per stratum, keep documents in
+    deterministic md5-of-key order until the stratum's ``weight_col``
+    budget is exhausted (the crossing document is INCLUDED, so every
+    stratum with any data meets or exceeds its budget — training mixes
+    under-run is worse than slight over-run).
+
+    The budget-based dual of :func:`stratified_sample` (rate-based):
+    "2 M tokens of web, 500 k of code" instead of "30% of web". The
+    md5 order makes the selected set reproducible across runs,
+    partitionings, and engines, and stable under corpus APPENDS in the
+    sense that re-runs re-rank consistently (an append can only displace
+    docs ranked after the new doc's hash position).
+
+    Scale shape: ONE shuffle — the cumulative-sum window partitioned by
+    stratum. Parallelism = #strata (same contract as sequence packing:
+    the stratum must be a real partition key, never a constant). Strata
+    without a budget entry are dropped map-side BEFORE the window, so
+    the sort only sees participating rows.
+    """
+    spark = df.sparkSession
+    b = spark.createDataFrame(
+        [(k, int(v)) for k, v in budgets.items()],
+        f"{stratum_col} string, _budget long",
+    )
+    hashed = df.join(F.broadcast(b), stratum_col).withColumn(
+        "_h", F.md5(F.col(key_col).cast("string"))
+    )
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy("_h", key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(weight_col).over(w), F.lit(0))
+    return (
+        hashed.withColumn("_cum_before", cum_before)
+        .where(F.col("_cum_before") < F.col("_budget"))
+        .drop("_h", "_cum_before", "_budget")
     )

@@ -2480,6 +2480,43 @@ FROM scored GROUP BY doc_id
 """
 
 
+def budget_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing (operators/sampling.budget_mix): fill
+    per-source character budgets in deterministic md5-of-id order,
+    crossing doc included. The budget-based dual of the rate-based
+    stratified sample; oracle mirrors the hash order and exclusive
+    cumulative sum."""
+    from vacancy_gpt_etl_pipeline_spark.operators.sampling import budget_mix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = budget_mix(
+        docs,
+        stratum_col="source",
+        budgets={"src0": 4_000, "src1": 2_000, "src2": 100_000},
+        weight_col="n_chars",
+        key_col="doc_id",
+    )
+    return out.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
+BUDGET_MIX_SQL = """
+WITH b(source, budget) AS (
+  VALUES ('src0', 4000), ('src1', 2000), ('src2', 100000)
+),
+ranked AS (
+  SELECT d.doc_id, d.source, d.n_chars, b.budget,
+    COALESCE(SUM(d.n_chars) OVER (
+      PARTITION BY d.source
+      ORDER BY md5(d.doc_id::VARCHAR), d.doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS cum_before
+  FROM documents d JOIN b USING (source)
+)
+SELECT doc_id, source, n_chars
+FROM ranked WHERE cum_before < budget
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2500,6 +2537,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "repetition_profile": QuerySpec(repetition_profile, REPETITION_SQL),
     "tfidf_keywords": QuerySpec(tfidf_keywords_query, TFIDF_SQL),
     "weighted_sample_docs": QuerySpec(weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
+    "budget_mix_docs": QuerySpec(budget_mix_docs, BUDGET_MIX_SQL),
     "text_quality_filter": QuerySpec(text_quality_filter, QUALITY_FILTER_SQL),
     "training_prep_pipeline": QuerySpec(training_prep_pipeline, TRAINING_PREP_SQL),
     "train_test_split": QuerySpec(train_test_split, TRAIN_TEST_SPLIT_SQL),
