@@ -93,14 +93,19 @@ def ngram_contamination(
     """
     from vacancy_gpt_etl_pipeline_spark.operators.dedup import _shingled
 
+    # persisted (operators/dedup._shingled default): an UNPERSISTED
+    # explode re-evaluates the inline shingle-array expression per
+    # emitted element — measured 70 s vs 2 s at sf0.1 for the 13-gram
+    # audit. Each side is read once but EXPLODED many-to-one, which is
+    # exactly the case the materialization boundary exists for.
     tr = (
-        _shingled(train, text_col, id_col, n, persist=False)
+        _shingled(train, text_col, id_col, n)
         .select(F.explode("_sh").alias("_g"))
         .select(F.md5("_g").alias("_gh"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    te = _shingled(test, text_col, id_col, n, persist=False).select(
+    te = _shingled(test, text_col, id_col, n).select(
         "_id", F.explode("_sh").alias("_g")
     ).select("_id", F.md5("_g").alias("_gh"))
     per_doc = (

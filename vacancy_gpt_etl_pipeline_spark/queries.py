@@ -2390,7 +2390,7 @@ def ngram_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_contamination,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", widen=True).select("doc_id", "text")
     train = docs.where(F.col("doc_id") % 10 != 0)
     test = docs.where(F.col("doc_id") % 10 == 0)
     return ngram_contamination(train, test, n=13)
