@@ -2517,6 +2517,50 @@ FROM ranked WHERE cum_before < budget
 """
 
 
+def moving_average_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour moving aggregate per user over event time — the
+    rolling-metric staple. Spark's RANGE frames accept only numeric
+    ORDER BY, so the frame orders by integer epoch seconds
+    (timestamp_diff from the NTZ epoch — exact, tz-free) with
+    rangeBetween(-3600, 0); the oracle mirrors the SAME integer-seconds
+    frame, so both engines bound identical row sets. ONE shuffle
+    (partitionBy user); decimal sum keeps the windowed average exact."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    sec = F.timestamp_diff(
+        "SECOND", F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")), F.col("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, 0)
+    )
+    dsum = F.sum(F.col("value").cast("decimal(12,2)")).over(w)
+    cnt = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        cnt.alias("n_trailing"),
+        F.round(dsum.cast("double") / cnt, 6).alias("avg_trailing_value"),
+    )
+
+
+MOVING_AVG_SQL = f"""
+SELECT user_id, event_id,
+  strftime(ts, '{_TS_FMT_DUCK}') AS ts,
+  CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+        / COUNT(*) OVER w, 6) AS avg_trailing_value
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (
+  PARTITION BY user_id
+  ORDER BY CAST(epoch(ts) AS BIGINT)
+  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2538,6 +2582,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "tfidf_keywords": QuerySpec(tfidf_keywords_query, TFIDF_SQL),
     "weighted_sample_docs": QuerySpec(weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
     "budget_mix_docs": QuerySpec(budget_mix_docs, BUDGET_MIX_SQL),
+    "moving_average_events": QuerySpec(moving_average_events, MOVING_AVG_SQL),
     "text_quality_filter": QuerySpec(text_quality_filter, QUALITY_FILTER_SQL),
     "training_prep_pipeline": QuerySpec(training_prep_pipeline, TRAINING_PREP_SQL),
     "train_test_split": QuerySpec(train_test_split, TRAIN_TEST_SPLIT_SQL),
