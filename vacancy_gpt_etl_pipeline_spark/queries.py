@@ -2561,6 +2561,76 @@ WINDOW w AS (
 """
 
 
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching (operators/fuzzy.fuzzy_self_join):
+    part names plus planted one-char-deletion typos (key+1000000);
+    prefix+length-bucket blocking with straddle spill, exact levenshtein
+    verify ≤ 2. The oracle mirrors the mutation, blocking (incl. the
+    boundary spill), and distance filter value-for-value."""
+    from vacancy_gpt_etl_pipeline_spark.operators.fuzzy import fuzzy_self_join
+
+    # resolve the distinct name VOCABULARY (min key as canonical id), not
+    # raw rows: the synthetic catalog repeats each name hundreds of times
+    # and identical-name pairs would explode quadratically — real entity
+    # resolution dedups exact matches first and fuzzy-joins the survivors
+    names = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("p_partkey"))
+    )
+    typos = names.select(
+        F.concat(
+            F.substring("p_name", 1, 4), F.expr("substring(p_name, 6)")
+        ).alias("p_name"),
+        (F.col("p_partkey") + F.lit(1_000_000)).alias("p_partkey"),
+    )
+    pool = names.unionByName(typos)
+    return fuzzy_self_join(
+        pool, "p_name", "p_partkey", max_distance=2, prefix_len=3
+    ).orderBy("id_a", "id_b")
+
+
+FUZZY_SQL = """
+WITH names AS (
+  SELECT p_name, CAST(MIN(p_partkey) AS BIGINT) AS p_partkey
+  FROM part GROUP BY p_name
+),
+pool AS (
+  SELECT p_partkey, p_name FROM names
+  UNION ALL
+  SELECT p_partkey + 1000000 AS p_partkey,
+    substr(p_name, 1, 4) || substr(p_name, 6) AS p_name
+  FROM names
+),
+base AS (
+  SELECT p_partkey AS _id,
+    regexp_replace(trim(lower(p_name)), '\\s+', ' ', 'g') AS t
+  FROM pool
+),
+keyed AS (
+  SELECT _id, t, substr(t, 1, 3) AS pfx,
+    CAST(floor(length(t) / 4) AS BIGINT) AS lb,
+    length(t) % 4 AS lr
+  FROM base WHERE length(t) >= 3
+),
+blocked0 AS (
+  SELECT _id, t, pfx, lb FROM keyed
+  UNION ALL
+  SELECT _id, t, pfx, lb + 1 AS lb FROM keyed WHERE lr >= 2
+),
+blocked AS (
+  SELECT _id, t, pfx, lb FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY pfx, lb) AS bc FROM blocked0
+  ) WHERE bc <= 1000
+)
+SELECT DISTINCT l._id AS id_a, r._id AS id_b,
+  CAST(levenshtein(l.t, r.t) AS INT) AS distance
+FROM blocked l JOIN blocked r
+  ON l.pfx = r.pfx AND l.lb = r.lb AND l._id < r._id
+WHERE levenshtein(l.t, r.t) <= 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2583,6 +2653,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "weighted_sample_docs": QuerySpec(weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
     "budget_mix_docs": QuerySpec(budget_mix_docs, BUDGET_MIX_SQL),
     "moving_average_events": QuerySpec(moving_average_events, MOVING_AVG_SQL),
+    "fuzzy_match_parts": QuerySpec(fuzzy_match_parts, FUZZY_SQL),
     "text_quality_filter": QuerySpec(text_quality_filter, QUALITY_FILTER_SQL),
     "training_prep_pipeline": QuerySpec(training_prep_pipeline, TRAINING_PREP_SQL),
     "train_test_split": QuerySpec(train_test_split, TRAIN_TEST_SPLIT_SQL),
