@@ -2522,9 +2522,13 @@ def moving_average_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling-metric staple. Spark's RANGE frames accept only numeric
     ORDER BY, so the frame orders by integer epoch seconds
     (timestamp_diff from the NTZ epoch — exact, tz-free) with
-    rangeBetween(-3600, 0); the oracle mirrors the SAME integer-seconds
-    frame, so both engines bound identical row sets. ONE shuffle
-    (partitionBy user); decimal sum keeps the windowed average exact."""
+    rangeBetween(-3600, 0). Spark's timestamp_diff TRUNCATES sub-second
+    parts, so the oracle orders by floor(epoch(ts)) — plain
+    CAST(epoch(ts) AS BIGINT) would ROUND and could bound a different
+    frame for sub-second timestamps (post-1970 domain: floor ==
+    truncation). Both engines therefore bound identical row sets. ONE
+    shuffle (partitionBy user); decimal sum keeps the windowed average
+    exact."""
     ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
     sec = F.timestamp_diff(
         "SECOND", F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")), F.col("ts")
@@ -2555,7 +2559,7 @@ FROM events
 WHERE event_type = 'purchase'
 WINDOW w AS (
   PARTITION BY user_id
-  ORDER BY CAST(epoch(ts) AS BIGINT)
+  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
 )
 """

@@ -25,6 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from vacancy_gpt_etl_pipeline_spark.operators.caching import (
+    CacheScope,
+    persist_in,
+)
+
 CORRUPT_COL = "_corrupt_record"
 
 
@@ -42,6 +47,7 @@ def read_jsonl(
     spark: SparkSession,
     path: str,
     schema: T.StructType,
+    cache_scope: CacheScope | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Read JSONL at ``path`` with the DECLARED schema.
 
@@ -49,6 +55,18 @@ def read_jsonl(
     columns (corrupt rows excluded); ``quarantine`` is
     ``(_corrupt_record)`` — the raw text of every line that failed to
     parse, for counting/inspection/replay.
+
+    The parsed frame is persisted (required for corrupt-record
+    filtering, see below). Pass ``cache_scope`` so the cache is released
+    after both outputs are drained::
+
+        with CacheScope() as scope:
+            good, bad = read_jsonl(spark, path, schema, cache_scope=scope)
+            good.write.parquet(out); bad.count()
+        # parsed-frame cache unpersisted here
+
+    Without a scope the cache lingers until executor LRU eviction —
+    acceptable for one-shot jobs, a leak for long-lived services.
     """
     full = (
         spark.read.schema(jsonl_schema_with_quarantine(schema))
@@ -60,7 +78,7 @@ def read_jsonl(
     # filtering on the corrupt column — the column is populated during
     # parsing and a direct filter on the unreferenced raw plan is
     # rejected/undefined (SPARK-21610)
-    full = full.cache()
+    full = persist_in(full, cache_scope)
     good = full.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantine = full.where(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     return good, quarantine

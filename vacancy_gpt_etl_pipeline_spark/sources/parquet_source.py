@@ -43,6 +43,16 @@ def widen_scan(df: DataFrame) -> DataFrame:
     BM25 28.5 s → 11.5 s, IVF 16.7 s → 4.7 s).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
+    # Fast path: each input file contributes ≥1 scan split, so a file
+    # count ≥ target proves the scan is already wide WITHOUT the
+    # df.rdd.getNumPartitions() call (which forces physical planning plus
+    # a Python-RDD conversion — pure driver overhead). At cluster scale
+    # tables carry thousands of files, so hot reads take this free path;
+    # only the small-local-table case (few files, where the answer also
+    # depends on upstream repartitions the listing can't see) pays the
+    # .rdd planning cost, once per read.
+    if len(df.inputFiles()) >= target:
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
