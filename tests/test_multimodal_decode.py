@@ -1,0 +1,123 @@
+"""Real multimodal decode: golden header literals, CRC validity, and the
+Spark encode→parse round trip (operators/multimodal.py).
+
+The golden bytes are hand-written straight from the public specs (PNG:
+8-byte signature then IHDR with big-endian u32 dims; GIF89a: little-endian
+u16 logical-screen dims), NOT produced by the synthesizer — they catch a
+symmetric encode/parse endianness bug that the DuckDB oracle round trip
+cannot see.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+    GIF_HEADER_LEN,
+    PNG_HEADER_LEN,
+    _parse_image_header,
+    decode_images,
+    synthesize_image_payload,
+)
+
+# The ubiquitous 1x1 transparent PNG, truncated after the IHDR chunk —
+# signature, IHDR length (13), 'IHDR', w=1, h=1, depth=8, color=6 (RGBA),
+# and the real CRC 0x1F15C489 every tool emits for exactly those bytes.
+GOLDEN_PNG_1x1 = bytes.fromhex(
+    "89504E470D0A1A0A0000000D49484452000000010000000108060000001F15C489"
+)
+
+# A GIF89a whose logical screen is 10x5: dims are LITTLE-endian u16.
+GOLDEN_GIF_10x5 = b"GIF89a" + b"\x0a\x00" + b"\x05\x00" + b"\x91\x00\x00"
+
+
+def test_parse_golden_png():
+    fmt, w, h, depth, off = _parse_image_header(GOLDEN_PNG_1x1)
+    assert (fmt, w, h, depth, off) == ("png", 1, 1, 8, PNG_HEADER_LEN)
+
+
+def test_parse_golden_gif():
+    fmt, w, h, depth, off = _parse_image_header(GOLDEN_GIF_10x5 + b"body")
+    assert (fmt, w, h, depth, off) == ("gif", 10, 5, None, GIF_HEADER_LEN)
+    # GIF87a variant parses identically
+    fmt87, w87, h87, _, _ = _parse_image_header(
+        b"GIF87a" + GOLDEN_GIF_10x5[6:]
+    )
+    assert (fmt87, w87, h87) == ("gif", 10, 5)
+
+
+def test_parse_rejects_non_image_bytes():
+    for junk in (b"", b"plain text payload", b"\x89PNGnope", b"GIF12a\x00" * 4):
+        fmt, w, h, depth, off = _parse_image_header(junk)
+        assert fmt == "unknown" and w is None and h is None and off == 0
+
+
+def test_synthesized_png_header_is_spec_conformant(spark):
+    """The JVM-built PNG must carry a TRUE IHDR CRC-32 (zlib.crc32 over
+    type+data) and big-endian dims at the spec offsets."""
+    df = spark.createDataFrame(
+        [(2, "hello png body", 14)], "doc_id long, text string, n_chars long"
+    )
+    [row] = synthesize_image_payload(df).collect()
+    b = bytes(row["content"])
+    assert b[:8] == bytes.fromhex("89504E470D0A1A0A")
+    assert int.from_bytes(b[8:12], "big") == 13 and b[12:16] == b"IHDR"
+    assert int.from_bytes(b[16:20], "big") == 14 % 640 + 16  # width
+    assert int.from_bytes(b[20:24], "big") == 2 % 480 + 16  # height
+    assert b[24] == 8 and b[25] == 2  # depth, truecolor
+    crc = int.from_bytes(b[29:33], "big")
+    assert crc == zlib.crc32(b[12:29])  # real CRC over type+data
+    assert b[PNG_HEADER_LEN:] == "hello png body".encode()
+    assert row["mime_type"] == "image/png"
+
+
+def test_synthesized_gif_header_is_spec_conformant(spark):
+    df = spark.createDataFrame(
+        [(3, "gif body", 8)], "doc_id long, text string, n_chars long"
+    )
+    [row] = synthesize_image_payload(df).collect()
+    b = bytes(row["content"])
+    assert b[:6] == b"GIF89a"
+    assert int.from_bytes(b[6:8], "little") == 8 % 640 + 16
+    assert int.from_bytes(b[8:10], "little") == 3 % 480 + 16
+    assert b[GIF_HEADER_LEN:] == "gif body".encode()
+    assert row["mime_type"] == "image/gif"
+
+
+def test_decode_round_trip_and_luma(spark):
+    """synthesize → decode recovers the encoded dims through the real
+    byte parse; mean_luma is the exact body-byte mean."""
+    rows = [(i, f"document body {i} " + "ab" * i, 14 + 2 * i) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = {
+        r["asset_id"]: r
+        for r in decode_images(synthesize_image_payload(df)).collect()
+    }
+    assert len(out) == 6
+    for i, text, n_chars in rows:
+        r = out[i]
+        body = text.encode()
+        assert r["fmt"] == ("png" if i % 2 == 0 else "gif")
+        assert r["width"] == n_chars % 640 + 16
+        assert r["height"] == i % 480 + 16
+        assert r["bit_depth"] == (8 if i % 2 == 0 else None)
+        header_len = PNG_HEADER_LEN if i % 2 == 0 else GIF_HEADER_LEN
+        assert r["n_bytes"] == header_len + len(body)
+        assert r["mean_luma"] == pytest.approx(
+            sum(body) / len(body), abs=1e-6
+        )
+
+
+def test_decode_quarantines_unknown_bytes(spark):
+    """Non-image payloads decode to fmt='unknown' with null dims — the
+    corrupt-record path, not a crash."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not an image at all"))],
+        "asset_id long, content binary",
+    )
+    [r] = decode_images(df).collect()
+    assert r["fmt"] == "unknown"
+    assert r["width"] is None and r["height"] is None and r["bit_depth"] is None
+    assert r["n_bytes"] == 19

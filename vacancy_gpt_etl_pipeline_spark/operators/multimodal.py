@@ -1,11 +1,17 @@
 """Multimodal column plumbing (north-star extension).
 
 Image/audio/video payloads are opaque ``binary`` columns + typed metadata
-(schemas.MULTIMODAL_ASSET). The Spark-side plumbing — schema, partition
-sizing, Arrow batch shape, UDF signatures — is real and tested; the actual
-codec work is STUBBED (this container ships no image/audio libraries):
-``decode_stub=True`` produces a deterministic fake decode, ``False`` raises
-NotImplementedError where a real decoder (PIL/ffmpeg) would be called.
+(schemas.MULTIMODAL_ASSET). Round 6 replaces the former decode stub with a
+REAL dependency-free byte decoder: payloads carry genuine PNG / GIF
+headers (PNG signature + IHDR chunk with a true CRC-32, GIF89a logical
+screen descriptor), and :func:`decode_images` recovers width / height /
+bit depth by parsing those bytes — the same offsets and endianness any
+image tool reads (PNG spec: 4-byte big-endian dims at IHDR offsets 0/4;
+GIF spec: little-endian u16 dims at bytes 6/8). Full pixel decode (IDAT
+inflate, LZW) would need a codec library this container doesn't ship;
+the header parse is real decoding of real bytes, and
+:func:`sample_frames` remains the documented codec-free stand-in for
+video frame extraction.
 
 Scale notes: binary payloads dominate row size, so ``mapInPandas`` with a
 small ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds executor
@@ -24,6 +30,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+PNG_HEADER_LEN = 33  # 8 sig + 4 len + 4 'IHDR' + 13 data + 4 CRC
+GIF_HEADER_LEN = 13  # 6 sig + 4 dims + packed + bg + aspect
+
 
 def attach_text_payload(df: DataFrame, text_col: str = "text", modality: str = "image") -> DataFrame:
     """Build a multimodal-shaped table from a text table: utf-8 bytes stand in
@@ -37,53 +47,160 @@ def attach_text_payload(df: DataFrame, text_col: str = "text", modality: str = "
     )
 
 
+def _be32_hex(col: F.Column) -> F.Column:
+    """4-byte big-endian hex of a non-negative int < 2^32."""
+    return F.lpad(F.hex(col.cast("bigint")), 8, "0")
+
+
+def _le16_hex(col: F.Column) -> F.Column:
+    """2-byte little-endian hex of a non-negative int < 2^16."""
+    c = col.cast("int")
+    return F.concat(
+        F.lpad(F.hex(c % 256), 2, "0"),
+        F.lpad(F.hex(F.shiftright(c, 8) % 256), 2, "0"),
+    )
+
+
+def synthesize_image_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width_col: str | None = None,
+    height_col: str | None = None,
+) -> DataFrame:
+    """Deterministic image-asset fixture with REAL format headers, built
+    entirely JVM-side (hex assembly + ``unhex`` + ``crc32`` — whole-stage
+    codegen, no Python).
+
+    Even ids get a PNG: 8-byte signature, then an IHDR chunk whose CRC-32
+    is computed over the actual type+data bytes (a PNG reader that checks
+    the IHDR CRC accepts it). Odd ids get a GIF89a logical screen
+    descriptor. The utf-8 text bytes ride behind the header as the body, so
+    payload sizes vary realistically. Dimensions default to
+    ``width = n_chars % 640 + 16``, ``height = id % 480 + 16`` (u16-safe
+    for GIF), overridable via ``width_col`` / ``height_col``.
+    """
+    wid = (
+        F.col(width_col)
+        if width_col
+        else (F.col("n_chars") % 640 + 16)
+    ).cast("int")
+    hei = (
+        F.col(height_col)
+        if height_col
+        else (F.col(id_col) % 480 + 16)
+    ).cast("int")
+
+    # PNG: sig | len(13) | 'IHDR' | w BE32 | h BE32 | bitdepth 8,
+    # truecolor(2), deflate(0), filter(0), no interlace(0) | CRC32
+    ihdr_payload_hex = F.concat(
+        F.lit("49484452"),  # 'IHDR'
+        _be32_hex(wid),
+        _be32_hex(hei),
+        F.lit("0802000000"),
+    )
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A0000000D"),
+        ihdr_payload_hex,
+        _be32_hex(F.crc32(F.unhex(ihdr_payload_hex))),
+    )
+    # GIF89a: sig | w LE16 | h LE16 | packed 0x91 (GCT, 8-bit) | bg | aspect
+    gif_hex = F.concat(
+        F.lit("474946383961"), _le16_hex(wid), _le16_hex(hei), F.lit("910000")
+    )
+    is_png = F.col(id_col) % 2 == 0
+    header = F.unhex(F.when(is_png, png_hex).otherwise(gif_hex))
+    return df.select(
+        F.col(id_col).cast("long").alias("asset_id"),
+        F.concat(header, F.encode(F.col(text_col), "UTF-8")).alias("content"),
+        F.lit("image").alias("modality"),
+        F.when(is_png, F.lit("image/png"))
+        .otherwise(F.lit("image/gif"))
+        .alias("mime_type"),
+    )
+
+
 DECODED_IMAGE_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("mean_luma", T.DoubleType()),
     ]
 )
 
 
+def _parse_image_header(b: bytes) -> tuple[str | None, int | None, int | None, int | None, int]:
+    """(fmt, width, height, bit_depth, body_offset) from real header bytes.
+
+    PNG: IHDR data starts at byte 16 — width/height are big-endian u32,
+    bit depth is the following byte. GIF87a/89a: logical screen width and
+    height are little-endian u16 at bytes 6 and 8. Anything else is
+    'unknown' (nulls) — quarantine-not-fail, like the corrupt-JSONL path.
+    """
+    if len(b) >= PNG_HEADER_LEN and b[:8] == PNG_SIG and b[12:16] == b"IHDR":
+        return (
+            "png",
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+            b[24],
+            PNG_HEADER_LEN,
+        )
+    if len(b) >= GIF_HEADER_LEN and b[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            "gif",
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+            None,
+            GIF_HEADER_LEN,
+        )
+    return ("unknown", None, None, None, 0)
+
+
 def decode_images(
     df: DataFrame,
     id_col: str = "asset_id",
     content_col: str = "content",
-    decode_stub: bool = True,
 ) -> DataFrame:
-    """Decode image payloads to (width, height, mean_luma) features.
-
-    Arrow-batched ``mapInPandas``; the stub derives deterministic dimensions
-    from the byte length and a luma from the byte mean, exercising the full
-    distributed plumbing without a codec.
-    """
+    """Decode image payloads to (fmt, width, height, bit_depth, n_bytes,
+    mean_luma) by parsing the REAL header bytes (Arrow-batched
+    ``mapInPandas`` — per-payload work is the genuine shape of a decode
+    stage; a codec would slot into the same loop). ``mean_luma`` is the
+    mean of the body bytes behind the header — the stand-in for pixel
+    statistics until a real pixel decode exists."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real image decode requires PIL/opencv — not available in "
-                    "this container; pass decode_stub=True"
+            rows: dict[str, list] = {
+                "asset_id": [],
+                "fmt": [],
+                "width": [],
+                "height": [],
+                "bit_depth": [],
+                "n_bytes": [],
+                "mean_luma": [],
+            }
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(content) if content is not None else b""
+                fmt, w, h, depth, off = _parse_image_header(b)
+                body = np.frombuffer(b, dtype=np.uint8)[off:]
+                rows["asset_id"].append(int(aid))
+                rows["fmt"].append(fmt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["bit_depth"].append(depth)
+                rows["n_bytes"].append(len(b))
+                rows["mean_luma"].append(
+                    round(float(body.mean()), 6) if body.size else 0.0
                 )
-            n_bytes = pdf[content_col].map(len).astype("int64")
-            # deterministic fake: square-ish dims from payload size
-            width = np.sqrt(n_bytes).astype("int32") + 1
-            height = (n_bytes // width.clip(lower=1)).astype("int32") + 1
-            luma = pdf[content_col].map(
-                lambda b: float(np.frombuffer(b, dtype=np.uint8).mean()) if len(b) else 0.0
-            )
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf[id_col].astype("int64"),
-                    "width": width,
-                    "height": height,
-                    "n_bytes": n_bytes,
-                    "mean_luma": luma.round(6),
-                }
-            )
+            out = pd.DataFrame(rows)
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            out["bit_depth"] = out["bit_depth"].astype("Int32")
+            yield out
 
     return df.select(id_col, content_col).mapInPandas(run, DECODED_IMAGE_SCHEMA)
 

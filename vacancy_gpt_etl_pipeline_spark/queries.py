@@ -57,6 +57,7 @@ from vacancy_gpt_etl_pipeline_spark.operators.enrichment import (
 from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
     attach_text_payload,
     decode_images,
+    synthesize_image_payload,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.relational import ratio_of_total
 from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
@@ -2202,11 +2203,34 @@ FROM documents
 """
 
 
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stubbed image decode through the real Arrow/mapInPandas plumbing
-    (rows-only: byte-level math is not SQL-expressible)."""
-    d = attach_text_payload(_t(spark, sf_dir, "documents"), "text", "image")
-    return decode_images(d.withColumn("asset_id", F.col("doc_id")))
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode (operators/multimodal.py): documents become
+    assets with genuine PNG/GIF header bytes (IHDR with true CRC-32 /
+    GIF89a descriptor) built JVM-side, and decode_images recovers
+    width/height/bit-depth by PARSING those bytes in the Arrow decoder.
+    The oracle computes the expected dimensions directly from the doc
+    fields, so the hash only matches if the encode→parse byte round-trip
+    (offsets, endianness, header length) is right; spec conformance
+    against hand-written real PNG/GIF literals is asserted in
+    tests/test_stateful.py golden tests. mean_luma (body-byte mean) stays
+    Spark-side only — per-byte SQL unnesting is not worth an oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = synthesize_image_payload(docs, "doc_id", "text")
+    return decode_images(assets).select(
+        "asset_id", "fmt", "width", "height", "bit_depth", "n_bytes"
+    )
+
+
+MULTIMODAL_DECODE_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS fmt,
+  CAST(n_chars % 640 + 16 AS INTEGER) AS width,
+  CAST(doc_id % 480 + 16 AS INTEGER) AS height,
+  CASE WHEN doc_id % 2 = 0 THEN CAST(8 AS INTEGER) END AS bit_depth,
+  CAST((CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 13 END)
+       + octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
 
 
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2671,7 +2695,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # -- new or changed in round 6 ---------------------------------------
     "fuzzy_match_parts": QuerySpec(fuzzy_match_parts, FUZZY_SQL),
     "moving_average_events": QuerySpec(moving_average_events, MOVING_AVG_SQL),
-    "multimodal_decode_stub": QuerySpec(multimodal_decode_stub, None),
+    "multimodal_decode": QuerySpec(multimodal_decode, MULTIMODAL_DECODE_SQL),
     "training_prep_pipeline": QuerySpec(training_prep_pipeline, TRAINING_PREP_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
