@@ -60,6 +60,10 @@ from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
     synthesize_image_payload,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.relational import ratio_of_total
+from vacancy_gpt_etl_pipeline_spark.operators.skew import (
+    salted_agg,
+    salted_collect_set,
+)
 from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
     embedding_near_duplicates,
     knn_brute_force,
@@ -2233,6 +2237,56 @@ FROM documents
 """
 
 
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for hot keys (operators/skew.py).
+    events has only 5 event_type values — at 100 TB each is a hot key
+    whose collect_set buffer would blow one reducer. Stage 1 groups on
+    (key, content-salt-of-user_id) so a hot key fans out across 32
+    reducers; stage 2 merges ≤32 partial rows per key. The count/sum pair
+    rides salted_agg, the distinct-user set rides salted_collect_set
+    (array_distinct-of-flatten merge). The oracle is an UNSALTED
+    COUNT(DISTINCT)/SUM — a genuinely different algorithm, so a salting
+    bug (lost bucket, double-merge) cannot cancel out. Decimal-cast sum
+    keeps the double exact and order-independent."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    totals = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": (F.count(F.lit(1)), F.sum("n_events")),
+            "_tot": (
+                F.sum(F.col("value").cast("decimal(18,2)")),
+                F.sum("_tot"),
+            ),
+        },
+        buckets=32,
+        salt_cols=["user_id"],
+    )
+    users = salted_collect_set(
+        ev, ["event_type"], "user_id", buckets=32, salt_cols=["user_id"]
+    )
+    return (
+        totals.join(users, "event_type")
+        .select(
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("_tot").cast("double").alias("total_value"),
+            F.size("values").cast("long").alias("n_distinct_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SALTED_AGG_SQL = """
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+FROM events
+GROUP BY event_type
+"""
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch gap sessionization (operators/sessionize.py): 30-minute gap
     rule over every user's event stream, rolled up per session. ONE
@@ -2696,6 +2750,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "fuzzy_match_parts": QuerySpec(fuzzy_match_parts, FUZZY_SQL),
     "moving_average_events": QuerySpec(moving_average_events, MOVING_AVG_SQL),
     "multimodal_decode": QuerySpec(multimodal_decode, MULTIMODAL_DECODE_SQL),
+    "salted_hot_key_agg": QuerySpec(salted_hot_key_agg, SALTED_AGG_SQL),
     "training_prep_pipeline": QuerySpec(training_prep_pipeline, TRAINING_PREP_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
