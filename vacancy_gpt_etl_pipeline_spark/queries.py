@@ -2645,10 +2645,14 @@ WINDOW w AS (
 
 def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy entity matching (operators/fuzzy.fuzzy_self_join):
-    part names plus planted one-char-deletion typos (key+1000000);
-    prefix+length-bucket blocking with straddle spill, exact levenshtein
-    verify ≤ 2. The oracle mirrors the mutation, blocking (incl. the
-    boundary spill), and distance filter value-for-value."""
+    part names plus planted typos — a one-char deletion at position 5
+    (key+1000000) AND a first-char deletion (key+2000000). The
+    position-1 edits escape prefix blocking entirely; they are recovered
+    by the round-6 suffix pass, so the oracle proves multi-pass recall,
+    not just prefix recall. The oracle mirrors the mutations, both
+    blocking passes (incl. the boundary spill), and the distance filter
+    value-for-value; the INDEPENDENT recall check against an unblocked
+    exact levenshtein join lives in tests/test_fuzzy.py."""
     from vacancy_gpt_etl_pipeline_spark.operators.fuzzy import fuzzy_self_join
 
     # resolve the distinct name VOCABULARY (min key as canonical id), not
@@ -2666,7 +2670,11 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p_name"),
         (F.col("p_partkey") + F.lit(1_000_000)).alias("p_partkey"),
     )
-    pool = names.unionByName(typos)
+    head_typos = names.select(
+        F.expr("substring(p_name, 2)").alias("p_name"),
+        (F.col("p_partkey") + F.lit(2_000_000)).alias("p_partkey"),
+    )
+    pool = names.unionByName(typos).unionByName(head_typos)
     return fuzzy_self_join(
         pool, "p_name", "p_partkey", max_distance=2, prefix_len=3
     ).orderBy("id_a", "id_b")
@@ -2683,6 +2691,10 @@ pool AS (
   SELECT p_partkey + 1000000 AS p_partkey,
     substr(p_name, 1, 4) || substr(p_name, 6) AS p_name
   FROM names
+  UNION ALL
+  SELECT p_partkey + 2000000 AS p_partkey,
+    substr(p_name, 2) AS p_name
+  FROM names
 ),
 base AS (
   SELECT p_partkey AS _id,
@@ -2690,25 +2702,30 @@ base AS (
   FROM pool
 ),
 keyed AS (
-  SELECT _id, t, substr(t, 1, 3) AS pfx,
+  SELECT _id, t,
     CAST(floor(length(t) / 4) AS BIGINT) AS lb,
     length(t) % 4 AS lr
   FROM base WHERE length(t) >= 3
 ),
-blocked0 AS (
-  SELECT _id, t, pfx, lb FROM keyed
+tagged AS (
+  SELECT _id, t, 0 AS pass, substr(t, 1, 3) AS bk, lb, lr FROM keyed
   UNION ALL
-  SELECT _id, t, pfx, lb + 1 AS lb FROM keyed WHERE lr >= 2
+  SELECT _id, t, 1 AS pass, substr(t, length(t) - 2) AS bk, lb, lr FROM keyed
+),
+blocked0 AS (
+  SELECT _id, t, pass, bk, lb FROM tagged
+  UNION ALL
+  SELECT _id, t, pass, bk, lb + 1 AS lb FROM tagged WHERE lr >= 2
 ),
 blocked AS (
-  SELECT _id, t, pfx, lb FROM (
-    SELECT *, COUNT(*) OVER (PARTITION BY pfx, lb) AS bc FROM blocked0
+  SELECT _id, t, pass, bk, lb FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY pass, bk, lb) AS bc FROM blocked0
   ) WHERE bc <= 1000
 )
 SELECT DISTINCT l._id AS id_a, r._id AS id_b,
   CAST(levenshtein(l.t, r.t) AS INT) AS distance
 FROM blocked l JOIN blocked r
-  ON l.pfx = r.pfx AND l.lb = r.lb AND l._id < r._id
+  ON l.pass = r.pass AND l.bk = r.bk AND l.lb = r.lb AND l._id < r._id
 WHERE levenshtein(l.t, r.t) <= 2
 """
 
