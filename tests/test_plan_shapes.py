@@ -104,6 +104,22 @@ def test_single_shuffle_union_window_ops(spark, sf_dir, name):
     assert "Window" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
+def test_curation_e2e_reuses_survivor_frame_and_stays_blocked(spark, sf_dir):
+    """Flagship lineage audit: the filter+dedup survivor frame must be
+    computed ONCE (persisted InMemoryRelation feeding all three
+    consumers — shingling, rank join, anti-join), so the final plan
+    contains no extra parquet re-scans of documents beyond cache
+    population; and the near-dup stage inside it must stay blocked (no
+    cartesian)."""
+    plan = _plan(spark, sf_dir, "curation_pipeline_e2e")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # consumers read the cached survivors
+    # every documents read in the final plan goes through the cache; the
+    # cache's own population scan prints once inside the InMemoryRelation
+    body = plan.split("InMemoryRelation")[0]
+    assert "Scan parquet" not in body.replace("InMemoryTableScan", "")
+
+
 def test_widen_scan_preserves_pushdown(spark, sf_dir):
     """Filters and column pruning must push THROUGH widen_scan's
     Repartition into the parquet scan — the claim widen_scan's

@@ -1039,7 +1039,11 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs).orderBy("doc_id")
 
 
-CC_CLUSTERS_SQL = """
+def _cc_sql(table: str = "documents") -> str:
+    """Recursive-CTE connected-components oracle over trigram-Jaccard
+    edges, parametrized on the source table so composed pipelines
+    (curation_pipeline_e2e) can run it over a CTE of survivors."""
+    return f"""
 WITH RECURSIVE sh AS (
   SELECT doc_id,
     list_distinct(list_transform(
@@ -1048,7 +1052,7 @@ WITH RECURSIVE sh AS (
            string_split_regex(trim(lower(text)), '\\s+')[i+1] || ' ' ||
            string_split_regex(trim(lower(text)), '\\s+')[i+2]
     )) AS grams
-  FROM documents
+  FROM {table}
 ),
 inv0 AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE len(grams) > 0),
 freq AS (SELECT g, COUNT(*) AS f FROM inv0 GROUP BY g),
@@ -1073,6 +1077,9 @@ r(id, rt) AS (
 )
 SELECT id AS doc_id, MIN(rt) AS cluster_id FROM r GROUP BY id
 """
+
+
+CC_CLUSTERS_SQL = _cc_sql()
 
 
 def dedup_survivor_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2049,6 +2056,103 @@ SELECT doc_id, n_tokens, quality, fingerprint FROM (
 """
 
 
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP end-to-end curation lineage — what a pretraining data
+    job actually runs, as ONE plan: quality filter → exact fingerprint
+    dedup → trigram-Jaccard near-dup pairs → connected components →
+    quality-ranked survivor drop-list → anti-join → sequence packing.
+
+    Plan shape (audited in tests/test_plan_shapes.py): the content-pure
+    filters run before any exchange; the deduped survivor frame is
+    persisted once and fans out to the three consumers (shingling, rank
+    join, final anti-join) instead of recomputing the filter+dedup chain
+    three times; every downstream stage reuses the operators whose
+    oracles are individually green, and the oracle here is the CTE
+    composition of those same verified stages over the survivor CTE."""
+    from vacancy_gpt_etl_pipeline_spark.operators.graph import dedup_clusters
+    from vacancy_gpt_etl_pipeline_spark.operators.packing import (
+        pack_sequences,
+        pack_summary,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    prof = docs.select(
+        "doc_id",
+        "text",
+        "source",
+        "n_chars",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+        fingerprint("text").alias("fingerprint"),
+    )
+    filtered = prof.where(
+        (F.col("quality") >= 0.5) & F.col("n_tokens").between(20, 80)
+    )
+    deduped = dedup_keep_first(filtered, ["fingerprint"], [F.asc("doc_id")]).select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    # three consumers below — materialize once (same boundary rule as
+    # every exploded frame; recomputing filter+window-dedup 3× loses)
+    deduped = deduped.persist()
+    pairs = ngram_jaccard_pairs(
+        deduped, "text", "doc_id", n=3, threshold=0.5, max_shingle_freq=100
+    )
+    clusters = dedup_clusters(pairs)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    drops = (
+        clusters.join(deduped.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > 1)
+        .select("doc_id")
+    )
+    final = deduped.join(drops, "doc_id", "left_anti")
+    packed = pack_sequences(final, target_tokens=512, by="source")
+    return pack_summary(packed, "source").orderBy("source", "pack_id")
+
+
+CURATION_E2E_SQL = f"""
+WITH filtered AS (
+  SELECT doc_id, text, source, n_chars, {_SQL_FP} AS fingerprint
+  FROM documents
+  WHERE {_SQL_QUALITY} >= 0.5 AND {_SQL_NTOK} BETWEEN 20 AND 80
+),
+deduped AS (
+  SELECT doc_id, text, source, n_chars FROM (
+    SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM filtered
+  ) WHERE rn = 1
+),
+cc AS ({_cc_sql("deduped")}),
+ranked AS (
+  SELECT cc.doc_id, row_number() OVER (
+    PARTITION BY cc.cluster_id ORDER BY d.n_chars DESC, cc.doc_id
+  ) AS rn
+  FROM cc JOIN deduped d USING (doc_id)
+),
+drops AS (SELECT doc_id FROM ranked WHERE rn > 1),
+final AS (
+  SELECT * FROM deduped WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+),
+toks AS (
+  SELECT source, doc_id,
+    len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+  FROM final
+),
+packed AS (
+  SELECT source, doc_id, n_tokens,
+    CAST(floor((SUM(n_tokens) OVER w - n_tokens) / 512.0) AS BIGINT) AS pack_id
+  FROM toks
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT source, pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM packed GROUP BY source, pack_id
+"""
+
+
 def chunk_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (32-token windows, stride 24) —
     the RAG/pretraining 1→N expansion as a narrow no-shuffle map stage."""
@@ -2768,6 +2872,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "moving_average_events": QuerySpec(moving_average_events, MOVING_AVG_SQL),
     "multimodal_decode": QuerySpec(multimodal_decode, MULTIMODAL_DECODE_SQL),
     "salted_hot_key_agg": QuerySpec(salted_hot_key_agg, SALTED_AGG_SQL),
+    "curation_pipeline_e2e": QuerySpec(curation_pipeline_e2e, CURATION_E2E_SQL),
     "training_prep_pipeline": QuerySpec(training_prep_pipeline, TRAINING_PREP_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
