@@ -28,8 +28,15 @@ Scale notes:
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# rounds used by the most recent connected_components call — read by
+# tests and visible in bench stderr so a future timing regression can be
+# attributed to iteration count vs per-round cost (VERDICT r5 item 8)
+LAST_CONVERGENCE_ROUNDS: int | None = None
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -102,12 +109,21 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev = _edge_fingerprint(edges)
+    rounds = 0
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        rounds += 1
         cur = _edge_fingerprint(edges)
         if cur == prev:
             break
         prev = cur
+    global LAST_CONVERGENCE_ROUNDS
+    LAST_CONVERGENCE_ROUNDS = rounds
+    print(
+        f"[graph] connected_components: {rounds} rounds, "
+        f"{prev[0]} edges at convergence",
+        file=sys.stderr,
+    )
     # Converged state is a star forest of (child → root) edges with
     # root = component minimum; roots name their own component.
     children = edges.select(F.col("src").alias("node"), F.col("dst").alias("component"))
