@@ -136,7 +136,7 @@ def main() -> None:
     # the driver parses the LAST ≤2000 chars of stdout; keep the line
     # compact (no spaces, 2dp) and degrade to 1dp if the registry ever
     # grows the line past a safe margin
-    for ndigits in (2, 1):
+    for ndigits in (2, 1, 0):
         result = {
             "metric": "registry_wall_total",
             "value": round(total, 3),

@@ -1,0 +1,77 @@
+"""Corpus-frequency boilerplate removal
+(operators/curation.remove_boilerplate_ngrams): hand-computed coverage,
+reassembly order, short-doc totality, threshold edge."""
+
+from __future__ import annotations
+
+from vacancy_gpt_etl_pipeline_spark.operators.curation import (
+    remove_boilerplate_ngrams,
+)
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r["doc_id"]: r
+        for r in remove_boilerplate_ngrams(df, **kw).collect()
+    }
+
+
+def test_planted_banner_stripped_from_every_doc(spark):
+    banner = "accept all cookies now"
+    bodies = [
+        "alpha beta gamma delta epsilon",
+        "zeta eta theta iota kappa",
+        "lam mu nu xi omicron",
+    ]
+    rows = [(i, f"{banner} {b}") for i, b in enumerate(bodies)]
+    out = _run(spark, rows, n=3, min_doc_frequency=3)
+    for i, b in enumerate(bodies):
+        r = out[i]
+        # banner trigrams appear in all 3 docs -> df 3 -> all 4 banner
+        # tokens covered; body trigrams are unique -> untouched
+        assert r["cleaned_text"] == b
+        assert r["n_tokens"] == 4 + 5 and r["n_kept"] == 5
+        assert abs(r["boilerplate_frac"] - 4 / 9) < 1e-6
+
+
+def test_threshold_edge_df_below_min_keeps_text(spark):
+    banner = "accept all cookies now"
+    rows = [
+        (1, f"{banner} alpha beta gamma"),
+        (2, f"{banner} delta epsilon zeta"),
+    ]
+    out = _run(spark, rows, n=3, min_doc_frequency=3)  # df=2 < 3
+    assert out[1]["cleaned_text"] == f"{banner} alpha beta gamma"
+    assert out[1]["n_kept"] == out[1]["n_tokens"]
+    assert out[1]["boilerplate_frac"] == 0.0
+
+
+def test_reassembly_preserves_interior_gap_order(spark):
+    # boilerplate in the MIDDLE: surviving prefix+suffix must rejoin in
+    # original order
+    shared = "one two three"
+    rows = [(i, f"head{i} {shared} tail{i}") for i in range(5)]
+    out = _run(spark, rows, n=3, min_doc_frequency=5)
+    for i in range(5):
+        assert out[i]["cleaned_text"] == f"head{i} tail{i}"
+        assert out[i]["n_kept"] == 2
+
+
+def test_docs_shorter_than_n_pass_through(spark):
+    rows = [(1, "just two"), (2, "one"), (3, "a b c d e")]
+    out = _run(spark, rows, n=3, min_doc_frequency=2)
+    assert out[1]["cleaned_text"] == "just two"
+    assert out[2]["cleaned_text"] == "one"
+    assert out[3]["cleaned_text"] == "a b c d e"
+    assert all(out[k]["boilerplate_frac"] == 0.0 for k in out)
+
+
+def test_overlapping_boilerplate_positions_counted_once(spark):
+    # "x x x x" in every doc: overlapping trigram occurrences cover
+    # positions 1-4 once each — frac is 4/6, not inflated by overlap
+    rows = [(i, f"x x x x uniq{i} tail{i}") for i in range(4)]
+    out = _run(spark, rows, n=3, min_doc_frequency=4)
+    for i in range(4):
+        assert out[i]["cleaned_text"] == f"uniq{i} tail{i}"
+        assert out[i]["n_tokens"] == 6 and out[i]["n_kept"] == 2

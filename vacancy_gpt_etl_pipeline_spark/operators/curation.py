@@ -67,6 +67,111 @@ def curate_documents(
     return dedup_keep_first(filtered, ["fingerprint"], [F.asc(id_col)])
 
 
+def remove_boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_doc_frequency: int = 30,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the CCNet/RefinedWeb-style
+    dedup-within-documents step): token ``n``-grams that occur in at
+    least ``min_doc_frequency`` DISTINCT documents are boilerplate
+    (cookie banners, navigation chrome, license headers); every token
+    position covered by any boilerplate n-gram occurrence is dropped and
+    the document is reassembled from the surviving tokens.
+
+    Returns ``(id, n_tokens, n_kept, boilerplate_frac, cleaned_text)``.
+
+    Scale shape — linear in corpus tokens, no self-join:
+
+    1. explode to (doc, start-pos, gram) — one generator pass; the gram
+       string is immediately md5'd to a 16-byte join/agg key.
+    2. document frequency per gram = one map-side-combined aggregate
+       over (gram, doc) pairs; the boilerplate set (df ≥ threshold) is
+       TINY by construction and broadcast back to the occurrence frame.
+    3. covered positions = explode of the n positions under each
+       boilerplate occurrence, distinct per (doc, pos).
+    4. surviving tokens = posexploded tokens LEFT ANTI covered; the
+       document reassembles with sort_array(collect_list(struct(pos,
+       tok))) — order restored without a window sort.
+
+    The per-doc shuffles (steps 3-4) key on (doc, pos) — no skew beyond
+    document length, and the explode frames are persisted per the
+    expression-economy rules (an unpersisted explode re-evaluates its
+    array per element).
+    """
+    from pyspark.sql.functions import broadcast
+
+    toks_arr = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_toks"),
+    ).persist()
+    # (doc, pos, token) — pos is 1-based
+    positions = toks_arr.select(
+        "_id", F.posexplode("_toks").alias("_p0", "_tok")
+    ).select("_id", (F.col("_p0") + 1).alias("_p"), "_tok")
+    gram = F.concat_ws(
+        " ", *[F.element_at("_toks", F.col("_i") + j) for j in range(n)]
+    )
+    # per-row guard keeps the start-index expression TOTAL: sequence(1,
+    # stop) DESCENDS for stop < 1, and the optimizer may collapse the
+    # size filter into the generate (expression-economy rule 2 /
+    # PLANS.md) — same pattern as operators/dedup._shingled
+    starts = F.when(
+        F.size("_toks") >= n,
+        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    occurrences = (
+        toks_arr.where(F.size("_toks") >= n)
+        .select("_id", F.explode(starts).alias("_i"), "_toks")
+        .select("_id", "_i", F.md5(gram).alias("_gh"))
+        .persist()
+    )
+    boiler = (
+        occurrences.groupBy("_gh")
+        .agg(F.count_distinct("_id").alias("_df"))
+        .where(F.col("_df") >= min_doc_frequency)
+        .select("_gh")
+    )
+    covered = (
+        occurrences.join(broadcast(boiler), "_gh")
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_i"), F.col("_i") + (n - 1))
+            ).alias("_p"),
+        )
+        .distinct()
+    )
+    kept = positions.join(covered, ["_id", "_p"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_p", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    totals = toks_arr.select("_id", F.size("_toks").alias("n_tokens"))
+    return (
+        totals.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.round(
+                (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+                / F.col("n_tokens"),
+                6,
+            ).alias("boilerplate_frac"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
 def ngram_contamination(
     train: DataFrame,
     test: DataFrame,

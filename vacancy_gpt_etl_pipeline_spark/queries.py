@@ -2056,6 +2056,89 @@ SELECT doc_id, n_tokens, quality, fingerprint FROM (
 """
 
 
+def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate scrub (operators/curation.
+    remove_boilerplate_ngrams): a 6-token cookie-banner phrase is planted
+    onto every doc_id % 5 == 0 document (the clean synthetic corpus has
+    no real chrome), so its trigrams hit ~20% document frequency and
+    must be stripped from every planted doc; naturally frequent trigrams
+    (df ≥ 30) are stripped identically in both engines. The oracle
+    mirrors planting, df counting, position coverage and ordered
+    reassembly; independent hand fixtures live in
+    tests/test_boilerplate.py."""
+    from vacancy_gpt_etl_pipeline_spark.operators.curation import (
+        remove_boilerplate_ngrams,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("please accept all cookies to continue "),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return remove_boilerplate_ngrams(
+        docs, n=3, min_doc_frequency=30
+    ).orderBy("doc_id")
+
+
+BOILERPLATE_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0
+         THEN 'please accept all cookies to continue ' || text
+         ELSE text END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM planted
+),
+occ AS (
+  SELECT doc_id, unnest(generate_series(1, len(t) - 2)) AS i, t
+  FROM toks WHERE len(t) >= 3
+),
+occg AS (
+  SELECT doc_id, i, md5(array_to_string(t[i : i + 2], ' ')) AS gh FROM occ
+),
+boiler AS (
+  SELECT gh FROM (
+    SELECT gh, COUNT(DISTINCT doc_id) AS df FROM occg GROUP BY gh
+  ) WHERE df >= 30
+),
+covered AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(i, i + 2)) AS p
+  FROM occg JOIN boiler USING (gh)
+),
+post AS (
+  SELECT doc_id, unnest(generate_series(1, len(t))) AS p, t FROM toks
+),
+kept AS (
+  SELECT post.doc_id, post.p, post.t[post.p] AS tok
+  FROM post LEFT JOIN covered
+    ON post.doc_id = covered.doc_id AND post.p = covered.p
+  WHERE covered.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+    string_agg(tok, ' ' ORDER BY p) AS cleaned_text
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+  CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+  ROUND((t.n_tokens - COALESCE(r.n_kept, 0)) / CAST(t.n_tokens AS DOUBLE), 6)
+    AS boilerplate_frac,
+  COALESCE(r.cleaned_text, '') AS cleaned_text
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FLAGSHIP end-to-end curation lineage — what a pretraining data
     job actually runs, as ONE plan: quality filter → exact fingerprint
@@ -2873,6 +2956,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "multimodal_decode": QuerySpec(multimodal_decode, MULTIMODAL_DECODE_SQL),
     "salted_hot_key_agg": QuerySpec(salted_hot_key_agg, SALTED_AGG_SQL),
     "curation_pipeline_e2e": QuerySpec(curation_pipeline_e2e, CURATION_E2E_SQL),
+    "boilerplate_removal": QuerySpec(boilerplate_removal, BOILERPLATE_SQL),
     "training_prep_pipeline": QuerySpec(training_prep_pipeline, TRAINING_PREP_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
