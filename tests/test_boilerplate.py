@@ -75,3 +75,47 @@ def test_overlapping_boilerplate_positions_counted_once(spark):
     for i in range(4):
         assert out[i]["cleaned_text"] == f"uniq{i} tail{i}"
         assert out[i]["n_tokens"] == 6 and out[i]["n_kept"] == 2
+
+
+def test_adaptive_quality_floor_matches_python_rank_math(spark):
+    """Floor per stratum == smallest q with ceil(0.25*n) docs scoring <= q,
+    recomputed independently in Python from the profiled qualities."""
+    import math
+
+    from vacancy_gpt_etl_pipeline_spark.operators.curation import (
+        adaptive_quality_floor,
+        profile_for_curation,
+    )
+
+    rows = [
+        (i, lang, f"{'word ' * (5 + (i * 7) % 40)}doc {lang} {i}")
+        for i, lang in enumerate(
+            ["en"] * 11 + ["de"] * 7 + ["zh"] * 1  # odd sizes + singleton
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    quals = {}
+    for r in profile_for_curation(df).join(
+        df.select("doc_id", "lang"), "doc_id"
+    ).collect():
+        quals.setdefault(r["lang"], []).append(r["quality"])
+    expected_floor = {
+        lang: sorted(q)[math.ceil(0.25 * len(q)) - 1]
+        for lang, q in quals.items()
+    }
+
+    out = adaptive_quality_floor(df, stratum_col="lang").collect()
+    got_floor = {r["lang"]: r["lang_floor"] for r in out}
+    assert got_floor == expected_floor
+    # every surviving doc clears its stratum floor; the dropped count is
+    # below ceil(0.25*n) (ties at the floor survive by design)
+    for r in out:
+        assert r["quality"] >= got_floor[r["lang"]]
+    kept = {}
+    for r in out:
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+    for lang, q in quals.items():
+        assert kept[lang] >= len(q) - math.ceil(0.25 * len(q)) + 1
+    # singleton stratum keeps its only doc (floor == its own quality)
+    assert kept["zh"] == 1

@@ -67,6 +67,62 @@ def curate_documents(
     return dedup_keep_first(filtered, ["fingerprint"], [F.asc(id_col)])
 
 
+def adaptive_quality_floor(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    drop_fraction: float = 0.25,
+) -> DataFrame:
+    """Adaptive per-stratum quality filtering: instead of one global
+    quality cutoff, each stratum (language, source, crawl snapshot)
+    drops its own worst ``drop_fraction`` — the standard guard against a
+    fixed threshold gutting low-resource languages whose score
+    distribution sits lower.
+
+    The floor is the DISCRETE percentile: the smallest quality value q
+    such that at least ``ceil(drop_fraction * n)`` of the stratum's docs
+    score ≤ q (pure integer rank math — engine-exact, no interpolation).
+
+    Scale shape: a naive window over partitionBy(stratum) would funnel
+    the whole corpus through one reducer per language — 5 reducers at
+    100 TB. Instead the corpus pays ONE map-side-combined aggregate to a
+    (stratum, quality) histogram (bounded by distinct rounded scores),
+    the rank window runs over that tiny histogram, and the per-stratum
+    floors broadcast back as a filter — the full data is never window-
+    sorted or re-shuffled.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    prof = df.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        quality_score(text_col).alias("quality"),
+    )
+    hist = prof.groupBy(stratum_col, "quality").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_cum = (
+        Window.partitionBy(stratum_col)
+        .orderBy("quality")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(stratum_col)
+    floors = (
+        hist.withColumn("_cum", F.sum("_c").over(w_cum))
+        .withColumn("_n", F.sum("_c").over(w_all))
+        .where(
+            F.col("_cum") >= F.ceil(F.lit(drop_fraction) * F.col("_n"))
+        )
+        .groupBy(stratum_col)
+        .agg(F.min("quality").alias("lang_floor"))
+    )
+    return prof.join(broadcast(floors), stratum_col).where(
+        F.col("quality") >= F.col("lang_floor")
+    )
+
+
 def remove_boilerplate_ngrams(
     df: DataFrame,
     text_col: str = "text",

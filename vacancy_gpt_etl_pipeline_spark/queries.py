@@ -2056,6 +2056,49 @@ SELECT doc_id, n_tokens, quality, fingerprint FROM (
 """
 
 
+def adaptive_quality_floor_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive quality floor (operators/curation.
+    adaptive_quality_floor): each language drops its worst 25% by the
+    DISCRETE p25 of its quality distribution (integer rank math over a
+    (lang, quality) histogram — engine-exact, no interpolation). The
+    corpus pays one map-side-combined aggregate; the rank window runs
+    over the tiny histogram; floors broadcast back."""
+    from vacancy_gpt_etl_pipeline_spark.operators.curation import (
+        adaptive_quality_floor,
+    )
+
+    out = adaptive_quality_floor(
+        _t(spark, sf_dir, "documents"), stratum_col="lang", drop_fraction=0.25
+    )
+    return out.select("doc_id", "lang", "quality", "lang_floor").orderBy(
+        "doc_id"
+    )
+
+
+ADAPTIVE_FLOOR_SQL = f"""
+WITH prof AS (
+  SELECT doc_id, lang, {_SQL_QUALITY} AS quality FROM documents
+),
+hist AS (
+  SELECT lang, quality, COUNT(*) AS c FROM prof GROUP BY lang, quality
+),
+cum AS (
+  SELECT lang, quality,
+    SUM(c) OVER (PARTITION BY lang ORDER BY quality
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    SUM(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+floors AS (
+  SELECT lang, MIN(quality) AS lang_floor
+  FROM cum WHERE cum >= ceil(0.25 * n) GROUP BY lang
+)
+SELECT p.doc_id, p.lang, p.quality, f.lang_floor
+FROM prof p JOIN floors f USING (lang)
+WHERE p.quality >= f.lang_floor
+"""
+
+
 def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency boilerplate scrub (operators/curation.
     remove_boilerplate_ngrams): a 6-token cookie-banner phrase is planted
@@ -2957,6 +3000,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "salted_hot_key_agg": QuerySpec(salted_hot_key_agg, SALTED_AGG_SQL),
     "curation_pipeline_e2e": QuerySpec(curation_pipeline_e2e, CURATION_E2E_SQL),
     "boilerplate_removal": QuerySpec(boilerplate_removal, BOILERPLATE_SQL),
+    "adaptive_quality_floor": QuerySpec(
+        adaptive_quality_floor_query, ADAPTIVE_FLOOR_SQL
+    ),
     "training_prep_pipeline": QuerySpec(training_prep_pipeline, TRAINING_PREP_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
