@@ -558,6 +558,96 @@ def incremental_dedup(
     return fresh.join(seen, "content_hash", "left_anti").drop("content_hash")
 
 
+def incremental_neardup(
+    new_docs: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = 100,
+    cache_scope: CacheScope | None = None,
+) -> DataFrame:
+    """Batch-vs-corpus NEAR-duplicate detection — the re-ingestion gate
+    :func:`incremental_dedup` (exact hashes) cannot provide: a crawl
+    re-fetch with a changed timestamp or appended footer hashes fresh but
+    is still the same document.
+
+    Returns ``(batch_id, matched_id, jaccard)``: each new doc's BEST
+    corpus match (highest Jaccard, ties to smallest corpus id) at
+    ``jaccard >= threshold``. Unmatched batch docs are absent — callers
+    anti-join to get the ingestible fresh set.
+
+    Scale shape: two-sided inverted index, NO self-join and no
+    batch×corpus product — candidates are (batch, corpus) pairs sharing
+    ≥1 surviving shingle. Ubiquity is defined by the CORPUS: shingles in
+    more than ``max_shingle_freq`` history docs are dropped from BOTH
+    sides (at 100 TB the corpus shingle-frequency table is a maintained
+    artifact, not a per-batch recompute), and Jaccard denominators use
+    post-filter set sizes on both sides so scores stay consistent. The
+    join is O(matched postings), keyed by shingle — the batch side is
+    small by definition, so the candidate fan-out is bounded by batch
+    size × per-shingle corpus frequency (≤ ``max_shingle_freq``).
+    """
+    hsh = _shingled(history, text_col, id_col, n, cache_scope)
+    bsh = _shingled(new_docs, text_col, id_col, n, cache_scope)
+    hex0 = hsh.select(F.col("_id").alias("_hid"), F.explode("_sh").alias("_s"))
+    bex0 = bsh.select(F.col("_id").alias("_bid"), F.explode("_sh").alias("_s"))
+    if max_shingle_freq is not None:
+        # ONE corpus document-frequency table drives both sides (shingles
+        # are distinct per doc, so count == df). Ubiquitous shingles are
+        # dropped from the corpus index (semi) and from the batch (anti);
+        # NOVEL batch shingles survive — they can't create candidates but
+        # must still count in the Jaccard denominator.
+        freq = persist_in(
+            hex0.groupBy("_s").agg(F.count("*").alias("_f")), cache_scope
+        )
+        hex0 = hex0.join(
+            freq.where(F.col("_f") <= max_shingle_freq).select("_s"),
+            "_s",
+            "left_semi",
+        )
+        bex0 = bex0.join(
+            freq.where(F.col("_f") > max_shingle_freq).select("_s"),
+            "_s",
+            "left_anti",
+        )
+    hex_ = persist_in(hex0, cache_scope)
+    bex = persist_in(bex0, cache_scope)
+    hsz = hex_.groupBy("_hid").agg(F.count("*").alias("_nh"))
+    bsz = bex.groupBy("_bid").agg(F.count("*").alias("_nb"))
+    inter = (
+        bex.join(hex_, "_s")
+        .groupBy("_bid", "_hid")
+        .agg(F.count("*").alias("_inter"))
+    )
+    scored = (
+        inter.join(bsz, "_bid")
+        .join(hsz, "_hid")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter")
+                / (F.col("_nb") + F.col("_nh") - F.col("_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("_bid").orderBy(
+        F.desc("jaccard"), F.asc("_hid")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("_bid").alias("batch_id"),
+            F.col("_hid").alias("matched_id"),
+            "jaccard",
+        )
+    )
+
+
 # --- Winnowing (rolling-hash) document fingerprinting ----------------------
 # Schleimer, Schwartz, Aiken, "Winnowing: Local Algorithms for Document
 # Fingerprinting", SIGMOD 2003 (the MOSS algorithm). Character k-grams are

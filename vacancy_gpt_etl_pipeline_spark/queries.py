@@ -981,6 +981,100 @@ GROUP BY 1
 """
 
 
+def incremental_neardup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus NEAR-dup gate (operators/dedup.incremental_neardup):
+    the batch contains perturbed re-fetches of corpus docs (doc_id % 7 ==
+    3, four tokens appended — exact-hash incremental dedup misses them)
+    plus genuinely novel docs (doc_id % 7 == 5). The two-sided inverted
+    index must match every perturbed doc back to its source at trigram
+    Jaccard ≥ 0.5 and leave the novel docs unmatched. The oracle mirrors
+    batch construction, the corpus-df shingle cap on both sides, and the
+    best-match ranking."""
+    from vacancy_gpt_etl_pipeline_spark.operators.dedup import (
+        incremental_neardup,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.where(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" extra trailing tokens padding")
+        ).alias("text"),
+    )
+    novel = docs.where(F.col("doc_id") % 7 == 5).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("fresh document number "),
+            F.col("doc_id").cast("string"),
+            F.lit(" entirely novel content"),
+        ).alias("text"),
+    )
+    batch = perturbed.unionByName(novel)
+    return incremental_neardup(
+        batch, docs, n=3, threshold=0.5, max_shingle_freq=100
+    ).orderBy("batch_id")
+
+
+INCR_NEARDUP_SQL = r"""
+WITH batch AS (
+  SELECT doc_id + 1000000 AS doc_id,
+    text || ' extra trailing tokens padding' AS text
+  FROM documents WHERE doc_id % 7 = 3
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+    'fresh document number ' || CAST(doc_id AS VARCHAR)
+      || ' entirely novel content' AS text
+  FROM documents WHERE doc_id % 7 = 5
+),
+hs AS (
+  SELECT doc_id AS _id,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 2, 0)),
+      i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+           string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+           string_split_regex(trim(lower(text)), '\s+')[i+2]
+    )) AS grams
+  FROM documents
+),
+bs AS (
+  SELECT doc_id AS _id,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 2, 0)),
+      i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+           string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+           string_split_regex(trim(lower(text)), '\s+')[i+2]
+    )) AS grams
+  FROM batch
+),
+hex0 AS (SELECT _id AS hid, unnest(grams) AS s FROM hs WHERE len(grams) > 0),
+bex0 AS (SELECT _id AS bid, unnest(grams) AS s FROM bs WHERE len(grams) > 0),
+freq AS (SELECT s, COUNT(*) AS f FROM hex0 GROUP BY s),
+hexf AS (SELECT hid, hex0.s AS s FROM hex0 JOIN freq USING (s) WHERE f <= 100),
+bexf AS (
+  SELECT bid, s FROM bex0
+  WHERE s NOT IN (SELECT s FROM freq WHERE f > 100)
+),
+hsz AS (SELECT hid, COUNT(*) AS nh FROM hexf GROUP BY hid),
+bsz AS (SELECT bid, COUNT(*) AS nb FROM bexf GROUP BY bid),
+inter AS (
+  SELECT bid, hid, COUNT(*) AS i FROM bexf JOIN hexf USING (s)
+  GROUP BY bid, hid
+),
+scored AS (
+  SELECT bid, hid, ROUND(i / CAST(nb + nh - i AS DOUBLE), 6) AS jaccard
+  FROM inter JOIN bsz USING (bid) JOIN hsz USING (hid)
+),
+best AS (
+  SELECT bid, hid, jaccard,
+    row_number() OVER (PARTITION BY bid ORDER BY jaccard DESC, hid) AS rn
+  FROM scored WHERE jaccard >= 0.5
+)
+SELECT CAST(bid AS BIGINT) AS batch_id, CAST(hid AS BIGINT) AS matched_id,
+  jaccard
+FROM best WHERE rn = 1
+"""
+
+
 def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-corpus incremental dedup (operators/dedup.incremental_dedup):
     docs ≥ 250 plus planted copies of history docs arrive as a batch; the
@@ -3002,6 +3096,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "boilerplate_removal": QuerySpec(boilerplate_removal, BOILERPLATE_SQL),
     "adaptive_quality_floor": QuerySpec(
         adaptive_quality_floor_query, ADAPTIVE_FLOOR_SQL
+    ),
+    "incremental_neardup_batch": QuerySpec(
+        incremental_neardup_batch, INCR_NEARDUP_SQL
     ),
     "training_prep_pipeline": QuerySpec(training_prep_pipeline, TRAINING_PREP_SQL),
     # -- green in r5; most recent first ----------------------------------
