@@ -42,6 +42,9 @@ def test_near_dup_plans_have_no_cartesian_product(spark, sf_dir):
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_ngram_jaccard",
+        "incremental_neardup_batch",
+        "boilerplate_removal",
+        "fuzzy_match_parts",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
