@@ -3068,6 +3068,10 @@ WHERE levenshtein(l.t, r.t) <= 2
 # ALL entries with no window.
 REGISTRY: dict[str, QuerySpec] = {
     # -- stale-in-r5 tail entries (fresh driver rows needed) -------------
+    # a3 leads deliberately: the FIRST bench entry absorbs session warmup
+    # (janino + first scan — measured 11.1 s in-bench vs 3.4 s warm when
+    # dedup_survivor_selection led), so the cheapest query takes the hit
+    "a3_distinct_values": QuerySpec(a3_distinct_values, A3_SQL),
     "dedup_survivor_selection": QuerySpec(dedup_survivor_selection, _survivor_sql()),
     "embedding_near_dup": QuerySpec(embedding_near_dup, EMB_NEARDUP_SQL),
     "ann_brute_force": QuerySpec(ann_brute_force, ANN_SQL),
@@ -3079,7 +3083,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "asof_attribution": QuerySpec(asof_attribution, ASOF_SQL),
     "sketch_quantiles": QuerySpec(sketch_quantiles, SKETCH_QUANTILES_SQL),
     "text_analysis_profile": QuerySpec(text_analysis_profile, TEXT_PROFILE_SQL),
-    "a3_distinct_values": QuerySpec(a3_distinct_values, A3_SQL),
     "t3_order_by_limit": QuerySpec(t3_order_by_limit, T3_SQL),
     "t4_truncated_sample": QuerySpec(t4_truncated_sample, T4_SQL),
     "u1_union_all": QuerySpec(u1_union_all, U1_SQL),
