@@ -134,14 +134,18 @@ def main() -> None:
         _compare(prev_name, prev_queries, timings)
 
     # the driver parses the LAST ≤2000 chars of stdout; keep the line
-    # compact (no spaces, 2dp) and degrade to 1dp if the registry ever
-    # grows the line past a safe margin
+    # compact (no spaces, 2dp) and degrade to 1dp, then integer seconds,
+    # if the registry ever grows the line past a safe margin (the 0dp
+    # rung must emit ints — round(v, 0) still serializes as "86.0")
     for ndigits in (2, 1, 0):
         result = {
             "metric": "registry_wall_total",
             "value": round(total, 3),
             "unit": "sec",
-            "queries": {k: round(v, ndigits) for k, v in timings.items()},
+            "queries": {
+                k: (int(round(v)) if ndigits == 0 else round(v, ndigits))
+                for k, v in timings.items()
+            },
             "sf": sf,
         }
         line = json.dumps(result, separators=(",", ":"))

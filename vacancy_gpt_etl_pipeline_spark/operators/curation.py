@@ -129,6 +129,7 @@ def remove_boilerplate_ngrams(
     id_col: str = "doc_id",
     n: int = 3,
     min_doc_frequency: int = 30,
+    cache_scope=None,
 ) -> DataFrame:
     """Corpus-level boilerplate removal (the CCNet/RefinedWeb-style
     dedup-within-documents step): token ``n``-grams that occur in at
@@ -159,10 +160,15 @@ def remove_boilerplate_ngrams(
     """
     from pyspark.sql.functions import broadcast
 
-    toks_arr = df.select(
-        F.col(id_col).alias("_id"),
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_toks"),
-    ).persist()
+    from vacancy_gpt_etl_pipeline_spark.operators.caching import persist_in
+
+    toks_arr = persist_in(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_toks"),
+        ),
+        cache_scope,
+    )
     # (doc, pos, token) — pos is 1-based
     positions = toks_arr.select(
         "_id", F.posexplode("_toks").alias("_p0", "_tok")
@@ -178,11 +184,11 @@ def remove_boilerplate_ngrams(
         F.size("_toks") >= n,
         F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
     ).otherwise(F.array().cast("array<int>"))
-    occurrences = (
+    occurrences = persist_in(
         toks_arr.where(F.size("_toks") >= n)
         .select("_id", F.explode(starts).alias("_i"), "_toks")
-        .select("_id", "_i", F.md5(gram).alias("_gh"))
-        .persist()
+        .select("_id", "_i", F.md5(gram).alias("_gh")),
+        cache_scope,
     )
     boiler = (
         occurrences.groupBy("_gh")

@@ -35,8 +35,11 @@ from pyspark.sql import functions as F
 
 # rounds used by the most recent connected_components call — read by
 # tests and visible in bench stderr so a future timing regression can be
-# attributed to iteration count vs per-round cost (VERDICT r5 item 8)
+# attributed to iteration count vs per-round cost (VERDICT r5 item 8).
+# LAST_CONVERGED distinguishes a genuine fixpoint from max_iter
+# exhaustion (both can report rounds == max_iter).
 LAST_CONVERGENCE_ROUNDS: int | None = None
+LAST_CONVERGED: bool | None = None
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -110,18 +113,22 @@ def connected_components(
     )
     prev = _edge_fingerprint(edges)
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         rounds += 1
         cur = _edge_fingerprint(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
-    global LAST_CONVERGENCE_ROUNDS
+    global LAST_CONVERGENCE_ROUNDS, LAST_CONVERGED
     LAST_CONVERGENCE_ROUNDS = rounds
+    LAST_CONVERGED = converged
+    status = "converged" if converged else "NOT converged (max_iter hit)"
     print(
         f"[graph] connected_components: {rounds} rounds, "
-        f"{prev[0]} edges at convergence",
+        f"{prev[0]} edges, {status}",
         file=sys.stderr,
     )
     # Converged state is a star forest of (child → root) edges with

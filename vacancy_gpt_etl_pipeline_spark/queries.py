@@ -2540,7 +2540,8 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     fields, so the hash only matches if the encode→parse byte round-trip
     (offsets, endianness, header length) is right; spec conformance
     against hand-written real PNG/GIF literals is asserted in
-    tests/test_stateful.py golden tests. mean_luma (body-byte mean) stays
+    tests/test_multimodal_decode.py golden tests. mean_luma (body-byte
+    mean) stays
     Spark-side only — per-byte SQL unnesting is not worth an oracle."""
     docs = _t(spark, sf_dir, "documents")
     assets = synthesize_image_payload(docs, "doc_id", "text")
@@ -3129,14 +3130,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "range_join_attribution": QuerySpec(range_join_attribution, RANGE_JOIN_SQL),
     "sketch_distinct_rollup": QuerySpec(sketch_distinct_rollup, SKETCH_ROLLUP_SQL),
     "pii_redaction": QuerySpec(pii_redaction, PII_SQL),
+    # -------- window edge: the driver checks the first ~50-52 entries
+    # (r4 checked 52, r5 checked 50), so entries from HERE down may fall
+    # outside it. All have green full-hash CORRECTNESS_r05 rows AND are
+    # re-verified exactly on every pytest run by tests/test_oracle.py.
     "dedup_exact_documents": QuerySpec(dedup_exact_documents, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_cc_clusters": QuerySpec(dedup_cc_clusters, CC_CLUSTERS_SQL),
     "incremental_dedup_batch": QuerySpec(incremental_dedup_batch, INCR_DEDUP_SQL),
     "enrich_documents": QuerySpec(enrich_documents, ENRICH_SQL),
-    # -------- entries below are outside the driver's ~50-entry window ---
-    # (all have green full-hash CORRECTNESS_r05 rows AND are re-verified
-    #  exactly on every pytest run by tests/test_oracle.py)
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
     "j1_broadcast_join": QuerySpec(j1_broadcast_join, J1_SQL),
     "j2_semi_join": QuerySpec(j2_semi_join, J2_SQL),

@@ -17,7 +17,7 @@ from vacancy_gpt_etl_pipeline_spark.schemas import TESTDATA_TABLES
 from vacancy_gpt_etl_pipeline_spark.session import configure_session
 
 
-def widen_scan(df: DataFrame) -> DataFrame:
+def widen_scan(df: DataFrame, raw_scan: bool = False) -> DataFrame:
     """Round-robin a narrow scan up to executor width — use below
     CPU-DENSE map work (tokenize/md5/regex/rolling-hash/vector math), and
     only there.
@@ -43,15 +43,18 @@ def widen_scan(df: DataFrame) -> DataFrame:
     BM25 28.5 s → 11.5 s, IVF 16.7 s → 4.7 s).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    # Fast path: each input file contributes ≥1 scan split, so a file
-    # count ≥ target proves the scan is already wide WITHOUT the
-    # df.rdd.getNumPartitions() call (which forces physical planning plus
-    # a Python-RDD conversion — pure driver overhead). At cluster scale
-    # tables carry thousands of files, so hot reads take this free path;
-    # only the small-local-table case (few files, where the answer also
-    # depends on upstream repartitions the listing can't see) pays the
-    # .rdd planning cost, once per read.
-    if len(df.inputFiles()) >= target:
+    # Fast path, ONLY valid for a frame that is a bare file scan (the
+    # read_table caller): there each file contributes ≥1 split, so a
+    # file count ≥ target proves the scan is wide WITHOUT the
+    # df.rdd.getNumPartitions() call (which forces physical planning
+    # plus a Python-RDD conversion — pure driver overhead). The general
+    # case cannot use the listing: a post-scan coalesce/repartition (or
+    # small-file bin-packing under non-default file confs) changes the
+    # partition count while inputFiles() stays the same, so arbitrary
+    # frames fall through to the exact .rdd check. Callers that widen a
+    # raw scan pass raw_scan=True; at cluster scale tables carry
+    # thousands of files and hot reads take the free path.
+    if raw_scan and len(df.inputFiles()) >= target:
         return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -64,7 +67,7 @@ def read_table(
     configure_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if widen:
-        df = widen_scan(df)
+        df = widen_scan(df, raw_scan=True)
     # nanosAsLong surfaces TIMESTAMP(NANOS) columns as bigint; restore a
     # proper µs TimestampType column (the fixtures carry no sub-µs parts).
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
