@@ -42,13 +42,39 @@ from vacancy_gpt_etl_pipeline_spark.operators.sampling import (
 )
 from vacancy_gpt_etl_pipeline_spark.operators.text_search import bm25_topk
 from vacancy_gpt_etl_pipeline_spark.operators.curation import (
+    adaptive_quality_floor,
     curate_documents,
+    ngram_contamination,
     quality_filter,
+    remove_boilerplate_ngrams,
+)
+from vacancy_gpt_etl_pipeline_spark.operators.dedup import (
+    incremental_dedup,
+    incremental_neardup,
+)
+from vacancy_gpt_etl_pipeline_spark.operators.fuzzy import fuzzy_self_join
+from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+    decode_images,
+    synthesize_image_payload,
+)
+from vacancy_gpt_etl_pipeline_spark.operators.skew import (
+    salted_agg,
+    salted_collect_set,
 )
 
 __all__ = [
+    "adaptive_quality_floor",
     "curate_documents",
+    "decode_images",
+    "fuzzy_self_join",
+    "incremental_dedup",
+    "incremental_neardup",
+    "ngram_contamination",
     "quality_filter",
+    "remove_boilerplate_ngrams",
+    "salted_agg",
+    "salted_collect_set",
+    "synthesize_image_payload",
     "Enricher",
     "HttpLLMEnricher",
     "MockKeywordEnricher",
