@@ -148,3 +148,47 @@ def test_keep_first_is_deterministic_min(spark, rows):
     for k, v in rows:
         expect[k] = min(expect.get(k, v), v)
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# boilerplate removal invariants on Spark (bounded examples)
+# ---------------------------------------------------------------------------
+
+word = st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"])
+docs_strategy = st.lists(
+    st.lists(word, min_size=1, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=docs_strategy, min_df=st.integers(2, 4))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_boilerplate_removal_totality_and_subsequence(spark, texts, min_df):
+    """For ANY corpus: every doc comes back exactly once; n_kept <=
+    n_tokens; and the cleaned text is a SUBSEQUENCE of the original
+    tokens (removal never reorders or invents tokens)."""
+    from vacancy_gpt_etl_pipeline_spark.operators.curation import (
+        remove_boilerplate_ngrams,
+    )
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_ngrams(
+            df, n=3, min_doc_frequency=min_df
+        ).collect()
+    }
+    assert set(out) == {i for i, _ in rows}
+    for i, text in rows:
+        r = out[i]
+        toks = text.split()
+        assert r["n_tokens"] == len(toks)
+        assert 0 <= r["n_kept"] <= r["n_tokens"]
+        kept = r["cleaned_text"].split() if r["cleaned_text"] else []
+        assert len(kept) == r["n_kept"]
+        it = iter(toks)
+        assert all(any(t == k for t in it) for k in kept), (
+            f"cleaned text is not a subsequence: {kept} vs {toks}"
+        )
