@@ -98,3 +98,57 @@ def test_packing_deterministic_under_repartition(spark):
         for r in pack_sequences(docs.repartition(7), 50, "source").collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# deterministic shuffle-shard manifest
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_shards_total_dense_and_repartition_stable(spark):
+    from pyspark.sql import functions as F
+
+    from vacancy_gpt_etl_pipeline_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = {
+        r["doc_id"]: (r["shard_id"], r["pos_in_shard"])
+        for r in shuffle_shards(df, "doc_id", num_shards=8).collect()
+    }
+    # totality: every doc exactly once
+    assert len(out) == 200
+    # density: positions per shard are exactly 1..size
+    per_shard = {}
+    for shard, pos in out.values():
+        per_shard.setdefault(shard, []).append(pos)
+    assert set(per_shard) <= set(range(8))
+    for shard, poss in per_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # determinism: identical manifest from a differently-partitioned input
+    re = {
+        r["doc_id"]: (r["shard_id"], r["pos_in_shard"])
+        for r in shuffle_shards(
+            df.repartition(7), "doc_id", num_shards=8
+        ).collect()
+    }
+    assert re == out
+
+
+def test_shuffle_shards_salt_reshuffles(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    a = {
+        r["doc_id"]: (r["shard_id"], r["pos_in_shard"])
+        for r in shuffle_shards(df, "doc_id", salt="epoch0").collect()
+    }
+    b = {
+        r["doc_id"]: (r["shard_id"], r["pos_in_shard"])
+        for r in shuffle_shards(df, "doc_id", salt="epoch1").collect()
+    }
+    assert a != b  # a new salt is a new global order
+    assert set(a) == set(b)  # but the same total doc set

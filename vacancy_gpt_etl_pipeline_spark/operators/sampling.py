@@ -144,3 +144,38 @@ def budget_mix(
         .where(F.col("_cum_before") < F.col("_budget"))
         .drop("_h", "_cum_before", "_budget")
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    num_shards: int = 16,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global-shuffle manifest: ``(…, shard_id,
+    pos_in_shard)`` — the reproducible corpus shuffle a pretraining run
+    needs ("epoch order must be the same on every re-run and on the
+    re-run after a crash") without a global sort.
+
+    The row's md5(salt ‖ key) splits into independent bit fields: the
+    first 16 bits pick the shard (map-side, no shuffle), the remaining
+    hex orders rows WITHIN the shard (one row_number window per shard —
+    parallelism = ``num_shards``, so pick num_shards ≥ cluster width; a
+    1000-shard manifest at 100 TB gives every reducer ~one shard).
+    Changing ``salt`` reshuffles globally; keys tie-break so duplicate
+    hashes stay deterministic. Both fields are lowercase-hex md5 math,
+    so the manifest is engine-portable and oracle-verifiable.
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint"),
+        F.lit(num_shards),
+    )
+    order_bits = F.substring(h, 5, 28)
+    w = Window.partitionBy("shard_id").orderBy("_ord", key_col)
+    return (
+        df.withColumn("shard_id", shard)
+        .withColumn("_ord", order_bits)
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("bigint"))
+        .drop("_ord")
+    )

@@ -2782,6 +2782,39 @@ FROM w ORDER BY es_key DESC, doc_id LIMIT 100
 """
 
 
+def shuffle_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global-shuffle manifest
+    (operators/sampling.shuffle_shards): every document gets a
+    reproducible (shard_id, pos_in_shard) from disjoint md5 bit fields —
+    shard from the first 16 bits map-side, in-shard order from the
+    remaining hex via one window per shard. The oracle mirrors the hash
+    split and window rank; determinism under repartitioning is asserted
+    in tests/test_sampling_packing.py."""
+    from vacancy_gpt_etl_pipeline_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards(docs, "doc_id", num_shards=16).orderBy(
+        "shard_id", "pos_in_shard"
+    )
+
+
+SHUFFLE_SHARD_SQL = """
+WITH h AS (
+  SELECT doc_id, md5('shuffle' || CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents
+)
+SELECT doc_id,
+  ('0x' || substr(hh, 1, 4))::BIGINT % 16 AS shard_id,
+  CAST(row_number() OVER (
+    PARTITION BY ('0x' || substr(hh, 1, 4))::BIGINT % 16
+    ORDER BY substr(hh, 5, 28), doc_id
+  ) AS BIGINT) AS pos_in_shard
+FROM h
+"""
+
+
 def ngram_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """13-gram eval-contamination audit (operators/curation.
     ngram_contamination): the standard GPT-3-style passage-overlap check.
@@ -3104,6 +3137,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "incremental_neardup_batch": QuerySpec(
         incremental_neardup_batch, INCR_NEARDUP_SQL
     ),
+    "shuffle_shard_manifest": QuerySpec(shuffle_shard_manifest, SHUFFLE_SHARD_SQL),
     "training_prep_pipeline": QuerySpec(training_prep_pipeline, TRAINING_PREP_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
