@@ -37,8 +37,11 @@ from vacancy_gpt_etl_pipeline_spark.operators.packing import (
     pack_summary,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.sampling import (
+    budget_mix,
     hash_permille,
+    shuffle_shards,
     stratified_sample,
+    weighted_sample,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.text_search import bm25_topk
 from vacancy_gpt_etl_pipeline_spark.operators.curation import (
@@ -100,8 +103,11 @@ __all__ = [
     "bm25_topk",
     "connected_components",
     "dedup_clusters",
+    "budget_mix",
     "hash_permille",
     "pack_sequences",
     "pack_summary",
+    "shuffle_shards",
     "stratified_sample",
+    "weighted_sample",
 ]
