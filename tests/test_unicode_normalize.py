@@ -1,0 +1,42 @@
+"""Unicode normalization (functions/text.unicode_normalize_udf): golden
+composition, pass-through, idempotence, null safety, NFKC variant."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vacancy_gpt_etl_pipeline_spark.functions.text import unicode_normalize_udf
+
+
+def _norm(spark, rows, form="NFC"):
+    df = spark.createDataFrame(rows, "id long, t string")
+    udf = unicode_normalize_udf(form)
+    return {r["id"]: r["n"] for r in df.select("id", udf("t").alias("n")).collect()}
+
+
+def test_nfc_composes_combining_marks(spark):
+    out = _norm(spark, [(1, "cafe\u0301"), (2, "fiance\u0301e")])
+    assert out[1] == "caf\u00e9"
+    assert out[2] == "fianc\u00e9e"
+
+
+def test_nfc_leaves_composed_and_ascii_untouched(spark):
+    out = _norm(spark, [(1, "caf\u00e9"), (2, "plain ascii text")])
+    assert out[1] == "caf\u00e9"
+    assert out[2] == "plain ascii text"
+
+
+def test_nfc_is_idempotent_and_null_safe(spark):
+    rows = [(1, "no\u0308el"), (2, None)]
+    once = _norm(spark, rows)
+    twice = _norm(spark, [(k, v) for k, v in once.items()])
+    assert twice == once
+    assert once[2] is None
+
+
+def test_nfkc_folds_compatibility_forms(spark):
+    # U+FB01 LATIN SMALL LIGATURE FI -> "fi" under NFKC, untouched by NFC
+    out_nfc = _norm(spark, [(1, "\ufb01le")], form="NFC")
+    out_nfkc = _norm(spark, [(1, "\ufb01le")], form="NFKC")
+    assert out_nfc[1] == "\ufb01le"
+    assert out_nfkc[1] == "file"

@@ -188,3 +188,29 @@ def pii_marker_counts(redacted: Column | str) -> list[Column]:
         .alias(n)
         for (_, marker), n in zip(PII_PATTERNS, names)
     ]
+
+
+def unicode_normalize_udf(form: str = "NFC"):
+    """Arrow-vectorized Unicode normalization (NFC/NFKC/NFD/NFKD) — the
+    canonicalization pass multilingual corpora need before hashing,
+    dedup, or tokenization (a decomposed "é" (e + U+0301) and the
+    composed U+00E9 are different bytes, so every downstream
+    content-hash operator treats them as different documents).
+
+    Spark ships no normalization built-in, so this is a legitimate
+    Python boundary: a scalar ``pandas_udf`` (Arrow batches, not
+    row-at-a-time) over ``unicodedata.normalize`` — the same NFC the
+    DuckDB oracle's ``nfc_normalize`` implements, so results are
+    engine-exact. Null-safe: None passes through."""
+    import unicodedata
+
+    import pandas as pd  # noqa: F401  (type anchor for the udf)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    return _norm

@@ -2782,6 +2782,60 @@ FROM w ORDER BY es_key DESC, doc_id LIMIT 100
 """
 
 
+def unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (functions/text.unicode_normalize_udf,
+    Arrow-vectorized pandas_udf — Spark has no normalization built-in).
+    The ASCII fixture corpus gets planted non-NFC text: doc_id % 3 == 0
+    docs carry decomposed accents (e + U+0301) that NFC must compose,
+    doc_id % 3 == 1 docs carry the already-composed forms that NFC must
+    leave untouched. The oracle is DuckDB's native nfc_normalize — an
+    INDEPENDENT normalization implementation, not a mirror. cp_delta
+    counts the combining marks merged (both engines count code points
+    for BMP text)."""
+    from vacancy_gpt_etl_pipeline_spark.functions.text import (
+        unicode_normalize_udf,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" cafe\u0301 fiance\u0301e")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.col("text"), F.lit(" caf\u00e9 fianc\u00e9e")),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    nfc = unicode_normalize_udf("NFC")
+    return planted.select(
+        "doc_id",
+        nfc(F.col("t")).alias("text_nfc"),
+        (F.col("t") != nfc(F.col("t"))).alias("changed"),
+        (F.length("t") - F.length(nfc(F.col("t")))).cast("long").alias("cp_delta"),
+    ).orderBy("doc_id")
+
+
+UNICODE_NFC_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+           THEN text || ' cafe' || chr(769) || ' fiance' || chr(769) || 'e'
+         WHEN doc_id % 3 = 1
+           THEN text || ' caf' || chr(233) || ' fianc' || chr(233) || 'e'
+         ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id, nfc_normalize(t) AS text_nfc,
+  (t <> nfc_normalize(t)) AS changed,
+  CAST(length(t) - length(nfc_normalize(t)) AS BIGINT) AS cp_delta
+FROM planted
+"""
+
+
 def shuffle_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global-shuffle manifest
     (operators/sampling.shuffle_shards): every document gets a
@@ -3138,6 +3192,7 @@ REGISTRY: dict[str, QuerySpec] = {
         incremental_neardup_batch, INCR_NEARDUP_SQL
     ),
     "shuffle_shard_manifest": QuerySpec(shuffle_shard_manifest, SHUFFLE_SHARD_SQL),
+    "unicode_nfc_normalize": QuerySpec(unicode_nfc_normalize, UNICODE_NFC_SQL),
     "training_prep_pipeline": QuerySpec(training_prep_pipeline, TRAINING_PREP_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
