@@ -133,23 +133,30 @@ def main() -> None:
         prev_name, prev_queries = previous
         _compare(prev_name, prev_queries, timings)
 
-    # the driver parses the LAST ≤2000 chars of stdout; keep the line
-    # compact (no spaces, 2dp) and degrade to 1dp, then integer seconds,
-    # if the registry ever grows the line past a safe margin (the 0dp
-    # rung must emit ints — round(v, 0) still serializes as "86.0")
-    for ndigits in (2, 1, 0):
+    # the driver parses the LAST ≤2000 chars of stdout; this line is the
+    # final stdout write, so anything ≤ 1985 (+newline) survives the tail
+    # with 14 chars of margin. Degrade ladder keeps per-query resolution
+    # as long as possible: 2dp → 1dp → 1dp-with-int-above-10s → int
+    # seconds (ints must be real ints — round(v, 0) serializes as
+    # "86.0"). At 77 entries the 1dp line is ~1983 chars at sf0.1, so
+    # the first two rungs are near the edge; every new registry entry
+    # costs ~26 chars (the key name dominates, not the value digits).
+    schemes = [
+        lambda v: round(v, 2),
+        lambda v: round(v, 1),
+        lambda v: int(round(v)) if v >= 10 else round(v, 1),
+        lambda v: int(round(v)),
+    ]
+    for fmt in schemes:
         result = {
             "metric": "registry_wall_total",
             "value": round(total, 3),
             "unit": "sec",
-            "queries": {
-                k: (int(round(v)) if ndigits == 0 else round(v, ndigits))
-                for k, v in timings.items()
-            },
+            "queries": {k: fmt(v) for k, v in timings.items()},
             "sf": sf,
         }
         line = json.dumps(result, separators=(",", ":"))
-        if len(line) <= 1900:
+        if len(line) <= 1985:
             break
     print(line)
 

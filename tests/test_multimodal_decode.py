@@ -121,3 +121,76 @@ def test_decode_quarantines_unknown_bytes(spark):
     assert r["fmt"] == "unknown"
     assert r["width"] is None and r["height"] is None and r["bit_depth"] is None
     assert r["n_bytes"] == 19
+
+
+# A canonical 44-byte PCM WAV header, hand-written from the RIFF spec:
+# mono, 8000 Hz, 16-bit, 8 data bytes (so 4 frames = 0.0005 s).
+GOLDEN_WAV = (
+    b"RIFF" + (36 + 8).to_bytes(4, "little") + b"WAVE"
+    + b"fmt " + (16).to_bytes(4, "little")
+    + (1).to_bytes(2, "little")          # PCM
+    + (1).to_bytes(2, "little")          # mono
+    + (8000).to_bytes(4, "little")       # sample rate
+    + (16000).to_bytes(4, "little")      # byte rate = 8000 * 1 * 2
+    + (2).to_bytes(2, "little")          # block align
+    + (16).to_bytes(2, "little")         # bits
+    + b"data" + (8).to_bytes(4, "little")
+    + b"\x00" * 8
+)
+
+
+def test_parse_golden_wav():
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        _parse_wav_header,
+    )
+
+    fmt, ch, rate, bits, dur = _parse_wav_header(GOLDEN_WAV)
+    assert (fmt, ch, rate, bits) == ("wav", 1, 8000, 16)
+    assert dur == 8 / 16000
+
+
+def test_parse_wav_rejects_non_riff():
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        _parse_wav_header,
+    )
+
+    assert _parse_wav_header(b"not audio" * 6)[0] == "unknown"
+    assert _parse_wav_header(GOLDEN_PNG_1x1)[0] == "unknown"
+
+
+def test_synthesized_wav_round_trip(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        WAV_HEADER_LEN,
+        decode_audio,
+        synthesize_audio_payload,
+    )
+
+    rows = [(i, f"pcm body {i} " + "xy" * i) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    [probe] = synthesize_audio_payload(df.where("doc_id = 1")).collect()
+    b = bytes(probe["content"])
+    # spec conformance of the synthesized header itself
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE" and b[12:16] == b"fmt "
+    assert int.from_bytes(b[16:20], "little") == 16  # fmt chunk size
+    assert int.from_bytes(b[20:22], "little") == 1   # PCM tag
+    assert int.from_bytes(b[28:32], "little") == (   # byte rate derived
+        int.from_bytes(b[24:28], "little")
+        * int.from_bytes(b[22:24], "little") * 2
+    )
+    assert b[36:40] == b"data"
+    assert b[WAV_HEADER_LEN:] == rows[1][1].encode()
+    out = {
+        r["asset_id"]: r
+        for r in decode_audio(synthesize_audio_payload(df)).collect()
+    }
+    for i, text in rows:
+        r = out[i]
+        body = len(text.encode())
+        assert r["fmt"] == "wav"
+        assert r["channels"] == i % 2 + 1
+        assert r["sample_rate"] == {0: 8000, 1: 16000, 2: 44100}[i % 3]
+        assert r["bits_per_sample"] == 16
+        assert r["n_bytes"] == WAV_HEADER_LEN + body
+        assert r["duration_sec"] == body / (
+            r["sample_rate"] * r["channels"] * 2
+        )

@@ -120,6 +120,152 @@ def synthesize_image_payload(
     )
 
 
+def _le32_hex(col: F.Column) -> F.Column:
+    """4-byte little-endian hex of a non-negative int < 2^32."""
+    c = col.cast("bigint")
+    return F.concat(
+        F.lpad(F.hex(c % 256), 2, "0"),
+        F.lpad(F.hex(F.shiftright(c, 8) % 256), 2, "0"),
+        F.lpad(F.hex(F.shiftright(c, 16) % 256), 2, "0"),
+        F.lpad(F.hex(F.shiftright(c, 24) % 256), 2, "0"),
+    )
+
+
+WAV_HEADER_LEN = 44  # canonical PCM: RIFF(12) + fmt(24) + data header(8)
+
+
+def synthesize_audio_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic audio-asset fixture with a REAL canonical 44-byte PCM
+    WAV header (RIFF/WAVE + fmt + data chunks, all little-endian per
+    spec), built JVM-side like :func:`synthesize_image_payload`. The
+    utf-8 text bytes stand in for PCM samples. Channels = 1 + id % 2,
+    sample rate cycles 8000/16000/44100 by id % 3, 16-bit samples;
+    byte rate and block align are derived per spec so a WAV reader that
+    validates the fmt chunk accepts the header."""
+    channels = (F.col(id_col) % 2 + 1).cast("int")
+    rate = (
+        F.when(F.col(id_col) % 3 == 0, 8000)
+        .when(F.col(id_col) % 3 == 1, 16000)
+        .otherwise(44100)
+        .cast("int")
+    )
+    bits = F.lit(16)
+    block_align = (channels * 2).cast("int")
+    byte_rate = (rate * block_align).cast("bigint")
+    data_size = F.octet_length(F.encode(F.col(text_col), "UTF-8"))
+    header_hex = F.concat(
+        F.lit("52494646"),                 # 'RIFF'
+        _le32_hex(data_size + 36),         # chunk size
+        F.lit("57415645666D7420"),         # 'WAVE' + 'fmt '
+        F.lit("10000000"),                 # fmt chunk size 16
+        F.lit("0100"),                     # PCM
+        F.concat(                          # channels LE16
+            F.lpad(F.hex(channels % 256), 2, "0"),
+            F.lpad(F.hex(F.shiftright(channels, 8) % 256), 2, "0"),
+        ),
+        _le32_hex(rate),
+        _le32_hex(byte_rate),
+        F.concat(                          # block align LE16
+            F.lpad(F.hex(block_align % 256), 2, "0"),
+            F.lpad(F.hex(F.shiftright(block_align, 8) % 256), 2, "0"),
+        ),
+        F.concat(                          # bits per sample LE16
+            F.lpad(F.hex(bits % 256), 2, "0"), F.lit("00")
+        ),
+        F.lit("64617461"),                 # 'data'
+        _le32_hex(data_size),
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("asset_id"),
+        F.concat(
+            F.unhex(header_hex), F.encode(F.col(text_col), "UTF-8")
+        ).alias("content"),
+        F.lit("audio").alias("modality"),
+        F.lit("audio/wav").alias("mime_type"),
+    )
+
+
+DECODED_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+    ]
+)
+
+
+def _parse_wav_header(
+    b: bytes,
+) -> tuple[str, int | None, int | None, int | None, float | None]:
+    """(fmt, channels, sample_rate, bits_per_sample, duration_sec) from a
+    canonical RIFF/WAVE header: fmt-chunk fields are little-endian at
+    spec offsets 22/24/34; duration = data size / byte rate."""
+    if (
+        len(b) >= WAV_HEADER_LEN
+        and b[:4] == b"RIFF"
+        and b[8:12] == b"WAVE"
+        and b[12:16] == b"fmt "
+    ):
+        channels = int.from_bytes(b[22:24], "little")
+        rate = int.from_bytes(b[24:28], "little")
+        byte_rate = int.from_bytes(b[28:32], "little")
+        bits = int.from_bytes(b[34:36], "little")
+        data_size = int.from_bytes(b[40:44], "little")
+        # plain IEEE division of two exact ints — bit-identical in every
+        # engine, unlike round(x, 6) whose half-way rule differs
+        dur = data_size / byte_rate if byte_rate else None
+        return ("wav", channels, rate, bits, dur)
+    return ("unknown", None, None, None, None)
+
+
+def decode_audio(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Decode audio payloads to (channels, sample_rate, bits_per_sample,
+    duration) by parsing the REAL RIFF/WAVE header bytes — the audio twin
+    of :func:`decode_images`, same Arrow ``mapInPandas`` shape. Sample
+    decode (PCM frames) would need an audio library; the header parse is
+    real decoding of real bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "asset_id": [],
+                "fmt": [],
+                "channels": [],
+                "sample_rate": [],
+                "bits_per_sample": [],
+                "n_bytes": [],
+                "duration_sec": [],
+            }
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(content) if content is not None else b""
+                fmt, ch, rate, bits, dur = _parse_wav_header(b)
+                rows["asset_id"].append(int(aid))
+                rows["fmt"].append(fmt)
+                rows["channels"].append(ch)
+                rows["sample_rate"].append(rate)
+                rows["bits_per_sample"].append(bits)
+                rows["n_bytes"].append(len(b))
+                rows["duration_sec"].append(dur)
+            out = pd.DataFrame(rows)
+            for c in ("channels", "sample_rate", "bits_per_sample"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return df.select(id_col, content_col).mapInPandas(run, DECODED_AUDIO_SCHEMA)
+
+
 DECODED_IMAGE_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),

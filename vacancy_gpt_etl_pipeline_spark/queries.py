@@ -56,7 +56,9 @@ from vacancy_gpt_etl_pipeline_spark.operators.enrichment import (
 )
 from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
     attach_text_payload,
+    decode_audio,
     decode_images,
+    synthesize_audio_payload,
     synthesize_image_payload,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.relational import ratio_of_total
@@ -2782,6 +2784,48 @@ FROM w ORDER BY es_key DESC, doc_id LIMIT 100
 """
 
 
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of multimodal_decode (operators/multimodal.py):
+    documents become WAV assets with a REAL canonical 44-byte RIFF/WAVE
+    PCM header built JVM-side (little-endian fmt fields per spec), and
+    decode_audio recovers channels / sample rate / bit depth / duration
+    by parsing those bytes in the Arrow decoder. The oracle derives the
+    expected values from the doc fields, so the hash only matches if the
+    encode→parse byte round-trip is right; conformance against a
+    hand-written real WAV header literal is asserted in
+    tests/test_multimodal_decode.py. Duration is a plain IEEE division
+    (data bytes / byte rate) — bit-identical across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = synthesize_audio_payload(docs, "doc_id", "text")
+    return decode_audio(assets).select(
+        "asset_id",
+        "fmt",
+        "channels",
+        "sample_rate",
+        "bits_per_sample",
+        "n_bytes",
+        "duration_sec",
+    )
+
+
+MULTIMODAL_AUDIO_SQL = """
+WITH f AS (
+  SELECT doc_id,
+    CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+    CAST(CASE WHEN doc_id % 3 = 0 THEN 8000
+              WHEN doc_id % 3 = 1 THEN 16000
+              ELSE 44100 END AS INTEGER) AS sample_rate,
+    octet_length(encode(text)) AS data_size
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS asset_id, 'wav' AS fmt,
+  channels, sample_rate, CAST(16 AS INTEGER) AS bits_per_sample,
+  CAST(44 + data_size AS BIGINT) AS n_bytes,
+  data_size / CAST(sample_rate * channels * 2 AS DOUBLE) AS duration_sec
+FROM f
+"""
+
+
 def unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization (functions/text.unicode_normalize_udf,
     Arrow-vectorized pandas_udf — Spark has no normalization built-in).
@@ -3193,6 +3237,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "shuffle_shard_manifest": QuerySpec(shuffle_shard_manifest, SHUFFLE_SHARD_SQL),
     "unicode_nfc_normalize": QuerySpec(unicode_nfc_normalize, UNICODE_NFC_SQL),
+    "multimodal_audio_decode": QuerySpec(
+        multimodal_audio_decode, MULTIMODAL_AUDIO_SQL
+    ),
     "training_prep_pipeline": QuerySpec(training_prep_pipeline, TRAINING_PREP_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
