@@ -57,7 +57,9 @@ from vacancy_gpt_etl_pipeline_spark.operators.dedup import (
 )
 from vacancy_gpt_etl_pipeline_spark.operators.fuzzy import fuzzy_self_join
 from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+    decode_audio,
     decode_images,
+    synthesize_audio_payload,
     synthesize_image_payload,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.skew import (
@@ -68,6 +70,7 @@ from vacancy_gpt_etl_pipeline_spark.operators.skew import (
 __all__ = [
     "adaptive_quality_floor",
     "curate_documents",
+    "decode_audio",
     "decode_images",
     "fuzzy_self_join",
     "incremental_dedup",
@@ -77,6 +80,7 @@ __all__ = [
     "remove_boilerplate_ngrams",
     "salted_agg",
     "salted_collect_set",
+    "synthesize_audio_payload",
     "synthesize_image_payload",
     "Enricher",
     "HttpLLMEnricher",
