@@ -138,9 +138,10 @@ def main() -> None:
     # with 14 chars of margin. Degrade ladder keeps per-query resolution
     # as long as possible: 2dp → 1dp → 1dp-with-int-above-10s → int
     # seconds (ints must be real ints — round(v, 0) serializes as
-    # "86.0"). At 77 entries the 1dp line is ~1983 chars at sf0.1, so
-    # the first two rungs are near the edge; every new registry entry
-    # costs ~26 chars (the key name dominates, not the value digits).
+    # "86.0"). At 80 entries the 1dp line is ~1974 chars at sf0.1 (after
+    # the round-6 short-key rebalance, PLANS.md), so the first two rungs
+    # are near the edge; every new registry entry costs ~20-26 chars
+    # (the key name dominates, not the value digits).
     schemes = [
         lambda v: round(v, 2),
         lambda v: round(v, 1),

@@ -42,12 +42,33 @@ def test_near_dup_plans_have_no_cartesian_product(spark, sf_dir):
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_ngram_jaccard",
-        "incremental_neardup_batch",
-        "boilerplate_removal",
+        "neardup_incr",
+        "boilerplate_rm",
         "fuzzy_match_parts",
+        "pmi_collocations",
+        "cohort_retention",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_pmi_broadcasts_vocab_not_bigrams(spark, sf_dir):
+    # the unigram vocabulary is the broadcast side twice; the bigram
+    # stream (corpus-sized) must never broadcast or sort-merge
+    plan = _plan(spark, sf_dir, "pmi_collocations")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+
+
+def test_zorder_manifest_is_one_agg_over_broadcast_stats(spark, sf_dir):
+    # stats are a 1-row broadcast (nested-loop over broadcast is the
+    # planner's shape for a 1-row cross join); the z-value is map-side,
+    # so the ONLY row shuffle is the bucket aggregate + the order-by
+    plan = _plan(spark, sf_dir, "zorder_manifest")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning") <= 1
 
 
 def test_ann_brute_force_broadcasts_queries_not_corpus(spark, sf_dir):
@@ -114,7 +135,7 @@ def test_curation_e2e_reuses_survivor_frame_and_stays_blocked(spark, sf_dir):
     contains no extra parquet re-scans of documents beyond cache
     population; and the near-dup stage inside it must stay blocked (no
     cartesian)."""
-    plan = _plan(spark, sf_dir, "curation_pipeline_e2e")
+    plan = _plan(spark, sf_dir, "curation_e2e")
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan  # consumers read the cached survivors
     # every documents read in the final plan goes through the cache; the

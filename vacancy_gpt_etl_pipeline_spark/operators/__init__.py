@@ -66,9 +66,23 @@ from vacancy_gpt_etl_pipeline_spark.operators.skew import (
     salted_agg,
     salted_collect_set,
 )
+from vacancy_gpt_etl_pipeline_spark.operators.retention import cohort_retention
+from vacancy_gpt_etl_pipeline_spark.operators.text_search import (
+    pmi_collocations,
+)
+from vacancy_gpt_etl_pipeline_spark.operators.layout import (
+    zorder_manifest,
+    zorder_repartition,
+    zvalue,
+)
 
 __all__ = [
     "adaptive_quality_floor",
+    "cohort_retention",
+    "pmi_collocations",
+    "zorder_manifest",
+    "zorder_repartition",
+    "zvalue",
     "curate_documents",
     "decode_audio",
     "decode_images",

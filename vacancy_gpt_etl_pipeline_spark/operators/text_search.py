@@ -161,3 +161,81 @@ def tfidf_keywords(
         .where(F.col("rank") <= k)
         .select("doc_id", "term", "score", "rank")
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    k: int = 100,
+    min_count: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level collocation mining: the ``k`` adjacent word pairs
+    most over-represented vs an independence baseline, ranked by
+    pointwise mutual information ``ln(c(xy)·N / (c(x)·c(y)))`` where the
+    unigram counts are taken over the same token stream.
+
+    The vocabulary-audit complement of :func:`tfidf_keywords` — TF-IDF
+    finds per-document keywords, PMI finds corpus-wide multiword terms
+    (named entities, idioms, templated boilerplate phrases) that a
+    tokenizer or a dedup shingle size should treat as units.
+
+    Scale shape: bigrams are built MAP-SIDE as an array transform over
+    the split token stream (no positional self-join — adjacency never
+    shuffles); one groupBy per stream (bigram, unigram — both map-side
+    combined); the unigram vocabulary is broadcast twice into the bigram
+    frame (vocab ≪ corpus by Heaps' law, and ``min_count`` prunes the
+    bigram side before the joins). Scores quantize to decimal before
+    ranking so tie-breaks (pair asc) are engine-stable.
+    """
+    toks = docs.select(_tokens(text_col).alias("_t"))
+    uni = toks.select(F.explode("_t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c_w")
+    )
+    # adjacent pairs over the raw stream: element i paired with i+1
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("_t") - 1, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("_t", i), F.element_at("_t", i + 1)
+                ),
+            )
+        ).alias("pair")
+    )
+    big = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("c_xy")).where(
+        F.col("c_xy") >= min_count
+    )
+    n_pairs = pairs.select(F.count(F.lit(1)).alias("n_pairs"))
+    split = F.split(F.col("pair"), " ", 2)
+    scored = (
+        big.withColumn("x", split.getItem(0))
+        .withColumn("y", split.getItem(1))
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("x"), F.col("c_w").alias("c_x"))),
+            "x",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("y"), F.col("c_w").alias("c_y"))),
+            "y",
+        )
+        .crossJoin(F.broadcast(n_pairs))
+        .select(
+            "pair",
+            F.col("c_xy").cast("bigint").alias("c_xy"),
+            F.round(
+                F.log(
+                    F.col("c_xy")
+                    * F.col("n_pairs")
+                    / (F.col("c_x") * F.col("c_y"))
+                )
+                .cast("decimal(28,12)")
+                .cast("double"),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi"), F.asc("pair"))
+        .limit(k)
+        .select("pair", "c_xy", "pmi")
+    )

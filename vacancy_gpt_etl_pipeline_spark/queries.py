@@ -3186,6 +3186,138 @@ WHERE levenshtein(l.t, r.t) <= 2
 """
 
 
+def cohort_retention_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (operators/retention.
+    cohort_retention): users bucketed by first-event week; each
+    (cohort, weeks-since) cell counts returning users and the retention
+    percentage. retention_pct is plain IEEE multiply/divide — no
+    transcendentals, so no rounding and no half-way hazard."""
+    from vacancy_gpt_etl_pipeline_spark.operators.retention import (
+        cohort_retention,
+    )
+
+    events = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return cohort_retention(events)
+
+
+COHORT_RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id AS u,
+    CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+),
+triangle AS (
+  SELECT cohort_week,
+    CAST(date_diff('day', cohort_week, week) // 7 AS INT) AS week_offset,
+    CAST(COUNT(*) AS BIGINT) AS active_users
+  FROM activity JOIN first USING (u)
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM first GROUP BY cohort_week
+)
+SELECT cohort_week, week_offset, active_users, cohort_size,
+  (active_users * 100.0) / cohort_size AS retention_pct
+FROM triangle JOIN sizes USING (cohort_week)
+ORDER BY cohort_week, week_offset
+"""
+
+
+def pmi_collocations_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide PMI collocation mining (operators/text_search.
+    pmi_collocations): top-100 adjacent word pairs by pointwise mutual
+    information over the whole documents token stream. Bigrams are
+    built map-side (array transform — adjacency never shuffles);
+    unigram vocabulary broadcasts into the pruned bigram frame."""
+    from vacancy_gpt_etl_pipeline_spark.operators.text_search import (
+        pmi_collocations,
+    )
+
+    docs = _t(spark, sf_dir, "documents", widen=True).select("text")
+    return pmi_collocations(docs, k=100, min_count=3)
+
+
+PMI_SQL = """
+WITH toks AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+),
+pairs AS (
+  SELECT unnest(list_transform(
+    generate_series(1, greatest(len(t) - 1, 0)),
+    i -> t[i] || ' ' || t[i + 1])) AS pair
+  FROM toks
+),
+big AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM pairs GROUP BY pair HAVING COUNT(*) >= 3
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs),
+scored AS (
+  SELECT pair, c_xy,
+    ROUND(CAST(CAST(ln(
+      CAST(c_xy * n_pairs AS DOUBLE) / CAST(cx.c_w * cy.c_w AS DOUBLE)
+    ) AS DECIMAL(28,12)) AS DOUBLE), 6) AS pmi
+  FROM big
+  JOIN uni cx ON cx.w = string_split(pair, ' ')[1]
+  JOIN uni cy ON cy.w = string_split(pair, ' ')[2]
+  CROSS JOIN n
+)
+SELECT pair, c_xy, pmi FROM scored ORDER BY pmi DESC, pair LIMIT 100
+"""
+
+
+def zorder_manifest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout manifest (operators/layout.zorder_manifest):
+    lineitem keyed by the Morton interleave of (l_orderkey, l_partkey);
+    per-bucket row counts and min/max of BOTH dimensions — the
+    statistics a file pruner consults, proving two-dimensional scan
+    pruning would work after zorder_repartition. The oracle shares the
+    curve definition via the generated-SQL twins in operators/layout."""
+    from vacancy_gpt_etl_pipeline_spark.operators.layout import (
+        zorder_manifest,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return zorder_manifest(li, "l_orderkey", "l_partkey", bits=16, bucket_bits=8)
+
+
+def _zorder_sql() -> str:
+    from vacancy_gpt_etl_pipeline_spark.operators.layout import (
+        duckdb_interleave_sql,
+        duckdb_norm_sql,
+    )
+
+    nx = duckdb_norm_sql("l_orderkey", "xmin", "xmax", bits=16)
+    ny = duckdb_norm_sql("l_partkey", "ymin", "ymax", bits=16)
+    inter = duckdb_interleave_sql("zx", "zy", bits=16)
+    return f"""
+WITH stats AS (
+  SELECT MIN(l_orderkey) AS xmin, MAX(l_orderkey) AS xmax,
+         MIN(l_partkey) AS ymin, MAX(l_partkey) AS ymax
+  FROM lineitem
+),
+n AS (
+  SELECT l_orderkey, l_partkey, {nx} AS zx, {ny} AS zy
+  FROM lineitem CROSS JOIN stats
+),
+z AS (SELECT l_orderkey, l_partkey, ({inter}) AS zval FROM n)
+SELECT CAST(zval >> 24 AS INT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  MIN(l_orderkey) AS x_min, MAX(l_orderkey) AS x_max,
+  MIN(l_partkey) AS y_min, MAX(l_partkey) AS y_max
+FROM z GROUP BY 1 ORDER BY bucket
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3225,21 +3357,24 @@ REGISTRY: dict[str, QuerySpec] = {
     # -- new or changed in round 6 ---------------------------------------
     "fuzzy_match_parts": QuerySpec(fuzzy_match_parts, FUZZY_SQL),
     "moving_average_events": QuerySpec(moving_average_events, MOVING_AVG_SQL),
-    "multimodal_decode": QuerySpec(multimodal_decode, MULTIMODAL_DECODE_SQL),
-    "salted_hot_key_agg": QuerySpec(salted_hot_key_agg, SALTED_AGG_SQL),
-    "curation_pipeline_e2e": QuerySpec(curation_pipeline_e2e, CURATION_E2E_SQL),
-    "boilerplate_removal": QuerySpec(boilerplate_removal, BOILERPLATE_SQL),
-    "adaptive_quality_floor": QuerySpec(
+    "image_decode": QuerySpec(multimodal_decode, MULTIMODAL_DECODE_SQL),
+    "salted_agg": QuerySpec(salted_hot_key_agg, SALTED_AGG_SQL),
+    "curation_e2e": QuerySpec(curation_pipeline_e2e, CURATION_E2E_SQL),
+    "boilerplate_rm": QuerySpec(boilerplate_removal, BOILERPLATE_SQL),
+    "quality_floor": QuerySpec(
         adaptive_quality_floor_query, ADAPTIVE_FLOOR_SQL
     ),
-    "incremental_neardup_batch": QuerySpec(
+    "neardup_incr": QuerySpec(
         incremental_neardup_batch, INCR_NEARDUP_SQL
     ),
-    "shuffle_shard_manifest": QuerySpec(shuffle_shard_manifest, SHUFFLE_SHARD_SQL),
-    "unicode_nfc_normalize": QuerySpec(unicode_nfc_normalize, UNICODE_NFC_SQL),
-    "multimodal_audio_decode": QuerySpec(
+    "shard_manifest": QuerySpec(shuffle_shard_manifest, SHUFFLE_SHARD_SQL),
+    "nfc_normalize": QuerySpec(unicode_nfc_normalize, UNICODE_NFC_SQL),
+    "audio_decode": QuerySpec(
         multimodal_audio_decode, MULTIMODAL_AUDIO_SQL
     ),
+    "cohort_retention": QuerySpec(cohort_retention_query, COHORT_RETENTION_SQL),
+    "pmi_collocations": QuerySpec(pmi_collocations_query, PMI_SQL),
+    "zorder_manifest": QuerySpec(zorder_manifest_query, _zorder_sql()),
     "training_prep_pipeline": QuerySpec(training_prep_pipeline, TRAINING_PREP_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
