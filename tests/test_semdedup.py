@@ -1,0 +1,112 @@
+"""SemDeDup semantic dedup: exact-mirror + quality-bound tests.
+
+The operator is pytest-verified (like lloyd_refine): its keep/drop set is
+recomputed EXACTLY by an independent Python implementation of the same
+greedy-lowest-id rule over the same deterministic cell assignment, plus
+conservative-cap and partition properties.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+from vacancy_gpt_etl_pipeline_spark.operators.similarity import semdedup
+
+DIM = 8
+STRIDE = 7
+N_CENTROIDS = 6
+THRESHOLD = 0.95
+
+
+def _base(g: int) -> list[float]:
+    # well-separated deterministic directions, one per group
+    return [((g * 31 + i * 17) % 97) / 97.0 + (1.5 if i == g % DIM else 0.1) for i in range(DIM)]
+
+
+def _fixture() -> list[tuple[int, list[float]]]:
+    rows = []
+    for g in range(10):
+        base = _base(g)
+        rows.append((g * 10, base))
+        # scalar multiple: cosine exactly 1.0
+        rows.append((g * 10 + 1, [x * 1.5 for x in base]))
+        if g % 2 == 0:
+            # one bumped coordinate: near-dup but not identical direction
+            bumped = list(base)
+            bumped[0] += 0.05
+            rows.append((g * 10 + 2, bumped))
+    return rows
+
+
+def _cos(a, b) -> float:
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot = dot + x * y
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(y * y for y in b))
+    return round(dot / (na * nb), 6)
+
+
+def _expected(rows):
+    # mirror sampled_centroids: ids % STRIDE == 0, ordered, first N
+    cents = [(i, v) for i, v in sorted(rows) if i % STRIDE == 0][:N_CENTROIDS]
+    assign = {}
+    for i, v in rows:
+        best = max(cents, key=lambda c: (_cos(v, c[1]), -c[0]))
+        assign[i] = best[0]
+    dropped = set()
+    by_id = dict(rows)
+    ids = sorted(by_id)
+    for j, b in enumerate(ids):
+        for a in ids[:j]:
+            if assign[a] == assign[b] and _cos(by_id[a], by_id[b]) >= THRESHOLD:
+                dropped.add(b)
+                break
+    return assign, dropped
+
+
+def test_semdedup_matches_python_mirror(spark):
+    rows = _fixture()
+    df = spark.createDataFrame([Row(vec_id=i, embedding=v) for i, v in rows])
+    out = semdedup(
+        df, N_CENTROIDS, STRIDE, threshold=THRESHOLD, dim=DIM
+    ).collect()
+    assign, dropped = _expected(rows)
+    survivors = {r.vec_id for r in out}
+    assert survivors == {i for i, _ in rows} - dropped
+    assert all(assign[r.vec_id] == r.cell for r in out)
+    # every group's scalar-multiple member (cos exactly 1 with a lower id
+    # in the same cell when co-assigned) must be gone
+    for g in range(10):
+        if assign[g * 10] == assign[g * 10 + 1]:
+            assert g * 10 + 1 not in survivors
+
+
+def test_semdedup_drop_precision(spark):
+    # every dropped id has a TRUE near-dup (cos >= threshold) with a
+    # lower id somewhere in the corpus — never a false drop
+    rows = _fixture()
+    df = spark.createDataFrame([Row(vec_id=i, embedding=v) for i, v in rows])
+    survivors = {
+        r.vec_id
+        for r in semdedup(
+            df, N_CENTROIDS, STRIDE, threshold=THRESHOLD, dim=DIM
+        ).collect()
+    }
+    by_id = dict(rows)
+    for i in set(by_id) - survivors:
+        assert any(
+            _cos(by_id[i], by_id[j]) >= THRESHOLD for j in by_id if j < i
+        ), i
+
+
+def test_semdedup_oversized_cells_are_kept_conservatively(spark):
+    rows = _fixture()
+    df = spark.createDataFrame([Row(vec_id=i, embedding=v) for i, v in rows])
+    out = semdedup(
+        df, N_CENTROIDS, STRIDE, threshold=THRESHOLD, dim=DIM, max_cell=1
+    ).collect()
+    # with every cell over the cap no pair is ever generated: total keep
+    assert len(out) == len(rows)

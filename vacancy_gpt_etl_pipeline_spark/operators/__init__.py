@@ -20,6 +20,7 @@ from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
     knn_lsh,
     lloyd_refine,
     sampled_centroids,
+    semdedup,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.sketches import (
     approx_quantiles_per_group,
@@ -94,6 +95,7 @@ __all__ = [
     "remove_boilerplate_ngrams",
     "salted_agg",
     "salted_collect_set",
+    "semdedup",
     "synthesize_audio_payload",
     "synthesize_image_payload",
     "Enricher",

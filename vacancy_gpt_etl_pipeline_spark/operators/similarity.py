@@ -481,3 +481,57 @@ def embedding_near_duplicates(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    n_centroids: int,
+    stride: int,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    max_cell: int = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space into cells and, within
+    each cell, keep only one representative of every cosine-near-dup
+    group. Returns the SURVIVORS as ``(id_col, cell)``.
+
+    The embedding tier of the dedup ladder: exact hash → MinHash/SimHash
+    (lexical) → this (semantic — paraphrases and re-renderings that share
+    no n-grams). The keep rule is greedy lowest-id (a vector is dropped
+    iff a LOWER-id vector in the same cell has cosine ≥ threshold) —
+    deterministic under any partitioning, matching the keep-lowest-id
+    convention of every other dedup operator in the package.
+
+    Scale shape: the cell index is :func:`ivf_assign` (broadcast
+    centroids, map-side ``max_by`` collapse — one narrow shuffle); the
+    candidate pair join is an equi-join on cell, never all-pairs, with
+    pair work Σ|cell|² bounded by ``max_cell`` — oversized cells (a
+    degenerate centroid attracting everything) are excluded from pair
+    generation CONSERVATIVELY: their members are all kept, never
+    silently dropped, mirroring the fuzzy/LSH bucket caps. Cosine is
+    computed map-side inside the join's codegen stage; the drop list is
+    a distinct on id_b and an anti-join back.
+    """
+    centroids = sampled_centroids(corpus, n_centroids, stride, id_col, vec_col)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, dim)
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_csz"))
+    joinable = assigned.join(
+        F.broadcast(sizes.where(F.col("_csz") <= max_cell)), "cell"
+    )
+    a = joinable.select(
+        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = joinable.select(
+        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine_similarity_col("_va", "_vb", dim=dim) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti").select(id_col, "cell")
