@@ -194,3 +194,135 @@ def test_synthesized_wav_round_trip(spark):
         assert r["duration_sec"] == body / (
             r["sample_rate"] * r["channels"] * 2
         )
+
+
+# --- BMP pixel decode -----------------------------------------------------
+
+# Hand-written 2x2 24-bpp BMP straight from the spec: 14-byte file header,
+# 40-byte BITMAPINFOHEADER, bottom-up rows padded to 4 bytes (stride 8).
+# Pixels (B,G,R): bottom row (10,20,30) (40,50,60); top row (70,80,90)
+# (100,110,120) -> channel means B=55, G=65, R=75 exactly.
+GOLDEN_BMP_2x2 = (
+    b"BM" + (54 + 16).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+    + (54).to_bytes(4, "little")
+    + (40).to_bytes(4, "little") + (2).to_bytes(4, "little")
+    + (2).to_bytes(4, "little") + (1).to_bytes(2, "little")
+    + (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+    + (16).to_bytes(4, "little") + (2835).to_bytes(4, "little")
+    + (2835).to_bytes(4, "little") + (0).to_bytes(4, "little")
+    + (0).to_bytes(4, "little")
+    + bytes([10, 20, 30, 40, 50, 60, 0, 0])
+    + bytes([70, 80, 90, 100, 110, 120, 0, 0])
+)
+
+
+def test_parse_golden_bmp():
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        _bmp_channel_means,
+    )
+
+    fmt, w, h, depth, off = _parse_image_header(GOLDEN_BMP_2x2)
+    assert (fmt, w, h, depth, off) == ("bmp", 2, 2, 24, 54)
+    assert _bmp_channel_means(GOLDEN_BMP_2x2, w, h, off) == (55.0, 65.0, 75.0)
+
+
+def test_bmp_truncated_pixels_yield_nulls():
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        _bmp_channel_means,
+    )
+
+    assert _bmp_channel_means(GOLDEN_BMP_2x2[:-4], 2, 2, 54) == (
+        None,
+        None,
+        None,
+    )
+
+
+def test_synthesized_bmp_full_pixel_round_trip(spark):
+    from pyspark.sql import Row
+
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        synthesize_bmp_payload,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in (3, 7, 18, 31)])
+    out = {
+        r.asset_id: r
+        for r in decode_images(synthesize_bmp_payload(df)).collect()
+    }
+    for i in (3, 7, 18, 31):
+        w, h = i % 16 + 1, i % 8 + 1
+        row = (w * 3 + 3) & ~3
+        sums = [0, 0, 0]
+        for rr in range(h):
+            for p in range(w):
+                for c in range(3):
+                    j = rr * row + 3 * p + c
+                    sums[c] += (i * 31 + j * 7) % 256
+        r = out[i]
+        assert (r.fmt, r.width, r.height, r.bit_depth) == ("bmp", w, h, 24)
+        assert r.n_bytes == 54 + row * h
+        assert (r.mean_b, r.mean_g, r.mean_r) == tuple(
+            s / (w * h) for s in sums
+        )
+
+
+# --- PCM sample decode ----------------------------------------------------
+
+# Hand-written mono 16-bit PCM WAV: canonical header + 3 samples
+# 0x0001, 0x8000 (-32768), 0xFFFF (-1) -> |s| = 1, 32768, 1.
+GOLDEN_PCM_WAV = (
+    b"RIFF" + (36 + 6).to_bytes(4, "little") + b"WAVEfmt "
+    + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+    + (1).to_bytes(2, "little") + (8000).to_bytes(4, "little")
+    + (16000).to_bytes(4, "little") + (2).to_bytes(2, "little")
+    + (16).to_bytes(2, "little") + b"data" + (6).to_bytes(4, "little")
+    + b"\x01\x00" + b"\x00\x80" + b"\xff\xff"
+)
+
+
+def test_decode_golden_pcm_samples(spark):
+    from pyspark.sql import Row
+
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        decode_audio,
+    )
+
+    df = spark.createDataFrame([Row(asset_id=1, content=GOLDEN_PCM_WAV)])
+    r = decode_audio(df).collect()[0]
+    assert (r.fmt, r.channels, r.sample_rate, r.bits_per_sample) == (
+        "wav",
+        1,
+        8000,
+        16,
+    )
+    assert r.n_samples == 3
+    assert r.peak_abs == 32768
+    assert r.mean_abs == (1 + 32768 + 1) / 3
+    assert r.duration_sec == 6 / 16000
+
+
+def test_synthesized_pcm_round_trip(spark):
+    from pyspark.sql import Row
+
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        decode_audio,
+        synthesize_pcm_payload,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in (0, 5, 17, 63)])
+    out = {
+        r.asset_id: r
+        for r in decode_audio(synthesize_pcm_payload(df)).collect()
+    }
+    for i in (0, 5, 17, 63):
+        n = i % 64 + 16
+        absv = [
+            (65536 - u) if (u := (i * 13 + k * 7) % 65536) >= 32768 else u
+            for k in range(n)
+        ]
+        r = out[i]
+        assert r.n_samples == n
+        assert r.peak_abs == max(absv)
+        assert r.mean_abs == sum(absv) / n
+        assert r.n_bytes == 44 + 2 * n

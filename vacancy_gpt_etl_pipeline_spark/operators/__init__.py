@@ -61,7 +61,9 @@ from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
     decode_audio,
     decode_images,
     synthesize_audio_payload,
+    synthesize_bmp_payload,
     synthesize_image_payload,
+    synthesize_pcm_payload,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.skew import (
     salted_agg,
@@ -97,7 +99,9 @@ __all__ = [
     "salted_collect_set",
     "semdedup",
     "synthesize_audio_payload",
+    "synthesize_bmp_payload",
     "synthesize_image_payload",
+    "synthesize_pcm_payload",
     "Enricher",
     "HttpLLMEnricher",
     "MockKeywordEnricher",

@@ -7,11 +7,14 @@ headers (PNG signature + IHDR chunk with a true CRC-32, GIF89a logical
 screen descriptor), and :func:`decode_images` recovers width / height /
 bit depth by parsing those bytes — the same offsets and endianness any
 image tool reads (PNG spec: 4-byte big-endian dims at IHDR offsets 0/4;
-GIF spec: little-endian u16 dims at bytes 6/8). Full pixel decode (IDAT
-inflate, LZW) would need a codec library this container doesn't ship;
-the header parse is real decoding of real bytes, and
-:func:`sample_frames` remains the documented codec-free stand-in for
-video frame extraction.
+GIF spec: little-endian u16 dims at bytes 6/8). For the UNCOMPRESSED
+formats the decode goes all the way to samples: 24-bpp BMP pixel arrays
+(padding-stripped BGR channel means) and 16-bit PCM WAV data chunks
+(frame count, peak, mean |amplitude|) are fully decoded — no codec
+needed, the bytes ARE the samples. Only the compressed paths stop at
+the header (PNG IDAT inflate / GIF LZW would need a codec library this
+container doesn't ship), and :func:`sample_frames` remains the
+documented codec-free stand-in for video frame extraction.
 
 Scale notes: binary payloads dominate row size, so ``mapInPandas`` with a
 small ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds executor
@@ -131,6 +134,62 @@ def _le32_hex(col: F.Column) -> F.Column:
     )
 
 
+BMP_HEADER_LEN = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
+
+
+def synthesize_bmp_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic 24-bpp uncompressed BMP fixture with REAL pixel
+    data, built JVM-side (hex assembly like the PNG/WAV synthesizers).
+
+    BMP is the one mainstream image format whose pixel array needs no
+    codec — bytes after the 54-byte header ARE the pixels (BGR rows,
+    bottom-up, each row padded to 4 bytes), so :func:`decode_images` can
+    do a FULL pixel decode dependency-free. Dimensions are small by
+    design (``w = id % 16 + 1``, ``h = id % 8 + 1``) and every pixel
+    byte is the closed form ``(id·31 + j·7) mod 256`` over its offset
+    ``j`` in the pixel array — an oracle can recompute exact channel
+    statistics without parsing a single byte.
+    """
+    i = F.col(id_col).cast("bigint")
+    w = (i % 16 + 1).cast("int")
+    h = (i % 8 + 1).cast("int")
+    # row stride padded to a 4-byte boundary: (3w + 3) & ~3
+    row = (w * 3 + 3).bitwiseAND(F.lit(-4))
+    n = (row * h).cast("int")
+    px_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda j: F.lpad(F.hex((i * 31 + j * 7) % 256), 2, "0"),
+        ),
+        "",
+    )
+    header_hex = F.concat(
+        F.lit("424D"),              # 'BM'
+        _le32_hex(n + F.lit(BMP_HEADER_LEN)),
+        F.lit("00000000"),          # reserved
+        _le32_hex(F.lit(BMP_HEADER_LEN)),  # pixel-array offset
+        _le32_hex(F.lit(40)),       # BITMAPINFOHEADER size
+        _le32_hex(w),
+        _le32_hex(h),               # positive = bottom-up
+        F.lit("0100"),              # planes = 1
+        F.lit("1800"),              # 24 bpp
+        _le32_hex(F.lit(0)),        # BI_RGB (uncompressed)
+        _le32_hex(n),               # image size
+        _le32_hex(F.lit(2835)),     # 72 dpi
+        _le32_hex(F.lit(2835)),
+        _le32_hex(F.lit(0)),
+        _le32_hex(F.lit(0)),
+    )
+    return df.select(
+        i.alias("asset_id"),
+        F.unhex(F.concat(header_hex, px_hex)).alias("content"),
+        F.lit("image").alias("modality"),
+        F.lit("image/bmp").alias("mime_type"),
+    )
+
+
 WAV_HEADER_LEN = 44  # canonical PCM: RIFF(12) + fmt(24) + data header(8)
 
 
@@ -189,6 +248,59 @@ def synthesize_audio_payload(
     )
 
 
+def synthesize_pcm_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic mono 16-bit PCM WAV fixture whose DATA bytes are
+    real samples, built JVM-side. Sample ``k`` of asset ``id`` is the
+    closed form ``u = (id·13 + k·7) mod 65536`` stored little-endian
+    (as int16: ``u - 65536`` when ``u ≥ 32768``), ``n = id mod 64 + 16``
+    samples, rate cycling 8000/16000/44100 — so an oracle can recompute
+    exact amplitude statistics (peak, mean |s|) without parsing bytes,
+    while :func:`decode_audio` recovers them by actually decoding the
+    PCM frames."""
+    i = F.col(id_col).cast("bigint")
+    n = (i % 64 + 16).cast("int")
+    rate = (
+        F.when(i % 3 == 0, 8000)
+        .when(i % 3 == 1, 16000)
+        .otherwise(44100)
+        .cast("int")
+    )
+    data_size = (n * 2).cast("bigint")
+    u = lambda k: (i * 13 + k * 7) % 65536  # noqa: E731
+    pcm_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda k: F.concat(
+                F.lpad(F.hex(u(k) % 256), 2, "0"),
+                F.lpad(F.hex(F.shiftright(u(k), 8) % 256), 2, "0"),
+            ),
+        ),
+        "",
+    )
+    header_hex = F.concat(
+        F.lit("52494646"),
+        _le32_hex(data_size + 36),
+        F.lit("57415645666D7420"),
+        F.lit("10000000"),
+        F.lit("0100"),          # PCM
+        F.lit("0100"),          # mono
+        _le32_hex(rate),
+        _le32_hex((rate * 2).cast("bigint")),  # byte rate = rate * block
+        F.lit("0200"),          # block align 2
+        F.lit("1000"),          # 16 bits
+        F.lit("64617461"),
+        _le32_hex(data_size),
+    )
+    return df.select(
+        i.alias("asset_id"),
+        F.unhex(F.concat(header_hex, pcm_hex)).alias("content"),
+        F.lit("audio").alias("modality"),
+        F.lit("audio/wav").alias("mime_type"),
+    )
+
+
 DECODED_AUDIO_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),
@@ -198,6 +310,9 @@ DECODED_AUDIO_SCHEMA = T.StructType(
         T.StructField("bits_per_sample", T.IntegerType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak_abs", T.IntegerType()),
+        T.StructField("mean_abs", T.DoubleType()),
     ]
 )
 
@@ -231,11 +346,12 @@ def decode_audio(
     id_col: str = "asset_id",
     content_col: str = "content",
 ) -> DataFrame:
-    """Decode audio payloads to (channels, sample_rate, bits_per_sample,
-    duration) by parsing the REAL RIFF/WAVE header bytes — the audio twin
-    of :func:`decode_images`, same Arrow ``mapInPandas`` shape. Sample
-    decode (PCM frames) would need an audio library; the header parse is
-    real decoding of real bytes."""
+    """Decode audio payloads by parsing the REAL RIFF/WAVE bytes — the
+    audio twin of :func:`decode_images`, same Arrow ``mapInPandas``
+    shape. Header fields (channels/rate/bits/duration) come from the
+    fmt chunk; for 16-bit PCM the DATA chunk is then actually decoded —
+    little-endian int16 frames → sample count, peak |amplitude|, and
+    exact mean |amplitude| (integer sum / count, one IEEE division)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -247,10 +363,25 @@ def decode_audio(
                 "bits_per_sample": [],
                 "n_bytes": [],
                 "duration_sec": [],
+                "n_samples": [],
+                "peak_abs": [],
+                "mean_abs": [],
             }
             for aid, content in zip(pdf[id_col], pdf[content_col]):
                 b = bytes(content) if content is not None else b""
                 fmt, ch, rate, bits, dur = _parse_wav_header(b)
+                n_s = peak = mean = None
+                if fmt == "wav" and bits == 16:
+                    data_size = int.from_bytes(b[40:44], "little")
+                    data = b[WAV_HEADER_LEN : WAV_HEADER_LEN + data_size]
+                    samples = np.frombuffer(
+                        data[: len(data) - (len(data) % 2)], dtype="<i2"
+                    ).astype(np.int64)
+                    if samples.size:
+                        n_s = int(samples.size)
+                        absd = np.abs(samples)
+                        peak = int(absd.max())
+                        mean = int(absd.sum()) / n_s
                 rows["asset_id"].append(int(aid))
                 rows["fmt"].append(fmt)
                 rows["channels"].append(ch)
@@ -258,9 +389,13 @@ def decode_audio(
                 rows["bits_per_sample"].append(bits)
                 rows["n_bytes"].append(len(b))
                 rows["duration_sec"].append(dur)
+                rows["n_samples"].append(n_s)
+                rows["peak_abs"].append(peak)
+                rows["mean_abs"].append(mean)
             out = pd.DataFrame(rows)
-            for c in ("channels", "sample_rate", "bits_per_sample"):
+            for c in ("channels", "sample_rate", "bits_per_sample", "peak_abs"):
                 out[c] = out[c].astype("Int32")
+            out["n_samples"] = out["n_samples"].astype("Int64")
             yield out
 
     return df.select(id_col, content_col).mapInPandas(run, DECODED_AUDIO_SCHEMA)
@@ -275,6 +410,9 @@ DECODED_IMAGE_SCHEMA = T.StructType(
         T.StructField("bit_depth", T.IntegerType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_r", T.DoubleType()),
     ]
 )
 
@@ -303,7 +441,36 @@ def _parse_image_header(b: bytes) -> tuple[str | None, int | None, int | None, i
             None,
             GIF_HEADER_LEN,
         )
+    if len(b) >= BMP_HEADER_LEN and b[:2] == b"BM":
+        return (
+            "bmp",
+            int.from_bytes(b[18:22], "little"),
+            int.from_bytes(b[22:26], "little"),
+            int.from_bytes(b[28:30], "little"),
+            int.from_bytes(b[10:14], "little"),
+        )
     return ("unknown", None, None, None, 0)
+
+
+def _bmp_channel_means(
+    b: bytes, w: int, h: int, off: int
+) -> tuple[float | None, float | None, float | None]:
+    """Exact per-channel means of a bottom-up 24-bpp BMP pixel array:
+    strip the 4-byte row padding, split BGR triples, divide exact int
+    sums by the pixel count (one IEEE division — engine-stable with no
+    rounding). Short/truncated arrays yield nulls, not errors."""
+    row = (w * 3 + 3) & ~3
+    px = np.frombuffer(b, dtype=np.uint8)[off : off + row * h]
+    if w <= 0 or h <= 0 or px.size < row * h:
+        return (None, None, None)
+    triples = px.reshape(h, row)[:, : 3 * w].reshape(-1, 3).astype(np.int64)
+    sums = triples.sum(axis=0)
+    cnt = w * h
+    return (
+        int(sums[0]) / cnt,
+        int(sums[1]) / cnt,
+        int(sums[2]) / cnt,
+    )
 
 
 def decode_images(
@@ -312,11 +479,14 @@ def decode_images(
     content_col: str = "content",
 ) -> DataFrame:
     """Decode image payloads to (fmt, width, height, bit_depth, n_bytes,
-    mean_luma) by parsing the REAL header bytes (Arrow-batched
+    mean_luma, channel means) by parsing the REAL bytes (Arrow-batched
     ``mapInPandas`` — per-payload work is the genuine shape of a decode
-    stage; a codec would slot into the same loop). ``mean_luma`` is the
-    mean of the body bytes behind the header — the stand-in for pixel
-    statistics until a real pixel decode exists."""
+    stage). PNG/GIF decode stops at the header (IDAT inflate / LZW needs
+    a codec library this container doesn't ship); BMP payloads get a
+    FULL pixel decode — padding-stripped BGR channel means over the
+    uncompressed pixel array (:func:`_bmp_channel_means`). ``mean_luma``
+    is the mean of the raw body bytes behind the header — the format-
+    agnostic statistic."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -328,11 +498,17 @@ def decode_images(
                 "bit_depth": [],
                 "n_bytes": [],
                 "mean_luma": [],
+                "mean_b": [],
+                "mean_g": [],
+                "mean_r": [],
             }
             for aid, content in zip(pdf[id_col], pdf[content_col]):
                 b = bytes(content) if content is not None else b""
                 fmt, w, h, depth, off = _parse_image_header(b)
                 body = np.frombuffer(b, dtype=np.uint8)[off:]
+                mb = mg = mr = None
+                if fmt == "bmp" and depth == 24:
+                    mb, mg, mr = _bmp_channel_means(b, w, h, off)
                 rows["asset_id"].append(int(aid))
                 rows["fmt"].append(fmt)
                 rows["width"].append(w)
@@ -342,6 +518,9 @@ def decode_images(
                 rows["mean_luma"].append(
                     round(float(body.mean()), 6) if body.size else 0.0
                 )
+                rows["mean_b"].append(mb)
+                rows["mean_g"].append(mg)
+                rows["mean_r"].append(mr)
             out = pd.DataFrame(rows)
             out["width"] = out["width"].astype("Int32")
             out["height"] = out["height"].astype("Int32")

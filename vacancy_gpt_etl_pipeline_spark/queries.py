@@ -58,8 +58,9 @@ from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
     attach_text_payload,
     decode_audio,
     decode_images,
-    synthesize_audio_payload,
+    synthesize_bmp_payload,
     synthesize_image_payload,
+    synthesize_pcm_payload,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.relational import ratio_of_total
 from vacancy_gpt_etl_pipeline_spark.operators.skew import (
@@ -2538,29 +2539,80 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets with genuine PNG/GIF header bytes (IHDR with true CRC-32 /
     GIF89a descriptor) built JVM-side, and decode_images recovers
     width/height/bit-depth by PARSING those bytes in the Arrow decoder.
-    The oracle computes the expected dimensions directly from the doc
-    fields, so the hash only matches if the encode→parse byte round-trip
-    (offsets, endianness, header length) is right; spec conformance
-    against hand-written real PNG/GIF literals is asserted in
-    tests/test_multimodal_decode.py golden tests. mean_luma (body-byte
-    mean) stays
-    Spark-side only — per-byte SQL unnesting is not worth an oracle."""
+    doc_id % 4 == 3 docs instead become 24-bpp uncompressed BMPs whose
+    pixel array is REAL closed-form bytes — for those, decode_images
+    does a FULL pixel decode (padding-stripped BGR channel means).
+    The oracle computes expected dimensions from the doc fields and
+    channel means from the pixel-generator formula (never parsing a
+    byte), so the hash only matches if the encode→parse round trips
+    (offsets, endianness, row padding, channel order) are all right;
+    spec conformance against hand-written real PNG/GIF/BMP literals is
+    asserted in tests/test_multimodal_decode.py golden tests. mean_luma
+    (body-byte mean) stays Spark-side only — per-byte SQL unnesting of
+    the png/gif text bodies is not worth an oracle."""
     docs = _t(spark, sf_dir, "documents")
-    assets = synthesize_image_payload(docs, "doc_id", "text")
+    is_bmp = F.col("doc_id") % 4 == 3
+    assets = synthesize_image_payload(
+        docs.where(~is_bmp), "doc_id", "text"
+    ).unionByName(synthesize_bmp_payload(docs.where(is_bmp), "doc_id"))
     return decode_images(assets).select(
-        "asset_id", "fmt", "width", "height", "bit_depth", "n_bytes"
+        "asset_id",
+        "fmt",
+        "width",
+        "height",
+        "bit_depth",
+        "n_bytes",
+        "mean_b",
+        "mean_g",
+        "mean_r",
     )
 
 
 MULTIMODAL_DECODE_SQL = """
-SELECT CAST(doc_id AS BIGINT) AS asset_id,
-  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS fmt,
-  CAST(n_chars % 640 + 16 AS INTEGER) AS width,
-  CAST(doc_id % 480 + 16 AS INTEGER) AS height,
-  CASE WHEN doc_id % 2 = 0 THEN CAST(8 AS INTEGER) END AS bit_depth,
-  CAST((CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 13 END)
-       + octet_length(encode(text)) AS BIGINT) AS n_bytes
-FROM documents
+WITH bmp AS (
+  SELECT doc_id,
+    CAST(doc_id % 16 + 1 AS BIGINT) AS w,
+    CAST(doc_id % 8 + 1 AS BIGINT) AS h,
+    ((doc_id % 16 + 1) * 3 + 3) // 4 * 4 AS row_sz
+  FROM documents WHERE doc_id % 4 = 3
+),
+px AS (
+  SELECT doc_id, w, h, row_sz,
+    unnest(generate_series(0, row_sz * h - 1)) AS j
+  FROM bmp
+),
+ch AS (
+  SELECT doc_id, w, h,
+    (j % row_sz) % 3 AS c,
+    (doc_id * 31 + j * 7) % 256 AS v
+  FROM px WHERE (j % row_sz) < 3 * w
+),
+means AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT)
+      / CAST(w * h AS DOUBLE) AS mean_b,
+    CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT)
+      / CAST(w * h AS DOUBLE) AS mean_g,
+    CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT)
+      / CAST(w * h AS DOUBLE) AS mean_r
+  FROM ch GROUP BY doc_id, w, h
+)
+SELECT CAST(d.doc_id AS BIGINT) AS asset_id,
+  CASE WHEN d.doc_id % 4 = 3 THEN 'bmp'
+       WHEN d.doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS fmt,
+  CAST(CASE WHEN d.doc_id % 4 = 3 THEN d.doc_id % 16 + 1
+            ELSE n_chars % 640 + 16 END AS INTEGER) AS width,
+  CAST(CASE WHEN d.doc_id % 4 = 3 THEN d.doc_id % 8 + 1
+            ELSE d.doc_id % 480 + 16 END AS INTEGER) AS height,
+  CAST(CASE WHEN d.doc_id % 4 = 3 THEN 24
+            WHEN d.doc_id % 2 = 0 THEN 8 END AS INTEGER) AS bit_depth,
+  CAST(CASE WHEN d.doc_id % 4 = 3
+            THEN 54 + ((d.doc_id % 16 + 1) * 3 + 3) // 4 * 4
+                      * (d.doc_id % 8 + 1)
+            WHEN d.doc_id % 2 = 0 THEN 33 + octet_length(encode(text))
+            ELSE 13 + octet_length(encode(text)) END AS BIGINT) AS n_bytes,
+  m.mean_b, m.mean_g, m.mean_r
+FROM documents d LEFT JOIN means m ON d.doc_id = m.doc_id
 """
 
 
@@ -2785,18 +2837,19 @@ FROM w ORDER BY es_key DESC, doc_id LIMIT 100
 
 
 def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio twin of multimodal_decode (operators/multimodal.py):
-    documents become WAV assets with a REAL canonical 44-byte RIFF/WAVE
-    PCM header built JVM-side (little-endian fmt fields per spec), and
-    decode_audio recovers channels / sample rate / bit depth / duration
-    by parsing those bytes in the Arrow decoder. The oracle derives the
-    expected values from the doc fields, so the hash only matches if the
-    encode→parse byte round-trip is right; conformance against a
-    hand-written real WAV header literal is asserted in
-    tests/test_multimodal_decode.py. Duration is a plain IEEE division
-    (data bytes / byte rate) — bit-identical across engines."""
+    """FULL audio decode (operators/multimodal.py): documents become
+    mono 16-bit PCM WAV assets whose data chunk holds REAL samples from
+    a closed-form generator (synthesize_pcm_payload), and decode_audio
+    parses the RIFF header AND decodes the int16 frames — sample count,
+    peak |amplitude|, exact mean |amplitude|. The oracle recomputes the
+    same statistics from the generator formula (never touching bytes),
+    so the hash only matches if the LE16 encode→decode round trip and
+    the amplitude math are both right. Spec conformance against a
+    hand-written WAV literal is asserted in
+    tests/test_multimodal_decode.py. duration/mean are plain IEEE
+    divisions of exact ints — bit-identical across engines."""
     docs = _t(spark, sf_dir, "documents")
-    assets = synthesize_audio_payload(docs, "doc_id", "text")
+    assets = synthesize_pcm_payload(docs, "doc_id")
     return decode_audio(assets).select(
         "asset_id",
         "fmt",
@@ -2805,24 +2858,44 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bits_per_sample",
         "n_bytes",
         "duration_sec",
+        "n_samples",
+        "peak_abs",
+        "mean_abs",
     )
 
 
 MULTIMODAL_AUDIO_SQL = """
-WITH f AS (
-  SELECT doc_id,
-    CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % 64 + 16 AS BIGINT) AS n,
     CAST(CASE WHEN doc_id % 3 = 0 THEN 8000
               WHEN doc_id % 3 = 1 THEN 16000
-              ELSE 44100 END AS INTEGER) AS sample_rate,
-    octet_length(encode(text)) AS data_size
+              ELSE 44100 END AS INTEGER) AS sample_rate
   FROM documents
+),
+s AS (
+  SELECT doc_id, unnest(generate_series(0, n - 1)) AS k FROM base
+),
+a AS (
+  SELECT doc_id,
+    CASE WHEN (doc_id * 13 + k * 7) % 65536 >= 32768
+         THEN 65536 - ((doc_id * 13 + k * 7) % 65536)
+         ELSE (doc_id * 13 + k * 7) % 65536 END AS av
+  FROM s
+),
+st AS (
+  SELECT doc_id, CAST(MAX(av) AS INTEGER) AS peak_abs,
+    CAST(SUM(av) AS BIGINT) AS sum_abs,
+    CAST(COUNT(*) AS BIGINT) AS n_samples
+  FROM a GROUP BY doc_id
 )
-SELECT CAST(doc_id AS BIGINT) AS asset_id, 'wav' AS fmt,
-  channels, sample_rate, CAST(16 AS INTEGER) AS bits_per_sample,
-  CAST(44 + data_size AS BIGINT) AS n_bytes,
-  data_size / CAST(sample_rate * channels * 2 AS DOUBLE) AS duration_sec
-FROM f
+SELECT CAST(base.doc_id AS BIGINT) AS asset_id, 'wav' AS fmt,
+  CAST(1 AS INTEGER) AS channels, sample_rate,
+  CAST(16 AS INTEGER) AS bits_per_sample,
+  CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+  (2 * n) / CAST(2 * sample_rate AS DOUBLE) AS duration_sec,
+  n_samples, peak_abs,
+  sum_abs / CAST(n_samples AS DOUBLE) AS mean_abs
+FROM base JOIN st ON base.doc_id = st.doc_id
 """
 
 
