@@ -326,3 +326,84 @@ def test_synthesized_pcm_round_trip(spark):
         assert r.peak_abs == max(absv)
         assert r.mean_abs == sum(absv) / n
         assert r.n_bytes == 44 + 2 * n
+
+
+# --- Y4M video frame decode ----------------------------------------------
+
+# Hand-written 2x2 C444 stream with 2 frames. Frame planes are 4 bytes
+# each (Y, U, V): frame 0 -> Y=10,20,30,40 U=1,2,3,4 V=5,6,7,8;
+# frame 1 all 255s. Means: f0 Y=25.0 U=2.5 V=6.5; f1 255.0 each.
+GOLDEN_Y4M_2x2 = (
+    b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C444\n"
+    + b"FRAME\n"
+    + bytes([10, 20, 30, 40, 1, 2, 3, 4, 5, 6, 7, 8])
+    + b"FRAME\n"
+    + bytes([255] * 12)
+)
+
+
+def test_decode_golden_y4m(spark):
+    from pyspark.sql import Row
+
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        decode_video_frames,
+    )
+
+    df = spark.createDataFrame([Row(asset_id=9, content=GOLDEN_Y4M_2x2)])
+    out = sorted(decode_video_frames(df).collect(), key=lambda r: r.frame_idx)
+    assert len(out) == 2
+    f0, f1 = out
+    assert (f0.width, f0.height) == (2, 2)
+    assert (f0.mean_y, f0.mean_u, f0.mean_v) == (25.0, 2.5, 6.5)
+    assert (f1.mean_y, f1.mean_u, f1.mean_v) == (255.0, 255.0, 255.0)
+
+
+def test_y4m_rejects_non_y4m_and_drops_truncated_tail(spark):
+    from pyspark.sql import Row
+
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        decode_video_frames,
+    )
+
+    truncated = GOLDEN_Y4M_2x2[:-5]  # second frame incomplete
+    df = spark.createDataFrame(
+        [
+            Row(asset_id=1, content=b"not video"),
+            Row(asset_id=2, content=truncated),
+            Row(asset_id=3, content=b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420\n"),
+        ]
+    )
+    out = decode_video_frames(df).collect()
+    # asset 1: nothing; asset 2: ONLY the complete first frame;
+    # asset 3: non-C444 sampling refused (we only decode what we claim)
+    assert {r.asset_id for r in out} == {2}
+    assert [r.frame_idx for r in out] == [0]
+
+
+def test_synthesized_y4m_round_trip(spark):
+    from pyspark.sql import Row
+
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        decode_video_frames,
+        synthesize_y4m_payload,
+    )
+
+    ids = [0, 3, 11, 24]
+    df = spark.createDataFrame([Row(doc_id=i) for i in ids])
+    out = decode_video_frames(synthesize_y4m_payload(df)).collect()
+    by_asset: dict[int, list] = {}
+    for r in out:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    for i in ids:
+        w, h, nf = i % 8 + 2, i % 4 + 2, i % 5 + 1
+        frames = sorted(by_asset[i], key=lambda r: r.frame_idx)
+        assert len(frames) == nf
+        plane = w * h
+        for f, r in enumerate(frames):
+            assert (r.width, r.height) == (w, h)
+            sums = [0, 0, 0]
+            for j in range(3 * plane):
+                sums[j // plane] += (i * 37 + f * 11 + j * 5) % 256
+            assert (r.mean_y, r.mean_u, r.mean_v) == tuple(
+                s / plane for s in sums
+            )

@@ -60,10 +60,12 @@ from vacancy_gpt_etl_pipeline_spark.operators.fuzzy import fuzzy_self_join
 from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
     decode_audio,
     decode_images,
+    decode_video_frames,
     synthesize_audio_payload,
     synthesize_bmp_payload,
     synthesize_image_payload,
     synthesize_pcm_payload,
+    synthesize_y4m_payload,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.skew import (
     salted_agg,
@@ -89,6 +91,7 @@ __all__ = [
     "curate_documents",
     "decode_audio",
     "decode_images",
+    "decode_video_frames",
     "fuzzy_self_join",
     "incremental_dedup",
     "incremental_neardup",
@@ -102,6 +105,7 @@ __all__ = [
     "synthesize_bmp_payload",
     "synthesize_image_payload",
     "synthesize_pcm_payload",
+    "synthesize_y4m_payload",
     "Enricher",
     "HttpLLMEnricher",
     "MockKeywordEnricher",

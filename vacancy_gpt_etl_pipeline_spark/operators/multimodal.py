@@ -11,10 +11,12 @@ GIF spec: little-endian u16 dims at bytes 6/8). For the UNCOMPRESSED
 formats the decode goes all the way to samples: 24-bpp BMP pixel arrays
 (padding-stripped BGR channel means) and 16-bit PCM WAV data chunks
 (frame count, peak, mean |amplitude|) are fully decoded — no codec
-needed, the bytes ARE the samples. Only the compressed paths stop at
-the header (PNG IDAT inflate / GIF LZW would need a codec library this
-container doesn't ship), and :func:`sample_frames` remains the
-documented codec-free stand-in for video frame extraction.
+needed, the bytes ARE the samples. Video gets the same treatment via
+YUV4MPEG2 (:func:`decode_video_frames` walks FRAME markers and decodes
+raw C444 planes to per-frame statistics). Only the compressed paths
+stop at the header (PNG IDAT inflate / GIF LZW / mp4 would need a
+codec library this container doesn't ship); :func:`sample_frames`
+remains the documented codec-free stand-in for those.
 
 Scale notes: binary payloads dominate row size, so ``mapInPandas`` with a
 small ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds executor
@@ -563,3 +565,163 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, content_col).mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+# --- Y4M video: the uncompressed container, decodable without a codec ----
+
+Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def synthesize_y4m_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic YUV4MPEG2 (Y4M) video fixture with REAL frames,
+    built JVM-side. Y4M is video's BMP: an ASCII stream header
+    (``YUV4MPEG2 W.. H.. F25:1 Ip A1:1 C444``) then per frame a
+    ``FRAME\\n`` marker followed by raw W·H Y, U, V planes — no codec
+    anywhere, the bytes are the samples.
+
+    ``w = id%8+2``, ``h = id%4+2``, ``id%5+1`` frames; plane byte ``j``
+    of frame ``f`` is the closed form ``(id·37 + f·11 + j·5) mod 256``,
+    so frame statistics are recomputable without parsing.
+    """
+    i = F.col(id_col).cast("bigint")
+    w = (i % 8 + 2).cast("int")
+    h = (i % 4 + 2).cast("int")
+    nf = (i % 5 + 1).cast("int")
+    frame_len = (w * h * 3).cast("int")
+    header_hex = F.hex(
+        F.encode(
+            F.concat(
+                F.lit("YUV4MPEG2 W"),
+                w.cast("string"),
+                F.lit(" H"),
+                h.cast("string"),
+                F.lit(" F25:1 Ip A1:1 C444\n"),
+            ),
+            "UTF-8",
+        )
+    )
+    frame_marker_hex = F.hex(F.encode(F.lit("FRAME\n"), "UTF-8"))
+    frames_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nf - 1),
+            lambda f: F.concat(
+                frame_marker_hex,
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), frame_len - 1),
+                        lambda j: F.lpad(
+                            F.hex((i * 37 + f * 11 + j * 5) % 256), 2, "0"
+                        ),
+                    ),
+                    "",
+                ),
+            ),
+        ),
+        "",
+    )
+    return df.select(
+        i.alias("asset_id"),
+        F.unhex(F.concat(header_hex, frames_hex)).alias("content"),
+        F.lit("video").alias("modality"),
+        F.lit("video/x-yuv4mpeg").alias("mime_type"),
+    )
+
+
+DECODED_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_y", T.DoubleType()),
+        T.StructField("mean_u", T.DoubleType()),
+        T.StructField("mean_v", T.DoubleType()),
+    ]
+)
+
+
+def _parse_y4m(b: bytes) -> Iterator[tuple[int, int, int, float, float, float]]:
+    """Yield (frame_idx, w, h, mean_y, mean_u, mean_v) per decodable
+    frame of a C444 Y4M stream. Non-Y4M / malformed payloads yield
+    nothing (quarantine-not-fail); truncated trailing frames are
+    dropped, complete leading frames still decode."""
+    if not b.startswith(Y4M_MAGIC):
+        return
+    nl = b.find(b"\n")
+    if nl < 0:
+        return
+    w = h = None
+    c444 = True
+    for tok in b[len(Y4M_MAGIC) : nl].split(b" "):
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C" and tok != b"C444":
+            c444 = False
+    if not w or not h or not c444:
+        return
+    plane = w * h
+    pos = nl + 1
+    idx = 0
+    while b[pos : pos + 5] == b"FRAME":
+        fnl = b.find(b"\n", pos)
+        if fnl < 0:
+            return
+        data = np.frombuffer(b, dtype=np.uint8)[fnl + 1 : fnl + 1 + 3 * plane]
+        if data.size < 3 * plane:
+            return
+        sums = data.astype(np.int64).reshape(3, plane).sum(axis=1)
+        yield (
+            idx,
+            w,
+            h,
+            int(sums[0]) / plane,
+            int(sums[1]) / plane,
+            int(sums[2]) / plane,
+        )
+        pos = fnl + 1 + 3 * plane
+        idx += 1
+
+
+def decode_video_frames(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """REAL video frame extraction for Y4M payloads: parse the stream
+    header, walk the FRAME markers, and decode every raw C444 plane to
+    per-frame (width, height, mean Y/U/V) — the 1→N expansion of a real
+    frame sampler with actual sample math, dependency-free. Compressed
+    containers (mp4/webm) would need ffmpeg and still go through
+    :func:`sample_frames`'s documented stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "asset_id": [],
+                "frame_idx": [],
+                "width": [],
+                "height": [],
+                "mean_y": [],
+                "mean_u": [],
+                "mean_v": [],
+            }
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(content) if content is not None else b""
+                for idx, w, h, my, mu, mv in _parse_y4m(b):
+                    rows["asset_id"].append(int(aid))
+                    rows["frame_idx"].append(idx)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_y"].append(my)
+                    rows["mean_u"].append(mu)
+                    rows["mean_v"].append(mv)
+            out = pd.DataFrame(rows)
+            for c in ("frame_idx", "width", "height"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return df.select(id_col, content_col).mapInPandas(run, DECODED_FRAME_SCHEMA)
