@@ -58,9 +58,11 @@ from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
     attach_text_payload,
     decode_audio,
     decode_images,
+    decode_video_frames,
     synthesize_bmp_payload,
     synthesize_image_payload,
     synthesize_pcm_payload,
+    synthesize_y4m_payload,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.relational import ratio_of_total
 from vacancy_gpt_etl_pipeline_spark.operators.skew import (
@@ -73,6 +75,7 @@ from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
     knn_ivf,
     knn_lsh,
     sampled_centroids,
+    semdedup,
 )
 from vacancy_gpt_etl_pipeline_spark.sources.parquet_source import read_table
 from vacancy_gpt_etl_pipeline_spark.session import configure_session
@@ -2899,6 +2902,130 @@ FROM base JOIN st ON base.doc_id = st.doc_id
 """
 
 
+def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL video frame decode (operators/multimodal.py): documents become
+    YUV4MPEG2 (Y4M) streams — real ASCII stream header, per-frame FRAME
+    markers, raw C444 Y/U/V planes from a closed-form byte generator —
+    and decode_video_frames walks the markers and decodes every plane to
+    per-frame mean Y/U/V. The 1→N frame expansion happens inside the
+    Arrow decoder (one mapInPandas, no shuffle). The oracle recomputes
+    the same statistics from the generator formula (never touching
+    bytes), so the hash only matches if the header parse, FRAME walk,
+    plane slicing, and sample math all round-trip. Spec conformance
+    against a hand-written Y4M literal is asserted in
+    tests/test_multimodal_decode.py. Means are BIGINT sums divided once
+    in IEEE double — bit-identical across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = synthesize_y4m_payload(docs, "doc_id")
+    return decode_video_frames(assets).select(
+        "asset_id", "frame_idx", "width", "height", "mean_y", "mean_u", "mean_v"
+    )
+
+
+MULTIMODAL_VIDEO_SQL = """
+WITH base AS (
+  SELECT doc_id,
+    CAST(doc_id % 8 + 2 AS BIGINT) AS w,
+    CAST(doc_id % 4 + 2 AS BIGINT) AS h,
+    CAST(doc_id % 5 + 1 AS BIGINT) AS nf
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS f FROM base
+),
+px AS (
+  SELECT doc_id, w, h, f, unnest(generate_series(0, 3 * w * h - 1)) AS j
+  FROM fr
+),
+v AS (
+  SELECT doc_id, w, h, f,
+    j // (w * h) AS p,
+    (doc_id * 37 + f * 11 + j * 5) % 256 AS val
+  FROM px
+),
+st AS (
+  SELECT doc_id, w, h, f,
+    CAST(SUM(CASE WHEN p = 0 THEN val ELSE 0 END) AS BIGINT)
+      / CAST(w * h AS DOUBLE) AS mean_y,
+    CAST(SUM(CASE WHEN p = 1 THEN val ELSE 0 END) AS BIGINT)
+      / CAST(w * h AS DOUBLE) AS mean_u,
+    CAST(SUM(CASE WHEN p = 2 THEN val ELSE 0 END) AS BIGINT)
+      / CAST(w * h AS DOUBLE) AS mean_v
+  FROM v GROUP BY doc_id, w, h, f
+)
+SELECT CAST(doc_id AS BIGINT) AS asset_id, CAST(f AS INTEGER) AS frame_idx,
+  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+  mean_y, mean_u, mean_v
+FROM st
+"""
+
+
+def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators/similarity.semdedup, Abbas et
+    al. 2023): cluster the embedding space into IVF cells, drop every
+    vector whose cell holds a LOWER-id vector with cosine ≥ 0.9. The raw
+    fixture is near-orthogonal (max pairwise cosine ≈ 0.45), so the
+    query plants affine copies ``2v + 0.02`` of the first 25 vectors
+    under shifted ids — paraphrase-like duplicates that share direction
+    but not magnitude. The oracle re-derives the planted frame, the
+    deterministic stride-sampled centroids, the max-cosine cell
+    assignment, and the in-cell greedy drop rule in SQL, so candidate
+    generation (cells, not just cosine math) is hash-verified. Plan:
+    broadcast centroids + map-side max_by assignment, pair join on cell
+    equality only — never all-pairs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = base.where(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0) + F.lit(0.02)).alias(
+            "embedding"
+        ),
+    )
+    return semdedup(
+        base.unionByName(planted),
+        n_centroids=_IVF_CELLS,
+        stride=_IVF_STRIDE,
+        threshold=0.9,
+        dim=_EMB_DIM,
+    ).select("vec_id", F.col("cell").cast("long").alias("cell"))
+
+
+SEMDEDUP_SQL = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+u AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, list_transform(e, x -> x * 2.0 + 0.02) AS e
+  FROM base WHERE vec_id < 25
+),
+cents AS (
+  SELECT vec_id AS cell, e AS ce FROM u
+  WHERE vec_id % {_IVF_STRIDE} = 0 ORDER BY vec_id LIMIT {_IVF_CELLS}
+),
+ca AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT b.vec_id, b.e, c.cell,
+      row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY ROUND(list_cosine_similarity(b.e, c.ce), 6) DESC, c.cell
+      ) AS rnk
+    FROM u b, cents c
+  ) WHERE rnk = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM ca a JOIN ca b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.9
+)
+SELECT ca.vec_id, CAST(ca.cell AS BIGINT) AS cell
+FROM ca LEFT JOIN dropped ON ca.vec_id = dropped.vec_id
+WHERE dropped.vec_id IS NULL
+"""
+
+
 def unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization (functions/text.unicode_normalize_udf,
     Arrow-vectorized pandas_udf — Spark has no normalization built-in).
@@ -3445,6 +3572,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "audio_decode": QuerySpec(
         multimodal_audio_decode, MULTIMODAL_AUDIO_SQL
     ),
+    "video_decode": QuerySpec(
+        multimodal_video_decode, MULTIMODAL_VIDEO_SQL
+    ),
+    "semdedup": QuerySpec(semdedup_survivors, SEMDEDUP_SQL),
     "cohort_retention": QuerySpec(cohort_retention_query, COHORT_RETENTION_SQL),
     "pmi_collocations": QuerySpec(pmi_collocations_query, PMI_SQL),
     "zorder_manifest": QuerySpec(zorder_manifest_query, _zorder_sql()),
