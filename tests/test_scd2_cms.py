@@ -1,0 +1,156 @@
+"""SCD Type-2 history (operators/relational.scd2_history) and count-min
+sketch (operators/sketches.cms_*) quality gates.
+
+Both have full SQL oracles in the registry (`scd2_history`,
+`cms_frequency`); these tests pin the SEMANTIC contracts the oracle
+mirror can't distinguish from a shared bug: hand-computed histories,
+interval invariants under repartitioning, the CMS one-sided error
+guarantee vs exact counts, and exact sketch mergeability.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from vacancy_gpt_etl_pipeline_spark.operators.relational import scd2_history
+from vacancy_gpt_etl_pipeline_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def change_log(spark):
+    rows = [
+        # user 1: A → A (collapse) → B → B (collapse) → A  ⇒ 3 versions
+        (1, "A", _ts("2024-01-01T00:00:00"), 10),
+        (1, "A", _ts("2024-01-02T00:00:00"), 11),
+        (1, "B", _ts("2024-01-03T00:00:00"), 12),
+        (1, "B", _ts("2024-01-04T00:00:00"), 13),
+        (1, "A", _ts("2024-01-05T00:00:00"), 14),
+        # user 2: single event ⇒ one open version
+        (2, "X", _ts("2024-02-01T00:00:00"), 20),
+        # user 3: same-timestamp tie broken by event_id: C then D
+        (3, "D", _ts("2024-03-01T00:00:00"), 32),
+        (3, "C", _ts("2024-03-01T00:00:00"), 31),
+        # user 4: null state opens and closes runs null-safely
+        (4, None, _ts("2024-04-01T00:00:00"), 40),
+        (4, None, _ts("2024-04-02T00:00:00"), 41),
+        (4, "E", _ts("2024-04-03T00:00:00"), 42),
+    ]
+    return spark.createDataFrame(rows, "user_id long, state string, ts timestamp, event_id long")
+
+
+def _hist(df):
+    out = scd2_history(df, ["user_id"], ["state"], "ts", tiebreak_cols=["event_id"])
+    return sorted(
+        (
+            (r["user_id"], r["state"], r["valid_from"], r["valid_to"], r["version"], r["is_current"])
+            for r in out.collect()
+        ),
+        key=lambda t: (t[0], t[4]),
+    )
+
+
+def test_scd2_hand_computed(change_log):
+    rows = _hist(change_log)
+    u1 = [r for r in rows if r[0] == 1]
+    assert [(r[1], r[4], r[5]) for r in u1] == [("A", 1, False), ("B", 2, False), ("A", 3, True)]
+    # half-open contiguity: valid_to of version k == valid_from of k+1
+    assert u1[0][3] == u1[1][2] and u1[1][3] == u1[2][2]
+    assert u1[2][3] is None
+    u2 = [r for r in rows if r[0] == 2]
+    assert [(r[1], r[4], r[5], r[3]) for r in u2] == [("X", 1, True, None)]
+
+
+def test_scd2_tiebreak_and_null_state(change_log):
+    rows = _hist(change_log)
+    u3 = [r for r in rows if r[0] == 3]
+    # event_id order decides: C (31) before D (32) despite equal ts
+    assert [r[1] for r in sorted(u3, key=lambda r: r[4])] == ["C", "D"]
+    u4 = [r for r in rows if r[0] == 4]
+    # two consecutive NULL states collapse into ONE run (null-safe compare)
+    assert [r[1] for r in sorted(u4, key=lambda r: r[4])] == [None, "E"]
+
+
+def test_scd2_partitioning_invariance(change_log):
+    assert _hist(change_log) == _hist(change_log.repartition(7))
+
+
+def test_scd2_exactly_one_current_per_key(change_log):
+    out = scd2_history(change_log, ["user_id"], ["state"], "ts", tiebreak_cols=["event_id"])
+    per_key = (
+        out.groupBy("user_id")
+        .agg(
+            F.sum(F.col("is_current").cast("int")).alias("n_current"),
+            F.sum(F.col("valid_to").isNull().cast("int")).alias("n_open"),
+        )
+        .collect()
+    )
+    assert all(r["n_current"] == 1 and r["n_open"] == 1 for r in per_key)
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    # zipf-ish: key k appears ~ (200 - k) times, keys 0..199
+    df = spark.range(200).select(
+        F.explode(F.sequence(F.lit(1), 200 - F.col("id"))).alias("_"),
+        F.col("id").alias("key"),
+    ).select("key")
+    df.cache().count()
+    yield df
+    df.unpersist()
+
+
+def test_cms_one_sided_error(keyed):
+    """Count-min NEVER underestimates, and with width 256 ≫ 200 distinct
+    keys the overestimate stays within the e·N/width bound."""
+    exact = {r["key"]: r["cnt"] for r in keyed.groupBy("key").agg(F.count("*").alias("cnt")).collect()}
+    sketch = cms_build(keyed, "key", depth=4, width=256)
+    probes = keyed.select("key").distinct()
+    est = {r["key"]: r["estimate"] for r in cms_estimate(sketch, probes, "key", depth=4, width=256).collect()}
+    n_total = sum(exact.values())
+    bound = 2.72 * n_total / 256
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert e >= exact[k], f"key {k}: estimate {e} < exact {exact[k]}"
+        assert e - exact[k] <= bound
+
+
+def test_cms_merge_exact(keyed):
+    """merge(sketch(A), sketch(B)) must equal sketch(A ∪ B) EXACTLY —
+    the rollup-without-rescan property."""
+    a = keyed.where(F.col("key") % 2 == 0)
+    b = keyed.where(F.col("key") % 2 == 1)
+    merged = cms_merge(cms_build(a, "key"), cms_build(b, "key"))
+    direct = cms_build(keyed, "key")
+    m = {(r["row"], r["bucket"]): r["counter"] for r in merged.collect()}
+    d = {(r["row"], r["bucket"]): r["counter"] for r in direct.collect()}
+    assert m == d
+
+
+def test_cms_weighted(spark):
+    """weight_col sums weights instead of counting rows."""
+    df = spark.createDataFrame([("a", 5), ("a", 3), ("b", 2)], "k string, w int")
+    sketch = cms_build(df, "k", weight_col="w")
+    probes = df.select("k").distinct()
+    est = {r["k"]: r["estimate"] for r in cms_estimate(sketch, probes, "k").collect()}
+    assert est["a"] >= 8 and est["b"] >= 2
+
+
+def test_cms_unseen_key_estimates_zero_or_collision(spark, keyed):
+    """A key never inserted estimates 0 unless every one of its depth
+    buckets collides — with width 256 and 200 keys, at least one of the
+    4 rows is collision-free for this probe."""
+    sketch = cms_build(keyed, "key", depth=4, width=256)
+    probes = spark.range(1).select((F.lit(10_000_000)).alias("key"))
+    est = cms_estimate(sketch, probes, "key", depth=4, width=256).collect()
+    assert est[0]["estimate"] >= 0  # one-sided; typically 0

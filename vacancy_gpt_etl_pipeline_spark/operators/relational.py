@@ -101,3 +101,60 @@ def merge_upsert(
         .where(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    state_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Collapse a change/event log into SCD Type-2 history: one row per
+    (key, contiguous state run) with ``valid_from`` / ``valid_to``
+    validity bounds, a per-key ``version`` ordinal, and ``is_current``.
+    The dimension-history primitive of every warehouse ETL — the
+    reference's pipeline truncates-and-reloads its sink each run
+    (dag/vacancy_pipline_gpt_rerty.py), losing history; this keeps it.
+
+    Semantics: rows are ordered per key by ``(ts_col, *tiebreak_cols)``
+    (pass tiebreaks that make the order total — e.g. an event id — or
+    runs that tie on the timestamp are partition-order dependent). A row
+    opens a new version iff any ``state_cols`` value differs null-safely
+    from the previous row's. ``valid_to`` is the NEXT version's
+    ``valid_from`` (half-open intervals, no gaps or overlaps); the last
+    version per key has ``valid_to`` null and ``is_current`` true.
+
+    Scale shape: ONE shuffle. Both windows (the lag that finds change
+    points and the lead/row_number that closes intervals) partition on
+    the same keys, so the second window reuses the first's
+    hashpartitioning — the filter between them is narrow. At 100 TB the
+    shuffle carries (key, state, ts) only; no join, no self-join against
+    the history table.
+    """
+    ties = list(tiebreak_cols or [])
+    order = [F.col(ts_col)] + [F.col(c) for c in ties]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = F.lit(False)
+    for c in state_cols:
+        changed = changed | ~F.lag(F.col(c)).over(w).eqNullSafe(F.col(c))
+    # lag(ts) IS NULL ⇔ first row per key — always a change point
+    first_row = F.lag(F.col(ts_col)).over(w).isNull()
+    points = df.select(
+        *key_cols, *state_cols, *ties,
+        F.col(ts_col).alias("valid_from"),
+        (first_row | changed).alias("_chg"),
+    ).where(F.col("_chg"))
+    # the tiebreaks ride along so this order stays TOTAL even when two
+    # change points share a timestamp
+    w2 = Window.partitionBy(*key_cols).orderBy(
+        *([F.col("valid_from")] + [F.col(c) for c in ties])
+    )
+    return points.select(
+        *key_cols,
+        *state_cols,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )

@@ -98,3 +98,87 @@ def sketch_rse(lgk: int) -> float:
     (and tests) size ``lgk`` from their accuracy target rather than
     guessing."""
     return 1.04 / (2**lgk) ** 0.5
+
+
+def _cms_bucket(key: Column, row: int, width: int) -> Column:
+    """Row-``row`` bucket of ``key``: the portable-md5 idiom shared with
+    the MinHash family (operators/dedup.py) — 28 bits of md5('row:key')
+    mod width. Engine-portable: DuckDB computes the identical bucket as
+    ``('0x' || substr(md5(row || ':' || key), 1, 7))::BIGINT % width``,
+    so sketch construction (not just estimates) is hash-verifiable."""
+    h = F.md5(F.concat(F.lit(f"{row}:"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % width
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a count-min sketch of ``key_col`` frequencies as a
+    ``(row, bucket, counter)`` frame — at most depth×width rows
+    REGARDLESS of input size, the streaming-frequency primitive for
+    heavy-hitter and frequency questions over 100 TB event logs.
+
+    Scale shape: the depth-way expansion is a map-side ``explode`` over a
+    literal array; the ONE shuffle is the (row, bucket) groupBy, which
+    map-side combines down to ≤ depth×width rows per task before it moves.
+    Sketches are MERGEABLE by construction: cms_merge(sketch(A),
+    sketch(B)) equals cms_build(A ∪ B) exactly (asserted in
+    tests/test_sketches.py), so per-day sketch tables roll up to any
+    range without rescanning raw rows — the HLL pattern above, for
+    frequencies instead of cardinalities.
+    """
+    k = F.col(key_col)
+    weight = F.col(weight_col) if weight_col else F.lit(1)
+    rows = F.array(*[
+        F.struct(F.lit(r).alias("row"), _cms_bucket(k, r, width).alias("bucket"))
+        for r in range(depth)
+    ])
+    return (
+        df.select(F.explode(rows).alias("rb"), weight.alias("_w"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.sum("_w").cast("long").alias("counter"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with identical (depth, width):
+    element-wise counter sum. Associative and exact w.r.t. sketch state."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(
+        F.sum("counter").alias("counter")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-estimate frequencies for ``probes[key_col]``: min over the
+    depth rows of the probed counters. Estimates are always ≥ the true
+    count (one-sided error ≤ e·N/width with probability 1 − e^-depth).
+
+    Scale shape: the sketch is ≤ depth×width rows — broadcast it; the
+    probe side never shuffles. Missing (row, bucket) cells mean zero
+    observations, hence the left join + coalesce(0) BEFORE the min.
+    """
+    k = F.col(key_col)
+    rows = F.array(*[
+        F.struct(F.lit(r).alias("row"), _cms_bucket(k, r, width).alias("bucket"))
+        for r in range(depth)
+    ])
+    probed = probes.select(k.alias(key_col), F.explode(rows).alias("rb")).select(
+        key_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    )
+    joined = probed.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("counter"), F.lit(0))).alias("estimate")
+    )

@@ -3026,6 +3026,109 @@ WHERE dropped.vec_id IS NULL
 """
 
 
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history (operators/relational.scd2_history): each
+    user's event_type stream collapses into contiguous state runs with
+    half-open [valid_from, valid_to) validity, a version ordinal, and
+    is_current on the open run — the warehouse dimension-history
+    primitive the reference's truncate-and-reload sink discards.
+    ONE shuffle: both windows partition on user_id (plan-asserted in
+    test_plan_shapes). Timestamps emit as formatted strings per the
+    determinism rules; event_id rides as the tie-break so the order is
+    total even for same-timestamp events."""
+    from vacancy_gpt_etl_pipeline_spark.operators.relational import scd2_history
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    hist = scd2_history(
+        ev, ["user_id"], ["event_type"], "ts", tiebreak_cols=["event_id"]
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "version",
+        "is_current",
+    )
+
+
+SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+    lag(event_type) OVER w AS prev_type,
+    lag(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+points AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM ordered
+  WHERE prev_ts IS NULL OR prev_type IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type,
+  strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+  strftime(lead(valid_from) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+  CAST(row_number() OVER w2 AS INTEGER) AS version,
+  lead(valid_from) OVER w2 IS NULL AS is_current
+FROM points
+WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+"""
+
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 256
+
+
+def cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates (operators/sketches.py):
+    build a 4×256 sketch of events.user_id — ≤1024 rows regardless of
+    input size, map-side combined — then point-estimate the frequency of
+    every user_id < 25 by probing min-over-rows. The bucket hash is the
+    portable-md5 idiom, so the oracle reproduces the ENTIRE sketch
+    (construction + probe + min), not just the estimates; the ≥-exact
+    one-sided error guarantee and exact mergeability
+    (merge(sketch(A), sketch(B)) == sketch(A∪B)) are asserted in
+    tests/test_sketches.py."""
+    from vacancy_gpt_etl_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    probes = ev.where(F.col("user_id") < 25).select("user_id").distinct()
+    return cms_estimate(
+        sketch, probes, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+
+
+CMS_SQL = f"""
+WITH rows_ AS (SELECT unnest(generate_series(0, {_CMS_DEPTH - 1})) AS row),
+expanded AS (
+  SELECT r.row,
+    ('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' ||
+       CAST(e.user_id AS VARCHAR)), 1, 7))::BIGINT % {_CMS_WIDTH} AS bucket
+  FROM events e, rows_ r
+),
+sketch AS (
+  SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS counter
+  FROM expanded GROUP BY row, bucket
+),
+probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 25),
+probed AS (
+  SELECT p.user_id, r.row,
+    ('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' ||
+       CAST(p.user_id AS VARCHAR)), 1, 7))::BIGINT % {_CMS_WIDTH} AS bucket
+  FROM probes p, rows_ r
+)
+SELECT p.user_id, MIN(COALESCE(s.counter, 0)) AS estimate
+FROM probed p LEFT JOIN sketch s ON p.row = s.row AND p.bucket = s.bucket
+GROUP BY p.user_id
+"""
+
+
 def unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization (functions/text.unicode_normalize_udf,
     Arrow-vectorized pandas_udf — Spark has no normalization built-in).
@@ -3576,6 +3679,8 @@ REGISTRY: dict[str, QuerySpec] = {
         multimodal_video_decode, MULTIMODAL_VIDEO_SQL
     ),
     "semdedup": QuerySpec(semdedup_survivors, SEMDEDUP_SQL),
+    "scd2_history": QuerySpec(scd2_user_state, SCD2_SQL),
+    "cms_frequency": QuerySpec(cms_frequency, CMS_SQL),
     "cohort_retention": QuerySpec(cohort_retention_query, COHORT_RETENTION_SQL),
     "pmi_collocations": QuerySpec(pmi_collocations_query, PMI_SQL),
     "zorder_manifest": QuerySpec(zorder_manifest_query, _zorder_sql()),
