@@ -153,3 +153,66 @@ def dedup_clusters(
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+PAGERANK_SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    scale: int = PAGERANK_SCALE,
+) -> DataFrame:
+    """Integer-quantized PageRank: ranks live in fixed-point units of
+    1/scale with ALL arithmetic in exact BIGINT (floor division for the
+    per-edge contribution and the damping step, order-independent BIGINT
+    sums). The quantization is the point — float PageRank sums
+    contributions in partition order and can't hash-match a second
+    engine, while this variant is bit-reproducible ANYWHERE: the
+    registry oracle replays it in plain SQL as unrolled CTEs.
+
+    rank₀ = scale ÷ n for every node;
+    rankₖ₊₁ = (15·scale) ÷ (100·n) + (85·Σ_{(u→v)} rankₖ(u) ÷ deg(u)) ÷ 100
+    (÷ is floor division; mass shaved by flooring is deliberately lost —
+    the quantized variant is its own well-defined fixpoint).
+
+    Contract: ``edges`` is directed (src, dst), deduplicated by the
+    operator, and every node must appear as a src — symmetrize or add
+    self-loops for dangling nodes (the registry query symmetrizes a
+    bipartite supplier↔part graph, which guarantees it).
+
+    Scale shape: each iteration is ONE aggregation shuffle (groupBy dst)
+    plus equi-joins on the src key; only (long, long) tuples move. The
+    rank frame is node-sized, never edge-sized. Fixed ``iterations``
+    keeps the lineage linear in T (each rank frame feeds exactly one
+    join), so no checkpointing is needed at T≈5; unbounded-round loops
+    should localCheckpoint like connected_components.
+    """
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .distinct()
+    )
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()  # one scalar job — the n in the closed-form constants
+    init = scale // n
+    base = (15 * scale) // (100 * n)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    rank = nodes.select("node", F.lit(init).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            rank.join(deg, rank["node"] == deg["src"])
+            .join(e, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank DIV _deg").alias("_c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("_c").alias("_m"))
+        rank = nodes.join(summed, "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr("85 * coalesce(_m, 0L) DIV 100")
+            ).alias("rank"),
+        )
+    return rank

@@ -3078,6 +3078,65 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 """
 
 
+_PR_ITERS, _PR_SCALE = 5, 10**12
+
+
+def pagerank_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized PageRank (operators/graph.pagerank) over the
+    symmetrized supplier↔part graph from lineitem (parts offset by 10⁶
+    into a disjoint id range). Symmetrization guarantees every node has
+    out-edges, so the quantized fixpoint is total. All arithmetic is
+    exact BIGINT, so the oracle — the same recurrence unrolled as plain
+    CTEs — matches bit-for-bit after 5 iterations: a distributed
+    ITERATIVE algorithm under a full value-hash gate, not a rows-only
+    check. One aggregation shuffle per iteration; only (long, long)
+    tuples move."""
+    from vacancy_gpt_etl_pipeline_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    sp = li.select(
+        F.col("l_suppkey").cast("long").alias("a"),
+        (F.col("l_partkey").cast("long") + 1000000).alias("b"),
+    ).distinct()
+    edges = sp.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        sp.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return pagerank(edges, iterations=_PR_ITERS, scale=_PR_SCALE)
+
+
+def _pagerank_sql(iters: int = _PR_ITERS, scale: int = _PR_SCALE) -> str:
+    """The pagerank recurrence unrolled as CTE twins — generated from the
+    same (iters, scale) constants the Spark query uses, zorder-style."""
+    parts = [f"""
+WITH sp AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS a,
+    CAST(l_partkey AS BIGINT) + 1000000 AS b
+  FROM lineitem
+),
+edges AS (SELECT a AS src, b AS dst FROM sp UNION ALL SELECT b, a FROM sp),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+n AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+pr0 AS (SELECT node, (SELECT {scale} // n FROM n) AS rank FROM nodes)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+m{k} AS (
+  SELECT e.dst AS node, CAST(SUM(p.rank // d.deg) AS BIGINT) AS m
+  FROM pr{k - 1} p
+  JOIN deg d ON p.node = d.src
+  JOIN edges e ON p.node = e.src
+  GROUP BY e.dst
+),
+pr{k} AS (
+  SELECT nd.node,
+    (SELECT (15 * {scale}) // (100 * n) FROM n)
+      + (85 * COALESCE(m{k}.m, 0)) // 100 AS rank
+  FROM nodes nd LEFT JOIN m{k} ON nd.node = m{k}.node
+)""")
+    parts.append(f"\nSELECT node, rank FROM pr{iters}")
+    return "".join(parts)
+
+
 _CMS_DEPTH, _CMS_WIDTH = 4, 256
 
 
@@ -3681,6 +3740,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "semdedup": QuerySpec(semdedup_survivors, SEMDEDUP_SQL),
     "scd2_history": QuerySpec(scd2_user_state, SCD2_SQL),
     "cms_frequency": QuerySpec(cms_frequency, CMS_SQL),
+    "pagerank": QuerySpec(pagerank_supplier_parts, _pagerank_sql()),
     "cohort_retention": QuerySpec(cohort_retention_query, COHORT_RETENTION_SQL),
     "pmi_collocations": QuerySpec(pmi_collocations_query, PMI_SQL),
     "zorder_manifest": QuerySpec(zorder_manifest_query, _zorder_sql()),
