@@ -183,3 +183,49 @@ def test_widen_scan_noop_on_wide_input(spark, sf_dir):
         spark.sparkContext.defaultParallelism + 4
     )
     assert widen_scan(wide) is wide
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """Both SCD2 windows partition on the key, so the change-point
+    filter between them must NOT introduce a second exchange — one
+    hashpartitioning(user_id) end-to-end."""
+    plan = _plan(spark, sf_dir, "scd2_history")
+    import re
+
+    parts = re.findall(r"hashpartitioning\([^)]*\)", plan)
+    assert parts, plan[:800]
+    assert all("user_id" in p for p in parts), parts
+    # dedup to distinct exchange shapes: one partitioning spec only
+    assert len(set(parts)) == 1, parts
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_cms_broadcasts_sketch_not_probes(spark, sf_dir):
+    """The ≤depth×width sketch is the broadcast side; the probe join must
+    never sort-merge, and the depth expansion is a map-side explode
+    (Generate), not a join."""
+    plan = _plan(spark, sf_dir, "cms_frequency")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+
+
+def test_pagerank_no_cartesian_and_long_tuples_only(spark, sf_dir):
+    """Five unrolled iterations: every join is an equi-join on the src
+    key (no cartesian), and the iteration never widens beyond
+    (long, long) tuples — no strings or arrays in any exchange."""
+    plan = _plan(spark, sf_dir, "pagerank")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    for ex in (seg.splitlines()[0] for seg in plan.split("Exchange ")[1:]):
+        assert "string" not in ex and "array" not in ex, ex
+
+
+def test_semdedup_broadcasts_centroids_and_blocks_pairs(spark, sf_dir):
+    """Cell assignment broadcasts the (bounded) centroid set; the pair
+    stage joins on cell equality — the only nested-loop allowed is the
+    1-row-side broadcast, never a corpus×corpus cartesian."""
+    plan = _plan(spark, sf_dir, "semdedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the persisted assignment frame feeds sizes/pairs/anti-join from cache
+    assert "InMemoryTableScan" in plan

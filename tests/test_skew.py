@@ -80,3 +80,61 @@ def test_ngram_cap_actually_bites(spark):
     # post-filter sizes: doc100 has 4 post-cap shingles ('alpha beta gamma',
     # 'beta gamma delta', + 2 with boiler words dropped... compute from data)
     assert got[(100, 101)] > 0.3  # strong score despite boilerplate removal
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_salted_join_matches_plain_inner(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", float(i)) for i in range(2000)],
+        "id long, k string, v double",
+    )
+    dim = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, w int")
+    got = salted_join(big, dim, ["k"], buckets=8, salt_cols=["id"])
+    want = big.join(dim, ["k"])
+    assert _rows(got.select("id", "k", "v", "w")) == _rows(
+        want.select("id", "k", "v", "w")
+    )
+
+
+def test_salted_join_left_unmatched_survive_once(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i, "a" if i % 2 else "orphan") for i in range(100)], "id long, k string"
+    )
+    dim = spark.createDataFrame([("a", 10)], "k string, w int")
+    got = salted_join(big, dim, ["k"], buckets=4, how="left", salt_cols=["id"])
+    want = big.join(dim, ["k"], "left")
+    assert _rows(got.select("id", "k", "w")) == _rows(want.select("id", "k", "w"))
+    # every orphan row exactly once, null weight
+    assert got.where(F.col("k") == "orphan").count() == 50
+
+
+def test_salted_join_spreads_hot_key_across_buckets(spark):
+    """The point of the rewrite: one hot key's rows must carry >1 distinct
+    salt (so >1 reducer), while results stay identical."""
+    from vacancy_gpt_etl_pipeline_spark.operators.skew import salted_join, with_salt
+
+    big = spark.createDataFrame(
+        [(i, "hot") for i in range(1000)], "id long, k string"
+    )
+    n_salts = (
+        with_salt(big, 8, salt_cols=["id"]).select("_salt").distinct().count()
+    )
+    assert n_salts == 8
+    dim = spark.createDataFrame([("hot", 1)], "k string, w int")
+    assert salted_join(big, dim, ["k"], buckets=8, salt_cols=["id"]).count() == 1000
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    import pytest as _pytest
+
+    from vacancy_gpt_etl_pipeline_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, "a")], "id long, k string")
+    with _pytest.raises(ValueError):
+        salted_join(df, df, ["k"], how="full")

@@ -96,3 +96,44 @@ def salted_collect_set(
     return partial.groupBy(*group_cols).agg(
         F.array_distinct(F.flatten(F.collect_list("_part"))).alias(out_col)
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    buckets: int = 16,
+    how: str = "inner",
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
+    """Skew-safe equi-join by salting: the BIG (skewed) side gets a
+    content-hash salt in [0, buckets); the SMALL side is replicated
+    ``buckets`` times (one copy per salt value); the join runs on
+    ``on + [_salt]``, so one hot key's rows spread across ``buckets``
+    reducers instead of landing on one.
+
+    When to reach for this instead of the built-ins, in order:
+    1. ``F.broadcast(small)`` — if small fits in memory, broadcast and
+       skew is moot. Salting is for a small side too big to broadcast.
+    2. AQE skew-join splitting (on in session.py) — handles sort-merge
+       skew automatically, but only AFTER a stage materializes oversized
+       partitions; it also can't help a shuffled hash join whose single
+       hot partition OOMs before AQE sees stats. Explicit salting shapes
+       the shuffle correctly up front — the belt to AQE's suspenders on
+       a join you KNOW is skewed (power-law keys in web/event data).
+
+    Row multiplication is on the small side only (buckets × |small|
+    shuffled); the big side is shuffled once, unduplicated. ``how``
+    supports 'inner' and 'left' (left rows with unmatched keys survive
+    exactly once, since their single salt copy finds no match). The salt
+    is content-deterministic (with_salt) so task retries replay
+    identically.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_big = with_salt(big, buckets, salt_cols=salt_cols)
+    replicated = small.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i).cast("int") for i in range(buckets)])),
+    )
+    return salted_big.join(replicated, on + ["_salt"], how).drop("_salt")

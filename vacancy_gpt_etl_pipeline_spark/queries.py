@@ -3078,6 +3078,46 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 """
 
 
+def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join (operators/skew.salted_join): events
+    has only 5 event_type values — every key is hot at 100 TB, and a
+    plain shuffled join lands each key on ONE reducer. The salted plan
+    spreads each key over 16 reducers by salting the big side and
+    replicating the small dim 16×. ``how='left'`` with the 'purchase'
+    type dropped from the dim exercises unmatched-row survival (exactly
+    once, null weight). The oracle is a PLAIN SQL join — a genuinely
+    different plan, so a salting bug (lost bucket, double-replication)
+    cannot cancel out; the row-level output makes duplication or loss
+    visible per event_id."""
+    from vacancy_gpt_etl_pipeline_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = (
+        ev.where(F.col("event_type") != "purchase")
+        .select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.length("event_type").cast("int").alias("type_weight"),
+        )
+    )
+    out = salted_join(
+        ev, dim, ["event_type"], buckets=16, how="left",
+        salt_cols=["event_id"],
+    )
+    return out.select("event_id", "event_type", "value", "type_weight")
+
+
+SALTED_JOIN_SQL = """
+WITH dim AS (
+  SELECT DISTINCT event_type, CAST(length(event_type) AS INTEGER) AS type_weight
+  FROM events WHERE event_type <> 'purchase'
+)
+SELECT e.event_id, e.event_type, e.value, d.type_weight
+FROM events e LEFT JOIN dim d USING (event_type)
+"""
+
+
 _PR_ITERS, _PR_SCALE = 5, 10**12
 
 
@@ -3741,6 +3781,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "scd2_history": QuerySpec(scd2_user_state, SCD2_SQL),
     "cms_frequency": QuerySpec(cms_frequency, CMS_SQL),
     "pagerank": QuerySpec(pagerank_supplier_parts, _pagerank_sql()),
+    "salted_join": QuerySpec(salted_join_events, SALTED_JOIN_SQL),
     "cohort_retention": QuerySpec(cohort_retention_query, COHORT_RETENTION_SQL),
     "pmi_collocations": QuerySpec(pmi_collocations_query, PMI_SQL),
     "zorder_manifest": QuerySpec(zorder_manifest_query, _zorder_sql()),
