@@ -229,3 +229,15 @@ def test_semdedup_broadcasts_centroids_and_blocks_pairs(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     # the persisted assignment frame feeds sizes/pairs/anti-join from cache
     assert "InMemoryTableScan" in plan
+
+
+def test_q3_broadcasts_customer_and_takes_ordered(spark, sf_dir):
+    """TPC-H Q3 shape: the filtered customer dim broadcasts; top-10 is
+    TakeOrderedAndProject, not a global sort; both date filters reach
+    the scans."""
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    pushed = plan.split("PushedFilters:")[1:]
+    assert any("o_orderdate" in seg[:200] for seg in pushed)
+    assert any("l_shipdate" in seg[:200] for seg in pushed)

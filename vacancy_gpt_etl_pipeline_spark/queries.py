@@ -3078,6 +3078,60 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 """
 
 
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with date predicates
+    on BOTH fact scans, revenue aggregate, top-10. The 3-way join breadth
+    test: customer (small) broadcasts into orders; the orders→lineitem
+    join shuffles on orderkey — the key both facts would be bucketed on
+    in a real 100 TB layout. Pushed date filters shrink both scans before
+    any join. Decimal-exact revenue (q1 pattern), double-cast at the
+    end; TakeOrderedAndProject for the top-10, never a global sort."""
+    cutoff = F.lit("1998-06-15")
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    dec = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - dec("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-15'
+  AND l_shipdate > TIMESTAMP '1998-06-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
 def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join (operators/skew.salted_join): events
     has only 5 event_type values — every key is hot at 100 TB, and a
@@ -3782,6 +3836,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "cms_frequency": QuerySpec(cms_frequency, CMS_SQL),
     "pagerank": QuerySpec(pagerank_supplier_parts, _pagerank_sql()),
     "salted_join": QuerySpec(salted_join_events, SALTED_JOIN_SQL),
+    "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL),
     "cohort_retention": QuerySpec(cohort_retention_query, COHORT_RETENTION_SQL),
     "pmi_collocations": QuerySpec(pmi_collocations_query, PMI_SQL),
     "zorder_manifest": QuerySpec(zorder_manifest_query, _zorder_sql()),
