@@ -3078,6 +3078,77 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 """
 
 
+def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (operators/expectations.py) over
+    orders, ONE aggregation pass for five checks: key uniqueness +
+    not-null, price range (deliberately tight at 450k so the fraction is
+    strictly between 0 and 1 and the pass/fail logic is exercised, not
+    vacuous), status domain, priority format. The oracle recomputes each
+    fraction as an independent scalar aggregate — exact integer-ratio
+    doubles, so pass/fail booleans match bit-for-bit."""
+    from vacancy_gpt_etl_pipeline_spark.operators.expectations import (
+        expect_between,
+        expect_in_set,
+        expect_matches,
+        expect_not_null,
+        expect_unique,
+        run_expectations,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    suite = [
+        expect_not_null("o_custkey"),
+        expect_unique("o_orderkey"),
+        expect_between("o_totalprice", 0.0, 450000.0, threshold=0.99),
+        expect_in_set("o_orderstatus", ["O", "F", "P"]),
+        expect_matches("o_orderpriority", "^[1-5]-", threshold=0.95),
+    ]
+    return run_expectations(orders, suite)
+
+
+EXPECTATIONS_SQL = """
+SELECT 'not_null:o_custkey' AS expectation,
+  CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    / COUNT(*) AS fraction,
+  CAST(1.0 AS DOUBLE) AS threshold,
+  CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    / COUNT(*) >= 1.0 AS passed
+FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey',
+  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) / COUNT(*),
+  CAST(1.0 AS DOUBLE),
+  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) / COUNT(*) >= 1.0
+FROM orders
+UNION ALL
+SELECT 'between:o_totalprice',
+  CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                 AND o_totalprice BETWEEN 0.0 AND 450000.0
+            THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*),
+  CAST(0.99 AS DOUBLE),
+  CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                 AND o_totalprice BETWEEN 0.0 AND 450000.0
+            THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*) >= 0.99
+FROM orders
+UNION ALL
+SELECT 'in_set:o_orderstatus',
+  CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+    / COUNT(*),
+  CAST(1.0 AS DOUBLE),
+  CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+    / COUNT(*) >= 1.0
+FROM orders
+UNION ALL
+SELECT 'matches:o_orderpriority',
+  CAST(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT)
+    / COUNT(*),
+  CAST(0.95 AS DOUBLE),
+  CAST(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT)
+    / COUNT(*) >= 0.95
+FROM orders
+"""
+
+
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with date predicates
     on BOTH fact scans, revenue aggregate, top-10. The 3-way join breadth
@@ -3837,6 +3908,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "pagerank": QuerySpec(pagerank_supplier_parts, _pagerank_sql()),
     "salted_join": QuerySpec(salted_join_events, SALTED_JOIN_SQL),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL),
+    "expectations": QuerySpec(expectations_orders, EXPECTATIONS_SQL),
     "cohort_retention": QuerySpec(cohort_retention_query, COHORT_RETENTION_SQL),
     "pmi_collocations": QuerySpec(pmi_collocations_query, PMI_SQL),
     "zorder_manifest": QuerySpec(zorder_manifest_query, _zorder_sql()),
