@@ -82,3 +82,21 @@ def test_suite_is_one_aggregate_pass(spark):
     assert "Join" not in plan
     # one partial+final aggregate pair, nothing else
     assert plan.count("HashAggregate") == 2
+
+
+def test_profile_columns(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.expectations import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "b"), (2, None), (2, "a"), (None, "a")], "k long, s string"
+    )
+    got = {
+        r["column"]: (
+            r["n_rows"], r["n_nulls"], r["n_distinct"], r["min_value"], r["max_value"]
+        )
+        for r in profile_columns(df, ["k", "s"]).collect()
+    }
+    assert got["k"] == (4, 1, 2, "1", "2")
+    assert got["s"] == (4, 1, 2, "a", "b")

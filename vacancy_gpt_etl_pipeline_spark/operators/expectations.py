@@ -115,3 +115,34 @@ def run_expectations(
         thresholds[F.col("expectation")].alias("threshold"),
         (F.col("fraction") >= thresholds[F.col("expectation")]).alias("passed"),
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass column profiler: (column, n_rows, n_nulls, n_distinct,
+    min_value, max_value) per requested column — the discovery
+    counterpart to the contract checks above (profile first, then pin
+    what you learned as expectations).
+
+    min/max are emitted as STRINGS (exact cast, no formatting) so one
+    schema serves every column type. Each profiled column adds a
+    ``count_distinct``; 2+ profiled columns plan through Expand (input
+    row per distinct aggregate) — one pass of the data, ``len(cols)``×
+    map-side width. Profile the columns you care about, not SELECT *.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_ndv_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    pairs = ", ".join(
+        f"'{c}', _n, `_nulls_{c}`, `_ndv_{c}`, `_min_{c}`, `_max_{c}`"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {pairs}) AS "
+        "(column, n_rows, n_nulls, n_distinct, min_value, max_value)"
+    )

@@ -3149,6 +3149,47 @@ FROM orders
 """
 
 
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (operators/expectations.profile_columns)
+    over four orders columns of four different types — counts, nulls,
+    exact NDV, min/max as strings. o_totalprice profiles through a
+    decimal(12,2) cast so its min/max strings render identically in
+    both engines ("1013.70"); bigint/varchar/timestamp casts agree
+    natively. The 4 count_distincts plan through one Expand — one scan,
+    4× map-side width, the documented profiler cost model."""
+    from vacancy_gpt_etl_pipeline_spark.operators.expectations import (
+        profile_columns,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+    )
+    return profile_columns(
+        orders, ["o_custkey", "o_orderstatus", "o_orderdate", "o_totalprice"]
+    )
+
+
+_PROFILE_COL_SQL = """
+SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+  CAST(MIN({c}) AS VARCHAR) AS min_value,
+  CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM src"""
+
+PROFILE_SQL = (
+    "WITH src AS (SELECT o_custkey, o_orderstatus, o_orderdate,"
+    " CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice FROM orders)\n"
+    + "\nUNION ALL\n".join(
+        _PROFILE_COL_SQL.format(c=c)
+        for c in ("o_custkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+    )
+)
+
+
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with date predicates
     on BOTH fact scans, revenue aggregate, top-10. The 3-way join breadth
@@ -3909,6 +3950,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "salted_join": QuerySpec(salted_join_events, SALTED_JOIN_SQL),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL),
     "expectations": QuerySpec(expectations_orders, EXPECTATIONS_SQL),
+    "profile_columns": QuerySpec(profile_orders, PROFILE_SQL),
     "cohort_retention": QuerySpec(cohort_retention_query, COHORT_RETENTION_SQL),
     "pmi_collocations": QuerySpec(pmi_collocations_query, PMI_SQL),
     "zorder_manifest": QuerySpec(zorder_manifest_query, _zorder_sql()),
