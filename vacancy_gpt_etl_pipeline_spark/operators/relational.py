@@ -158,3 +158,41 @@ def scd2_history(
         F.row_number().over(w2).alias("version"),
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )
+
+
+def incremental_rollup(
+    prev: DataFrame,
+    delta: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, tuple[Column, Column]],
+) -> DataFrame:
+    """Incremental aggregate maintenance: merge an EXISTING rollup with
+    freshly aggregated delta rows instead of rescanning history — the
+    pattern that turns a daily 100 TB full-table rollup into a
+    yesterday's-summary + today's-partition job. The reference rescans
+    its full sink for every analysis run (SURVEY §2.1 S4); this is the
+    at-scale replacement.
+
+    ``aggs`` maps output name → (aggregate over raw delta rows, merge
+    over summary rows) — the salted_agg contract, reused: any aggregate
+    whose partials merge associatively (count/sum/min/max, sketches)
+    qualifies; averages must be carried as (sum, count) pairs and
+    divided at read time. ``prev`` must already have the output schema
+    (group_cols + agg names) — i.e. be a previous output of this
+    function or of the same groupBy.
+
+    Scale shape: the delta aggregates map-side-combine down to its key
+    count before the union; the merge groupBy shuffles summary-sized
+    frames only (keys × 2 rows worst case), never history rows. Keys
+    absent from the delta pass through the merge unchanged.
+    """
+    stage1 = [expr.alias(name) for name, (expr, _) in aggs.items()]
+    merge = [m.alias(name) for name, (_, m) in aggs.items()]
+    delta_rollup = delta.groupBy(*group_cols).agg(*stage1)
+    cols = group_cols + list(aggs)
+    return (
+        prev.select(*cols)
+        .unionByName(delta_rollup.select(*cols))
+        .groupBy(*group_cols)
+        .agg(*merge)
+    )

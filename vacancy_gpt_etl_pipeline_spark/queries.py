@@ -3190,6 +3190,51 @@ PROFILE_SQL = (
 )
 
 
+def incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/relational.
+    incremental_rollup): the (event_type, day) rollup is maintained by
+    merging a PRE-AGGREGATED history summary (events before 2024-03-01)
+    with freshly aggregated delta rows (events on/after it) — the merge
+    shuffles summary-sized frames only. The oracle is a DIRECT rollup of
+    the full history: a different computation path, so a merge bug
+    (dropped pass-through key, double-merged partial) cannot cancel out.
+    Decimal-exact sums (q1 pattern), double-cast at the end."""
+    from vacancy_gpt_etl_pipeline_spark.operators.relational import (
+        incremental_rollup,
+    )
+
+    split = F.lit("2024-03-01")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("value").cast("decimal(18,2)").alias("value"),
+        "ts",
+    )
+    aggs = {
+        "n": (F.count(F.lit(1)), F.sum("n")),
+        "tot": (F.sum("value"), F.sum("tot")),
+    }
+    hist = ev.where(F.col("ts") < split)
+    delta = ev.where(F.col("ts") >= split)
+    # prev summary: same stage-1 aggregate the maintenance path uses
+    prev = hist.groupBy("event_type", "day").agg(
+        *[e.alias(n) for n, (e, _) in aggs.items()]
+    )
+    merged = incremental_rollup(prev, delta, ["event_type", "day"], aggs)
+    return merged.select(
+        "event_type", "day", "n", F.col("tot").cast("double").alias("tot")
+    )
+
+
+INCR_ROLLUP_SQL = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS tot
+FROM events
+GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+"""
+
+
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with date predicates
     on BOTH fact scans, revenue aggregate, top-10. The 3-way join breadth
@@ -3951,6 +3996,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL),
     "expectations": QuerySpec(expectations_orders, EXPECTATIONS_SQL),
     "profile_columns": QuerySpec(profile_orders, PROFILE_SQL),
+    "incr_rollup": QuerySpec(incremental_rollup_events, INCR_ROLLUP_SQL),
     "cohort_retention": QuerySpec(cohort_retention_query, COHORT_RETENTION_SQL),
     "pmi_collocations": QuerySpec(pmi_collocations_query, PMI_SQL),
     "zorder_manifest": QuerySpec(zorder_manifest_query, _zorder_sql()),
