@@ -3235,6 +3235,48 @@ GROUP BY event_type, strftime(ts, '%Y-%m-%d')
 """
 
 
+_CMS_DEPTH, _CMS_WIDTH = 4, 256
+
+
+def windowed_cms_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day count-min sketch maintenance on the event stream
+    (streaming/windows.windowed_cms_agg): ≤ 4×256 sketch rows per day
+    regardless of event volume; daily sketches merge to any coarser
+    range (cms_merge) and answer heavy-hitter queries (cms_estimate)
+    without rescanning raw events. The oracle mirrors the portable-md5
+    buckets AND the day windowing, so sketch construction on the
+    windowed stream is hash-verified end-to-end; streaming semantics
+    (watermark close-out = batch parity) are asserted in
+    tests/test_streaming_cms.py."""
+    from vacancy_gpt_etl_pipeline_spark.streaming.windows import (
+        windowed_cms_agg,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_cms_agg(
+        ev, "user_id", "ts", "1 day", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "row",
+        "bucket",
+        "counter",
+    )
+
+
+WINDOWED_CMS_SQL = f"""
+WITH rows_ AS (SELECT unnest(generate_series(0, {_CMS_DEPTH - 1})) AS row),
+expanded AS (
+  SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day, r.row,
+    ('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' ||
+       CAST(e.user_id AS VARCHAR)), 1, 7))::BIGINT % {_CMS_WIDTH} AS bucket
+  FROM events e, rows_ r
+)
+SELECT day, row, bucket, CAST(COUNT(*) AS BIGINT) AS counter
+FROM expanded GROUP BY day, row, bucket
+"""
+
+
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with date predicates
     on BOTH fact scans, revenue aggregate, top-10. The 3-way join breadth
@@ -3386,9 +3428,6 @@ pr{k} AS (
 )""")
     parts.append(f"\nSELECT node, rank FROM pr{iters}")
     return "".join(parts)
-
-
-_CMS_DEPTH, _CMS_WIDTH = 4, 256
 
 
 def cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3997,6 +4036,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "expectations": QuerySpec(expectations_orders, EXPECTATIONS_SQL),
     "profile_columns": QuerySpec(profile_orders, PROFILE_SQL),
     "incr_rollup": QuerySpec(incremental_rollup_events, INCR_ROLLUP_SQL),
+    "windowed_cms": QuerySpec(windowed_cms_daily, WINDOWED_CMS_SQL),
     "cohort_retention": QuerySpec(cohort_retention_query, COHORT_RETENTION_SQL),
     "pmi_collocations": QuerySpec(pmi_collocations_query, PMI_SQL),
     "zorder_manifest": QuerySpec(zorder_manifest_query, _zorder_sql()),

@@ -87,3 +87,48 @@ def session_window_agg(
             "n_events",
         )
     )
+
+
+def windowed_cms_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    duration: str = "1 day",
+    depth: int = 4,
+    width: int = 256,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-window count-min sketch maintenance: (window_start, row,
+    bucket, counter) — the streaming companion of
+    operators/sketches.cms_build. Works on batch and streaming frames
+    alike (the oracle runs it in batch; streaming adds a watermark and
+    emits each window's sketch once it closes).
+
+    This is the sketch-table pattern (operators/sketches.py docstring)
+    applied to frequencies on a stream: the sink holds ≤ depth×width
+    rows PER WINDOW regardless of event volume, heavy-hitter questions
+    replay cms_estimate against stored sketches, and window sketches
+    merge (cms_merge groups away window_start) to any coarser range —
+    so "top users last quarter" never rescans raw events. The depth
+    expansion is a map-side explode; the one shuffle groups on
+    (window, row, bucket), which map-side combines to the sketch size.
+    """
+    from vacancy_gpt_etl_pipeline_spark.operators.sketches import _cms_bucket
+
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    k = F.col(key_col)
+    rows = F.array(*[
+        F.struct(
+            F.lit(r).alias("row"), _cms_bucket(k, r, width).alias("bucket")
+        )
+        for r in range(depth)
+    ])
+    return (
+        df.select(F.window(ts_col, duration).alias("w"), F.explode(rows).alias("rb"))
+        .groupBy(
+            "w", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("counter"))
+        .select(F.col("w.start").alias("window_start"), "row", "bucket", "counter")
+    )
