@@ -16,9 +16,12 @@ bit-for-bit):
   formatted strings.
 - Array outputs are sorted and joined to strings.
 
-Rows-only entries (no SQL-expressible oracle): xxhash64-based MinHash /
-SimHash signatures and the stubbed multimodal decode — the driver records
-the weaker rows-only check for those.
+Every registry entry carries a full value-hash oracle — zero rows-only
+entries. The formerly hash-exempt paths were converted: MinHash/SimHash
+run portable-md5 hash families the oracle reproduces, the multimodal
+decoders parse real bytes that generator-formula SQL recomputes, and
+iterative algorithms (PageRank, connected components) use exact integer
+arithmetic replayed as unrolled/recursive CTEs.
 """
 
 from __future__ import annotations
