@@ -3334,6 +3334,54 @@ LIMIT 10
 """
 
 
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold (aggregate → HAVING → join back). The having-filtered key
+    set is tiny relative to lineitem, so the join back to orders uses it
+    as the BROADCAST side — the aggregate-then-semi-join shape that at
+    100 TB replaces re-scanning lineitem per order. Decimal-exact
+    quantity sums; top-k tie-broken by orderkey via
+    TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum("l_quantity", "total_qty"))
+        .where(F.col("total_qty") > 150.0)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    return (
+        orders.join(
+            F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"]
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT o_orderkey, o_custkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150.0
+) big ON o_orderkey = big.l_orderkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 100
+"""
+
+
 def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join (operators/skew.salted_join): events
     has only 5 event_type values — every key is hot at 100 TB, and a
@@ -4036,6 +4084,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "pagerank": QuerySpec(pagerank_supplier_parts, _pagerank_sql()),
     "salted_join": QuerySpec(salted_join_events, SALTED_JOIN_SQL),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL),
+    "q18_large_orders": QuerySpec(q18_large_volume_orders, Q18_SQL),
     "expectations": QuerySpec(expectations_orders, EXPECTATIONS_SQL),
     "profile_columns": QuerySpec(profile_orders, PROFILE_SQL),
     "incr_rollup": QuerySpec(incremental_rollup_events, INCR_ROLLUP_SQL),
