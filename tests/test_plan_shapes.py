@@ -241,3 +241,46 @@ def test_q3_broadcasts_customer_and_takes_ordered(spark, sf_dir):
     pushed = plan.split("PushedFilters:")[1:]
     assert any("o_orderdate" in seg[:200] for seg in pushed)
     assert any("l_shipdate" in seg[:200] for seg in pushed)
+
+
+def test_q5_broadcasts_dims_shuffles_facts(spark, sf_dir):
+    # region/nation/supplier collapse into broadcasts; the two fact-fact
+    # joins (lineitem⋈orders, ⋈customer) shuffle — customer must NOT be
+    # broadcast (it is fact-sized at 100 TB) and nothing is cartesian
+    plan = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+    assert "PushedFilters: [IsNotNull(r_name)" in plan
+
+
+def test_q14_pushes_month_filter_and_broadcasts_part(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q14_promo_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_q17_broadcasts_brand_filter_and_thresholds(spark, sf_dir):
+    # both the brand-pruned part frame and the per-part threshold frame
+    # broadcast; lineitem is scanned, never sort-merge-joined
+    plan = _plan(spark, sf_dir, "q17_small_qty_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [IsNotNull(p_brand)" in plan
+
+
+def test_q4_semi_join_with_date_residual(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q4_late_shipment_priority")
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+
+def test_q22_anti_join_with_pruned_build(spark, sf_dir):
+    # the anti-join build side is orders pruned to o_custkey plus the
+    # pushed 1999 date filter; the 1-row average is a broadcast
+    plan = _plan(spark, sf_dir, "q22_idle_customer_balance")
+    assert "LeftAnti" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "o_custkey" in ln]
+    assert read and all("o_totalprice" not in ln for ln in read)
