@@ -80,9 +80,11 @@ from vacancy_gpt_etl_pipeline_spark.operators.layout import (
     zorder_repartition,
     zvalue,
 )
+from vacancy_gpt_etl_pipeline_spark.operators.diff import snapshot_diff
 
 __all__ = [
     "adaptive_quality_floor",
+    "snapshot_diff",
     "cohort_retention",
     "pmi_collocations",
     "zorder_manifest",

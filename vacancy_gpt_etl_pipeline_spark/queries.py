@@ -3684,6 +3684,73 @@ ORDER BY c_nationkey
 """
 
 
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two keyed snapshots (operators/diff.
+    snapshot_diff): a sliding 3-year extract of orders vs the same
+    extract shifted 6 months, with deterministic drift planted in the
+    overlap (every 97th key's price bumped, every 101st key's status
+    flipped). ONE full-outer shuffle on o_orderkey; change detection is
+    a codegen fold of null-safe comparisons — no row hashing, so no
+    double→string formatting to disagree with DuckDB about. Unchanged
+    rows (the overwhelming bulk of a daily diff) die in the post-join
+    filter."""
+    from vacancy_gpt_etl_pipeline_spark.operators.diff import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    )
+    new = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1999-07-01"))
+    ).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 101 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + F.lit(5.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH old_s AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1999-01-01'
+),
+new_s AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 101 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 5.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+    AND o_orderdate < TIMESTAMP '1999-07-01'
+),
+j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+         WHEN n.o_orderkey IS NULL THEN 'removed'
+         WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+           OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+    END AS change_type,
+    o.o_orderstatus AS old_o_orderstatus,
+    o.o_totalprice AS old_o_totalprice,
+    n.o_orderstatus AS new_o_orderstatus,
+    n.o_totalprice AS new_o_totalprice
+  FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
+)
+SELECT * FROM j WHERE change_type IS NOT NULL
+"""
+
+
 def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join (operators/skew.salted_join): events
     has only 5 event_type values — every key is hot at 100 TB, and a
@@ -4400,6 +4467,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # tests/test_oracle.py exact-compares them every run and the round-7
     # rotation will hand them driver rows.
     "q5_local_supplier_volume": QuerySpec(q5_local_supplier_volume, Q5_SQL),
+    "snapshot_diff_orders": QuerySpec(snapshot_diff_orders, SNAPSHOT_DIFF_SQL),
     # -- session-4 entries outside the 50-entry driver window ------------
     "q14_promo_revenue": QuerySpec(q14_promo_revenue, Q14_SQL),
     "q17_small_qty_revenue": QuerySpec(q17_small_quantity_revenue, Q17_SQL),
