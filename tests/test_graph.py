@@ -102,3 +102,27 @@ def test_dedup_clusters_column_contract(spark):
     assert out.columns == ["doc_id", "cluster_id"]
     rows = {(r["doc_id"], r["cluster_id"]) for r in out.collect()}
     assert rows == {(10, 10), (20, 10), (30, 10)}
+
+
+def test_count_triangles_known_graphs(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.graph import count_triangles
+
+    # K4 on {1,2,3,4}: C(4,3)=4 triangles, each node in exactly 3;
+    # square {10,11,12,13} with no diagonal: zero triangles;
+    # edges fed as a mix of duplicates, reversals, and a self-loop
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    square = [(10, 11), (11, 12), (12, 13), (13, 10)]
+    noise = [(2, 1), (3, 1), (5, 5)]
+    edges = spark.createDataFrame(k4 + square + noise, ["src", "dst"])
+    out = {r["node"]: r["n_triangles"] for r in count_triangles(edges).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_count_triangles_hub_plus_chord(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.graph import count_triangles
+
+    # star hub 0 -> {1..6} has no triangles until a chord closes one
+    star = [(0, i) for i in range(1, 7)]
+    edges = spark.createDataFrame(star + [(3, 4)], ["src", "dst"])
+    out = {r["node"]: r["n_triangles"] for r in count_triangles(edges).collect()}
+    assert out == {0: 1, 3: 1, 4: 1}

@@ -47,6 +47,7 @@ def test_near_dup_plans_have_no_cartesian_product(spark, sf_dir):
         "fuzzy_match_parts",
         "pmi_collocations",
         "cohort_retention",
+        "triangle_count_parts",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name

@@ -216,3 +216,76 @@ def pagerank(
             ).alias("rank"),
         )
     return rank
+
+
+def count_triangles(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation
+    (the Suri–Vassilvitskii MapReduce pattern, WWW 2011) in pure
+    DataFrame ops. Extension beyond the reference (which has no graph
+    stage at all); triangles are the standard cohesion signal for
+    community pruning in crawl/link graphs.
+
+    Contract: ``edges`` has columns (src, dst), interpreted as
+    UNDIRECTED; duplicates, reversed duplicates, and self-loops are
+    removed here. Returns ``(node, n_triangles)`` for every node in at
+    least one triangle.
+
+    Why orientation matters at 100 TB: counting wedges around every
+    node costs Σ deg(v)² — a single celebrity hub with deg 10⁷ makes
+    10¹⁴ wedges. Orienting every edge from its (degree, id)-smaller to
+    its (degree, id)-larger endpoint caps every node's OUT-degree at
+    O(√m), so the wedge stream is Σ outdeg(v)² ≤ O(m^1.5) — the proven
+    optimum for exact counting — and no single key can blow up a
+    reducer. The shapes that move:
+    - canonical edge set + degree: two small shuffles of (long, long);
+    - wedge generation: ONE self-join on the wedge apex u;
+    - closure: the wedge stream probes the oriented edge set on
+      (v, w) — edge-sized build side, wedge stream never shuffles for
+      a second time;
+    - per-node attribution: triangles explode ×3 then aggregate.
+    """
+    a, b = F.least("src", "dst"), F.greatest("src", "dst")
+    und = (
+        edges.select(a.cast("long").alias("a"), b.cast("long").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge from (deg, id)-smaller endpoint to larger; keep
+    # the head's (deg, id) so the wedge join can order its two heads
+    # without re-joining degree
+    withdeg = (
+        und.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    fwd = F.struct("da", "a") < F.struct("db", "b")
+    oriented = withdeg.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    e1 = oriented.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("d1")
+    )
+    e2 = oriented.select(
+        F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("d2")
+    )
+    wedges = e1.join(e2, "u").where(
+        F.struct("d1", "v1") < F.struct("d2", "v2")
+    )
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    triangles = wedges.join(closing, ["v1", "v2"], "left_semi")
+    return (
+        triangles.select(
+            F.explode(F.array("u", "v1", "v2")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

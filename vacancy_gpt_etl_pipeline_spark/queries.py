@@ -3751,6 +3751,69 @@ SELECT * FROM j WHERE change_type IS NOT NULL
 """
 
 
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts on the part co-purchase graph (operators/graph.
+    count_triangles): parts are adjacent when they ship in the same 1997
+    order. The graph build is one self-join of the date-pruned lineitem
+    scan on orderkey (per-order fan ≤ 7 lines, so the pair explosion is
+    bounded per key); the counting itself is the degree-ordered
+    orientation pattern whose wedge stream is capped at O(m^1.5)
+    regardless of hub skew. The DuckDB oracle is structurally
+    INDEPENDENT — a plain 3-way self-join on canonical a<b<c edges with
+    no orientation — so a shared algorithmic mistake can't pass both
+    engines."""
+    from vacancy_gpt_etl_pipeline_spark.operators.graph import count_triangles
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+    )
+    return count_triangles(edges).orderBy(F.desc("n_triangles"), "node")
+
+
+TRIANGLE_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+),
+edges AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM edges e1
+  JOIN edges e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+nodes AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY node
+ORDER BY n_triangles DESC, node
+"""
+
+
 def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join (operators/skew.salted_join): events
     has only 5 event_type values — every key is hot at 100 TB, and a
@@ -4468,6 +4531,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # rotation will hand them driver rows.
     "q5_local_supplier_volume": QuerySpec(q5_local_supplier_volume, Q5_SQL),
     "snapshot_diff_orders": QuerySpec(snapshot_diff_orders, SNAPSHOT_DIFF_SQL),
+    "triangle_count_parts": QuerySpec(triangle_count_parts, TRIANGLE_SQL),
     # -- session-4 entries outside the 50-entry driver window ------------
     "q14_promo_revenue": QuerySpec(q14_promo_revenue, Q14_SQL),
     "q17_small_qty_revenue": QuerySpec(q17_small_quantity_revenue, Q17_SQL),
