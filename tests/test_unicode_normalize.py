@@ -40,3 +40,24 @@ def test_nfkc_folds_compatibility_forms(spark):
     out_nfkc = _norm(spark, [(1, "\ufb01le")], form="NFKC")
     assert out_nfc[1] == "\ufb01le"
     assert out_nfkc[1] == "file"
+
+
+def test_char_diversity_known_values(spark):
+    from pyspark.sql import Row
+    from vacancy_gpt_etl_pipeline_spark.functions.text import (
+        char_diversity_profile,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="aaaa"), Row(doc_id=2, text="abcd")]
+    )
+    out = {r["doc_id"]: r for r in char_diversity_profile(df).collect()}
+    mono, uni = out[1], out[2]
+    # "aaaa": one char repeated -> collision prob 1, zero bits, ratio 1
+    assert mono["n_chars"] == 4 and mono["distinct_chars"] == 1
+    assert mono["simpson_index"] == 1.0 and mono["renyi2_bits"] == 0.0
+    assert mono["top_char_ratio"] == 1.0
+    # "abcd": uniform over 4 chars -> Σp² = 1/4, exactly 2 bits
+    assert uni["distinct_chars"] == 4
+    assert uni["simpson_index"] == 0.25 and uni["renyi2_bits"] == 2.0
+    assert uni["top_char_ratio"] == 0.25

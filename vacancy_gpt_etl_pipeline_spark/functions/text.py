@@ -7,6 +7,8 @@ with zero Python in the hot path.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -214,3 +216,54 @@ def unicode_normalize_udf(form: str = "NFC"):
         )
 
     return _norm
+
+
+def char_diversity_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-level diversity signals per document: the curation
+    filter that catches keyboard-mash, base64 blobs, and single-char
+    padding that token-level heuristics miss.
+
+    Emits per doc: ``n_chars``, ``distinct_chars``, ``top_char_ratio``
+    (frequency share of the most common char) and ``simpson_index``
+    (collision probability Σp², 1 ⇒ one repeated char) — all EXACT
+    integer arithmetic until one final IEEE division, so they
+    hash-match any engine — plus ``renyi2_bits`` (= −log₂ Σp², the
+    collision entropy), the only transcendental, rounded to 6 dp under
+    the repo's cosine-rounding policy. Shannon entropy is deliberately
+    NOT emitted: it needs a float SUM whose partition order Spark does
+    not fix, so it cannot hash-match a second engine.
+
+    Scale shape: positions explode to one row per character — ~300× the
+    corpus row count but only (id, 1-char) wide — then collapse through
+    TWO map-side-combining aggregates (char counts, then doc profile).
+    Everything is codegen column expressions; no UDF, no driver state.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.length(text_col))).alias("_i"),
+        F.col(text_col).alias("_t"),
+    ).select(
+        id_col, F.col("_t").substr(F.col("_i"), F.lit(1)).alias("_ch")
+    )
+    counts = chars.groupBy(id_col, "_ch").agg(F.count(F.lit(1)).alias("_cnt"))
+    prof = counts.groupBy(id_col).agg(
+        F.sum("_cnt").alias("n_chars"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.max("_cnt").alias("_maxc"),
+        F.sum(F.col("_cnt") * F.col("_cnt")).alias("_sumsq"),
+    )
+    simpson = F.col("_sumsq").cast("double") / (
+        F.col("n_chars") * F.col("n_chars")
+    ).cast("double")
+    return prof.select(
+        id_col,
+        "n_chars",
+        "distinct_chars",
+        (F.col("_maxc").cast("double") / F.col("n_chars").cast("double")).alias(
+            "top_char_ratio"
+        ),
+        simpson.alias("simpson_index"),
+        F.round(-F.log(simpson) / F.lit(math.log(2.0)), 6).alias("renyi2_bits"),
+    )

@@ -3814,6 +3814,50 @@ ORDER BY n_triangles DESC, node
 """
 
 
+def char_diversity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-diversity curation signals (functions/text.
+    char_diversity_profile) over the documents corpus: collision
+    probability (Simpson index), Rényi-2 entropy, distinct-char count
+    and top-char share — the filter tier that catches keyboard-mash and
+    base64 blobs. Everything except the final log is exact integer
+    arithmetic, so the profile hash-matches DuckDB with no float-sum
+    order hazard; the one transcendental is rounded at 6 dp under the
+    repo's cosine policy."""
+    from vacancy_gpt_etl_pipeline_spark.functions.text import (
+        char_diversity_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return char_diversity_profile(docs)
+
+
+CHAR_DIVERSITY_SQL = """
+WITH chars AS (
+  SELECT doc_id,
+    substr(text, CAST(unnest(generate_series(1, length(text))) AS INT), 1) AS ch
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM chars GROUP BY doc_id, ch
+),
+prof AS (
+  SELECT doc_id,
+    CAST(SUM(cnt) AS BIGINT) AS n_chars,
+    CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+    CAST(MAX(cnt) AS BIGINT) AS maxc,
+    CAST(SUM(cnt * cnt) AS BIGINT) AS sumsq
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_chars, distinct_chars,
+  CAST(maxc AS DOUBLE) / CAST(n_chars AS DOUBLE) AS top_char_ratio,
+  CAST(sumsq AS DOUBLE) / CAST(n_chars * n_chars AS DOUBLE) AS simpson_index,
+  ROUND(-LN(CAST(sumsq AS DOUBLE) / CAST(n_chars * n_chars AS DOUBLE))
+        / LN(2), 6) AS renyi2_bits
+FROM prof
+"""
+
+
 def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join (operators/skew.salted_join): events
     has only 5 event_type values — every key is hot at 100 TB, and a
@@ -4532,6 +4576,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "q5_local_supplier_volume": QuerySpec(q5_local_supplier_volume, Q5_SQL),
     "snapshot_diff_orders": QuerySpec(snapshot_diff_orders, SNAPSHOT_DIFF_SQL),
     "triangle_count_parts": QuerySpec(triangle_count_parts, TRIANGLE_SQL),
+    "char_diversity_docs": QuerySpec(char_diversity_docs, CHAR_DIVERSITY_SQL),
     # -- session-4 entries outside the 50-entry driver window ------------
     "q14_promo_revenue": QuerySpec(q14_promo_revenue, Q14_SQL),
     "q17_small_qty_revenue": QuerySpec(q17_small_quantity_revenue, Q17_SQL),
