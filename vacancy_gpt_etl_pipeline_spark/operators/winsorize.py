@@ -1,0 +1,69 @@
+"""Exact per-group winsorization: clip a numeric column at exact
+quantile bounds (default p01/p99) computed per group.
+
+Outlier clipping is the standard robustness pass before scaling or
+aggregating crawl-derived numeric features (prices, durations, scores).
+Extension beyond the reference, which never aggregates anything more
+robust than AVG (SURVEY §2.4 A5).
+
+Determinism: the bounds deliberately do NOT use engine-native
+percentile/quantile_cont — engines disagree on interpolation details and
+result types. Both this operator and its SQL oracle derive the bound from
+first principles with the same IEEE expression: rank r = 1+(n−1)·q,
+bound = v⌊r⌋ + (r−⌊r⌋)·(v⌈r⌉ − v⌊r⌋) over row_number-ranked values.
+Every term is the same double arithmetic in both engines, so the bound —
+and therefore every clipped value — is bit-identical.
+
+Scale shape:
+- ONE per-group sort (the window) — the irreducible cost of EXACT
+  quantiles; the mergeable GK sketch (operators/sketches.gk_quantiles)
+  is the approximate path when a full sort is too expensive.
+- Bound extraction rides the same window pass as the ranking (an
+  aggregate of two flagged rows per quantile), so no second sort.
+- The bounds frame is group-count-sized and broadcasts back; clipping
+  is a codegen least/greatest projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["winsorize"]
+
+
+def _bound(rn: str, v: str, n: str, q: float) -> F.Column:
+    """Interpolated exact quantile over row_number-ranked values."""
+    r = F.lit(1.0) + (F.col(n) - F.lit(1)).cast("double") * F.lit(q)
+    lo, hi = F.floor(r), F.ceil(r)
+    v_lo = F.min(F.when(F.col(rn) == lo, F.col(v)))
+    v_hi = F.min(F.when(F.col(rn) == hi, F.col(v)))
+    frac = F.min(r - lo.cast("double"))
+    return v_lo + frac * (v_hi - v_lo)
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+) -> DataFrame:
+    """Return ``df`` plus ``<value_col>_clipped``, ``q_lower``,
+    ``q_upper`` — the input clipped to the exact per-group
+    [lower, upper] quantile band."""
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    )
+    bounds = ranked.groupBy(*group_cols).agg(
+        _bound("_rn", value_col, "_n", lower).alias("q_lower"),
+        _bound("_rn", value_col, "_n", upper).alias("q_upper"),
+    )
+    clipped = F.least(
+        F.greatest(F.col(value_col), F.col("q_lower")), F.col("q_upper")
+    )
+    return (
+        df.join(F.broadcast(bounds), group_cols)
+        .withColumn(f"{value_col}_clipped", clipped)
+    )

@@ -3858,6 +3858,89 @@ FROM prof
 """
 
 
+def winsorize_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status exact p01/p99 winsorization summary of order prices
+    (operators/winsorize.winsorize). The quantile bounds use the
+    operator's first-principles interpolation — identical IEEE
+    expressions in both engines, never engine-native percentile — and
+    the winsorized total dodges the double→decimal cast hazard by
+    decimal-summing only UNCLIPPED prices (2-decimal by construction)
+    and adding count×bound products, which are plain IEEE multiplies."""
+    from vacancy_gpt_etl_pipeline_spark.operators.winsorize import winsorize
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    wdf = winsorize(orders, "o_totalprice", ["o_orderstatus"])
+    v, lo, hi = F.col("o_totalprice"), F.col("q_lower"), F.col("q_upper")
+    agg = wdf.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("q_lower").alias("p01"),
+        F.min("q_upper").alias("p99"),
+        F.sum((v < lo).cast("long")).alias("n_clipped_low"),
+        F.sum((v > hi).cast("long")).alias("n_clipped_high"),
+        F.sum(
+            F.when((v >= lo) & (v <= hi), v.cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("mid_total"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "n_orders",
+        "p01",
+        "p99",
+        "n_clipped_low",
+        "n_clipped_high",
+        (
+            F.col("mid_total")
+            + F.col("n_clipped_low").cast("double") * F.col("p01")
+            + F.col("n_clipped_high").cast("double") * F.col("p99")
+        ).alias("winsorized_total"),
+    ).orderBy("o_orderstatus")
+
+
+WINSORIZE_SQL = """
+WITH ranked AS (
+  SELECT o_orderstatus AS st, o_totalprice AS v,
+    ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS rn,
+    COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+),
+bounds AS (
+  SELECT st,
+    MIN(CASE WHEN rn = FLOOR(1.0 + CAST(n - 1 AS DOUBLE) * 0.01) THEN v END)
+      + MIN((1.0 + CAST(n - 1 AS DOUBLE) * 0.01)
+            - FLOOR(1.0 + CAST(n - 1 AS DOUBLE) * 0.01))
+        * (MIN(CASE WHEN rn = CEIL(1.0 + CAST(n - 1 AS DOUBLE) * 0.01) THEN v END)
+           - MIN(CASE WHEN rn = FLOOR(1.0 + CAST(n - 1 AS DOUBLE) * 0.01) THEN v END))
+      AS q_lower,
+    MIN(CASE WHEN rn = FLOOR(1.0 + CAST(n - 1 AS DOUBLE) * 0.99) THEN v END)
+      + MIN((1.0 + CAST(n - 1 AS DOUBLE) * 0.99)
+            - FLOOR(1.0 + CAST(n - 1 AS DOUBLE) * 0.99))
+        * (MIN(CASE WHEN rn = CEIL(1.0 + CAST(n - 1 AS DOUBLE) * 0.99) THEN v END)
+           - MIN(CASE WHEN rn = FLOOR(1.0 + CAST(n - 1 AS DOUBLE) * 0.99) THEN v END))
+      AS q_upper
+  FROM ranked GROUP BY st
+),
+agg AS (
+  SELECT r.st,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    MIN(b.q_lower) AS p01,
+    MIN(b.q_upper) AS p99,
+    CAST(SUM(CASE WHEN r.v < b.q_lower THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+    CAST(SUM(CASE WHEN r.v > b.q_upper THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+    CAST(SUM(CASE WHEN r.v >= b.q_lower AND r.v <= b.q_upper
+      THEN CAST(r.v AS DECIMAL(18,2)) END) AS DOUBLE) AS mid_total
+  FROM ranked r JOIN bounds b ON r.st = b.st
+  GROUP BY r.st
+)
+SELECT st AS o_orderstatus, n_orders, p01, p99, n_clipped_low, n_clipped_high,
+  mid_total + CAST(n_clipped_low AS DOUBLE) * p01
+            + CAST(n_clipped_high AS DOUBLE) * p99 AS winsorized_total
+FROM agg
+ORDER BY o_orderstatus
+"""
+
+
 def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join (operators/skew.salted_join): events
     has only 5 event_type values — every key is hot at 100 TB, and a
@@ -4582,6 +4665,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "q17_small_qty_revenue": QuerySpec(q17_small_quantity_revenue, Q17_SQL),
     "q4_late_shipment_priority": QuerySpec(q4_late_shipment_priority, Q4_SQL),
     "q22_idle_customer_balance": QuerySpec(q22_idle_customer_balance, Q22_SQL),
+    "winsorize_order_prices": QuerySpec(winsorize_order_prices, WINSORIZE_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
