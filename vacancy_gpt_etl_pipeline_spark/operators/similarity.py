@@ -544,3 +544,27 @@ def semdedup(
         .distinct()
     )
     return assigned.join(dropped, id_col, "left_anti").select(id_col, "cell")
+
+
+def l2_normalize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Unit-normalize an embedding column — the standard prep before any
+    cosine-based stage (ANN, SemDeDup, near-dup): post-normalization,
+    cosine degrades to a dot product and every downstream operator skips
+    a per-pair norm.
+
+    Adds ``l2_norm`` (the pre-normalization norm) and ``<vec_col>_unit``
+    (array<double>). Entirely map-side codegen — a sequential
+    ``F.aggregate`` fold for Σx², one IEEE sqrt (correctly rounded by
+    spec, so bit-identical in any engine), one ``F.transform`` divide.
+    No shuffle, no UDF; zero-norm vectors yield a NULL unit vector
+    rather than ±inf components.
+    """
+    xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sumsq = F.aggregate(
+        xs, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    norm = F.sqrt(sumsq)
+    unit = F.when(
+        norm > 0.0, F.transform(xs, lambda x: x / norm)
+    )
+    return df.withColumn("l2_norm", norm).withColumn(f"{vec_col}_unit", unit)

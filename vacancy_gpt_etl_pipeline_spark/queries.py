@@ -3941,6 +3941,45 @@ ORDER BY o_orderstatus
 """
 
 
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalization of the embeddings table (operators/similarity.
+    l2_normalize), emitted one row per component so the oracle compares
+    every normalized value. Bit-exact with NO rounding: both engines
+    fold Σx² left-to-right from 0.0 over float32→double components
+    (exact widening), IEEE sqrt is correctly rounded by spec, and the
+    per-component divide is a single IEEE op — so Spark's F.aggregate
+    and DuckDB's list_reduce produce identical doubles."""
+    from vacancy_gpt_etl_pipeline_spark.operators.similarity import l2_normalize
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    unit = l2_normalize(emb, "embedding")
+    return unit.select(
+        "vec_id",
+        "l2_norm",
+        F.posexplode("embedding_unit").alias("idx", "component"),
+    )
+
+
+EMBEDDING_NORMALIZE_SQL = """
+WITH e AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, xs,
+    sqrt(list_reduce(list_prepend(0.0, list_transform(xs, x -> x * x)),
+                     (acc, v) -> acc + v)) AS l2_norm
+  FROM e
+)
+SELECT vec_id, l2_norm,
+  CAST(unnest(generate_series(1, len(xs))) AS INT) - 1 AS idx,
+  unnest(list_transform(xs, x -> x / l2_norm)) AS component
+FROM n
+WHERE l2_norm > 0.0
+"""
+
+
 def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join (operators/skew.salted_join): events
     has only 5 event_type values — every key is hot at 100 TB, and a
@@ -4666,6 +4705,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "q4_late_shipment_priority": QuerySpec(q4_late_shipment_priority, Q4_SQL),
     "q22_idle_customer_balance": QuerySpec(q22_idle_customer_balance, Q22_SQL),
     "winsorize_order_prices": QuerySpec(winsorize_order_prices, WINSORIZE_SQL),
+    "embedding_normalize": QuerySpec(embedding_normalize, EMBEDDING_NORMALIZE_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
