@@ -37,3 +37,26 @@ def test_groups_get_independent_bounds(spark):
     assert by_g["hi"]["q_upper"] == 500.0
     # identity band: nothing clipped
     assert all(r["v_clipped"] == r["v"] for r in out)
+
+
+def test_mad_outliers_closed_form(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.winsorize import mad_outliers
+
+    # values 1..7 plus a wild 100: median of 8 values (1..7,100) = 4.5,
+    # |dev| = 3.5,2.5,1.5,.5,.5,1.5,2.5,95.5 -> sorted .5,.5,1.5,1.5,
+    # 2.5,2.5,3.5,95.5 -> MAD = (1.5+2.5)/2 = 2.0; k=3 -> band 6.0:
+    # only 100 is flagged
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0]
+    df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+    out = mad_outliers(df, "v", ["g"], k=3.0).collect()
+    assert all(r["median"] == 4.5 and r["mad"] == 2.0 for r in out)
+    flagged = sorted(r["v"] for r in out if r["is_outlier"])
+    assert flagged == [100.0]
+
+
+def test_mad_outliers_constant_group_flags_nothing(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.winsorize import mad_outliers
+
+    df = spark.createDataFrame([("g", 5.0)] * 6, ["g", "v"])
+    out = mad_outliers(df, "v", ["g"]).collect()
+    assert all(not r["is_outlier"] and r["mad"] == 0.0 for r in out)

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["winsorize"]
+__all__ = ["mad_outliers", "winsorize"]
 
 
 def _bound(rn: str, v: str, n: str, q: float) -> F.Column:
@@ -66,4 +66,47 @@ def winsorize(
     return (
         df.join(F.broadcast(bounds), group_cols)
         .withColumn(f"{value_col}_clipped", clipped)
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier flags via Median Absolute Deviation:
+    ``is_outlier ⇔ |x − median| > k·MAD``. The robust alternative to
+    z-scores — mean/stddev are themselves dragged by the outliers they
+    are supposed to find, while median and MAD have a 50% breakdown
+    point.
+
+    Both the median and the MAD are EXACT interpolated quantiles using
+    the same first-principles rank expression as :func:`winsorize`, so
+    every derived double is bit-identical across engines. Adds
+    ``median``, ``abs_dev``, ``mad``, ``is_outlier``.
+
+    Scale shape: two per-group window sorts (values, then deviations) —
+    exact medians cannot do better; each produces a group-count-sized
+    frame that broadcasts back. All projections are codegen.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    )
+    med = ranked.groupBy(*group_cols).agg(
+        _bound("_rn", value_col, "_n", 0.5).alias("median")
+    )
+    with_dev = df.join(F.broadcast(med), group_cols).withColumn(
+        "abs_dev", F.abs(F.col(value_col) - F.col("median"))
+    )
+    wd = Window.partitionBy(*group_cols).orderBy("abs_dev")
+    ranked_dev = with_dev.withColumn("_rn", F.row_number().over(wd)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    )
+    mad = ranked_dev.groupBy(*group_cols).agg(
+        _bound("_rn", "abs_dev", "_n", 0.5).alias("mad")
+    )
+    return with_dev.join(F.broadcast(mad), group_cols).withColumn(
+        "is_outlier", F.col("abs_dev") > F.lit(k) * F.col("mad")
     )

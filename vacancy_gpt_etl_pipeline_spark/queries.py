@@ -3980,6 +3980,71 @@ WHERE l2_norm > 0.0
 """
 
 
+def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier summary of event values (operators/
+    winsorize.mad_outliers, k=3): median and MAD are exact interpolated
+    quantiles — the same first-principles rank expression as the
+    winsorize oracle, so every double is engine-identical — and the
+    outlier predicate |x−median| > 3·MAD is plain IEEE arithmetic."""
+    from vacancy_gpt_etl_pipeline_spark.operators.winsorize import mad_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    flagged = mad_outliers(ev, "value", ["event_type"], k=3.0)
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("median").alias("median"),
+            F.min("mad").alias("mad"),
+            F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _quantile_interp_sql(v: str, q: str) -> str:
+    """The winsorize-style exact-quantile interpolation as a SQL
+    aggregate fragment over columns ``rn`` / ``n`` (see WINSORIZE_SQL)."""
+    r = f"(1.0 + CAST(n - 1 AS DOUBLE) * {q})"
+    v_lo = f"MIN(CASE WHEN rn = FLOOR({r}) THEN {v} END)"
+    v_hi = f"MIN(CASE WHEN rn = CEIL({r}) THEN {v} END)"
+    return f"{v_lo} + MIN({r} - FLOOR({r})) * ({v_hi} - {v_lo})"
+
+
+def _mad_sql() -> str:
+    med = _quantile_interp_sql("v", "0.5")
+    mad = _quantile_interp_sql("adev", "0.5")
+    return f"""
+WITH ranked AS (
+  SELECT event_type AS g, value AS v,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (SELECT g, {med} AS median FROM ranked GROUP BY g),
+dev AS (
+  SELECT e.event_type AS g, e.value AS v, m.median,
+    ABS(e.value - m.median) AS adev
+  FROM events e JOIN med m ON e.event_type = m.g
+),
+ranked_dev AS (
+  SELECT g, adev,
+    ROW_NUMBER() OVER (PARTITION BY g ORDER BY adev) AS rn,
+    COUNT(*) OVER (PARTITION BY g) AS n
+  FROM dev
+),
+madt AS (SELECT g, {mad} AS mad FROM ranked_dev GROUP BY g)
+SELECT d.g AS event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  MIN(d.median) AS median,
+  MIN(t.mad) AS mad,
+  CAST(SUM(CASE WHEN d.adev > 3.0 * t.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN madt t ON d.g = t.g
+GROUP BY d.g
+ORDER BY event_type
+"""
+
+
 def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join (operators/skew.salted_join): events
     has only 5 event_type values — every key is hot at 100 TB, and a
@@ -4706,6 +4771,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "q22_idle_customer_balance": QuerySpec(q22_idle_customer_balance, Q22_SQL),
     "winsorize_order_prices": QuerySpec(winsorize_order_prices, WINSORIZE_SQL),
     "embedding_normalize": QuerySpec(embedding_normalize, EMBEDDING_NORMALIZE_SQL),
+    "mad_outlier_events": QuerySpec(mad_outlier_events, _mad_sql()),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
