@@ -119,3 +119,22 @@ def test_adaptive_quality_floor_matches_python_rank_math(spark):
         assert kept[lang] >= len(q) - math.ceil(0.25 * len(q)) + 1
     # singleton stratum keeps its only doc (floor == its own quality)
     assert kept["zh"] == 1
+
+
+def test_vocab_oov_rate_planted(spark):
+    from pyspark.sql import Row
+    from vacancy_gpt_etl_pipeline_spark.operators.curation import vocab_oov_rate
+
+    # vocab_size=2 -> vocab {"the","cat"} (counts 4 and 3); "zyx" is OOV
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat the cat"),
+            Row(doc_id=2, text="THE cat zyx"),
+            Row(doc_id=3, text="zyx zyx the dog"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in vocab_oov_rate(docs, vocab_size=2).collect()}
+    assert out[1]["oov_rate"] == 0.0
+    assert out[2]["n_tokens"] == 3 and out[2]["n_in_vocab"] == 2
+    assert out[3]["n_in_vocab"] == 1  # only "the"; dog and zyx are OOV
+    assert out[3]["oov_rate"] == 1.0 - 1.0 / 4.0

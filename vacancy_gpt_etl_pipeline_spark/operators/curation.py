@@ -23,6 +23,7 @@ from vacancy_gpt_etl_pipeline_spark.functions.text import (
     fingerprint,
     quality_score,
     token_count,
+    tokens,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.dedup import dedup_keep_first
 
@@ -299,4 +300,52 @@ def ngram_contamination(
                 6,
             ).alias("contaminated_frac"),
         )
+    )
+
+
+def vocab_oov_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 256,
+) -> DataFrame:
+    """Vocabulary coverage: build the corpus top-``vocab_size`` token
+    vocabulary and score every document's out-of-vocabulary rate — the
+    tokenizer-fit signal that decides whether a corpus slice needs its
+    own vocab (high OOV ⇒ the tokenizer will shred it into bytes and
+    waste sequence length).
+
+    Uses the repo-wide whitespace tokenization contract
+    (functions/text.tokens ⇔ ``string_split_regex(trim(lower(text)),
+    '\\s+')``). Scale shape: ONE corpus tokenization pass — the global
+    counts re-aggregate the per-doc frame instead of re-scanning text;
+    the vocabulary is a TakeOrdered top-k with a total (count, token)
+    tie-break and broadcasts back as a left-join membership marker; the
+    per-doc rollup is a single aggregate. OOV rate is one IEEE division.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
+    ).where(F.col("_tok") != "")
+    doc_tok = toks.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_tf"))
+    global_cnt = doc_tok.groupBy("_tok").agg(F.sum("_tf").alias("_cf"))
+    vocab = (
+        global_cnt.orderBy(F.desc("_cf"), "_tok")
+        .limit(vocab_size)
+        .select("_tok", F.lit(1).alias("_in"))
+    )
+    marked = doc_tok.join(F.broadcast(vocab), "_tok", "left")
+    per = marked.groupBy(id_col).agg(
+        F.sum("_tf").alias("n_tokens"),
+        F.sum(F.when(F.col("_in") == 1, F.col("_tf")).otherwise(F.lit(0))).alias(
+            "n_in_vocab"
+        ),
+    )
+    return per.select(
+        id_col,
+        "n_tokens",
+        "n_in_vocab",
+        (
+            F.lit(1.0)
+            - F.col("n_in_vocab").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("oov_rate"),
     )

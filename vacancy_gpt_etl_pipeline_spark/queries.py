@@ -4045,6 +4045,46 @@ ORDER BY event_type
 """
 
 
+def vocab_oov_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV-rate scoring (operators/curation.
+    vocab_oov_rate): the corpus top-16 token vocabulary (the synthetic corpus has only ~31 distinct tokens, so 16 leaves real OOV mass) (total
+    (count, token) tie-break) scores every document's out-of-vocab
+    share — the tokenizer-fit signal. One tokenization pass; the global
+    counts re-aggregate the per-doc frame; the vocab broadcasts back."""
+    from vacancy_gpt_etl_pipeline_spark.operators.curation import vocab_oov_rate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return vocab_oov_rate(docs, vocab_size=16)
+
+
+VOCAB_OOV_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+doc_tok AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, CAST(SUM(tf) AS BIGINT) AS cf FROM doc_tok GROUP BY tok
+  ) ORDER BY cf DESC, tok LIMIT 16
+),
+per AS (
+  SELECT doc_id,
+    CAST(SUM(tf) AS BIGINT) AS n_tokens,
+    CAST(SUM(CASE WHEN tok IN (SELECT tok FROM vocab) THEN tf ELSE 0 END) AS BIGINT)
+      AS n_in_vocab
+  FROM doc_tok GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_in_vocab,
+  1.0 - CAST(n_in_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+FROM per
+"""
+
+
 def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join (operators/skew.salted_join): events
     has only 5 event_type values — every key is hot at 100 TB, and a
@@ -4772,6 +4812,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "winsorize_order_prices": QuerySpec(winsorize_order_prices, WINSORIZE_SQL),
     "embedding_normalize": QuerySpec(embedding_normalize, EMBEDDING_NORMALIZE_SQL),
     "mad_outlier_events": QuerySpec(mad_outlier_events, _mad_sql()),
+    "vocab_oov_docs": QuerySpec(vocab_oov_docs, VOCAB_OOV_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
