@@ -4085,6 +4085,50 @@ FROM per
 """
 
 
+def feature_scale_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment feature scaling of customer balances (operators/
+    scaling.feature_scale): min-max, population z-score, and percentile
+    rank in one pass. The z-score is cross-engine exact because both
+    moments are decimal sums (2-decimal balances square to 4-decimal
+    products — both exact) cast to double once, then mean/var/sqrt are
+    the identical IEEE expression in both engines. No rounding
+    anywhere."""
+    from vacancy_gpt_etl_pipeline_spark.operators.scaling import feature_scale
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return feature_scale(cust, "c_acctbal", ["c_mktsegment"])
+
+
+FEATURE_SCALE_SQL = """
+WITH stats AS (
+  SELECT c_mktsegment AS g,
+    MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))
+             * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s2
+  FROM customer GROUP BY c_mktsegment
+),
+r AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+    PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS pct_rank
+  FROM customer
+)
+SELECT c_custkey, r.c_mktsegment, c_acctbal,
+  CASE WHEN mx > mn THEN (c_acctbal - mn) / (mx - mn) END AS minmax_scaled,
+  CASE WHEN sqrt(GREATEST(s2 / CAST(n AS DOUBLE)
+         - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)), 0.0)) > 0.0
+    THEN (c_acctbal - s1 / CAST(n AS DOUBLE))
+         / sqrt(GREATEST(s2 / CAST(n AS DOUBLE)
+             - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)), 0.0))
+  END AS z_score,
+  pct_rank
+FROM r JOIN stats ON r.c_mktsegment = stats.g
+"""
+
+
 def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join (operators/skew.salted_join): events
     has only 5 event_type values — every key is hot at 100 TB, and a
@@ -4813,6 +4857,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "embedding_normalize": QuerySpec(embedding_normalize, EMBEDDING_NORMALIZE_SQL),
     "mad_outlier_events": QuerySpec(mad_outlier_events, _mad_sql()),
     "vocab_oov_docs": QuerySpec(vocab_oov_docs, VOCAB_OOV_SQL),
+    "feature_scale_balances": QuerySpec(feature_scale_balances, FEATURE_SCALE_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
