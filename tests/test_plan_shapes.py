@@ -285,3 +285,10 @@ def test_q22_anti_join_with_pruned_build(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "o_custkey" in ln]
     assert read and all("o_totalprice" not in ln for ln in read)
+
+
+def test_grouped_topk_uses_window_group_limit(spark, sf_dir):
+    # the rank filter must be pushed into the window operator so each
+    # map task keeps only k rows per group BEFORE the exchange
+    plan = _plan(spark, sf_dir, "top_orders_per_priority")
+    assert "WindowGroupLimit" in plan

@@ -4129,6 +4129,40 @@ FROM r JOIN stats ON r.c_mktsegment = stats.g
 """
 
 
+def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: the 5 most expensive orders per priority with a
+    total (price desc, key) tie-break. The plan point is
+    WindowGroupLimit: Spark 3.5+ pushes the rank filter INTO the window
+    operator, so each map task keeps only k rows per group before the
+    exchange — at 100 TB the shuffle carries k·groups rows, not the
+    table. Asserted in test_plan_shapes."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+    )
+
+
+TOP_PER_GROUP_SQL = """
+SELECT o_orderpriority, rn, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (
+      PARTITION BY o_orderpriority
+      ORDER BY o_totalprice DESC, o_orderkey
+    ) AS rn
+  FROM orders
+)
+WHERE rn <= 5
+"""
+
+
 def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join (operators/skew.salted_join): events
     has only 5 event_type values — every key is hot at 100 TB, and a
@@ -4858,6 +4892,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "mad_outlier_events": QuerySpec(mad_outlier_events, _mad_sql()),
     "vocab_oov_docs": QuerySpec(vocab_oov_docs, VOCAB_OOV_SQL),
     "feature_scale_balances": QuerySpec(feature_scale_balances, FEATURE_SCALE_SQL),
+    "top_orders_per_priority": QuerySpec(top_orders_per_priority, TOP_PER_GROUP_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
