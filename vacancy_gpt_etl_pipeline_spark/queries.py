@@ -4163,6 +4163,64 @@ WHERE rn <= 5
 """
 
 
+def gapfill_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap filling: daily counts per event type with missing
+    days emitted as ZERO rows — the resample step dashboards and
+    forecasting features need (a day with no 'error' events must appear
+    as 0, not vanish). The spine is sequence(min_day, max_day) exploded
+    once from a 1-row aggregate and cross-joined with the 5-row type
+    dimension — spine×types is days·types rows, never data-sized — then
+    the actual daily counts LEFT-join onto it and coalesce to 0. At
+    100 TB the counts aggregate is the only fact-sized shuffle; the
+    spine side is thousands of rows regardless of data volume. The
+    high-value filter makes the stream sparse enough that most grid
+    cells really are gaps (the unfiltered stream covers every day×type
+    cell, which would never exercise the zero path)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value") >= 300.0)
+        .select(F.to_date(F.col("ts")).alias("day"), "event_type")
+    )
+    counts = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    span = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    return (
+        grid.join(counts, ["day", "event_type"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+GAPFILL_SQL = """
+WITH ev AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type FROM events
+  WHERE value >= 300.0
+),
+counts AS (
+  SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM ev GROUP BY day, event_type
+),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+spine AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+),
+grid AS (SELECT s.day, t.event_type FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM ev) t)
+SELECT strftime(g.day, '%Y-%m-%d') AS day, g.event_type,
+  COALESCE(c.n_events, 0) AS n_events
+FROM grid g LEFT JOIN counts c ON g.day = c.day AND g.event_type = c.event_type
+"""
+
+
 def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join (operators/skew.salted_join): events
     has only 5 event_type values — every key is hot at 100 TB, and a
@@ -4893,6 +4951,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "vocab_oov_docs": QuerySpec(vocab_oov_docs, VOCAB_OOV_SQL),
     "feature_scale_balances": QuerySpec(feature_scale_balances, FEATURE_SCALE_SQL),
     "top_orders_per_priority": QuerySpec(top_orders_per_priority, TOP_PER_GROUP_SQL),
+    "gapfill_daily_events": QuerySpec(gapfill_daily_events, GAPFILL_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
