@@ -292,3 +292,51 @@ def test_grouped_topk_uses_window_group_limit(spark, sf_dir):
     # map task keeps only k rows per group BEFORE the exchange
     plan = _plan(spark, sf_dir, "top_orders_per_priority")
     assert "WindowGroupLimit" in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf_dir):
+    # the 100 TB shuffle-join aid: with a selective filter on the build
+    # side, Spark injects a bloom filter (might_contain) on the probe
+    # side so lineitem rows with no matching order die BEFORE the
+    # exchange. Thresholds are lowered to make the optimizer treat the
+    # test tables as warehouse-sized; result must equal the plain join.
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "64MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .where(F.col("o_totalprice") > 400000)
+            .select("o_orderkey")
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+        n_bloom = j.count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # semantics unchanged: bloom is a pure pruning aid
+    orders2 = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+    )
+    li2 = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    assert n_bloom == li2.join(orders2, li2.l_orderkey == orders2.o_orderkey).count()
