@@ -152,3 +152,24 @@ def test_shuffle_shards_salt_reshuffles(spark):
     }
     assert a != b  # a new salt is a new global order
     assert set(a) == set(b)  # but the same total doc set
+
+
+def test_kfold_disjoint_exhaustive_balanced(spark):
+    from pyspark.sql import Row
+    from vacancy_gpt_etl_pipeline_spark.operators.sampling import kfold_assign
+
+    df = spark.createDataFrame([Row(k=i) for i in range(1000)])
+    out = kfold_assign(df, "k", k=5).collect()
+    # exhaustive: every row gets exactly one fold in [0, 5)
+    assert len(out) == 1000 and all(0 <= r["fold"] < 5 for r in out)
+    sizes = {}
+    for r in out:
+        sizes[r["fold"]] = sizes.get(r["fold"], 0) + 1
+    # md5 residues are near-uniform: every fold within 2x of ideal 200
+    assert set(sizes) == {0, 1, 2, 3, 4}
+    assert all(100 <= s <= 400 for s in sizes.values()), sizes
+    # reproducible, and salt decorrelates
+    again = {r["k"]: r["fold"] for r in kfold_assign(df, "k", k=5).collect()}
+    other = {r["k"]: r["fold"] for r in kfold_assign(df, "k", k=5, salt="x").collect()}
+    first = {r["k"]: r["fold"] for r in out}
+    assert again == first and other != first

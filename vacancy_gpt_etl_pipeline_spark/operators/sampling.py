@@ -179,3 +179,30 @@ def shuffle_shards(
         .withColumn("pos_in_shard", F.row_number().over(w).cast("bigint"))
         .drop("_ord")
     )
+
+
+def kfold_assign(
+    df: DataFrame, key_col: str, k: int = 5, salt: str = "fold"
+) -> DataFrame:
+    """Deterministic k-fold assignment: ``fold = md5(salt:key) % k``.
+
+    The cross-validation splitter: folds are disjoint and exhaustive BY
+    CONSTRUCTION (every key hashes to exactly one residue), reproducible
+    across runs/engines (same portable md5 source as
+    :func:`hash_permille`), and require NO shuffle — the fold column is
+    a map-side projection, so fold membership never moves data; training
+    jobs filter ``fold != i`` with a pushed predicate. ``salt`` decouples
+    this hash from any other md5-gated decision on the same key (reusing
+    one hash for split AND sampling would correlate the two)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return df.withColumn("fold", (h % k).cast("int"))

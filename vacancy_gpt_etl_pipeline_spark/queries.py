@@ -4221,6 +4221,33 @@ FROM grid g LEFT JOIN counts c ON g.day = c.day AND g.event_type = c.event_type
 """
 
 
+def kfold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment (operators/
+    sampling.kfold_assign) summarized as the fold × language census.
+    Folds are disjoint-and-exhaustive by construction (md5 residue) and
+    the assignment is a map-side projection — no shuffle moves data to
+    split it; only this census aggregates."""
+    from vacancy_gpt_etl_pipeline_spark.operators.sampling import kfold_assign
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        kfold_assign(docs, "doc_id", k=5)
+        .groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("fold", "lang")
+    )
+
+
+KFOLD_SQL = """
+SELECT CAST(CAST(('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 8))
+       AS BIGINT) % 5 AS INT) AS fold,
+  lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1, 2
+ORDER BY fold, lang
+"""
+
+
 def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join (operators/skew.salted_join): events
     has only 5 event_type values — every key is hot at 100 TB, and a
@@ -4952,6 +4979,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "feature_scale_balances": QuerySpec(feature_scale_balances, FEATURE_SCALE_SQL),
     "top_orders_per_priority": QuerySpec(top_orders_per_priority, TOP_PER_GROUP_SQL),
     "gapfill_daily_events": QuerySpec(gapfill_daily_events, GAPFILL_SQL),
+    "kfold_docs": QuerySpec(kfold_docs, KFOLD_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
