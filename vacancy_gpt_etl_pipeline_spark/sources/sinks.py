@@ -162,3 +162,27 @@ def compact_parquet(
         max_records_per_file=max_records_per_file,
         sort_by=sort_by,
     )
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink — same contract as :func:`write_parquet` for consumers
+    standardized on the ORC/Hive toolchain. ORC carries the same
+    columnar statistics (min/max per stripe), so predicate pushdown and
+    column pruning work identically; zlib stripe compression is the
+    Spark default."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    """ORC source with the engine's session defaults applied (the ORC
+    reader honors pushed filters and pruned schemas exactly like the
+    parquet scan — asserted in tests/test_orc_roundtrip)."""
+    return spark.read.orc(path)
