@@ -4248,6 +4248,105 @@ ORDER BY fold, lang
 """
 
 
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of order prices — the ANALYZE-style
+    statistic an optimizer needs for selectivity estimates. The (min,
+    max) span is a 1-row aggregate broadcast back; bin assignment is
+    exact integer flooring of the identical IEEE width expression in
+    both engines (the max row is clamped into the last bin rather than
+    opening bin N+1). One fact-sized aggregate total."""
+    nbins = 20
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice")
+    span = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    v = F.col("o_totalprice")
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(nbins))
+    bin_ = F.least(
+        F.floor((v - F.col("mn")) / width), F.lit(nbins - 1)
+    ).cast("int")
+    return (
+        orders.join(F.broadcast(span))
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(v).alias("bin_min"),
+            F.max(v).alias("bin_max"),
+        )
+        .orderBy("bin")
+    )
+
+
+HISTOGRAM_SQL = """
+WITH span AS (
+  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+)
+SELECT
+  CAST(LEAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 20.0)), 19) AS INT) AS bin,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  MIN(o_totalprice) AS bin_min,
+  MAX(o_totalprice) AS bin_max
+FROM orders CROSS JOIN span
+GROUP BY 1
+ORDER BY bin
+"""
+
+
+def pearson_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Pearson correlation of price vs quantity from
+    EXACT decimal moments. Engine-native ``corr()`` sums doubles in
+    partition order and can never hash-match a second engine; here all
+    five moments (Σx, Σy, Σx², Σy², Σxy) are exact decimal sums —
+    2-decimal inputs make every product a 4-decimal value — cast to
+    double once, then r = (nΣxy − ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))
+    is the identical IEEE expression in both engines. No rounding."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    x = F.col("l_extendedprice").cast("decimal(18,2)")
+    y = F.col("l_quantity").cast("decimal(18,2)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    den = F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    return agg.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        F.when(den > 0.0, num / den).alias("price_qty_corr"),
+    ).orderBy("l_returnflag")
+
+
+PEARSON_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+  CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0.0
+    THEN (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+  END AS price_qty_corr
+FROM m
+ORDER BY l_returnflag
+"""
+
+
 def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join (operators/skew.salted_join): events
     has only 5 event_type values — every key is hot at 100 TB, and a
@@ -4980,6 +5079,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "top_orders_per_priority": QuerySpec(top_orders_per_priority, TOP_PER_GROUP_SQL),
     "gapfill_daily_events": QuerySpec(gapfill_daily_events, GAPFILL_SQL),
     "kfold_docs": QuerySpec(kfold_docs, KFOLD_SQL),
+    "histogram_order_prices": QuerySpec(histogram_order_prices, HISTOGRAM_SQL),
+    "pearson_corr_lineitem": QuerySpec(pearson_corr_lineitem, PEARSON_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
