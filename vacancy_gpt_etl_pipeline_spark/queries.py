@@ -4347,6 +4347,51 @@ ORDER BY l_returnflag
 """
 
 
+def golden_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level survivorship (the MDM "golden record"): collapse each
+    user's event history into one profile row where every field keeps
+    its own survivor — latest event type, peak value, first-seen time,
+    row count. ONE aggregate with max_by/min_by over a (ts, event_id)
+    struct — the unique event_id makes every argmax total, so no
+    window, no self-join, no nondeterminism. At 100 TB this is the
+    single-shuffle alternative to the rank-and-filter golden-record
+    pattern (which sorts every group)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    order_key = F.struct("ts", "event_id")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by("event_type", order_key).alias("last_event_type"),
+            F.min_by("event_type", order_key).alias("first_event_type"),
+            F.max("value").alias("peak_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+GOLDEN_PROFILE_SQL = """
+WITH ranked AS (
+  SELECT user_id, ts, event_id, event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_last,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_first
+  FROM events
+)
+SELECT user_id,
+  MIN(CASE WHEN rn_last = 1 THEN event_type END) AS last_event_type,
+  MIN(CASE WHEN rn_first = 1 THEN event_type END) AS first_event_type,
+  MAX(value) AS peak_value,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM ranked
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join (operators/skew.salted_join): events
     has only 5 event_type values — every key is hot at 100 TB, and a
@@ -5081,6 +5126,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "kfold_docs": QuerySpec(kfold_docs, KFOLD_SQL),
     "histogram_order_prices": QuerySpec(histogram_order_prices, HISTOGRAM_SQL),
     "pearson_corr_lineitem": QuerySpec(pearson_corr_lineitem, PEARSON_SQL),
+    "golden_user_profile": QuerySpec(golden_user_profile, GOLDEN_PROFILE_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
