@@ -4392,6 +4392,66 @@ ORDER BY user_id
 """
 
 
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the generalization rollup/cube cannot
+    express: exactly (status), (priority), and grand-total groupings,
+    WITHOUT the (status, priority) cross cells a cube would add. One
+    Expand + one aggregate; grouping flags disambiguate the NULLs that
+    mark each set (a real NULL key and a subtotal row would otherwise
+    collide)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+          grouping(o_orderstatus) AS g_status,
+          grouping(o_orderpriority) AS g_priority,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+  CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_priority,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+"""
+
+
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse of the pivot entry: widen part's
+    numeric measures into tidy (metric, value) rows for generic
+    per-metric pipelines. Map-side Expand only — each input row emits
+    one row per measure with NO shuffle; the tidy frame feeds the same
+    groupBy machinery as any long-format table."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+UNPIVOT_SQL = """
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) FROM part
+"""
+
+
 def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join (operators/skew.salted_join): events
     has only 5 event_type values — every key is hot at 100 TB, and a
@@ -5127,6 +5187,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "histogram_order_prices": QuerySpec(histogram_order_prices, HISTOGRAM_SQL),
     "pearson_corr_lineitem": QuerySpec(pearson_corr_lineitem, PEARSON_SQL),
     "golden_user_profile": QuerySpec(golden_user_profile, GOLDEN_PROFILE_SQL),
+    "grouping_sets_revenue": QuerySpec(grouping_sets_revenue, GROUPING_SETS_SQL),
+    "unpivot_part_measures": QuerySpec(unpivot_part_measures, UNPIVOT_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
