@@ -4452,6 +4452,34 @@ SELECT p_partkey, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) FROM 
 """
 
 
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline of parts (operators/skyline.skyline2d): the
+    Pareto-optimal "cheapest AND smallest" shortlist — no other part is
+    ≤ in both price and size and < in one. The operator is the
+    distributed sort-based sweep (range-bucketed x, per-bucket running
+    minimum, B-row prefix-min broadcast); the DuckDB oracle is the
+    INDEPENDENT textbook NOT-EXISTS domination predicate, so the two
+    engines share no algorithm."""
+    from vacancy_gpt_etl_pipeline_spark.operators.skyline import skyline2d
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return skyline2d(part, "p_retailprice", "p_size").orderBy("p_partkey")
+
+
+SKYLINE_SQL = """
+SELECT p_partkey, p_retailprice, p_size FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size <= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+)
+ORDER BY p_partkey
+"""
+
+
 def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join (operators/skew.salted_join): events
     has only 5 event_type values — every key is hot at 100 TB, and a
@@ -5189,6 +5217,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "golden_user_profile": QuerySpec(golden_user_profile, GOLDEN_PROFILE_SQL),
     "grouping_sets_revenue": QuerySpec(grouping_sets_revenue, GROUPING_SETS_SQL),
     "unpivot_part_measures": QuerySpec(unpivot_part_measures, UNPIVOT_SQL),
+    "skyline_parts": QuerySpec(skyline_parts, SKYLINE_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
