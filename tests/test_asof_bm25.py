@@ -107,3 +107,33 @@ def test_bm25_multi_term_sums(spark):
     got = s[(0, 2)]
     want = s[(1, 2)] + s[(2, 2)]
     assert abs(got - want) < 2e-6  # score(q="spark join") = sum of parts
+
+
+def test_incremental_topk_merge_equals_full(spark):
+    # three-way batch split must reproduce the full top-k exactly,
+    # including re-submission of an already-merged batch (idempotence)
+    import random
+
+    from pyspark.sql import Row
+    from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
+        incremental_topk_merge,
+        knn_brute_force,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows)
+    queries = emb.where("vec_id < 3").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    full = knn_brute_force(emb, queries, k=5, dim=8)
+    batches = [emb.where(f"vec_id % 3 = {i}") for i in range(3)]
+    acc = knn_brute_force(batches[0], queries, k=5, dim=8)
+    for b in batches[1:]:
+        acc = incremental_topk_merge(acc, knn_brute_force(b, queries, k=5, dim=8), k=5)
+    # idempotent re-merge of batch 0
+    acc = incremental_topk_merge(acc, knn_brute_force(batches[0], queries, k=5, dim=8), k=5)
+    assert sorted(map(tuple, acc.collect())) == sorted(map(tuple, full.collect()))

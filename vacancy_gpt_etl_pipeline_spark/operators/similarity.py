@@ -568,3 +568,39 @@ def l2_normalize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         norm > 0.0, F.transform(xs, lambda x: x / norm)
     )
     return df.withColumn("l2_norm", norm).withColumn(f"{vec_col}_unit", unit)
+
+
+def incremental_topk_merge(
+    prev_topk: DataFrame, new_scored: DataFrame, k: int = 10
+) -> DataFrame:
+    """Incrementally maintain per-query top-k similarity results as new
+    corpus batches arrive (the interactive-session pattern of EDBT 2020's
+    incremental top-k framework, PAPERS.md): union the maintained
+    top-k with the new batch's scored candidates and re-rank, WITHOUT
+    touching already-scored batches.
+
+    Correctness: the overall top-k is always contained in (previous
+    top-k) ∪ (new batch's top-k), so merging per-batch winners exactly
+    reproduces a full recompute — the registry oracle asserts that
+    equivalence against the from-scratch SQL. Scale shape: the merge
+    shuffles only (query, neighbor, score) triples of size O(queries·k
+    + batch winners); the corpus embeddings are never rescanned. The
+    same (query, neighbor) pair re-submitted by a later batch carries
+    the same score (scores are functional), so the dedup keeps the
+    result well-defined."""
+    from pyspark.sql import Window
+
+    cols = ["query_id", "neighbor_id", "cosine"]
+    merged = (
+        prev_topk.select(*cols)
+        .unionByName(new_scored.select(*cols))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

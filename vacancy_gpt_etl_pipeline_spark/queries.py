@@ -4480,6 +4480,30 @@ ORDER BY p_partkey
 """
 
 
+def ann_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k maintenance (operators/similarity.
+    incremental_topk_merge): the corpus arrives in two batches (even
+    then odd vec_ids); batch 1's top-10 is maintained and merged with
+    batch 2's winners WITHOUT rescanning batch 1. The oracle is the
+    from-scratch full-corpus top-10 (the same SQL as ann_brute_force) —
+    deliberately shared, because "incremental == full recompute" IS the
+    correctness claim of this operator."""
+    from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
+        incremental_topk_merge,
+        knn_brute_force,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch1 = emb.where(F.col("vec_id") % 2 == 0)
+    batch2 = emb.where(F.col("vec_id") % 2 == 1)
+    top1 = knn_brute_force(batch1, queries, k=10, dim=_EMB_DIM)
+    top2 = knn_brute_force(batch2, queries, k=10, dim=_EMB_DIM)
+    return incremental_topk_merge(top1, top2, k=10)
+
+
 def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join (operators/skew.salted_join): events
     has only 5 event_type values — every key is hot at 100 TB, and a
@@ -5218,6 +5242,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "grouping_sets_revenue": QuerySpec(grouping_sets_revenue, GROUPING_SETS_SQL),
     "unpivot_part_measures": QuerySpec(unpivot_part_measures, UNPIVOT_SQL),
     "skyline_parts": QuerySpec(skyline_parts, SKYLINE_SQL),
+    "ann_incremental_topk": QuerySpec(ann_incremental_topk, ANN_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
