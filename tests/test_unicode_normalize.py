@@ -61,3 +61,22 @@ def test_char_diversity_known_values(spark):
     assert uni["distinct_chars"] == 4
     assert uni["simpson_index"] == 0.25 and uni["renyi2_bits"] == 2.0
     assert uni["top_char_ratio"] == 0.25
+
+
+def test_sentiment_score_closed_form(spark):
+    from pyspark.sql import Row
+    from vacancy_gpt_etl_pipeline_spark.functions.text import sentiment_score
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="fast big value"),         # all positive -> 1
+            Row(doc_id=2, text="slow slow dup"),          # all negative -> -1
+            Row(doc_id=3, text="FAST slow"),              # balanced -> 0 (case-folded)
+            Row(doc_id=4, text="join table merge"),       # no hits -> 0
+            Row(doc_id=5, text="fast fast slow"),         # (2-1)/3
+        ]
+    )
+    out = {r["doc_id"]: r["p"] for r in df.select("doc_id", sentiment_score("text").alias("p")).collect()}
+    assert out[1] == 1.0 and out[2] == -1.0
+    assert out[3] == 0.0 and out[4] == 0.0
+    assert out[5] == round(1.0 / 3.0, 6)

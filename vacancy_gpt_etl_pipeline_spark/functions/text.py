@@ -267,3 +267,35 @@ def char_diversity_profile(
         simpson.alias("simpson_index"),
         F.round(-F.log(simpson) / F.lit(math.log(2.0)), 6).alias("renyi2_bits"),
     )
+
+
+# tiny polarity lexicon over the synthetic corpus vocabulary — the
+# lexicon-based scorer of the EDBT'16 Spark sentiment pipeline
+# (PAPERS.md); swap the word lists for AFINN/VADER terms on real text
+SENTIMENT_LEXICON: dict[str, tuple[str, ...]] = {
+    "pos": ("fast", "big", "value"),
+    "neg": ("slow", "small", "dup"),
+}
+
+
+def sentiment_score(c: Column | str, ndigits: int = 6) -> Column:
+    """Lexicon polarity in [-1, 1]: (pos − neg) / (pos + neg), 0.0 when
+    no lexicon token hits. Pure codegen token-filter counts (same HOF
+    machinery as stopword_ratio) plus one IEEE division — no UDF, no
+    shuffle, deterministic in any engine."""
+    toks = tokens(c)
+    pos = F.size(F.filter(toks, lambda t: _in_set(t, SENTIMENT_LEXICON["pos"])))
+    neg = F.size(F.filter(toks, lambda t: _in_set(t, SENTIMENT_LEXICON["neg"])))
+    hits = pos + neg
+    return F.when(
+        hits > 0,
+        F.round((pos - neg).cast("double") / hits.cast("double"), ndigits),
+    ).otherwise(F.lit(0.0))
+
+
+def sentiment_counts(c: Column | str) -> tuple[Column, Column]:
+    """The raw (pos_hits, neg_hits) pair behind :func:`sentiment_score`."""
+    toks = tokens(c)
+    pos = F.size(F.filter(toks, lambda t: _in_set(t, SENTIMENT_LEXICON["pos"])))
+    neg = F.size(F.filter(toks, lambda t: _in_set(t, SENTIMENT_LEXICON["neg"])))
+    return pos, neg

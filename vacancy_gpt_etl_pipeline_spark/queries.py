@@ -4504,6 +4504,48 @@ def ann_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_topk_merge(top1, top2, k=10)
 
 
+def sentiment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based polarity scoring (functions/text.sentiment_score —
+    the EDBT'16 Spark sentiment pattern from PAPERS.md): per-doc
+    positive/negative lexicon hit counts and their normalized polarity.
+    Pure codegen HOF filters over the shared tokenization contract; the
+    only arithmetic is one integer-ratio division rounded at 6 dp."""
+    from vacancy_gpt_etl_pipeline_spark.functions.text import (
+        sentiment_counts,
+        sentiment_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pos, neg = sentiment_counts("text")
+    return docs.select(
+        "doc_id",
+        pos.alias("pos_hits"),
+        neg.alias("neg_hits"),
+        sentiment_score("text").alias("polarity"),
+    )
+
+
+SENTIMENT_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    CAST(len(list_filter(toks, x -> x IN ('fast', 'big', 'value'))) AS INT) AS pos_hits,
+    CAST(len(list_filter(toks, x -> x IN ('slow', 'small', 'dup'))) AS INT) AS neg_hits
+  FROM t
+)
+SELECT doc_id, pos_hits, neg_hits,
+  CASE WHEN pos_hits + neg_hits > 0
+    THEN ROUND(CAST(pos_hits - neg_hits AS DOUBLE)
+               / CAST(pos_hits + neg_hits AS DOUBLE), 6)
+    ELSE 0.0 END AS polarity
+FROM c
+"""
+
+
 def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join (operators/skew.salted_join): events
     has only 5 event_type values — every key is hot at 100 TB, and a
@@ -5243,6 +5285,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "unpivot_part_measures": QuerySpec(unpivot_part_measures, UNPIVOT_SQL),
     "skyline_parts": QuerySpec(skyline_parts, SKYLINE_SQL),
     "ann_incremental_topk": QuerySpec(ann_incremental_topk, ANN_SQL),
+    "sentiment_docs": QuerySpec(sentiment_docs, SENTIMENT_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
