@@ -324,3 +324,42 @@ def test_winnowing_fp_freq_cap_drops_ubiquitous_spans(spark):
     ).count()
     assert uncapped > 0
     assert capped < uncapped
+
+
+def test_adaptive_ivf_recall_bounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
+        knn_brute_force,
+        knn_ivf,
+        knn_ivf_adaptive,
+        sampled_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = sampled_centroids(emb, 8, 61)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    truth = pairs(knn_brute_force(emb, queries, k=10, dim=64))
+    lo = pairs(knn_ivf(emb, queries, cents, k=10, nprobe=1, dim=64))
+    adapt = pairs(
+        knn_ivf_adaptive(
+            emb, queries, cents, k=10, nprobe_lo=1, nprobe_hi=4,
+            min_kth_cosine=0.25, dim=64,
+        )
+    )
+    # escalation can only help: adaptive recall >= cheap-pass recall
+    assert len(adapt & truth) >= len(lo & truth)
+    # tau >= 1: every query escalates -> identical to plain nprobe_hi
+    all_hi = pairs(knn_ivf(emb, queries, cents, k=10, nprobe=4, dim=64))
+    forced = pairs(
+        knn_ivf_adaptive(
+            emb, queries, cents, k=10, nprobe_lo=1, nprobe_hi=4,
+            min_kth_cosine=1.0, dim=64,
+        )
+    )
+    assert forced == all_hi

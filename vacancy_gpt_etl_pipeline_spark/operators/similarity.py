@@ -604,3 +604,54 @@ def incremental_topk_merge(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def knn_ivf_adaptive(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe_lo: int = 1,
+    nprobe_hi: int = 4,
+    min_kth_cosine: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Adaptive IVF search (the continuously-adaptive similarity-search
+    pattern, SIGMOD 2020 — PAPERS.md): probe cheaply first, then spend
+    more ONLY on queries whose results look weak. A query's nprobe_lo
+    result stands unless it returned fewer than k neighbors or its k-th
+    cosine fell below ``min_kth_cosine``; weak queries re-probe
+    nprobe_hi cells.
+
+    Per-query cost adapts to how well the query matches its cell — at
+    100 TB the easy majority pays ~nprobe_lo/C of a corpus scan and only
+    the hard tail pays nprobe_hi/C, instead of every query paying for
+    the worst one. The weak set is a broadcast of query ids (bounded by
+    the query batch); the second pass reuses the SAME cell assignment
+    frame, so the corpus is never re-bucketed. With min_kth_cosine ≥ 1
+    every query escalates and the result degenerates to plain
+    nprobe_hi search (asserted in tests)."""
+    lo = knn_ivf(
+        corpus, queries, centroids, k=k, nprobe=nprobe_lo,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col, dim=dim,
+    )
+    qual = lo.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("cosine").alias("_kth")
+    )
+    weak = qual.where(
+        (F.col("_n") < k) | (F.col("_kth") < min_kth_cosine)
+    ).select("query_id")
+    strong = lo.join(F.broadcast(weak), "query_id", "left_anti")
+    weak_queries = queries.join(
+        F.broadcast(weak.withColumnRenamed("query_id", query_id_col)),
+        query_id_col,
+        "left_semi",
+    )
+    hi = knn_ivf(
+        corpus, weak_queries, centroids, k=k, nprobe=nprobe_hi,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col, dim=dim,
+    )
+    return strong.unionByName(hi)

@@ -1629,6 +1629,104 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+_IVF_ADAPT_LO, _IVF_ADAPT_HI, _IVF_ADAPT_TAU = 1, 4, 0.25
+
+
+def ann_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive-probe IVF (operators/similarity.knn_ivf_adaptive,
+    SIGMOD'20 pattern): every query probes 1 cell; only queries whose
+    k-th cosine lands below 0.25 escalate to 4 cells. τ=0.25 splits the
+    5 fixed queries into both paths at sf0.01 AND sf0.1, so strong-keep,
+    weak-escalate, and the union are all exercised. The oracle replays
+    the same two-phase decision in SQL (mirrored, like the other
+    IVF/LSH oracles); the independent quality evidence is the pytest
+    bound: adaptive recall ≥ nprobe_lo recall, and τ≥1 ≡ plain
+    nprobe_hi."""
+    from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
+        knn_ivf_adaptive,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sampled_centroids(emb, _IVF_CELLS, _IVF_STRIDE)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_ivf_adaptive(
+        emb,
+        queries,
+        cents,
+        k=10,
+        nprobe_lo=_IVF_ADAPT_LO,
+        nprobe_hi=_IVF_ADAPT_HI,
+        min_kth_cosine=_IVF_ADAPT_TAU,
+        dim=_EMB_DIM,
+    )
+
+
+def _ivf_adaptive_sql() -> str:
+    """Two-phase adaptive probe as SQL: the shared cell-assignment CTEs,
+    a lo-probe top-k, the weak-query predicate, and the hi-probe re-run
+    unioned over the kept strong results."""
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (
+  SELECT vec_id AS cell, e AS ce FROM base
+  WHERE vec_id % {_IVF_STRIDE} = 0 ORDER BY vec_id LIMIT {_IVF_CELLS}
+),
+ca AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT b.vec_id, b.e, c.cell,
+      row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY ROUND(list_cosine_similarity(b.e, c.ce), 6) DESC, c.cell
+      ) AS rnk
+    FROM base b, cents c
+  ) WHERE rnk = 1
+),
+qcells AS (
+  SELECT query_id, qe, cell, rnk FROM (
+    SELECT b.vec_id AS query_id, b.e AS qe, c.cell,
+      row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY ROUND(list_cosine_similarity(b.e, c.ce), 6) DESC, c.cell
+      ) AS rnk
+    FROM base b, cents c WHERE b.vec_id < 5
+  ) WHERE rnk <= {_IVF_ADAPT_HI}
+),
+s_lo AS (
+  SELECT q.query_id, ca.vec_id AS neighbor_id,
+    ROUND(list_cosine_similarity(q.qe, ca.e), 6) AS cosine
+  FROM qcells q JOIN ca USING (cell)
+  WHERE q.rnk <= {_IVF_ADAPT_LO} AND ca.vec_id != q.query_id
+),
+lo AS (
+  SELECT query_id, neighbor_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM s_lo QUALIFY rank <= 10
+),
+weak AS (
+  SELECT query_id FROM lo GROUP BY query_id
+  HAVING COUNT(*) < 10 OR MIN(cosine) < {_IVF_ADAPT_TAU}
+),
+s_hi AS (
+  SELECT q.query_id, ca.vec_id AS neighbor_id,
+    ROUND(list_cosine_similarity(q.qe, ca.e), 6) AS cosine
+  FROM qcells q JOIN ca USING (cell)
+  WHERE ca.vec_id != q.query_id
+    AND q.query_id IN (SELECT query_id FROM weak)
+),
+hi AS (
+  SELECT query_id, neighbor_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM s_hi QUALIFY rank <= 10
+)
+SELECT query_id, neighbor_id, cosine, rank FROM lo
+WHERE query_id NOT IN (SELECT query_id FROM weak)
+UNION ALL
+SELECT query_id, neighbor_id, cosine, rank FROM hi
+"""
+
+
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-wins keyed upsert (operators/relational.merge_upsert): a
     snapshot of orders merged with an update batch that modifies every
@@ -5286,6 +5384,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "skyline_parts": QuerySpec(skyline_parts, SKYLINE_SQL),
     "ann_incremental_topk": QuerySpec(ann_incremental_topk, ANN_SQL),
     "sentiment_docs": QuerySpec(sentiment_docs, SENTIMENT_SQL),
+    "ann_ivf_adaptive": QuerySpec(ann_ivf_adaptive, _ivf_adaptive_sql()),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
