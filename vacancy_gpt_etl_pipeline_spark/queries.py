@@ -1727,6 +1727,75 @@ SELECT query_id, neighbor_id, cosine, rank FROM hi
 """
 
 
+def trajectory_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 behaviorally-similar users by trajectory signature
+    (operators/trajectory — the REPOSE reference-point summarization):
+    each user's (time, value) event sequence collapses to an 8-slot
+    min-distance signature against a fixed grid, then the existing ANN
+    tier ranks signature cosine. The signature build is division +
+    multiply + MIN — min over doubles is order-free, so everything
+    upstream of the final rounded cosine is bit-exact cross-engine."""
+    from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
+        knn_brute_force,
+    )
+    from vacancy_gpt_etl_pipeline_spark.operators.trajectory import (
+        trajectory_signatures,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    sigs = trajectory_signatures(ev)
+    queries = sigs.where(F.col("user_id") < 3).select(
+        F.col("user_id").alias("query_id"), "signature"
+    )
+    return knn_brute_force(
+        sigs, queries, k=5, id_col="user_id", vec_col="signature", dim=8
+    )
+
+
+def _trajectory_sql() -> str:
+    from vacancy_gpt_etl_pipeline_spark.operators.trajectory import REF_GRID
+
+    def lit(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    mins = ",\n    ".join(
+        f"MIN((d - {lit(rx)}) * (d - {lit(rx)})"
+        f" + (nv - {lit(ry)}) * (nv - {lit(ry)})) AS s{i}"
+        for i, (rx, ry) in enumerate(REF_GRID)
+    )
+    arr = ", ".join(f"s{i}" for i in range(len(REF_GRID)))
+    return f"""
+WITH pts AS (
+  SELECT user_id,
+    CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) AS t,
+    CAST(value AS DOUBLE) AS v
+  FROM events
+),
+span AS (SELECT MIN(t) AS t0, MAX(t) AS t1, MIN(v) AS v0, MAX(v) AS v1 FROM pts),
+norm AS (
+  SELECT user_id, (t - t0) / (t1 - t0) AS d, (v - v0) / (v1 - v0) AS nv
+  FROM pts CROSS JOIN span
+),
+sig AS (
+  SELECT user_id,
+    {mins}
+  FROM norm GROUP BY user_id
+),
+vec AS (SELECT user_id, [{arr}] AS s FROM sig),
+q AS (SELECT user_id AS query_id, s AS qs FROM vec WHERE user_id < 3),
+sc AS (
+  SELECT q.query_id, c.user_id AS neighbor_id,
+    ROUND(list_cosine_similarity(q.qs, c.s), 6) AS cosine
+  FROM q, vec c WHERE c.user_id != q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM sc
+) WHERE rank <= 5
+"""
+
+
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-wins keyed upsert (operators/relational.merge_upsert): a
     snapshot of orders merged with an update batch that modifies every
@@ -5385,6 +5454,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_incremental_topk": QuerySpec(ann_incremental_topk, ANN_SQL),
     "sentiment_docs": QuerySpec(sentiment_docs, SENTIMENT_SQL),
     "ann_ivf_adaptive": QuerySpec(ann_ivf_adaptive, _ivf_adaptive_sql()),
+    "trajectory_similar_users": QuerySpec(
+        trajectory_similar_users, _trajectory_sql()
+    ),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
