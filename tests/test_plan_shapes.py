@@ -340,3 +340,21 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf_dir):
         "l_orderkey", "l_quantity"
     )
     assert n_bloom == li2.join(orders2, li2.l_orderkey == orders2.o_orderkey).count()
+
+
+def test_session4_queries_avoid_cartesian_and_smj(spark, sf_dir):
+    # the 1-row span/stats broadcasts in these plans must show up as
+    # broadcast joins, never CartesianProduct; none of them needs a
+    # sort-merge join at any scale
+    for name in (
+        "skyline_parts",
+        "trajectory_similar_users",
+        "histogram_order_prices",
+        "feature_scale_balances",
+        "mad_outlier_events",
+        "winsorize_order_prices",
+        "snapshot_diff_orders",
+        "gapfill_daily_events",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
