@@ -1796,6 +1796,74 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def modal_priority_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode with a total tie-break: the most frequent
+    order priority within each status (ties to the lexicographically
+    smallest priority). Two map-side-combined aggregates — (group,
+    value) counts, then a WindowGroupLimit rank over the tiny count
+    frame — never a sort of the fact table. Spark's native mode() has
+    engine-defined tie behavior; the explicit (count desc, value) rank
+    is deterministic everywhere."""
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("n").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+MODE_SQL = """
+SELECT o_orderstatus, o_orderpriority AS modal_priority, n AS n_orders
+FROM (
+  SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+    ROW_NUMBER() OVER (
+      PARTITION BY o_orderstatus ORDER BY COUNT(*) DESC, o_orderpriority
+    ) AS rn
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+)
+WHERE rn = 1
+ORDER BY o_orderstatus
+"""
+
+
+def lineage_file_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-level lineage: row counts per physical input file via
+    input_file_name() — the audit column every ingest pipeline stamps so
+    a bad record traces back to its source object. Emits the file
+    BASENAME (the oracle runs over a pre-registered view and cannot see
+    paths, and each test table is one physical file — the basename is
+    the full lineage at this layout); grouping is one map-side-combined
+    aggregate."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "src_file", F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+    )
+    return (
+        orders.groupBy("src_file")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("src_file")
+    )
+
+
+LINEAGE_SQL = """
+SELECT 'orders.parquet' AS src_file, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+GROUP BY 1
+ORDER BY src_file
+"""
+
+
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-wins keyed upsert (operators/relational.merge_upsert): a
     snapshot of orders merged with an update batch that modifies every
@@ -5457,6 +5525,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "trajectory_similar_users": QuerySpec(
         trajectory_similar_users, _trajectory_sql()
     ),
+    "modal_priority_per_status": QuerySpec(modal_priority_per_status, MODE_SQL),
+    "lineage_file_counts": QuerySpec(lineage_file_counts, LINEAGE_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
