@@ -192,3 +192,80 @@ def test_boilerplate_removal_totality_and_subsequence(spark, texts, min_df):
         assert all(any(t == k for t in it) for k in kept), (
             f"cleaned text is not a subsequence: {kept} vs {toks}"
         )
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff: applying the diff to old reconstructs new exactly
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.dictionaries(st.integers(0, 12), st.integers(0, 3), max_size=8),
+    st.dictionaries(st.integers(0, 12), st.integers(0, 3), max_size=8),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_snapshot_diff_roundtrip(spark, old_map, new_map):
+    from vacancy_gpt_etl_pipeline_spark.operators.diff import snapshot_diff
+
+    schema = "k int, v int"
+    old = spark.createDataFrame(list(old_map.items()) or [], schema)
+    new = spark.createDataFrame(list(new_map.items()) or [], schema)
+    diff = snapshot_diff(old, new, ["k"], ["v"]).collect()
+    # replay the diff over old_map
+    replayed = dict(old_map)
+    for r in diff:
+        if r["change_type"] == "removed":
+            replayed.pop(r["k"], None)
+        else:
+            replayed[r["k"]] = r["new_v"]
+    assert replayed == new_map
+    # unchanged keys never appear
+    for r in diff:
+        if r["change_type"] == "changed":
+            assert old_map[r["k"]] != new_map[r["k"]]
+
+
+# ---------------------------------------------------------------------------
+# skyline: idempotent, and every dropped point is dominated by a survivor
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_skyline_dominance_and_idempotence(spark, pts):
+    from vacancy_gpt_etl_pipeline_spark.operators.skyline import skyline2d
+
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in pts], "x double, y double"
+    )
+    sky = skyline2d(df, "x", "y", buckets=5)
+    got = {(r["x"], r["y"]) for r in sky.collect()}
+    # no survivor dominates another survivor
+    for p in got:
+        for q in got:
+            assert not (
+                q[0] <= p[0] and q[1] <= p[1] and (q[0] < p[0] or q[1] < p[1])
+            )
+    # every dropped point is dominated by some survivor
+    for p in {(float(x), float(y)) for x, y in pts} - got:
+        assert any(
+            q[0] <= p[0] and q[1] <= p[1] and (q[0] < p[0] or q[1] < p[1])
+            for q in got
+        )
+    # idempotence: skyline(skyline) == skyline
+    again = {(r["x"], r["y"]) for r in skyline2d(sky, "x", "y", buckets=5).collect()}
+    assert again == got
