@@ -1864,6 +1864,89 @@ ORDER BY src_file
 """
 
 
+def ntile_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile assignment + cumulative distribution of order prices per
+    status — the rank-based normalization BI tools ship as NTILE/
+    CUME_DIST. The window order carries the unique o_orderkey tie-break
+    so NTILE's bucket boundaries are total-order deterministic (without
+    it, equal prices straddle buckets engine-dependently). Summarized
+    per (status, decile): count + decimal-exact revenue."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    deciled = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return (
+        deciled.groupBy("o_orderstatus", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice", "revenue"),
+        )
+        .orderBy("o_orderstatus", "decile")
+    )
+
+
+NTILE_SQL = """
+SELECT o_orderstatus, decile, CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM (
+  SELECT o_orderstatus, o_totalprice,
+    NTILE(10) OVER (
+      PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+    ) AS decile
+  FROM orders
+)
+GROUP BY o_orderstatus, decile
+ORDER BY o_orderstatus, decile
+"""
+
+
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period analytics: monthly revenue with absolute and
+    percentage month-over-month change via LAG over the month frame.
+    The monthly sums are decimal-exact, so the deltas are exact decimal
+    subtraction and the growth ratio is one IEEE division of identical
+    doubles — the whole report hash-matches with no rounding. The
+    window runs over the TINY month frame (one row per month), after
+    the only fact-sized aggregate."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("_rev").over(w)
+    return monthly.select(
+        "month",
+        F.col("_rev").cast("double").alias("revenue"),
+        (F.col("_rev") - prev).cast("double").alias("mom_delta"),
+        (
+            (F.col("_rev") - prev).cast("double") / prev.cast("double")
+        ).alias("mom_growth"),
+    ).orderBy("month")
+
+
+MOM_GROWTH_SQL = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT month,
+  CAST(rev AS DOUBLE) AS revenue,
+  CAST(rev - LAG(rev) OVER (ORDER BY month) AS DOUBLE) AS mom_delta,
+  CAST(rev - LAG(rev) OVER (ORDER BY month) AS DOUBLE)
+    / CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE) AS mom_growth
+FROM monthly
+ORDER BY month
+"""
+
+
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-wins keyed upsert (operators/relational.merge_upsert): a
     snapshot of orders merged with an update batch that modifies every
@@ -5527,6 +5610,8 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "modal_priority_per_status": QuerySpec(modal_priority_per_status, MODE_SQL),
     "lineage_file_counts": QuerySpec(lineage_file_counts, LINEAGE_SQL),
+    "ntile_price_buckets": QuerySpec(ntile_price_buckets, NTILE_SQL),
+    "monthly_revenue_growth": QuerySpec(monthly_revenue_growth, MOM_GROWTH_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
