@@ -347,6 +347,7 @@ def knn_ivf(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: int | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) search: corpus vectors are
     bucketed into centroid cells once; each query exhaustively scores only
@@ -357,9 +358,14 @@ def knn_ivf(
     cell assignment is one map-side-combined aggregation; the probe join is
     broadcast (query side bounded); scoring touches ~nprobe/C of the corpus
     per query and the top-k window shuffles only (query, neighbor, cosine)
-    triples.
+    triples. Pass a precomputed ``assigned`` frame (from
+    :func:`ivf_assign`, ideally persisted) to share the cell assignment
+    across multiple probe passes — knn_ivf_adaptive does.
     """
-    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col, dim=dim)
+    if assigned is None:
+        assigned = ivf_assign(
+            corpus, centroids, id_col=id_col, vec_col=vec_col, dim=dim
+        )
     q_scored = _cell_scores(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
@@ -618,6 +624,7 @@ def knn_ivf_adaptive(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: int | None = None,
+    cache_scope: CacheScope | None = None,
 ) -> DataFrame:
     """Adaptive IVF search (the continuously-adaptive similarity-search
     pattern, SIGMOD 2020 — PAPERS.md): probe cheaply first, then spend
@@ -634,9 +641,14 @@ def knn_ivf_adaptive(
     frame, so the corpus is never re-bucketed. With min_kth_cosine ≥ 1
     every query escalates and the result degenerates to plain
     nprobe_hi search (asserted in tests)."""
+    assigned = persist_in(
+        ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col, dim=dim),
+        cache_scope,
+    )
     lo = knn_ivf(
         corpus, queries, centroids, k=k, nprobe=nprobe_lo,
         id_col=id_col, vec_col=vec_col, query_id_col=query_id_col, dim=dim,
+        assigned=assigned,
     )
     qual = lo.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("_n"), F.min("cosine").alias("_kth")
@@ -653,5 +665,6 @@ def knn_ivf_adaptive(
     hi = knn_ivf(
         corpus, weak_queries, centroids, k=k, nprobe=nprobe_hi,
         id_col=id_col, vec_col=vec_col, query_id_col=query_id_col, dim=dim,
+        assigned=assigned,
     )
     return strong.unionByName(hi)
