@@ -1,0 +1,64 @@
+"""Plan-budget regression gate: every registry entry's physical plan has
+a RECORDED budget of expensive operators (exchanges, sort-merge joins,
+cartesian products, broadcast joins). A refactor that silently adds a
+shuffle — the classic scale regression that correctness tests can't see
+— fails here before it ships.
+
+Budgets live in ``tests/plan_budget.json``; regenerate after intentional
+plan changes with::
+
+    SPARK_GRAFT_REGEN_PLAN_BUDGET=1 python -m pytest tests/test_plan_budget.py -q
+
+Counts come from the pre-execution physical plan at sf0.001 (plan SHAPE
+is scale-invariant; AQE rewrites happen at runtime and do not affect
+the recorded initial plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from vacancy_gpt_etl_pipeline_spark.queries import REGISTRY
+
+BUDGET_PATH = os.path.join(os.path.dirname(__file__), "plan_budget.json")
+OPS = ("Exchange", "SortMergeJoin", "CartesianProduct", "BroadcastHashJoin")
+REGEN = os.environ.get("SPARK_GRAFT_REGEN_PLAN_BUDGET") == "1"
+
+
+def _counts(spark, sf_dir: str, name: str) -> dict[str, int]:
+    df = REGISTRY[name].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {op: plan.count(op) for op in OPS}
+
+
+@pytest.mark.skipif(not REGEN, reason="regeneration is opt-in")
+def test_regenerate_plan_budget(spark, sf_dir):
+    budget = {}
+    for name in REGISTRY:
+        budget[name] = _counts(spark, sf_dir, name)
+    with open(BUDGET_PATH, "w") as f:
+        json.dump(budget, f, indent=1, sort_keys=True)
+    assert budget
+
+
+@pytest.mark.skipif(REGEN, reason="regenerating instead")
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_plan_within_budget(name, spark, sf_dir):
+    with open(BUDGET_PATH) as f:
+        budget = json.load(f)
+    assert name in budget, (
+        f"{name} has no recorded plan budget — regenerate with "
+        "SPARK_GRAFT_REGEN_PLAN_BUDGET=1"
+    )
+    got = _counts(spark, sf_dir, name)
+    rec = budget[name]
+    # a plan may get CHEAPER (fewer exchanges/SMJs) without failing; it
+    # may never gain an expensive operator
+    for op in ("Exchange", "SortMergeJoin", "CartesianProduct"):
+        assert got[op] <= rec[op], (
+            f"{name}: {op} count grew {rec[op]} -> {got[op]} — a new "
+            "shuffle/join slipped into the plan"
+        )
