@@ -1947,6 +1947,86 @@ ORDER BY month
 """
 
 
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution: every purchase's value splits
+    EVENLY across that user's touches (non-purchase events) in the
+    prior 7 days, credited to the touch's event type. The shape is a
+    per-user interval join — equi-key on user_id carries the shuffle,
+    the 7-day window rides as the join residual, so no time-bucket
+    explosion is needed when the partition key is already selective —
+    followed by a per-purchase COUNT window and one IEEE division
+    (value/n_touches, identical in both engines), then the final
+    credit aggregate. Credits are summed as decimal-quantized
+    micro-units (value/n is an arbitrary double; quantizing BOTH
+    engines to 6 dp before the sum keeps the aggregate exact and
+    order-free)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.col("value").alias("p_value"),
+    )
+    touches = ev.where(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    w = Window.partitionBy("p_id")
+    credited = joined.withColumn(
+        "credit",
+        F.round(
+            F.col("p_value") / F.count(F.lit(1)).over(w).cast("double"), 6
+        ).cast("decimal(18,6)"),
+    )
+    return (
+        credited.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("credit").cast("double").alias("credited_value"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+LINEAR_ATTRIBUTION_SQL = """
+WITH purchases AS (
+  SELECT user_id AS p_user, ts AS p_ts, event_id AS p_id, value AS p_value
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id AS t_user, ts AS t_ts, event_type AS touch_type
+  FROM events WHERE event_type != 'purchase'
+),
+joined AS (
+  SELECT p.p_id, p.p_value, t.touch_type
+  FROM purchases p JOIN touches t
+    ON p.p_user = t.t_user
+   AND t.t_ts <= p.p_ts
+   AND t.t_ts > p.p_ts - INTERVAL 7 DAY
+),
+credited AS (
+  SELECT touch_type,
+    CAST(ROUND(p_value / CAST(COUNT(*) OVER (PARTITION BY p_id) AS DOUBLE), 6)
+         AS DECIMAL(18,6)) AS credit
+  FROM joined
+)
+SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_credits,
+  CAST(SUM(credit) AS DOUBLE) AS credited_value
+FROM credited
+GROUP BY touch_type
+ORDER BY touch_type
+"""
+
+
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-wins keyed upsert (operators/relational.merge_upsert): a
     snapshot of orders merged with an update batch that modifies every
@@ -5612,6 +5692,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "lineage_file_counts": QuerySpec(lineage_file_counts, LINEAGE_SQL),
     "ntile_price_buckets": QuerySpec(ntile_price_buckets, NTILE_SQL),
     "monthly_revenue_growth": QuerySpec(monthly_revenue_growth, MOM_GROWTH_SQL),
+    "linear_attribution": QuerySpec(linear_attribution, LINEAR_ATTRIBUTION_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
