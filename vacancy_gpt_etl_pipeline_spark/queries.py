@@ -2027,6 +2027,115 @@ ORDER BY touch_type
 """
 
 
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis: two-proportion z-test on high-value-purchase
+    conversion between variants (user_id parity as the assignment; the
+    value≥300 qualifier keeps conversion rare — every user makes SOME
+    purchase, which would degenerate the test to se=0).
+    Everything derives from four exact integer counts — per-variant
+    users and converters — so the pooled rate, standard error, and
+    z-statistic are the identical IEEE expression in both engines; the
+    significance flag is |z| > 1.96. One aggregate over the per-user
+    conversion frame; output is a single row per variant pair."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") >= 300.0)
+            ).cast("int")
+        ).alias("converted")
+    )
+    variants = per_user.select(
+        (F.col("user_id") % 2).cast("int").alias("variant"), "converted"
+    )
+    agg = variants.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    a = agg.where(F.col("variant") == 0).select(
+        F.col("n_users").alias("n_a"), F.col("n_converted").alias("c_a")
+    )
+    b = agg.where(F.col("variant") == 1).select(
+        F.col("n_users").alias("n_b"), F.col("n_converted").alias("c_b")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    n_a, c_a = F.col("n_a").cast("double"), F.col("c_a").cast("double")
+    n_b, c_b = F.col("n_b").cast("double"), F.col("c_b").cast("double")
+    p_a, p_b = c_a / n_a, c_b / n_b
+    pool = (c_a + c_b) / (n_a + n_b)
+    se = F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / n_a + F.lit(1.0) / n_b))
+    z = F.when(se > 0.0, (p_a - p_b) / se)
+    return j.select(
+        F.col("n_a").alias("users_a"),
+        F.col("c_a").alias("conv_a"),
+        F.col("n_b").alias("users_b"),
+        F.col("c_b").alias("conv_b"),
+        p_a.alias("rate_a"),
+        p_b.alias("rate_b"),
+        z.alias("z_score"),
+        F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("significant_95"),
+    )
+
+
+AB_TEST_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'purchase' AND value >= 300.0
+        THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT CAST(user_id % 2 AS INT) AS variant,
+    CAST(COUNT(*) AS BIGINT) AS n_users,
+    CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM per_user GROUP BY 1
+),
+j AS (
+  SELECT a.n_users AS users_a, a.n_converted AS conv_a,
+         b.n_users AS users_b, b.n_converted AS conv_b
+  FROM (SELECT * FROM agg WHERE variant = 0) a
+  CROSS JOIN (SELECT * FROM agg WHERE variant = 1) b
+)
+SELECT users_a, conv_a, users_b, conv_b,
+  CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE) AS rate_a,
+  CAST(conv_b AS DOUBLE) / CAST(users_b AS DOUBLE) AS rate_b,
+  CASE WHEN sqrt(
+      ((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+       / (CAST(users_a AS DOUBLE) + CAST(users_b AS DOUBLE)))
+      * (1.0 - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+              / (CAST(users_a AS DOUBLE) + CAST(users_b AS DOUBLE)))
+      * (1.0 / CAST(users_a AS DOUBLE) + 1.0 / CAST(users_b AS DOUBLE))
+    ) > 0.0 THEN
+  (CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE)
+   - CAST(conv_b AS DOUBLE) / CAST(users_b AS DOUBLE))
+  / sqrt(
+      ((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+       / (CAST(users_a AS DOUBLE) + CAST(users_b AS DOUBLE)))
+      * (1.0 - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+              / (CAST(users_a AS DOUBLE) + CAST(users_b AS DOUBLE)))
+      * (1.0 / CAST(users_a AS DOUBLE) + 1.0 / CAST(users_b AS DOUBLE))
+    ) END AS z_score,
+  COALESCE(ABS(CASE WHEN sqrt(
+      ((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+       / (CAST(users_a AS DOUBLE) + CAST(users_b AS DOUBLE)))
+      * (1.0 - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+              / (CAST(users_a AS DOUBLE) + CAST(users_b AS DOUBLE)))
+      * (1.0 / CAST(users_a AS DOUBLE) + 1.0 / CAST(users_b AS DOUBLE))
+    ) > 0.0 THEN 
+    (CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE)
+     - CAST(conv_b AS DOUBLE) / CAST(users_b AS DOUBLE))
+    / sqrt(
+        ((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+         / (CAST(users_a AS DOUBLE) + CAST(users_b AS DOUBLE)))
+        * (1.0 - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                / (CAST(users_a AS DOUBLE) + CAST(users_b AS DOUBLE)))
+        * (1.0 / CAST(users_a AS DOUBLE) + 1.0 / CAST(users_b AS DOUBLE))
+      ) END
+  ) > 1.96, FALSE) AS significant_95
+FROM j
+"""
+
+
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-wins keyed upsert (operators/relational.merge_upsert): a
     snapshot of orders merged with an update batch that modifies every
@@ -5693,6 +5802,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "ntile_price_buckets": QuerySpec(ntile_price_buckets, NTILE_SQL),
     "monthly_revenue_growth": QuerySpec(monthly_revenue_growth, MOM_GROWTH_SQL),
     "linear_attribution": QuerySpec(linear_attribution, LINEAR_ATTRIBUTION_SQL),
+    "ab_test_conversion": QuerySpec(ab_test_conversion, AB_TEST_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
