@@ -126,3 +126,26 @@ def test_count_triangles_hub_plus_chord(spark):
     edges = spark.createDataFrame(star + [(3, 4)], ["src", "dst"])
     out = {r["node"]: r["n_triangles"] for r in count_triangles(edges).collect()}
     assert out == {0: 1, 3: 1, 4: 1}
+
+
+def test_k_core_peels_pendants_keeps_cycle(spark):
+    import vacancy_gpt_etl_pipeline_spark.operators.graph as g
+
+    # triangle {1,2,3} plus a pendant chain 3-4-5: the 2-core is the
+    # triangle only (4 and 5 peel away in successive rounds)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    out = {r["node"]: r["core_degree"] for r in g.k_core(edges, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    assert g.KCORE_LAST_CONVERGED
+
+
+def test_k_core_convergence_within_oracle_unroll(spark, sf_dir):
+    # the registry oracle unrolls 10 peels; the live loop must converge
+    # within that depth on the actual data at every test scale
+    import vacancy_gpt_etl_pipeline_spark.operators.graph as g
+    from vacancy_gpt_etl_pipeline_spark.queries import REGISTRY
+
+    REGISTRY["kcore_parts"].spark(spark, sf_dir).collect()
+    assert g.KCORE_LAST_CONVERGED and g.KCORE_LAST_ROUNDS <= 10

@@ -289,3 +289,65 @@ def count_triangles(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+# rounds used by the most recent k_core call — mirrors the CC counters so
+# tests can assert the oracle's fixed unroll depth actually covered
+# convergence.
+KCORE_LAST_ROUNDS: int | None = None
+KCORE_LAST_CONVERGED: bool | None = None
+
+
+def k_core(edges: DataFrame, k: int, max_iter: int = 12) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node keeps
+    degree ≥ k — the standard graph-side quality filter (peel away
+    weakly-connected crawl pages / spam rings before expensive
+    per-community work). Returns ``(node, core_degree)``.
+
+    Algorithm: iterative peeling. Each round drops nodes whose CURRENT
+    degree is below k and restricts the edge set to survivors; the edge
+    count is monotone non-increasing, so an unchanged count IS the
+    fixpoint test (one 1-row aggregate per round — no edge collect).
+    Rounds are two keyed shuffles over (long, long) edges;
+    ``localCheckpoint`` truncates the per-round lineage exactly like
+    connected_components. Real-world degeneracy is small, so the round
+    count stays low; the registry oracle replays the SAME peeling as a
+    fixed-depth unrolled SQL CTE chain and tests assert the Spark loop
+    converged within that depth."""
+    global KCORE_LAST_ROUNDS, KCORE_LAST_CONVERGED
+    a, b = F.least("src", "dst"), F.greatest("src", "dst")
+    current = (
+        edges.select(a.cast("long").alias("a"), b.cast("long").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = current.count()
+    KCORE_LAST_CONVERGED = False
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        deg = (
+            current.select(F.col("a").alias("node"))
+            .unionAll(current.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        pruned = current.join(
+            keep.withColumnRenamed("node", "a"), "a", "left_semi"
+        ).join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+        pruned = pruned.localCheckpoint(eager=True)
+        n_new = pruned.count()
+        current = pruned
+        if n_new == n_edges:
+            KCORE_LAST_CONVERGED = True
+            break
+        n_edges = n_new
+    KCORE_LAST_ROUNDS = rounds
+    return (
+        current.select(F.col("a").alias("node"))
+        .unionAll(current.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )

@@ -2136,6 +2136,72 @@ FROM j
 """
 
 
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the 1997 part co-purchase graph (operators/graph.
+    k_core): iterative peeling until every surviving node keeps degree
+    ≥ 2 — the graph-side quality filter that strips pendant chains
+    before community-level work. Convergence is a 1-row edge-count
+    fixpoint per round (monotone, so count equality IS the test). The
+    oracle replays the SAME peeling as a FIXED 10-round unrolled CTE
+    chain — valid because peeling is idempotent past the fixpoint and
+    tests assert the Spark loop converged within 10 rounds at every
+    test scale (measured: ≤7)."""
+    from vacancy_gpt_etl_pipeline_spark.operators.graph import k_core
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    x, y = li.alias("x"), li.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(
+        F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+    )
+    return k_core(edges, k=2, max_iter=15).orderBy("node")
+
+
+def _kcore_sql(k: int = 2, depth: int = 10) -> str:
+    peels = []
+    prev = "r0"
+    for i in range(1, depth + 1):
+        peels.append(f"""
+k{i} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}
+    ) GROUP BY node
+  ) WHERE deg >= {k}
+),
+r{i} AS MATERIALIZED (
+  SELECT a, b FROM {prev}
+  WHERE a IN (SELECT node FROM k{i}) AND b IN (SELECT node FROM k{i})
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+),
+r0 AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),{",".join(peels)}
+SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+  SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}
+) GROUP BY node
+ORDER BY node
+"""
+
+
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-wins keyed upsert (operators/relational.merge_upsert): a
     snapshot of orders merged with an update batch that modifies every
@@ -5803,6 +5869,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "monthly_revenue_growth": QuerySpec(monthly_revenue_growth, MOM_GROWTH_SQL),
     "linear_attribution": QuerySpec(linear_attribution, LINEAR_ATTRIBUTION_SQL),
     "ab_test_conversion": QuerySpec(ab_test_conversion, AB_TEST_SQL),
+    "kcore_parts": QuerySpec(kcore_parts, _kcore_sql()),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
