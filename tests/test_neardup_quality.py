@@ -363,3 +363,34 @@ def test_adaptive_ivf_recall_bounds(spark, sf_dir):
         )
     )
     assert forced == all_hi
+
+
+def test_adaptive_ivf_escalates_zero_result_queries(spark):
+    # a query alone in its probed cell (self-match excluded) gets ZERO
+    # lo rows; it must still escalate and match plain nprobe_hi —
+    # judging weakness from the lo RESULT set would lose it entirely
+    from pyspark.sql import Row
+    from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
+        knn_ivf,
+        knn_ivf_adaptive,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),   # query, isolated cell
+            Row(vec_id=1, embedding=[-1.0, 0.05]),
+            Row(vec_id=2, embedding=[-1.0, 0.1]),
+            Row(vec_id=3, embedding=[-1.0, 0.2]),
+        ]
+    )
+    cents = spark.createDataFrame(
+        [Row(cell=0, centroid=[1.0, 0.0]), Row(cell=1, centroid=[-1.0, 0.0])]
+    )
+    queries = emb.where("vec_id = 0").selectExpr("vec_id AS query_id", "embedding")
+    plain_hi = knn_ivf(emb, queries, cents, k=3, nprobe=2, dim=2)
+    adapt = knn_ivf_adaptive(
+        emb, queries, cents, k=3, nprobe_lo=1, nprobe_hi=2,
+        min_kth_cosine=0.0, dim=2,
+    )
+    assert sorted(map(tuple, adapt.collect())) == sorted(map(tuple, plain_hi.collect()))
+    assert adapt.count() == 3  # not empty

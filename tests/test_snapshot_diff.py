@@ -51,3 +51,18 @@ def test_composite_keys(spark):
         (1, "y"): "removed",
         (2, "y"): "added",
     }
+
+
+def test_null_keys_classified_correctly(spark):
+    # NULL keys join null-safe: present-in-both-unchanged disappears,
+    # old-side-only is 'removed' (not a phantom 'added')
+    old = spark.createDataFrame([(None, "keep"), (1, "x")], "k int, v string")
+    new = spark.createDataFrame([(None, "keep")], "k int, v string")
+    out = snapshot_diff(old, new, ["k"], ["v"]).collect()
+    assert len(out) == 1
+    assert out[0]["k"] == 1 and out[0]["change_type"] == "removed"
+    # and a NULL-keyed change is a single 'changed' row
+    new2 = spark.createDataFrame([(None, "edited")], "k int, v string")
+    out2 = snapshot_diff(old, new2, ["k"], ["v"]).collect()
+    by = {(r["k"], r["change_type"]) for r in out2}
+    assert by == {(None, "changed"), (1, "removed")}

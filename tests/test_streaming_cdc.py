@@ -74,3 +74,24 @@ def test_rerun_without_new_data_emits_nothing(spark, tmp_path):
     # re-drain with no new files: checkpoint skips everything
     _drain(spark, src, state, log, ckpt)
     assert read_changelog(spark, str(log), ["id"]).count() == n1
+
+
+def test_intra_batch_conflicts_resolve_deterministically(spark, tmp_path):
+    # one batch carries two rows for the same key: latest-wins by the
+    # order_col, not by partition-scan luck
+    src = tmp_path / "in"
+    src.mkdir()
+    state, log, ckpt = tmp_path / "state", tmp_path / "log", tmp_path / "ckpt"
+    _csv(src / "b1.csv", [["a", "new", 1.0], ["a", "done", 2.0]])
+    stream = (
+        spark.readStream.schema(SCHEMA).option("header", True).csv(str(src))
+    )
+    write_stream_changelog(
+        stream, str(state), str(log), str(ckpt), ["id"],
+        ["status", "price"], order_col="price",
+    )
+    snap = spark.read.parquet(latest_snapshot(str(state))).collect()
+    assert len(snap) == 1
+    assert (snap[0]["status"], snap[0]["price"]) == ("done", 2.0)
+    chg = read_changelog(spark, str(log), ["id"]).collect()
+    assert len(chg) == 1 and chg[0]["new_price"] == 2.0

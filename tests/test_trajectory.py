@@ -49,3 +49,19 @@ def test_min_over_points_not_sum(spark):
     assert sigs[1][i00] == 0.0 and sigs[1][i11] == 0.0
     assert all(s > 0 for s in sigs[2])  # mid-point user zeroes nothing
     assert len(sigs[1]) == len(REF_GRID) == 8
+
+
+def test_degenerate_span_pins_to_center_not_nan(spark):
+    import math
+
+    # all events share one timestamp AND one value: both axes pin to
+    # 0.5 rather than NaN-poisoning every signature slot
+    df = spark.createDataFrame(
+        [Row(user_id=u, ts=_ts("2024-01-01T00:00:00"), value=5.0) for u in (1, 2)]
+    )
+    sigs = {r["user_id"]: r["signature"] for r in trajectory_signatures(df).collect()}
+    for sig in sigs.values():
+        assert all(not math.isnan(s) for s in sig)
+    # distance from (0.5, 0.5) to corner (0,0) is 0.5
+    i00 = REF_GRID.index((0.0, 0.0))
+    assert sigs[1][i00] == 0.5

@@ -80,3 +80,16 @@ def test_sentiment_score_closed_form(spark):
     assert out[1] == 1.0 and out[2] == -1.0
     assert out[3] == 0.0 and out[4] == 0.0
     assert out[5] == round(1.0 / 3.0, 6)
+
+
+def test_char_diversity_empty_doc_emits_no_row(spark):
+    from pyspark.sql import Row
+    from vacancy_gpt_etl_pipeline_spark.functions.text import (
+        char_diversity_profile,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=1, text=""), Row(doc_id=2, text="ab")])
+    out = {r["doc_id"]: r for r in char_diversity_profile(df).collect()}
+    # empty doc: NO profile row (it must not score like keyboard-mash)
+    assert set(out) == {2}
+    assert out[2]["n_chars"] == 2

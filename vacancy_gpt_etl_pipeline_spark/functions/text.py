@@ -240,12 +240,17 @@ def char_diversity_profile(
     TWO map-side-combining aggregates (char counts, then doc profile).
     Everything is codegen column expressions; no UDF, no driver state.
     """
-    chars = df.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(1), F.length(text_col))).alias("_i"),
-        F.col(text_col).alias("_t"),
-    ).select(
-        id_col, F.col("_t").substr(F.col("_i"), F.lit(1)).alias("_ch")
+    # empty docs emit NO profile row (matches SQL generate_series(1,0)
+    # semantics); without the guard Spark's sequence(1, 0) yields a
+    # DESCENDING [1, 0] and an empty doc would score like keyboard-mash
+    chars = (
+        df.where(F.length(text_col) > 0)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.length(text_col))).alias("_i"),
+            F.col(text_col).alias("_t"),
+        )
+        .select(id_col, F.col("_t").substr(F.col("_i"), F.lit(1)).alias("_ch"))
     )
     counts = chars.groupBy(id_col, "_ch").agg(F.count(F.lit(1)).alias("_cnt"))
     prof = counts.groupBy(id_col).agg(
@@ -283,9 +288,7 @@ def sentiment_score(c: Column | str, ndigits: int = 6) -> Column:
     no lexicon token hits. Pure codegen token-filter counts (same HOF
     machinery as stopword_ratio) plus one IEEE division — no UDF, no
     shuffle, deterministic in any engine."""
-    toks = tokens(c)
-    pos = F.size(F.filter(toks, lambda t: _in_set(t, SENTIMENT_LEXICON["pos"])))
-    neg = F.size(F.filter(toks, lambda t: _in_set(t, SENTIMENT_LEXICON["neg"])))
+    pos, neg = sentiment_counts(c)
     hits = pos + neg
     return F.when(
         hits > 0,

@@ -43,22 +43,28 @@ def snapshot_diff(
     old_<c>, new_<c>`` for every compare column. Keys present and equal
     in both snapshots produce no output.
     """
+    # presence is tracked with literal markers, and keys join NULL-SAFE
+    # (<=>): deriving presence from key.isNotNull() would misclassify a
+    # NULL-keyed old row as 'added', and a plain == join would split a
+    # NULL-keyed row present in both snapshots into two phantom rows
     o = old.select(
         *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
         *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_old"),
     )
     n = new.select(
         *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
         *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_new"),
     )
     cond = reduce(
         lambda a, b: a & b,
-        [F.col(f"_ok_{k}") == F.col(f"_nk_{k}") for k in key_cols],
+        [F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}")) for k in key_cols],
     )
     joined = o.join(n, cond, "full_outer")
 
-    in_old = F.col(f"_ok_{key_cols[0]}").isNotNull()
-    in_new = F.col(f"_nk_{key_cols[0]}").isNotNull()
+    in_old = F.col("_in_old").isNotNull()
+    in_new = F.col("_in_new").isNotNull()
     same = reduce(
         lambda a, b: a & b,
         [

@@ -650,17 +650,21 @@ def knn_ivf_adaptive(
         id_col=id_col, vec_col=vec_col, query_id_col=query_id_col, dim=dim,
         assigned=assigned,
     )
+    # strong = queries whose lo pass is demonstrably good; EVERYTHING
+    # else escalates — including queries with ZERO lo rows (an empty or
+    # self-only probe cell), which never appear in the lo aggregate at
+    # all and would silently vanish if weakness were derived from lo
     qual = lo.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("_n"), F.min("cosine").alias("_kth")
     )
-    weak = qual.where(
-        (F.col("_n") < k) | (F.col("_kth") < min_kth_cosine)
+    strong_ids = qual.where(
+        (F.col("_n") >= k) & (F.col("_kth") >= min_kth_cosine)
     ).select("query_id")
-    strong = lo.join(F.broadcast(weak), "query_id", "left_anti")
+    strong = lo.join(F.broadcast(strong_ids), "query_id", "left_semi")
     weak_queries = queries.join(
-        F.broadcast(weak.withColumnRenamed("query_id", query_id_col)),
+        F.broadcast(strong_ids.withColumnRenamed("query_id", query_id_col)),
         query_id_col,
-        "left_semi",
+        "left_anti",
     )
     hi = knn_ivf(
         corpus, weak_queries, centroids, k=k, nprobe=nprobe_hi,

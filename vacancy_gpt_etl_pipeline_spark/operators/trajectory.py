@@ -58,8 +58,17 @@ def trajectory_signatures(
         F.min("_v").alias("_v0"),
         F.max("_v").alias("_v1"),
     )
-    d = (F.col("_t") - F.col("_t0")) / (F.col("_t1") - F.col("_t0"))
-    v = (F.col("_v") - F.col("_v0")) / (F.col("_v1") - F.col("_v0"))
+    # a zero-width global span (all-equal times or values) would make
+    # the normalization 0/0 = NaN in every slot; degenerate axes pin to
+    # the square's center instead (same CASE in the SQL oracle)
+    d = F.when(
+        F.col("_t1") > F.col("_t0"),
+        (F.col("_t") - F.col("_t0")) / (F.col("_t1") - F.col("_t0")),
+    ).otherwise(F.lit(0.5))
+    v = F.when(
+        F.col("_v1") > F.col("_v0"),
+        (F.col("_v") - F.col("_v0")) / (F.col("_v1") - F.col("_v0")),
+    ).otherwise(F.lit(0.5))
     norm = pts.join(F.broadcast(span)).select(
         "user_id", d.alias("_d"), v.alias("_nv")
     )

@@ -1704,16 +1704,19 @@ lo AS (
     CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
   FROM s_lo QUALIFY rank <= 10
 ),
-weak AS (
+strong AS (
+  -- weakness must be judged from the QUERY set, not the lo result set:
+  -- a query with zero lo rows never reaches the lo aggregate and must
+  -- still escalate (mirrors the operator exactly)
   SELECT query_id FROM lo GROUP BY query_id
-  HAVING COUNT(*) < 10 OR MIN(cosine) < {_IVF_ADAPT_TAU}
+  HAVING COUNT(*) >= 10 AND MIN(cosine) >= {_IVF_ADAPT_TAU}
 ),
 s_hi AS (
   SELECT q.query_id, ca.vec_id AS neighbor_id,
     ROUND(list_cosine_similarity(q.qe, ca.e), 6) AS cosine
   FROM qcells q JOIN ca USING (cell)
   WHERE ca.vec_id != q.query_id
-    AND q.query_id IN (SELECT query_id FROM weak)
+    AND q.query_id NOT IN (SELECT query_id FROM strong)
 ),
 hi AS (
   SELECT query_id, neighbor_id, cosine,
@@ -1721,7 +1724,7 @@ hi AS (
   FROM s_hi QUALIFY rank <= 10
 )
 SELECT query_id, neighbor_id, cosine, rank FROM lo
-WHERE query_id NOT IN (SELECT query_id FROM weak)
+WHERE query_id IN (SELECT query_id FROM strong)
 UNION ALL
 SELECT query_id, neighbor_id, cosine, rank FROM hi
 """
@@ -1773,7 +1776,9 @@ WITH pts AS (
 ),
 span AS (SELECT MIN(t) AS t0, MAX(t) AS t1, MIN(v) AS v0, MAX(v) AS v1 FROM pts),
 norm AS (
-  SELECT user_id, (t - t0) / (t1 - t0) AS d, (v - v0) / (v1 - v0) AS nv
+  SELECT user_id,
+    CASE WHEN t1 > t0 THEN (t - t0) / (t1 - t0) ELSE 0.5 END AS d,
+    CASE WHEN v1 > v0 THEN (v - v0) / (v1 - v0) ELSE 0.5 END AS nv
   FROM pts CROSS JOIN span
 ),
 sig AS (
@@ -2030,8 +2035,11 @@ ORDER BY touch_type
 def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experiment analysis: two-proportion z-test on high-value-purchase
     conversion between variants (user_id parity as the assignment; the
-    value≥300 qualifier keeps conversion rare — every user makes SOME
-    purchase, which would degenerate the test to se=0).
+    value≥250 qualifier keeps conversion rare — every user makes SOME
+    purchase, which would degenerate the test to se=0 — while still
+    leaving converters at the sf0.001 oracle scale, whose max purchase
+    value is ~287: the pooled-SE z path must be exercised AT the gate's
+    own scale, not only at larger ones).
     Everything derives from four exact integer counts — per-variant
     users and converters — so the pooled rate, standard error, and
     z-statistic are the identical IEEE expression in both engines; the
@@ -2041,7 +2049,7 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(
         F.max(
             (
-                (F.col("event_type") == "purchase") & (F.col("value") >= 300.0)
+                (F.col("event_type") == "purchase") & (F.col("value") >= 250.0)
             ).cast("int")
         ).alias("converted")
     )
@@ -2080,7 +2088,7 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 AB_TEST_SQL = """
 WITH per_user AS (
   SELECT user_id,
-    MAX(CASE WHEN event_type = 'purchase' AND value >= 300.0
+    MAX(CASE WHEN event_type = 'purchase' AND value >= 250.0
         THEN 1 ELSE 0 END) AS converted
   FROM events GROUP BY user_id
 ),

@@ -53,15 +53,34 @@ def write_stream_changelog(
     checkpoint: str,
     key_cols: list[str],
     compare_cols: list[str],
+    order_col: str | None = None,
 ) -> None:
     """Drain the stream (AvailableNow); per micro-batch: diff the
     upserted state against the previous snapshot, append the changes
-    tagged with the batch id, then write the new immutable snapshot."""
+    tagged with the batch id, then write the new immutable snapshot.
+
+    When one micro-batch carries several rows for the same key, the
+    winner is chosen by ``order_col`` DESC (latest-wins on a version/
+    event-time column); without one, the lexicographically-largest
+    compare tuple wins. Both rules are DETERMINISTIC — a naive
+    dropDuplicates keeps whichever row a partition scan yields first,
+    so a crash-replayed batch could write different state than the
+    original run."""
     cols = list(key_cols) + list(compare_cols)
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_flat = batch_df.select(*cols).dropDuplicates(key_cols)
+        order = (
+            F.desc(order_col)
+            if order_col is not None
+            else F.desc(F.struct(*compare_cols))
+        )
+        wb = Window.partitionBy(*key_cols).orderBy(order)
+        batch_flat = (
+            batch_df.withColumn("_rn_b", F.row_number().over(wb))
+            .where(F.col("_rn_b") == 1)
+            .select(*cols)
+        )
         prev_path = latest_snapshot(state_root)
         if prev_path is None:
             prev = spark.createDataFrame([], batch_flat.schema)
