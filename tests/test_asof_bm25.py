@@ -137,3 +137,35 @@ def test_incremental_topk_merge_equals_full(spark):
     # idempotent re-merge of batch 0
     acc = incremental_topk_merge(acc, knn_brute_force(batches[0], queries, k=5, dim=8), k=5)
     assert sorted(map(tuple, acc.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_point_in_time_join_no_fanout_no_leakage(spark):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+    from vacancy_gpt_etl_pipeline_spark.operators.asof import (
+        point_in_time_join,
+    )
+
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    hist = spark.createDataFrame(
+        [
+            Row(k=1, state="bronze", valid_from=ts("2024-01-01T00:00:00"),
+                valid_to=ts("2024-02-01T00:00:00")),
+            Row(k=1, state="gold", valid_from=ts("2024-02-01T00:00:00"),
+                valid_to=None),
+        ]
+    )
+    facts = spark.createDataFrame(
+        [
+            Row(f=10, k=1, at=ts("2023-12-15T00:00:00")),  # pre-history
+            Row(f=11, k=1, at=ts("2024-01-15T00:00:00")),  # bronze era
+            Row(f=12, k=1, at=ts("2024-02-01T00:00:00")),  # boundary -> gold
+            Row(f=13, k=1, at=ts("2024-07-01T00:00:00")),  # open run
+        ]
+    )
+    out = {r["f"]: r["state"] for r in
+           point_in_time_join(facts, hist, ["k"], "at").collect()}
+    # exactly one row per fact (SCD2 runs never overlap -> no fan-out),
+    # and a fact BEFORE the first run gets NULL, never a future state
+    assert out == {10: None, 11: "bronze", 12: "gold", 13: "gold"}

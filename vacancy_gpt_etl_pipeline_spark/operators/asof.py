@@ -88,3 +88,37 @@ def asof_join(
         out_ts,
         *outs,
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (AS OF) join of facts against an SCD2 validity
+    history: each fact row picks up the dimension state whose half-open
+    [valid_from, valid_to) interval contains the fact timestamp — the
+    feature-store primitive that prevents TRAINING LEAKAGE (joining
+    tomorrow's attribute onto today's example).
+
+    Scale shape: the equi-keys carry the shuffle; the validity window
+    rides as a join residual, exactly the q4 EXISTS pattern — no
+    time-bucket explosion needed because the key is already selective.
+    The SCD2 invariant (non-overlapping runs per key) guarantees at most
+    ONE match per fact, so the join never fans out. ``valid_to`` NULL
+    means the open current run.
+    """
+    from functools import reduce
+
+    keys = reduce(
+        lambda a, b: a & b,
+        [facts[k] == history[k] for k in key_cols],
+    )
+    in_window = (history[valid_from] <= facts[ts_col]) & (
+        history[valid_to].isNull() | (facts[ts_col] < history[valid_to])
+    )
+    return facts.join(history, keys & in_window, how)

@@ -3662,6 +3662,82 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 """
 
 
+def pit_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature lookup (operators/asof.point_in_time_join):
+    for every purchase, the user's SCD2 state run valid ONE HOUR BEFORE
+    the purchase — the leakage-safe "what was the user doing before
+    converting" feature. The SCD2 history is the verified scd2_history
+    operator on raw timestamps; the AS-OF join is an equi-key shuffle
+    with the validity window as residual; a purchase earlier than the
+    user's first run keeps a NULL state via the left join."""
+    from vacancy_gpt_etl_pipeline_spark.operators.asof import (
+        point_in_time_join,
+    )
+    from vacancy_gpt_etl_pipeline_spark.operators.relational import scd2_history
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    hist = scd2_history(
+        ev, ["user_id"], ["event_type"], "ts", tiebreak_cols=["event_id"]
+    ).select(
+        F.col("user_id"),
+        F.col("event_type").alias("state_type"),
+        "valid_from",
+        "valid_to",
+        "version",
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("lookup_ts"),
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    joined = point_in_time_join(purchases, hist, ["user_id"], "lookup_ts")
+    return joined.select(
+        "purchase_id",
+        purchases["user_id"],
+        F.date_format("lookup_ts", fmt).alias("lookup_ts"),
+        "state_type",
+        "version",
+    )
+
+
+PIT_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+    lag(event_type) OVER w AS prev_type,
+    lag(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+points AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM ordered
+  WHERE prev_ts IS NULL OR prev_type IS DISTINCT FROM event_type
+),
+hist AS (
+  SELECT user_id, event_type AS state_type, valid_from,
+    lead(valid_from) OVER w2 AS valid_to,
+    CAST(row_number() OVER w2 AS INTEGER) AS version
+  FROM points
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+),
+purchases AS (
+  SELECT user_id, event_id AS purchase_id,
+    ts - INTERVAL 1 HOUR AS lookup_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id,
+  strftime(p.lookup_ts, '%Y-%m-%d %H:%M:%S') AS lookup_ts,
+  h.state_type, h.version
+FROM purchases p LEFT JOIN hist h
+  ON p.user_id = h.user_id
+ AND h.valid_from <= p.lookup_ts
+ AND (h.valid_to IS NULL OR p.lookup_ts < h.valid_to)
+"""
+
+
 def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectation suite (operators/expectations.py) over
     orders, ONE aggregation pass for five checks: key uniqueness +
@@ -5878,6 +5954,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "linear_attribution": QuerySpec(linear_attribution, LINEAR_ATTRIBUTION_SQL),
     "ab_test_conversion": QuerySpec(ab_test_conversion, AB_TEST_SQL),
     "kcore_parts": QuerySpec(kcore_parts, _kcore_sql()),
+    "pit_user_state": QuerySpec(pit_user_state, PIT_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
