@@ -3738,6 +3738,142 @@ FROM purchases p LEFT JOIN hist h
 """
 
 
+def association_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for brand
+    pairs co-purchased in ≥ 20 orders, support / confidence / lift from
+    EXACT integer counts (three map-side-combined aggregates + one
+    bounded pair self-join on orderkey), so every ratio is the identical
+    IEEE division in both engines. The support floor is applied BEFORE
+    the rule expansion — at 100 TB the pair frame after min-support is
+    tiny, and the per-item counts broadcast into it. Emits both rule
+    directions (confidence is asymmetric; lift is shared)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = baskets.select("l_orderkey").distinct().count()
+    item = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_item"))
+    x, y = baskets.alias("x"), baskets.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.p_brand") < F.col("y.p_brand")),
+        )
+        .groupBy(
+            F.col("x.p_brand").alias("a"), F.col("y.p_brand").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= 20)
+    )
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "n_pair"
+        )
+    )
+    ia = item.select(F.col("p_brand").alias("a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("p_brand").alias("b"), F.col("n_item").alias("n_b"))
+    nd = F.lit(float(n_orders))
+    return (
+        both.join(F.broadcast(ia), "a")
+        .join(F.broadcast(ib), "b")
+        .select(
+            F.col("a").alias("antecedent"),
+            F.col("b").alias("consequent"),
+            "n_pair",
+            (F.col("n_pair").cast("double") / nd).alias("support"),
+            (F.col("n_pair").cast("double") / F.col("n_a").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                F.col("n_pair").cast("double")
+                * nd
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+ASSOC_RULES_SQL = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM baskets),
+item AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_item FROM baskets GROUP BY p_brand
+),
+pairs AS (
+  SELECT x.p_brand AS a, y.p_brand AS b, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM baskets x JOIN baskets y
+    ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 20
+),
+rules AS (
+  SELECT a, b, n_pair FROM pairs
+  UNION ALL SELECT b, a, n_pair FROM pairs
+)
+SELECT rules.a AS antecedent, rules.b AS consequent, n_pair,
+  CAST(n_pair AS DOUBLE) / n.n_orders AS support,
+  CAST(n_pair AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS confidence,
+  CAST(n_pair AS DOUBLE) * n.n_orders
+    / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)) AS lift
+FROM rules
+JOIN item ia ON ia.p_brand = rules.a
+JOIN item ib ON ib.p_brand = rules.b
+CROSS JOIN n
+ORDER BY antecedent, consequent
+"""
+
+
+def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order prices — the forensic
+    data-quality screen for fabricated or clipped numeric columns.
+    Observed digit shares come from exact integer counts; the expected
+    Benford share log10(1+1/d) is the one transcendental, computed as
+    the identical log10 call in both engines and rounded at 6 dp under
+    the cosine policy. Single aggregate over a codegen digit
+    extraction."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0.0)
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    counts = orders.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    total = F.sum("n_orders").over(Window.partitionBy())
+    return counts.select(
+        "digit",
+        "n_orders",
+        (F.col("n_orders").cast("double") / total.cast("double")).alias(
+            "observed_share"
+        ),
+        F.round(
+            F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")), 6
+        ).alias("benford_share"),
+    ).orderBy("digit")
+
+
+BENFORD_SQL = """
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INT) AS digit,
+    CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders WHERE o_totalprice > 0.0
+  GROUP BY 1
+)
+SELECT digit, n_orders,
+  CAST(n_orders AS DOUBLE) / CAST(SUM(n_orders) OVER () AS DOUBLE) AS observed_share,
+  ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_share
+FROM counts
+ORDER BY digit
+"""
+
+
 def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectation suite (operators/expectations.py) over
     orders, ONE aggregation pass for five checks: key uniqueness +
@@ -5955,6 +6091,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "ab_test_conversion": QuerySpec(ab_test_conversion, AB_TEST_SQL),
     "kcore_parts": QuerySpec(kcore_parts, _kcore_sql()),
     "pit_user_state": QuerySpec(pit_user_state, PIT_SQL),
+    "association_rules_brands": QuerySpec(
+        association_rules_brands, ASSOC_RULES_SQL
+    ),
+    "benford_price_digits": QuerySpec(benford_price_digits, BENFORD_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
