@@ -37,6 +37,11 @@ REGEN = os.environ.get("SPARK_GRAFT_REGEN_PLAN_BUDGET") == "1"
 
 
 def _counts(spark, sf_dir: str, name: str) -> dict[str, int]:
+    # budgets are the COLD plan shape: Spark's cache manager substitutes
+    # InMemoryRelation for any matching sub-plan another query persisted
+    # earlier in the session, which makes warm counts depend on test
+    # ORDER — clearing first makes regen and gate see the same plan
+    spark.catalog.clearCache()
     df = REGISTRY[name].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     return {
