@@ -3874,6 +3874,137 @@ ORDER BY digit
 """
 
 
+def ewma_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event counts per
+    type (α=0.5 decay over a 7-day kernel). The recursion is unrolled
+    into SEVEN lag terms inside one window pass — a fixed left-to-right
+    chain of IEEE multiply/adds with constant weights, so the smoothed
+    value is bit-identical in both engines (a true infinite-history
+    EWMA is a per-row recursion no SQL window expresses; the 7-term
+    kernel carries >99% of the mass at α=0.5). Missing leading lags
+    coalesce to 0 and the weight mass renormalizes over the terms
+    actually present."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts")).alias("day"), "event_type"
+    )
+    daily = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    alpha = 0.5
+    terms = None
+    norm = None
+    for k in range(7):
+        weight = F.lit(alpha ** k)
+        lagged = F.lag(F.col("n_events").cast("double"), k).over(w)
+        present = F.when(lagged.isNotNull(), weight).otherwise(F.lit(0.0))
+        contrib = F.coalesce(lagged, F.lit(0.0)) * weight
+        terms = contrib if terms is None else terms + contrib
+        norm = present if norm is None else norm + present
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        (terms / norm).alias("ewma"),
+    ).orderBy("day", "event_type")
+
+
+EWMA_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT day, event_type, n_events,
+    COALESCE(CAST(lag(n_events, 0) OVER w AS DOUBLE), 0.0) * 1.0
+      + COALESCE(CAST(lag(n_events, 1) OVER w AS DOUBLE), 0.0) * 0.5
+      + COALESCE(CAST(lag(n_events, 2) OVER w AS DOUBLE), 0.0) * 0.25
+      + COALESCE(CAST(lag(n_events, 3) OVER w AS DOUBLE), 0.0) * 0.125
+      + COALESCE(CAST(lag(n_events, 4) OVER w AS DOUBLE), 0.0) * 0.0625
+      + COALESCE(CAST(lag(n_events, 5) OVER w AS DOUBLE), 0.0) * 0.03125
+      + COALESCE(CAST(lag(n_events, 6) OVER w AS DOUBLE), 0.0) * 0.015625
+      AS num,
+    CASE WHEN lag(n_events, 0) OVER w IS NOT NULL THEN 1.0 ELSE 0.0 END
+      + CASE WHEN lag(n_events, 1) OVER w IS NOT NULL THEN 0.5 ELSE 0.0 END
+      + CASE WHEN lag(n_events, 2) OVER w IS NOT NULL THEN 0.25 ELSE 0.0 END
+      + CASE WHEN lag(n_events, 3) OVER w IS NOT NULL THEN 0.125 ELSE 0.0 END
+      + CASE WHEN lag(n_events, 4) OVER w IS NOT NULL THEN 0.0625 ELSE 0.0 END
+      + CASE WHEN lag(n_events, 5) OVER w IS NOT NULL THEN 0.03125 ELSE 0.0 END
+      + CASE WHEN lag(n_events, 6) OVER w IS NOT NULL THEN 0.015625 ELSE 0.0 END
+      AS norm
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, event_type, n_events,
+  num / norm AS ewma
+FROM lagged
+ORDER BY day, event_type
+"""
+
+
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics actives report: daily active users, trailing
+    7-day weekly actives, and the DAU/WAU stickiness ratio. Windowed
+    COUNT(DISTINCT) cannot ride a SQL window frame, so WAU comes from a
+    bounded-fanout grid join — each event lands in ≤7 trailing day
+    buckets (a 7× map-side expansion, NEVER data×days) before one
+    distinct aggregate. Exact integer counts; stickiness is one IEEE
+    division."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts")).alias("day"), "user_id"
+    )
+    dau = ev.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    offsets = spark.range(7).select(F.col("id").cast("int").alias("off"))
+    expanded = ev.crossJoin(F.broadcast(offsets)).select(
+        F.date_add(F.col("day"), F.col("off")).alias("win_day"), "user_id"
+    )
+    wau = (
+        expanded.join(
+            dau.select(F.col("day").alias("win_day")), "win_day", "left_semi"
+        )
+        .groupBy("win_day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["win_day"])
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+DAU_WAU_SQL = """
+WITH ev AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events
+),
+dau AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM ev GROUP BY day
+),
+expanded AS (
+  SELECT ev.day + CAST(o.off AS INT) AS win_day, user_id
+  FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS off) o
+),
+wau AS (
+  SELECT win_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM expanded
+  WHERE win_day IN (SELECT day FROM dau)
+  GROUP BY win_day
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+  CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+FROM dau d JOIN wau w ON d.day = w.win_day
+ORDER BY day
+"""
+
+
 def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectation suite (operators/expectations.py) over
     orders, ONE aggregation pass for five checks: key uniqueness +
@@ -6095,6 +6226,8 @@ REGISTRY: dict[str, QuerySpec] = {
         association_rules_brands, ASSOC_RULES_SQL
     ),
     "benford_price_digits": QuerySpec(benford_price_digits, BENFORD_SQL),
+    "ewma_daily_events": QuerySpec(ewma_daily_events, EWMA_SQL),
+    "dau_wau_stickiness": QuerySpec(dau_wau_stickiness, DAU_WAU_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
