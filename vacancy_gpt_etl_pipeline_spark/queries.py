@@ -4005,6 +4005,132 @@ ORDER BY day
 """
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    (from_type → to_type) pair of consecutive events within a user's
+    stream, the transition count and row-normalized probability. One
+    window pass (lag over the per-user total order with event_id
+    tie-break) + one aggregate; the probability is an exact
+    integer-ratio division. 25 output rows regardless of scale."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    row_total = F.sum("n_transitions").over(Window.partitionBy("from_type"))
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double") / row_total.cast("double")
+        ).alias("probability"),
+    ).orderBy("from_type", "to_type")
+
+
+TRANSITION_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+    ) AS from_type,
+    event_type AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+  CAST(n_transitions AS DOUBLE)
+    / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+    AS probability
+FROM counts
+ORDER BY from_type, to_type
+"""
+
+
+def diff_in_diff_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: how much MORE did variant-1 users'
+    high-value conversion change between the first and second half of
+    the observation window than variant-0 users' did — the causal
+    estimate that subtracts out the shared time trend a plain
+    before/after comparison confounds. All four cell rates come from
+    exact integer counts over (variant, period, user) conversion flags;
+    the DiD estimate is three IEEE subtractions of identical doubles."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type", "value")
+    period = F.when(F.col("ts") < F.lit("2024-01-16"), F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    per_user = (
+        ev.withColumn("period", period)
+        .groupBy((F.col("user_id") % 2).cast("int").alias("variant"), "period", "user_id")
+        .agg(
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= 250.0)
+                ).cast("int")
+            ).alias("converted")
+        )
+    )
+    cells = per_user.groupBy("variant", "period").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    rate = F.col("n_converted").cast("double") / F.col("n_users").cast("double")
+    wide = (
+        cells.withColumn("rate", rate)
+        .groupBy()
+        .pivot("variant", [0, 1])
+        .agg(
+            F.min(F.when(F.col("period") == 0, F.col("rate"))).alias("p0"),
+            F.min(F.when(F.col("period") == 1, F.col("rate"))).alias("p1"),
+        )
+    )
+    return wide.select(
+        F.col("0_p0").alias("control_before"),
+        F.col("0_p1").alias("control_after"),
+        F.col("1_p0").alias("treat_before"),
+        F.col("1_p1").alias("treat_after"),
+        (
+            (F.col("1_p1") - F.col("1_p0")) - (F.col("0_p1") - F.col("0_p0"))
+        ).alias("did_estimate"),
+    )
+
+
+DID_SQL = """
+WITH per_user AS (
+  SELECT CAST(user_id % 2 AS INT) AS variant,
+    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS period,
+    user_id,
+    MAX(CASE WHEN event_type = 'purchase' AND value >= 250.0
+        THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1, 2, 3
+),
+cells AS (
+  SELECT variant, period,
+    CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rate
+  FROM per_user GROUP BY 1, 2
+),
+wide AS (
+  SELECT
+    MIN(CASE WHEN variant = 0 AND period = 0 THEN rate END) AS control_before,
+    MIN(CASE WHEN variant = 0 AND period = 1 THEN rate END) AS control_after,
+    MIN(CASE WHEN variant = 1 AND period = 0 THEN rate END) AS treat_before,
+    MIN(CASE WHEN variant = 1 AND period = 1 THEN rate END) AS treat_after
+  FROM cells
+)
+SELECT control_before, control_after, treat_before, treat_after,
+  (treat_after - treat_before) - (control_after - control_before) AS did_estimate
+FROM wide
+"""
+
+
 def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectation suite (operators/expectations.py) over
     orders, ONE aggregation pass for five checks: key uniqueness +
@@ -6228,6 +6354,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "benford_price_digits": QuerySpec(benford_price_digits, BENFORD_SQL),
     "ewma_daily_events": QuerySpec(ewma_daily_events, EWMA_SQL),
     "dau_wau_stickiness": QuerySpec(dau_wau_stickiness, DAU_WAU_SQL),
+    "event_transition_matrix": QuerySpec(event_transition_matrix, TRANSITION_SQL),
+    "diff_in_diff_conversion": QuerySpec(diff_in_diff_conversion, DID_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
