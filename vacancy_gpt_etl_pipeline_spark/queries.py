@@ -4131,6 +4131,158 @@ FROM wide
 """
 
 
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order),
+    frequency (order count), monetary (decimal-exact revenue), each cut
+    into quintiles with unique-key tie-breaks, concatenated into the
+    125-cell segment code and censused. Three facts per customer from
+    ONE aggregate; the quintile windows run over the customer-sized
+    frame, not the fact table."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-12-31").cast("date"), F.max(F.col("o_orderdate")).cast("date")
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    # recency: LOWER days = better = score 5 → rank ascending, invert
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.desc("frequency"), "o_custkey")
+    wm = Window.orderBy(F.desc("monetary"), "o_custkey")
+    scored = per_cust.select(
+        "o_custkey",
+        (F.lit(6) - F.ntile(5).over(wr)).alias("r_score"),
+        (F.lit(6) - F.ntile(5).over(wf)).alias("f_score"),
+        (F.lit(6) - F.ntile(5).over(wm)).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.concat_ws(
+                "-",
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ).alias("segment"),
+            "r_score",
+            "f_score",
+            "m_score",
+            "n_customers",
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+    date_diff('day', CAST(MAX(o_orderdate) AS DATE), DATE '2001-12-31') AS recency_days,
+    CAST(COUNT(*) AS BIGINT) AS frequency,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey,
+    6 - NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+    6 - NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+    6 - NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM per_cust
+)
+SELECT CAST(r_score AS VARCHAR) || '-' || CAST(f_score AS VARCHAR)
+         || '-' || CAST(m_score AS VARCHAR) AS segment,
+  CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+  CAST(m_score AS INT) AS m_score,
+  CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
+def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto 80/20 concentration: how many customers (and what share
+    of the customer base) carry 80% of revenue. Per-customer decimal
+    revenue → ONE cumulative-sum window over the customer-sized frame
+    (revenue desc, key tie-break) → the crossing rank. Cumulative sums
+    stay EXACT DECIMAL so the running total is order-independent-safe;
+    only the final shares divide as doubles."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = F.sum("rev").over(
+        Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    ranked = per_cust.select(
+        "o_custkey",
+        "rev",
+        F.sum("rev").over(w).alias("cum_rev"),
+        total.alias("total_rev"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("rev"), "o_custkey"))
+        .alias("rank"),
+    )
+    n_cust = F.max("rank").over(
+        Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    crossing = (
+        ranked.withColumn("n_customers", n_cust)
+        .where(
+            F.col("cum_rev").cast("double")
+            >= F.lit(0.8) * F.col("total_rev").cast("double")
+        )
+        .orderBy("rank")
+        .limit(1)
+    )
+    return crossing.select(
+        F.col("rank").alias("customers_for_80pct"),
+        "n_customers",
+        (
+            F.col("rank").cast("double") / F.col("n_customers").cast("double")
+        ).alias("customer_share"),
+        (
+            F.col("cum_rev").cast("double") / F.col("total_rev").cast("double")
+        ).alias("revenue_share_at_cut"),
+    )
+
+
+PARETO_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, rev,
+    SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+    SUM(rev) OVER () AS total_rev,
+    ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rank,
+    COUNT(*) OVER () AS n_customers
+  FROM per_cust
+)
+SELECT CAST(rank AS BIGINT) AS customers_for_80pct,
+  CAST(n_customers AS BIGINT) AS n_customers,
+  CAST(rank AS DOUBLE) / CAST(n_customers AS DOUBLE) AS customer_share,
+  CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) AS revenue_share_at_cut
+FROM ranked
+WHERE CAST(cum_rev AS DOUBLE) >= 0.8 * CAST(total_rev AS DOUBLE)
+ORDER BY rank LIMIT 1
+"""
+
+
 def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectation suite (operators/expectations.py) over
     orders, ONE aggregation pass for five checks: key uniqueness +
@@ -6356,6 +6508,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "dau_wau_stickiness": QuerySpec(dau_wau_stickiness, DAU_WAU_SQL),
     "event_transition_matrix": QuerySpec(event_transition_matrix, TRANSITION_SQL),
     "diff_in_diff_conversion": QuerySpec(diff_in_diff_conversion, DID_SQL),
+    "rfm_segments": QuerySpec(rfm_segments, RFM_SQL),
+    "pareto_revenue_concentration": QuerySpec(
+        pareto_revenue_concentration, PARETO_SQL
+    ),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
