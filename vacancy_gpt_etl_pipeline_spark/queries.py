@@ -6463,6 +6463,14 @@ REGISTRY: dict[str, QuerySpec] = {
     # driver positions; the remaining session-4 entries sit at 51+ where
     # tests/test_oracle.py exact-compares them every run and the round-7
     # rotation will hand them driver rows.
+    #
+    # ROUND-7 ROTATION PLAN (for the next session): after the round-6
+    # driver gate lands, every entry from `q14_promo_revenue` through
+    # `pareto_revenue_concentration` (the session-4 tail, ~34 entries)
+    # has NO driver row yet — move that whole block to the FRONT of the
+    # registry, and push the current head (the 46 entries with fresh
+    # r6 rows) to the back. That covers the full surface across two
+    # rounds, same as the r5→r6 rotation did.
     "q5_local_supplier_volume": QuerySpec(q5_local_supplier_volume, Q5_SQL),
     "snapshot_diff_orders": QuerySpec(snapshot_diff_orders, SNAPSHOT_DIFF_SQL),
     "triangle_count_parts": QuerySpec(triangle_count_parts, TRIANGLE_SQL),
