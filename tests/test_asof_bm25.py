@@ -164,8 +164,13 @@ def test_point_in_time_join_no_fanout_no_leakage(spark):
             Row(f=13, k=1, at=ts("2024-07-01T00:00:00")),  # open run
         ]
     )
-    out = {r["f"]: r["state"] for r in
-           point_in_time_join(facts, hist, ["k"], "at").collect()}
-    # exactly one row per fact (SCD2 runs never overlap -> no fan-out),
-    # and a fact BEFORE the first run gets NULL, never a future state
+    rows = point_in_time_join(facts, hist, ["k"], "at").collect()
+    # exactly one row per fact (SCD2 runs never overlap -> no fan-out):
+    # assert the COUNT, not just the dict, or a fan-out regression would
+    # be silently collapsed by the comprehension
+    assert len(rows) == 4
+    out = {r["f"]: r["state"] for r in rows}
+    # a fact BEFORE the first run gets NULL, never a future state
     assert out == {10: None, 11: "bronze", 12: "gold", 13: "gold"}
+    # the history-side key is dropped: bare key reference is unambiguous
+    assert [r["k"] for r in rows] == [1, 1, 1, 1]

@@ -114,11 +114,22 @@ def point_in_time_join(
     """
     from functools import reduce
 
+    # rename the history-side keys BEFORE the join: with a plain drop
+    # after the fact, Spark's dataset-id disambiguation can pick the
+    # wrong copy when facts and history share lineage (both derived
+    # from the same source), silently dropping the facts' keys instead.
+    # Renaming first means there is never an ambiguous reference at all;
+    # the callers' bare key columns are always the facts' values.
+    h = history
+    for k in key_cols:
+        h = h.withColumnRenamed(k, f"_pit_{k}")
     keys = reduce(
         lambda a, b: a & b,
-        [facts[k] == history[k] for k in key_cols],
+        [facts[k] == h[f"_pit_{k}"] for k in key_cols],
     )
-    in_window = (history[valid_from] <= facts[ts_col]) & (
-        history[valid_to].isNull() | (facts[ts_col] < history[valid_to])
+    in_window = (h[valid_from] <= facts[ts_col]) & (
+        h[valid_to].isNull() | (facts[ts_col] < h[valid_to])
     )
-    return facts.join(history, keys & in_window, how)
+    return facts.join(h, keys & in_window, how).drop(
+        *[f"_pit_{k}" for k in key_cols]
+    )

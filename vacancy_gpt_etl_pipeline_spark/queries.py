@@ -3696,7 +3696,7 @@ def pit_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = point_in_time_join(purchases, hist, ["user_id"], "lookup_ts")
     return joined.select(
         "purchase_id",
-        purchases["user_id"],
+        "user_id",
         F.date_format("lookup_ts", fmt).alias("lookup_ts"),
         "state_type",
         "version",
@@ -3754,7 +3754,9 @@ def association_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "p_brand")
         .distinct()
     )
-    n_orders = baskets.select("l_orderkey").distinct().count()
+    n_total = baskets.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("n_orders")
+    )
     item = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_item"))
     x, y = baskets.alias("x"), baskets.alias("y")
     pairs = (
@@ -3776,10 +3778,11 @@ def association_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ia = item.select(F.col("p_brand").alias("a"), F.col("n_item").alias("n_a"))
     ib = item.select(F.col("p_brand").alias("b"), F.col("n_item").alias("n_b"))
-    nd = F.lit(float(n_orders))
+    nd = F.col("n_orders")
     return (
         both.join(F.broadcast(ia), "a")
         .join(F.broadcast(ib), "b")
+        .join(F.broadcast(n_total))
         .select(
             F.col("a").alias("antecedent"),
             F.col("b").alias("consequent"),
@@ -3840,11 +3843,18 @@ def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cosine policy. Single aggregate over a codegen digit
     extraction."""
     orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0.0)
-    digit = F.substring(
-        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
-    ).cast("int")
-    counts = orders.groupBy(digit.alias("digit")).agg(
-        F.count(F.lit(1)).alias("n_orders")
+    # FIRST SIGNIFICANT digit (first nonzero char), not the first
+    # character: prices in (0,1) start with '0' — a literal first-char
+    # digit of 0 would divide by zero in the Benford expectation AND
+    # misbin the row; the empty-match guard drops values that round to
+    # 0.00 entirely
+    digit_str = F.regexp_extract(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), "[1-9]", 0
+    )
+    counts = (
+        orders.where(digit_str != "")
+        .groupBy(digit_str.cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
     )
     total = F.sum("n_orders").over(Window.partitionBy())
     return counts.select(
@@ -3861,9 +3871,12 @@ def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BENFORD_SQL = """
 WITH counts AS (
-  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INT) AS digit,
+  SELECT CAST(regexp_extract(
+      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '[1-9]', 0) AS INT) AS digit,
     CAST(COUNT(*) AS BIGINT) AS n_orders
-  FROM orders WHERE o_totalprice > 0.0
+  FROM orders
+  WHERE o_totalprice > 0.0
+    AND regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '[1-9]', 0) <> ''
   GROUP BY 1
 )
 SELECT digit, n_orders,
@@ -3951,8 +3964,11 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets (a 7× map-side expansion, NEVER data×days) before one
     distinct aggregate. Exact integer counts; stickiness is one IEEE
     division."""
-    ev = _t(spark, sf_dir, "events").select(
-        F.to_date(F.col("ts")).alias("day"), "user_id"
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(F.to_date(F.col("ts")).alias("day"), "user_id")
+        .distinct()  # user-days, not events: the 7x expansion below
+        # multiplies |user-days|, never per-day event multiplicity
     )
     dau = ev.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
     offsets = spark.range(7).select(F.col("id").cast("int").alias("off"))
@@ -3982,7 +3998,7 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DAU_WAU_SQL = """
 WITH ev AS (
-  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events
 ),
 dau AS (
   SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
