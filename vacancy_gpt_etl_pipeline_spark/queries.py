@@ -4299,6 +4299,157 @@ ORDER BY rank LIMIT 1
 """
 
 
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users grouped by first-seen week;
+    each (cohort, weeks-since) cell reports cumulative purchase revenue
+    per cohort user — the retention triangle's revenue twin. Revenue
+    accumulates as EXACT DECIMAL through the running-sum window (order-
+    independent-safe); only the final per-user normalization divides as
+    a double. Shapes: first-seen is one min-aggregate broadcast back;
+    the weekly cells are a tiny frame and the cumsum window runs over
+    it, never over events."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohort = F.date_trunc("week", F.col("first_ts")).cast("date")
+    sized = first.select("user_id", cohort.alias("cohort_week"))
+    cohort_sizes = sized.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase")
+    weekly = (
+        purchases.join(F.broadcast(sized), "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        weekly.withColumn("cum_rev", F.sum("rev").over(w))
+        .join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            F.col("rev").cast("double").alias("week_revenue"),
+            F.col("cum_rev").cast("double").alias("cum_revenue"),
+            "cohort_users",
+            (
+                F.col("cum_rev").cast("double")
+                / F.col("cohort_users").cast("double")
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_LTV_SQL = """
+WITH first AS (
+  SELECT user_id,
+    CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+  FROM first GROUP BY cohort_week
+),
+weekly AS (
+  SELECT f.cohort_week,
+    CAST(FLOOR(date_diff('day', f.cohort_week, CAST(e.ts AS DATE)) / 7)
+         AS INT) AS week_offset,
+    SUM(CAST(e.value AS DECIMAL(18,2))) AS rev
+  FROM events e JOIN first f USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_week, week_offset, rev,
+    SUM(rev) OVER (PARTITION BY cohort_week ORDER BY week_offset
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+  FROM weekly
+)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+  CAST(rev AS DOUBLE) AS week_revenue,
+  CAST(cum_rev AS DOUBLE) AS cum_revenue,
+  s.cohort_users,
+  CAST(cum_rev AS DOUBLE) / CAST(s.cohort_users AS DOUBLE) AS ltv_per_user
+FROM cum c JOIN sizes s USING (cohort_week)
+ORDER BY cohort_week, week_offset
+"""
+
+
+def orders_with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-big-table denormalization: each order with its lineitems
+    nested as a SORTED "partkey:quantity" array, serialized to one
+    string per the repo's array-output rule so DuckDB can hash it. The
+    aggregate collapses the lineitem side in ONE shuffle on orderkey —
+    the nested-table build that at 100 TB replaces N downstream
+    re-joins with one wide write. Restricted to one ship-month so the
+    output stays bench-sized."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-03-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        _dsum("l_quantity", "total_qty"),
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.concat_ws(
+                        ":",
+                        F.col("l_partkey").cast("string"),
+                        F.col("l_quantity").cast("decimal(18,2)").cast("string"),
+                    )
+                )
+            ),
+            ",",
+        ).alias("lines"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return (
+        orders.join(nested, orders["o_orderkey"] == nested["l_orderkey"])
+        .select("o_orderkey", "o_orderstatus", "n_lines", "total_qty", "lines")
+        .orderBy("o_orderkey")
+    )
+
+
+ORDERS_WITH_LINES_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+),
+nested AS (
+  SELECT l_orderkey,
+    CAST(COUNT(*) AS BIGINT) AS n_lines,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+    array_to_string(
+      list_sort(list(CAST(l_partkey AS VARCHAR) || ':'
+                     || CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR))),
+      ',') AS lines
+  FROM li GROUP BY l_orderkey
+)
+SELECT o_orderkey, o_orderstatus, n_lines, total_qty, lines
+FROM orders JOIN nested ON o_orderkey = l_orderkey
+ORDER BY o_orderkey
+"""
+
+
 def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectation suite (operators/expectations.py) over
     orders, ONE aggregation pass for five checks: key uniqueness +
@@ -6536,6 +6687,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "pareto_revenue_concentration": QuerySpec(
         pareto_revenue_concentration, PARETO_SQL
     ),
+    "cohort_ltv_curve": QuerySpec(cohort_ltv_curve, COHORT_LTV_SQL),
+    "orders_with_lines": QuerySpec(orders_with_lines, ORDERS_WITH_LINES_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
