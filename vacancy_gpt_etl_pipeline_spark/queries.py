@@ -4450,6 +4450,161 @@ ORDER BY o_orderkey
 """
 
 
+def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — the new / retained / resurrected /
+    churned quad every growth team reports. Classification is one lag
+    window over the user-week active frame (first week ⇒ new, previous
+    week active ⇒ retained, gap ⇒ resurrected); churn(w) counts users
+    active in w−1 but not w via a second lead check. All exact integer
+    counts; the active frame is |user-weeks|, never event-sized."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"), "user_id"
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    classified = ev.select(
+        "week",
+        "user_id",
+        F.lag("week").over(w).alias("prev_week"),
+        F.lead("week").over(w).alias("next_week"),
+    ).select(
+        "week",
+        F.when(F.col("prev_week").isNull(), F.lit("new"))
+        .when(
+            F.datediff(F.col("week"), F.col("prev_week")) == 7, F.lit("retained")
+        )
+        .otherwise(F.lit("resurrected"))
+        .alias("status"),
+        # churned-out-of-next-week: active now, not active in week+7
+        (
+            F.col("next_week").isNull()
+            | (F.datediff(F.col("next_week"), F.col("week")) > 7)
+        )
+        .cast("int")
+        .alias("churns_next"),
+    )
+    return (
+        classified.groupBy("week")
+        .agg(
+            F.sum((F.col("status") == "new").cast("long")).alias("n_new"),
+            F.sum((F.col("status") == "retained").cast("long")).alias(
+                "n_retained"
+            ),
+            F.sum((F.col("status") == "resurrected").cast("long")).alias(
+                "n_resurrected"
+            ),
+            F.sum("churns_next").cast("long").alias("n_churning_after"),
+        )
+        .select(
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            "n_churning_after",
+        )
+        .orderBy("week")
+    )
+
+
+GROWTH_ACCOUNTING_SQL = """
+WITH uw AS (
+  SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week, user_id
+  FROM events
+),
+classified AS (
+  SELECT week,
+    CASE WHEN lag(week) OVER w IS NULL THEN 'new'
+         WHEN date_diff('day', lag(week) OVER w, week) = 7 THEN 'retained'
+         ELSE 'resurrected' END AS status,
+    CASE WHEN lead(week) OVER w IS NULL
+           OR date_diff('day', week, lead(week) OVER w) > 7
+         THEN 1 ELSE 0 END AS churns_next
+  FROM uw
+  WINDOW w AS (PARTITION BY user_id ORDER BY week)
+)
+SELECT strftime(week, '%Y-%m-%d') AS week,
+  CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+  CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+  CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+  CAST(SUM(churns_next) AS BIGINT) AS n_churning_after
+FROM classified
+GROUP BY week
+ORDER BY week
+"""
+
+
+def price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix decomposition of revenue change per brand
+    between 1996 and 1997: ΔR = volume effect (Δqty at old price) +
+    price effect (Δprice at old qty) + cross term — the finance bridge
+    that explains WHY revenue moved. Per-brand-year price is the
+    decimal-sum/double-count average; qty sums are exact decimals; the
+    three effects are identical IEEE expressions in both engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    year = F.year("l_shipdate")
+    yearly = (
+        li.where(year.isin(1996, 1997))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", year.alias("yr"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            ).alias("unit_price"),
+        )
+    )
+    y0 = yearly.where(F.col("yr") == 1996).select(
+        "p_brand", F.col("qty").alias("q0"), F.col("unit_price").alias("p0")
+    )
+    y1 = yearly.where(F.col("yr") == 1997).select(
+        "p_brand", F.col("qty").alias("q1"), F.col("unit_price").alias("p1")
+    )
+    j = y0.join(y1, "p_brand")
+    vol = (F.col("q1") - F.col("q0")) * F.col("p0")
+    price = (F.col("p1") - F.col("p0")) * F.col("q0")
+    cross = (F.col("q1") - F.col("q0")) * (F.col("p1") - F.col("p0"))
+    return j.select(
+        "p_brand",
+        vol.alias("volume_effect"),
+        price.alias("price_effect"),
+        cross.alias("mix_effect"),
+        (vol + price + cross).alias("total_delta"),
+    ).orderBy("p_brand")
+
+
+PRICE_VOLUME_SQL = """
+WITH yearly AS (
+  SELECT p_brand, CAST(year(l_shipdate) AS BIGINT) AS yr,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS unit_price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) IN (1996, 1997)
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT a.p_brand, a.qty AS q0, a.unit_price AS p0,
+         b.qty AS q1, b.unit_price AS p1
+  FROM (SELECT * FROM yearly WHERE yr = 1996) a
+  JOIN (SELECT * FROM yearly WHERE yr = 1997) b USING (p_brand)
+)
+SELECT p_brand,
+  (q1 - q0) * p0 AS volume_effect,
+  (p1 - p0) * q0 AS price_effect,
+  (q1 - q0) * (p1 - p0) AS mix_effect,
+  (q1 - q0) * p0 + (p1 - p0) * q0 + (q1 - q0) * (p1 - p0) AS total_delta
+FROM j
+ORDER BY p_brand
+"""
+
+
 def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectation suite (operators/expectations.py) over
     orders, ONE aggregation pass for five checks: key uniqueness +
@@ -6689,6 +6844,10 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "cohort_ltv_curve": QuerySpec(cohort_ltv_curve, COHORT_LTV_SQL),
     "orders_with_lines": QuerySpec(orders_with_lines, ORDERS_WITH_LINES_SQL),
+    "growth_accounting_weekly": QuerySpec(
+        growth_accounting_weekly, GROWTH_ACCOUNTING_SQL
+    ),
+    "price_volume_mix": QuerySpec(price_volume_mix, PRICE_VOLUME_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
