@@ -4605,6 +4605,108 @@ ORDER BY p_brand
 """
 
 
+def seasonality_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: observed share of
+    the type's events on each weekday divided by the uniform 1/7
+    expectation (index 1.0 = no seasonality). Two exact integer counts
+    and two IEEE divisions; the Monday=1 ISO weekday convention is
+    pinned explicitly in both engines (engine defaults differ)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.dayofweek("ts").alias("_dow_sun1"), "event_type"
+    )
+    # Spark dayofweek: Sunday=1 .. Saturday=7 → convert to ISO Mon=1..Sun=7
+    iso = F.when(F.col("_dow_sun1") == 1, F.lit(7)).otherwise(
+        F.col("_dow_sun1") - 1
+    )
+    counts = ev.groupBy("event_type", iso.alias("iso_dow")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    total = F.sum("n_events").over(Window.partitionBy("event_type"))
+    share = F.col("n_events").cast("double") / total.cast("double")
+    return counts.select(
+        "event_type",
+        "iso_dow",
+        "n_events",
+        share.alias("observed_share"),
+        (share * F.lit(7.0)).alias("seasonality_index"),
+    ).orderBy("event_type", "iso_dow")
+
+
+SEASONALITY_SQL = """
+WITH counts AS (
+  SELECT event_type, CAST(isodow(ts) AS INT) AS iso_dow,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, iso_dow, n_events,
+  CAST(n_events AS DOUBLE)
+    / CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DOUBLE)
+    AS observed_share,
+  CAST(n_events AS DOUBLE)
+    / CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DOUBLE)
+    * 7.0 AS seasonality_index
+FROM counts
+ORDER BY event_type, iso_dow
+"""
+
+
+def order_fulfillment_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment aging per priority: average and max days from order
+    date to the order's LAST shipment. The per-order last-ship date is
+    one max-aggregate on the lineitem side (shuffle on orderkey — the
+    bucketed key); day gaps are exact integers, the average is the
+    decimal-sum/double-count form. The ops report behind late-delivery
+    SLAs."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    aged = orders.join(
+        last_ship, orders["o_orderkey"] == last_ship["l_orderkey"]
+    ).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("last_ship").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("age_days"),
+    )
+    return (
+        aged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(F.col("age_days").cast("decimal(18,0)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_age_days"),
+            F.max("age_days").alias("max_age_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+AGING_SQL = """
+WITH last_ship AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY l_orderkey
+),
+aged AS (
+  SELECT o_orderpriority,
+    date_diff('day', CAST(o_orderdate AS DATE), CAST(last_ship AS DATE)) AS age_days
+  FROM orders JOIN last_ship ON o_orderkey = l_orderkey
+)
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(age_days AS DECIMAL(18,0))) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS avg_age_days,
+  CAST(MAX(age_days) AS INT) AS max_age_days
+FROM aged
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectation suite (operators/expectations.py) over
     orders, ONE aggregation pass for five checks: key uniqueness +
@@ -6848,6 +6950,8 @@ REGISTRY: dict[str, QuerySpec] = {
         growth_accounting_weekly, GROWTH_ACCOUNTING_SQL
     ),
     "price_volume_mix": QuerySpec(price_volume_mix, PRICE_VOLUME_SQL),
+    "seasonality_dow_index": QuerySpec(seasonality_dow_index, SEASONALITY_SQL),
+    "order_fulfillment_aging": QuerySpec(order_fulfillment_aging, AGING_SQL),
     # -- green in r5; most recent first ----------------------------------
     "ngram_contamination_audit": QuerySpec(
         ngram_contamination_audit, NGRAM_CONTAM_SQL
