@@ -34,14 +34,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def first_seen_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user first-seen-week cohort frame ``(u, cohort_week)`` — the
+    shared cohort definition for the retention triangle and its LTV
+    twin. User-cardinality: this frame grows with the data and must be
+    HASH-joined, never broadcast (the scale invariant both callers
+    follow)."""
+    return events.groupBy(F.col(user_col).alias("u")).agg(
+        F.date_trunc("WEEK", F.min(ts_col)).cast("date").alias("cohort_week")
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
 ) -> DataFrame:
-    first = events.groupBy(F.col(user_col).alias("u")).agg(
-        F.date_trunc("WEEK", F.min(ts_col)).cast("date").alias("cohort_week")
-    )
+    first = first_seen_cohorts(events, user_col, ts_col)
     activity = events.select(
         F.col(user_col).alias("u"),
         F.date_trunc("WEEK", F.col(ts_col)).cast("date").alias("week"),

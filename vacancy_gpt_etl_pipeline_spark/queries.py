@@ -4305,21 +4305,25 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per cohort user — the retention triangle's revenue twin. Revenue
     accumulates as EXACT DECIMAL through the running-sum window (order-
     independent-safe); only the final per-user normalization divides as
-    a double. Shapes: first-seen is one min-aggregate broadcast back;
-    the weekly cells are a tiny frame and the cumsum window runs over
-    it, never over events."""
+    a double. Shapes: the first-seen cohort frame is USER-cardinality —
+    hash-joined on user_id like operators/retention does, never
+    broadcast (it grows with the data); only the cohort-count-sized
+    sizes frame broadcasts. The weekly cells are a tiny frame and the
+    cumsum window runs over it, never over events."""
+    from vacancy_gpt_etl_pipeline_spark.operators.retention import (
+        first_seen_cohorts,
+    )
+
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type", "value"
     )
-    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
-    cohort = F.date_trunc("week", F.col("first_ts")).cast("date")
-    sized = first.select("user_id", cohort.alias("cohort_week"))
+    sized = first_seen_cohorts(ev).withColumnRenamed("u", "user_id")
     cohort_sizes = sized.groupBy("cohort_week").agg(
         F.count(F.lit(1)).alias("cohort_users")
     )
     purchases = ev.where(F.col("event_type") == "purchase")
     weekly = (
-        purchases.join(F.broadcast(sized), "user_id")
+        purchases.join(sized, "user_id")
         .groupBy(
             "cohort_week",
             F.floor(
@@ -4454,16 +4458,21 @@ def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly growth accounting — the new / retained / resurrected /
     churned quad every growth team reports. Classification is one lag
     window over the user-week active frame (first week ⇒ new, previous
-    week active ⇒ retained, gap ⇒ resurrected); churn(w) counts users
-    active in w−1 but not w via a second lead check. All exact integer
-    counts; the active frame is |user-weeks|, never event-sized."""
+    week active ⇒ retained, gap ⇒ resurrected); n_churning_after(w)
+    counts users active in w who do NOT return in w+1 — except in the
+    dataset's final week, which is right-censored (no w+1 exists to
+    observe) and reports 0 rather than a guaranteed-false 100% churn.
+    All exact integer counts; the active frame is |user-weeks|, never
+    event-sized."""
     ev = _t(spark, sf_dir, "events").select(
         F.date_trunc("week", F.col("ts")).cast("date").alias("week"), "user_id"
     ).distinct()
+    max_week = ev.agg(F.max("week").alias("max_week"))
     w = Window.partitionBy("user_id").orderBy("week")
-    classified = ev.select(
+    classified = ev.crossJoin(F.broadcast(max_week)).select(
         "week",
         "user_id",
+        "max_week",
         F.lag("week").over(w).alias("prev_week"),
         F.lead("week").over(w).alias("next_week"),
     ).select(
@@ -4474,10 +4483,15 @@ def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit("resurrected"))
         .alias("status"),
-        # churned-out-of-next-week: active now, not active in week+7
+        # churned-out-of-next-week: active now, not active in week+7.
+        # The dataset's max week is right-censored: lead is NULL for
+        # EVERYONE there, which would read as 100% churn
         (
-            F.col("next_week").isNull()
-            | (F.datediff(F.col("next_week"), F.col("week")) > 7)
+            (
+                F.col("next_week").isNull()
+                | (F.datediff(F.col("next_week"), F.col("week")) > 7)
+            )
+            & (F.col("week") < F.col("max_week"))
         )
         .cast("int")
         .alias("churns_next"),
@@ -4515,8 +4529,9 @@ classified AS (
     CASE WHEN lag(week) OVER w IS NULL THEN 'new'
          WHEN date_diff('day', lag(week) OVER w, week) = 7 THEN 'retained'
          ELSE 'resurrected' END AS status,
-    CASE WHEN lead(week) OVER w IS NULL
-           OR date_diff('day', week, lead(week) OVER w) > 7
+    CASE WHEN (lead(week) OVER w IS NULL
+           OR date_diff('day', week, lead(week) OVER w) > 7)
+          AND week < (SELECT MAX(week) FROM uw)
          THEN 1 ELSE 0 END AS churns_next
   FROM uw
   WINDOW w AS (PARTITION BY user_id ORDER BY week)
@@ -4544,29 +4559,34 @@ def price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     year = F.year("l_shipdate")
-    yearly = (
+
+    # ONE scan + ONE aggregate: per-year sums as conditional decimal
+    # aggregates, so the two years never need a self-join (which would
+    # re-execute the lineitem scan and sort-merge-join the halves)
+    def ysum(col: str, yr: int) -> F.Column:
+        return F.sum(
+            F.when(F.col("yr") == yr, F.col(col).cast("decimal(18,2)"))
+        ).cast("double")
+
+    j = (
         li.where(year.isin(1996, 1997))
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("p_brand", year.alias("yr"))
+        .select("p_brand", year.alias("yr"), "l_extendedprice", "l_quantity")
+        .groupBy("p_brand")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("qty"),
-            (
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
-                    "double"
-                )
-                / F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
-            ).alias("unit_price"),
+            ysum("l_quantity", 1996).alias("q0"),
+            (ysum("l_extendedprice", 1996) / ysum("l_quantity", 1996)).alias(
+                "p0"
+            ),
+            ysum("l_quantity", 1997).alias("q1"),
+            (ysum("l_extendedprice", 1997) / ysum("l_quantity", 1997)).alias(
+                "p1"
+            ),
+        )
+        .where(
+            F.col("q0").isNotNull() & F.col("q1").isNotNull()
         )
     )
-    y0 = yearly.where(F.col("yr") == 1996).select(
-        "p_brand", F.col("qty").alias("q0"), F.col("unit_price").alias("p0")
-    )
-    y1 = yearly.where(F.col("yr") == 1997).select(
-        "p_brand", F.col("qty").alias("q1"), F.col("unit_price").alias("p1")
-    )
-    j = y0.join(y1, "p_brand")
     vol = (F.col("q1") - F.col("q0")) * F.col("p0")
     price = (F.col("p1") - F.col("p0")) * F.col("q0")
     cross = (F.col("q1") - F.col("q0")) * (F.col("p1") - F.col("p0"))
