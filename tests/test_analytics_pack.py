@@ -1,0 +1,106 @@
+"""Closed-form tests for the session-4 analytics pack, independent of
+the DuckDB oracles (which share each query's SQL formulation): the
+price-volume-mix accounting identity, growth-accounting classification,
+and EWMA decay behavior on planted data."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _write_tables(spark, tmp_path, **tables):
+    sf_dir = str(tmp_path / "sf")
+    for name, df in tables.items():
+        df.write.parquet(f"{sf_dir}/{name}.parquet")
+    return sf_dir
+
+
+def test_price_volume_mix_identity(spark, tmp_path):
+    # accounting identity: volume + price + cross == R1 - R0 exactly
+    from vacancy_gpt_etl_pipeline_spark.queries import price_volume_mix
+
+    li = spark.createDataFrame(
+        [
+            # brand A: 1996 qty 10 @ avg 2.0, 1997 qty 20 @ avg 3.0
+            Row(l_partkey=1, l_shipdate=datetime(1996, 5, 1), l_extendedprice=20.0, l_quantity=10.0),
+            Row(l_partkey=1, l_shipdate=datetime(1997, 5, 1), l_extendedprice=60.0, l_quantity=20.0),
+            # brand B: unchanged -> all effects zero
+            Row(l_partkey=2, l_shipdate=datetime(1996, 6, 1), l_extendedprice=50.0, l_quantity=5.0),
+            Row(l_partkey=2, l_shipdate=datetime(1997, 6, 1), l_extendedprice=50.0, l_quantity=5.0),
+        ]
+    )
+    part = spark.createDataFrame(
+        [Row(p_partkey=1, p_brand="A"), Row(p_partkey=2, p_brand="B")]
+    )
+    sf_dir = _write_tables(spark, tmp_path, lineitem=li, part=part)
+    out = {r["p_brand"]: r for r in price_volume_mix(spark, sf_dir).collect()}
+    a = out["A"]
+    # R0 = 20, R1 = 60 -> total delta 40; vol (20-10)*2=20, price
+    # (3-2)*10=10, cross (20-10)*(3-2)=10
+    assert (a["volume_effect"], a["price_effect"], a["mix_effect"]) == (20.0, 10.0, 10.0)
+    assert a["total_delta"] == 40.0
+    b = out["B"]
+    assert (b["volume_effect"], b["price_effect"], b["mix_effect"], b["total_delta"]) == (0.0, 0.0, 0.0, 0.0)
+
+
+def test_growth_accounting_classification_and_censoring(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import growth_accounting_weekly
+
+    # Mondays: w1=2024-01-01, w2=01-08, w3=01-15
+    # u1 active w1,w2,w3 (new, retained, retained)
+    # u2 active w1,w3    (new, resurrected) and churns after w1
+    # u3 active w2 only  (new) and churns after w2
+    rows = []
+    eid = 0
+    for u, days in ((1, ["01-01", "01-08", "01-15"]), (2, ["01-01", "01-15"]), (3, ["01-08"])):
+        for d in days:
+            eid += 1
+            rows.append(
+                Row(
+                    event_id=eid,
+                    user_id=u,
+                    ts=datetime.fromisoformat(f"2024-{d}T12:00:00"),
+                    event_type="view",
+                    value=1.0,
+                    props="{}",
+                )
+            )
+    events = spark.createDataFrame(rows)
+    sf_dir = _write_tables(spark, tmp_path, events=events)
+    out = {r["week"]: r for r in growth_accounting_weekly(spark, sf_dir).collect()}
+    w1, w2, w3 = out["2024-01-01"], out["2024-01-08"], out["2024-01-15"]
+    assert (w1["n_new"], w1["n_retained"], w1["n_resurrected"]) == (2, 0, 0)
+    assert w1["n_churning_after"] == 1  # u2 skips w2
+    assert (w2["n_new"], w2["n_retained"], w2["n_resurrected"]) == (1, 1, 0)
+    assert w2["n_churning_after"] == 1  # u3 gone after w2
+    assert (w3["n_new"], w3["n_retained"], w3["n_resurrected"]) == (0, 1, 1)
+    # final week is right-censored: NEVER reports the false 100% churn
+    assert w3["n_churning_after"] == 0
+
+
+def test_ewma_constant_series_is_identity(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import ewma_daily_events
+
+    # constant 2-events-per-day series: EWMA == 2 exactly every day
+    rows = []
+    eid = 0
+    for d in range(1, 11):
+        for i in range(2):
+            eid += 1
+            rows.append(
+                Row(
+                    event_id=eid,
+                    user_id=1,
+                    ts=datetime(2024, 1, d, 8 + i),
+                    event_type="view",
+                    value=1.0,
+                    props="{}",
+                )
+            )
+    events = spark.createDataFrame(rows)
+    sf_dir = _write_tables(spark, tmp_path, events=events)
+    out = ewma_daily_events(spark, sf_dir).collect()
+    assert all(r["ewma"] == 2.0 for r in out)
