@@ -37,7 +37,12 @@ def _load_previous(repo_dir: str, sf) -> tuple[str, dict[str, float]] | None:
     query against the driver's sf0.1 record), so only a matching scale
     factor counts as a baseline.
     """
+    # BENCH_SELF*.json carries the full float-precision map (written by this
+    # script since r7, when the 140-entry map stopped fitting the driver's
+    # stdout tail); fall back to the driver-recorded BENCH_r*.json history.
     paths = sorted(
+        glob.glob(os.path.join(repo_dir, "BENCH_SELF*.json")), reverse=True
+    ) + sorted(
         glob.glob(os.path.join(repo_dir, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
         reverse=True,
@@ -133,32 +138,47 @@ def main() -> None:
         prev_name, prev_queries = previous
         _compare(prev_name, prev_queries, timings)
 
-    # the driver parses the LAST ≤2000 chars of stdout; this line is the
-    # final stdout write, so anything ≤ 1985 (+newline) survives the tail
-    # with 14 chars of margin. Degrade ladder keeps per-query resolution
-    # as long as possible: 2dp → 1dp → 1dp-with-int-above-10s → int
-    # seconds (ints must be real ints — round(v, 0) serializes as
-    # "86.0"). At 80 entries the 1dp line is ~1974 chars at sf0.1 (after
-    # the round-6 short-key rebalance, PLANS.md), so the first two rungs
-    # are near the edge; every new registry entry costs ~20-26 chars
-    # (the key name dominates, not the value digits).
-    schemes = [
-        lambda v: round(v, 2),
-        lambda v: round(v, 1),
-        lambda v: int(round(v)) if v >= 10 else round(v, 1),
-        lambda v: int(round(v)),
-    ]
-    for fmt in schemes:
-        result = {
+    # the driver parses the LAST ≤2000 chars of stdout. At 140 registry
+    # entries the full per-query map cannot fit that tail at ANY precision
+    # (r6 lesson: BENCH_r06.json came back parsed:null even at int
+    # seconds), so stdout now carries only the total plus the 15 slowest
+    # queries (~600 chars) and the FULL float-precision map is written to
+    # BENCH_SELF.json in the repo dir, which the end-of-round snapshot
+    # commit preserves as the per-round record.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    full = {
+        "metric": "registry_wall_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": sum(1 for v in timings.values() if v < 0),
+        "queries": timings,
+    }
+    with open(os.path.join(repo_dir, "BENCH_SELF.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if v >= 0),
+            key=lambda kv: kv[1],
+            reverse=True,
+        )[:15]
+    )
+    failed = {k: v for k, v in timings.items() if v < 0}
+    line = json.dumps(
+        {
             "metric": "registry_wall_total",
             "value": round(total, 3),
             "unit": "sec",
-            "queries": {k: fmt(v) for k, v in timings.items()},
             "sf": sf,
-        }
-        line = json.dumps(result, separators=(",", ":"))
-        if len(line) <= 1985:
-            break
+            "n_queries": len(timings),
+            "n_failed": len(failed),
+            "queries": {**slowest, **failed},
+        },
+        separators=(",", ":"),
+    )
     print(line)
 
 

@@ -7027,6 +7027,74 @@ REGISTRY: dict[str, QuerySpec] = {
     "ref_q2_market_share": QuerySpec(ref_q2_market_share, REF_Q2_SQL),
 }
 
+# ROUND-7 ROTATION (executed — VERDICT r6 item 1): the driver verifies the
+# FIRST ~50 registry entries each round. The r5 and r6 windows together gave
+# driver rows to 96 distinct entries; the 44 below (the session-4 analytics
+# tail plus TPC-H Q4/Q14/Q17/Q22, skyline, trajectory, kcore, adaptive IVF)
+# had only pytest/test_oracle coverage. They now lead the registry so
+# CORRECTNESS_r07 hands each a first-ever driver row, completing 140/140
+# driver coverage across r5–r7. The last six slots of the ~50-entry window
+# are r6-green buffer entries (in case the window is 50 vs 52, positions
+# 45-52 all carry prior green rows).
+_R7_FRONT: tuple[str, ...] = (
+    "q14_promo_revenue",
+    "q17_small_qty_revenue",
+    "q4_late_shipment_priority",
+    "q22_idle_customer_balance",
+    "winsorize_order_prices",
+    "embedding_normalize",
+    "mad_outlier_events",
+    "vocab_oov_docs",
+    "feature_scale_balances",
+    "top_orders_per_priority",
+    "gapfill_daily_events",
+    "kfold_docs",
+    "histogram_order_prices",
+    "pearson_corr_lineitem",
+    "golden_user_profile",
+    "grouping_sets_revenue",
+    "unpivot_part_measures",
+    "skyline_parts",
+    "ann_incremental_topk",
+    "sentiment_docs",
+    "ann_ivf_adaptive",
+    "trajectory_similar_users",
+    "modal_priority_per_status",
+    "lineage_file_counts",
+    "ntile_price_buckets",
+    "monthly_revenue_growth",
+    "linear_attribution",
+    "ab_test_conversion",
+    "kcore_parts",
+    "pit_user_state",
+    "association_rules_brands",
+    "benford_price_digits",
+    "ewma_daily_events",
+    "dau_wau_stickiness",
+    "event_transition_matrix",
+    "diff_in_diff_conversion",
+    "rfm_segments",
+    "pareto_revenue_concentration",
+    "cohort_ltv_curve",
+    "orders_with_lines",
+    "growth_accounting_weekly",
+    "price_volume_mix",
+    "seasonality_dow_index",
+    "order_fulfillment_aging",
+    # r6-green buffer (fresh rows exist; re-verification is cheap signal)
+    "curation_e2e",
+    "windowed_cms",
+    "pagerank",
+    "semdedup",
+    "image_decode",
+    "salted_join",
+)
+assert len(_R7_FRONT) == len(set(_R7_FRONT)) == 50
+REGISTRY = {
+    **{name: REGISTRY[name] for name in _R7_FRONT},
+    **{k: v for k, v in REGISTRY.items() if k not in frozenset(_R7_FRONT)},
+}
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark for name, spec in REGISTRY.items()}
