@@ -36,6 +36,24 @@ GATED = ("ShuffleExchange", "SortMergeJoin", "CartesianProduct")
 REGEN = os.environ.get("SPARK_GRAFT_REGEN_PLAN_BUDGET") == "1"
 
 
+def _distinct_nodes(plan: str, form: str) -> int:
+    """Count DISTINCT physical nodes of a form, not text occurrences.
+
+    The plan string reprints a persisted sub-plan inside every
+    InMemoryTableScan that consumes it, so a cached frame read N times
+    prints its population exchanges N times — while they execute ONCE
+    (cache materialization). Reprints carry identical expression/plan
+    ids; genuinely distinct nodes never do (self-joined or re-derived
+    branches get fresh expression ids). Deduping on the tree-prefix-
+    stripped line text therefore counts execution-distinct nodes."""
+    seen = set()
+    for line in plan.splitlines():
+        norm = line.lstrip("+-: ")
+        if norm.startswith(form):
+            seen.add(norm)
+    return len(seen)
+
+
 def _counts(spark, sf_dir: str, name: str) -> dict[str, int]:
     # budgets are the COLD plan shape: Spark's cache manager substitutes
     # InMemoryRelation for any matching sub-plan another query persisted
@@ -45,11 +63,11 @@ def _counts(spark, sf_dir: str, name: str) -> dict[str, int]:
     df = REGISTRY[name].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     return {
-        "ShuffleExchange": sum(plan.count(p) for p in SHUFFLE_FORMS),
-        "SortMergeJoin": plan.count("SortMergeJoin"),
-        "CartesianProduct": plan.count("CartesianProduct"),
+        "ShuffleExchange": sum(_distinct_nodes(plan, p) for p in SHUFFLE_FORMS),
+        "SortMergeJoin": _distinct_nodes(plan, "SortMergeJoin"),
+        "CartesianProduct": _distinct_nodes(plan, "CartesianProduct"),
         # recorded for context only — broadcasts are cheap by design
-        "BroadcastHashJoin": plan.count("BroadcastHashJoin"),
+        "BroadcastHashJoin": _distinct_nodes(plan, "BroadcastHashJoin"),
     }
 
 

