@@ -164,3 +164,18 @@ def test_ewma_gap_beyond_kernel_contributes_nothing(spark, tmp_path):
     sf_dir = _write_tables(spark, tmp_path, events=events)
     got = {r["day"]: r["ewma"] for r in ewma_daily_events(spark, sf_dir).collect()}
     assert got["2024-01-10"] == 6.0  # the burst 9 days earlier is invisible
+
+
+def test_histogram_degenerate_span_pins_bin_zero(spark, tmp_path):
+    """ADVICE r6: min == max must not divide by a zero width (engines
+    diverge on NaN/NULL there) — all rows land in bin 0."""
+    from vacancy_gpt_etl_pipeline_spark.queries import histogram_order_prices
+
+    orders = spark.createDataFrame(
+        [(float(100),)] * 5, "o_totalprice double"
+    )
+    sf_dir = _write_tables(spark, tmp_path, orders=orders)
+    rows = histogram_order_prices(spark, sf_dir).collect()
+    assert len(rows) == 1
+    assert rows[0]["bin"] == 0 and rows[0]["n_orders"] == 5
+    assert rows[0]["bin_min"] == 100.0 and rows[0]["bin_max"] == 100.0

@@ -40,3 +40,29 @@ def test_groups_scale_independently(spark):
     assert out[("a", 1.0)]["minmax_scaled"] == 1.0
     assert out[("b", 100.0)]["minmax_scaled"] == 0.0
     assert out[("b", 200.0)]["pct_rank"] == 1.0
+
+
+def test_decimal_scale_parameter_controls_moment_precision(spark):
+    """ADVICE r6: the 2-decimal moment quantization is now an explicit
+    parameter — at decimal_scale=6 a 3-decimal input's z-scores use the
+    exact values instead of silently rounding them to 2dp."""
+    vals = [1.125, 2.375, 3.625]
+    df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+    out = {r["v"]: r["z_score"] for r in feature_scale(df, "v", ["g"], decimal_scale=6).collect()}
+    mean = sum(vals) / 3
+    var = sum(v * v for v in vals) / 3 - mean * mean
+    std = math.sqrt(var)
+    for v in vals:
+        assert abs(out[v] - (v - mean) / std) < 1e-12
+    # default scale=2 rounds 1.125 -> 1.12/1.13 in the moments: the
+    # closed form above no longer matches exactly
+    out2 = {r["v"]: r["z_score"] for r in feature_scale(df, "v", ["g"]).collect()}
+    assert out2[1.125] != out[1.125]
+
+
+def test_decimal_scale_out_of_range_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([("g", 1.0)], ["g", "v"])
+    with pytest.raises(ValueError, match="decimal_scale"):
+        feature_scale(df, "v", ["g"], decimal_scale=13)

@@ -136,9 +136,27 @@ def test_k_core_peels_pendants_keeps_cycle(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["src", "dst"]
     )
-    out = {r["node"]: r["core_degree"] for r in g.k_core(edges, k=2).collect()}
+    res = g.k_core_detailed(edges, k=2)
+    out = {r["node"]: r["core_degree"] for r in res.frame.collect()}
     assert out == {1: 2, 2: 2, 3: 2}
-    assert g.KCORE_LAST_CONVERGED
+    assert res.converged
+
+
+def test_k_core_raises_on_nonconvergence(spark):
+    import pytest
+
+    import vacancy_gpt_etl_pipeline_spark.operators.graph as g
+
+    # triangle + pendant chain needs 3 peels to stabilize; max_iter=1
+    # cannot converge and the guaranteed wrapper must refuse to return
+    # the partial peel
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        g.k_core(edges, k=2, max_iter=1)
+    partial = g.k_core_detailed(edges, k=2, max_iter=1)
+    assert not partial.converged and partial.rounds == 1
 
 
 def test_k_core_convergence_within_oracle_unroll(spark, sf_dir):
@@ -147,5 +165,10 @@ def test_k_core_convergence_within_oracle_unroll(spark, sf_dir):
     import vacancy_gpt_etl_pipeline_spark.operators.graph as g
     from vacancy_gpt_etl_pipeline_spark.queries import REGISTRY
 
+    # the registry entry itself uses the raising wrapper, so a clean
+    # collect proves convergence; re-derive the round count explicitly
     REGISTRY["kcore_parts"].spark(spark, sf_dir).collect()
-    assert g.KCORE_LAST_CONVERGED and g.KCORE_LAST_ROUNDS <= 10
+    from vacancy_gpt_etl_pipeline_spark.queries import _kcore_edges
+
+    res = g.k_core_detailed(_kcore_edges(spark, sf_dir), k=2, max_iter=15)
+    assert res.converged and res.rounds <= 10

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
     attach_text_payload,
@@ -74,8 +75,44 @@ def test_sample_frames_expands_payload(spark):
     assert rows == [(1, 0, 64), (1, 1, 64), (1, 2, 2), (2, 0, 10)]
 
 
-def test_sample_frames_without_stub_raises(spark):
+def test_sample_frames_without_stub_raises_for_compressed_only(spark):
     df = spark.createDataFrame([(1, "abc")], "asset_id long, text string")
     assets = attach_text_payload(df, "text", "video")
     with pytest.raises(Exception, match="ffmpeg"):
         sample_frames(assets, decode_stub=False).collect()
+
+
+def test_sample_frames_decodes_real_y4m_frames(spark):
+    """The former stub now delegates to the real Y4M frame walk: every
+    sampled frame's bytes must equal the closed-form plane bytes the
+    fixture was synthesized from, and decode_stub=False must NOT raise
+    for Y4M payloads."""
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        synthesize_y4m_payload,
+    )
+
+    ids = spark.range(3, 7).select(F.col("id").cast("long").alias("doc_id"))
+    assets = synthesize_y4m_payload(ids)
+    frames = sample_frames(assets, decode_stub=False).collect()
+    got = {(r["asset_id"], r["frame_idx"]): bytes(r["frame_bytes"]) for r in frames}
+    for i in range(3, 7):
+        w, h, nf = i % 8 + 2, i % 4 + 2, i % 5 + 1
+        for f in range(nf):
+            expect = bytes(
+                (i * 37 + f * 11 + j * 5) % 256 for j in range(w * h * 3)
+            )
+            assert got[(i, f)] == expect
+    assert len(got) == sum(i % 5 + 1 for i in range(3, 7))
+
+
+def test_sample_frames_every_nth_frame(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        synthesize_y4m_payload,
+    )
+
+    # doc_id=4 → 5 frames; stride 2 keeps frames 0, 2, 4
+    ids = spark.range(4, 5).select(F.col("id").cast("long").alias("doc_id"))
+    frames = sample_frames(
+        synthesize_y4m_payload(ids), decode_stub=False, every_nth_frame=2
+    ).collect()
+    assert sorted(r["frame_idx"] for r in frames) == [0, 2, 4]

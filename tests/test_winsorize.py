@@ -60,3 +60,21 @@ def test_mad_outliers_constant_group_flags_nothing(spark):
     df = spark.createDataFrame([("g", 5.0)] * 6, ["g", "v"])
     out = mad_outliers(df, "v", ["g"]).collect()
     assert all(not r["is_outlier"] and r["mad"] == 0.0 for r in out)
+
+
+def test_null_values_excluded_from_ranks_and_output(spark):
+    """ADVICE r6: NULLs must not shift quantile rank positions (Spark
+    sorts them first) nor appear in the output; NULL group keys drop at
+    the join back."""
+    from vacancy_gpt_etl_pipeline_spark.operators.winsorize import mad_outliers
+
+    rows = [("g", None), ("g", 1.0), ("g", 2.0), ("g", 3.0), (None, 9.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "v", ["g"], lower=0.0, upper=1.0).collect()
+    # bounds from the 3 non-null values only; null value and null key gone
+    assert sorted(r["v"] for r in out) == [1.0, 2.0, 3.0]
+    assert all(r["q_lower"] == 1.0 and r["q_upper"] == 3.0 for r in out)
+
+    mad = mad_outliers(df, "v", ["g"]).collect()
+    assert sorted(r["v"] for r in mad) == [1.0, 2.0, 3.0]
+    assert all(r["median"] == 2.0 for r in mad)

@@ -29,6 +29,7 @@ Scale notes:
 from __future__ import annotations
 
 import sys
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -291,14 +292,19 @@ def count_triangles(edges: DataFrame) -> DataFrame:
     )
 
 
-# rounds used by the most recent k_core call — mirrors the CC counters so
-# tests can assert the oracle's fixed unroll depth actually covered
-# convergence.
-KCORE_LAST_ROUNDS: int | None = None
-KCORE_LAST_CONVERGED: bool | None = None
+class KCoreResult(NamedTuple):
+    """k_core outcome: the core frame plus explicit convergence facts —
+    returned, not signalled through module globals (r6 ADVICE: globals
+    are racy under concurrent callers and easy to read stale)."""
+
+    frame: DataFrame
+    rounds: int
+    converged: bool
 
 
-def k_core(edges: DataFrame, k: int, max_iter: int = 12) -> DataFrame:
+def k_core_detailed(
+    edges: DataFrame, k: int, max_iter: int = 12
+) -> KCoreResult:
     """Nodes of the k-core: the maximal subgraph where every node keeps
     degree ≥ k — the standard graph-side quality filter (peel away
     weakly-connected crawl pages / spam rings before expensive
@@ -313,8 +319,12 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 12) -> DataFrame:
     connected_components. Real-world degeneracy is small, so the round
     count stays low; the registry oracle replays the SAME peeling as a
     fixed-depth unrolled SQL CTE chain and tests assert the Spark loop
-    converged within that depth."""
-    global KCORE_LAST_ROUNDS, KCORE_LAST_CONVERGED
+    converged within that depth.
+
+    Returns :class:`KCoreResult`; ``converged=False`` means max_iter
+    rounds ran without reaching the fixpoint and ``frame`` is the
+    partially-peeled (superset) edge census, NOT the k-core — callers
+    that need a guarantee should use :func:`k_core`, which raises."""
     a, b = F.least("src", "dst"), F.greatest("src", "dst")
     current = (
         edges.select(a.cast("long").alias("a"), b.cast("long").alias("b"))
@@ -323,7 +333,7 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 12) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_edges = current.count()
-    KCORE_LAST_CONVERGED = False
+    converged = False
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -341,13 +351,28 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 12) -> DataFrame:
         n_new = pruned.count()
         current = pruned
         if n_new == n_edges:
-            KCORE_LAST_CONVERGED = True
+            converged = True
             break
         n_edges = n_new
-    KCORE_LAST_ROUNDS = rounds
-    return (
+    census = (
         current.select(F.col("a").alias("node"))
         .unionAll(current.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
+    return KCoreResult(census, rounds, converged)
+
+
+def k_core(edges: DataFrame, k: int, max_iter: int = 12) -> DataFrame:
+    """:func:`k_core_detailed` with a convergence GUARANTEE: returns
+    the (node, core_degree) frame, raising RuntimeError if the peeling
+    did not reach its fixpoint within ``max_iter`` rounds — a partial
+    peel is a superset of the k-core and silently returning it would
+    poison downstream filters."""
+    result = k_core_detailed(edges, k, max_iter=max_iter)
+    if not result.converged:
+        raise RuntimeError(
+            f"k-core peeling did not converge within {max_iter} rounds; "
+            "raise max_iter (degeneracy is higher than expected)"
+        )
+    return result.frame

@@ -16,7 +16,8 @@ YUV4MPEG2 (:func:`decode_video_frames` walks FRAME markers and decodes
 raw C444 planes to per-frame statistics). Only the compressed paths
 stop at the header (PNG IDAT inflate / GIF LZW / mp4 would need a
 codec library this container doesn't ship); :func:`sample_frames`
-remains the documented codec-free stand-in for those.
+emits real raw-plane frames for Y4M payloads and falls back to a
+documented deterministic slicer only for compressed codecs.
 
 Scale notes: binary payloads dominate row size, so ``mapInPandas`` with a
 small ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds executor
@@ -547,21 +548,45 @@ def sample_frames(
     id_col: str = "asset_id",
     content_col: str = "content",
     decode_stub: bool = True,
+    every_nth_frame: int = 1,
 ) -> DataFrame:
-    """Video frame sampling stub: emits one 'frame' per ``every_n_bytes``
-    slice of the payload (1→N row expansion through mapInPandas — the real
-    shape of a frame sampler, minus the codec)."""
+    """Video frame sampling (1→N row expansion through mapInPandas).
+
+    Y4M payloads get REAL sampling: the stream header is parsed, the
+    FRAME markers walked, and every ``every_nth_frame``-th frame's raw
+    C444 planes are emitted verbatim as ``frame_bytes`` — the same
+    parser :func:`decode_video_frames` uses, no codec anywhere.
+
+    Compressed containers (mp4/webm/...) need ffmpeg, which this
+    environment does not ship: with ``decode_stub=True`` they fall back
+    to deterministic ``every_n_bytes`` payload slices (a documented
+    fake that keeps the Spark-side plumbing — schema, batch shape,
+    expansion factor — real); with ``decode_stub=False`` a compressed
+    payload raises ``NotImplementedError``. Y4M payloads never raise.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError("real frame sampling requires ffmpeg")
             rows = {"asset_id": [], "frame_idx": [], "frame_bytes": []}
             for aid, content in zip(pdf[id_col], pdf[content_col]):
-                for i, off in enumerate(range(0, len(content), every_n_bytes)):
+                b = bytes(content) if content is not None else b""
+                if b.startswith(Y4M_MAGIC):
+                    for idx, _w, _h, data in _iter_y4m_frames(b):
+                        if idx % every_nth_frame:
+                            continue
+                        rows["asset_id"].append(int(aid))
+                        rows["frame_idx"].append(idx)
+                        rows["frame_bytes"].append(data.tobytes())
+                    continue
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "compressed-codec frame sampling requires ffmpeg "
+                        "(only raw Y4M decodes dependency-free)"
+                    )
+                for i, off in enumerate(range(0, len(b), every_n_bytes)):
                     rows["asset_id"].append(int(aid))
                     rows["frame_idx"].append(i)
-                    rows["frame_bytes"].append(bytes(content[off : off + every_n_bytes]))
+                    rows["frame_bytes"].append(b[off : off + every_n_bytes])
             yield pd.DataFrame(rows)
 
     return df.select(id_col, content_col).mapInPandas(run, FRAME_SAMPLE_SCHEMA)
@@ -642,11 +667,13 @@ DECODED_FRAME_SCHEMA = T.StructType(
 )
 
 
-def _parse_y4m(b: bytes) -> Iterator[tuple[int, int, int, float, float, float]]:
-    """Yield (frame_idx, w, h, mean_y, mean_u, mean_v) per decodable
-    frame of a C444 Y4M stream. Non-Y4M / malformed payloads yield
-    nothing (quarantine-not-fail); truncated trailing frames are
-    dropped, complete leading frames still decode."""
+def _iter_y4m_frames(
+    b: bytes,
+) -> Iterator[tuple[int, int, int, "np.ndarray"]]:
+    """Yield (frame_idx, w, h, raw_planes) — the 3·w·h C444 sample
+    bytes — per decodable frame of a Y4M stream. Non-Y4M / malformed
+    payloads yield nothing (quarantine-not-fail); truncated trailing
+    frames are dropped, complete leading frames still decode."""
     if not b.startswith(Y4M_MAGIC):
         return
     nl = b.find(b"\n")
@@ -673,6 +700,17 @@ def _parse_y4m(b: bytes) -> Iterator[tuple[int, int, int, float, float, float]]:
         data = np.frombuffer(b, dtype=np.uint8)[fnl + 1 : fnl + 1 + 3 * plane]
         if data.size < 3 * plane:
             return
+        yield idx, w, h, data
+        pos = fnl + 1 + 3 * plane
+        idx += 1
+
+
+def _parse_y4m(b: bytes) -> Iterator[tuple[int, int, int, float, float, float]]:
+    """Yield (frame_idx, w, h, mean_y, mean_u, mean_v) per decodable
+    frame of a C444 Y4M stream (see :func:`_iter_y4m_frames` for the
+    malformed-payload contract)."""
+    for idx, w, h, data in _iter_y4m_frames(b):
+        plane = w * h
         sums = data.astype(np.int64).reshape(3, plane).sum(axis=1)
         yield (
             idx,
@@ -682,8 +720,6 @@ def _parse_y4m(b: bytes) -> Iterator[tuple[int, int, int, float, float, float]]:
             int(sums[1]) / plane,
             int(sums[2]) / plane,
         )
-        pos = fnl + 1 + 3 * plane
-        idx += 1
 
 
 def decode_video_frames(
@@ -695,8 +731,8 @@ def decode_video_frames(
     header, walk the FRAME markers, and decode every raw C444 plane to
     per-frame (width, height, mean Y/U/V) — the 1→N expansion of a real
     frame sampler with actual sample math, dependency-free. Compressed
-    containers (mp4/webm) would need ffmpeg and still go through
-    :func:`sample_frames`'s documented stub."""
+    containers (mp4/webm) would need ffmpeg; :func:`sample_frames`
+    shares this parser for its Y4M path and stubs only those."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -27,13 +27,28 @@ def feature_scale(
     df: DataFrame,
     value_col: str,
     group_cols: list[str],
+    decimal_scale: int = 2,
 ) -> DataFrame:
     """Add ``minmax_scaled``, ``z_score`` (population), and ``pct_rank``
     for ``value_col`` within each group. Degenerate groups are NULL-safe:
     constant groups yield NULL minmax/z (never 0/0), single rows yield
-    pct_rank 0."""
+    pct_rank 0.
+
+    ``decimal_scale`` is the fixed-point precision the z-score moments
+    are summed at (the price of order-independent exact sums — see the
+    module docstring): inputs with MORE fractional digits than this are
+    rounded inside the mean/variance while ``minmax_scaled`` and
+    ``pct_rank`` always use the raw values. The default (2) fits
+    currency-like columns. The moments sum at decimal(18, scale) so
+    the squared terms stay exactly representable (precision 37 ≤ 38),
+    which bounds |value| < 10^(18 − scale) — raising the scale trades
+    magnitude headroom for fractional precision."""
+    if not 0 <= decimal_scale <= 12:
+        raise ValueError(
+            f"decimal_scale must be in [0, 12], got {decimal_scale}"
+        )
     v = F.col(value_col)
-    dec = v.cast("decimal(18,2)")
+    dec = v.cast(f"decimal(18,{decimal_scale})")
     stats = df.groupBy(*group_cols).agg(
         F.min(v).alias("_mn"),
         F.max(v).alias("_mx"),

@@ -51,9 +51,16 @@ def winsorize(
 ) -> DataFrame:
     """Return ``df`` plus ``<value_col>_clipped``, ``q_lower``,
     ``q_upper`` — the input clipped to the exact per-group
-    [lower, upper] quantile band."""
+    [lower, upper] quantile band.
+
+    NULL handling: NULL values in ``value_col`` are excluded from the
+    quantile ranking (Spark would otherwise sort them FIRST and shift
+    every rank position, yielding NULL bounds) and from the output —
+    as are rows whose group key is NULL, which the equi-join back
+    drops. Pre-filter/impute upstream if those rows must survive."""
+    valued = df.where(F.col(value_col).isNotNull())
     w = Window.partitionBy(*group_cols).orderBy(value_col)
-    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+    ranked = valued.withColumn("_rn", F.row_number().over(w)).withColumn(
         "_n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
     )
     bounds = ranked.groupBy(*group_cols).agg(
@@ -64,7 +71,7 @@ def winsorize(
         F.greatest(F.col(value_col), F.col("q_lower")), F.col("q_upper")
     )
     return (
-        df.join(F.broadcast(bounds), group_cols)
+        valued.join(F.broadcast(bounds), group_cols)
         .withColumn(f"{value_col}_clipped", clipped)
     )
 
@@ -86,18 +93,23 @@ def mad_outliers(
     every derived double is bit-identical across engines. Adds
     ``median``, ``abs_dev``, ``mad``, ``is_outlier``.
 
+    NULL handling matches :func:`winsorize`: NULL values are excluded
+    from ranking and output (they would rank first and shift the
+    median), and NULL-keyed groups drop at the equi-join back.
+
     Scale shape: two per-group window sorts (values, then deviations) —
     exact medians cannot do better; each produces a group-count-sized
     frame that broadcasts back. All projections are codegen.
     """
+    valued = df.where(F.col(value_col).isNotNull())
     w = Window.partitionBy(*group_cols).orderBy(value_col)
-    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+    ranked = valued.withColumn("_rn", F.row_number().over(w)).withColumn(
         "_n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
     )
     med = ranked.groupBy(*group_cols).agg(
         _bound("_rn", value_col, "_n", 0.5).alias("median")
     )
-    with_dev = df.join(F.broadcast(med), group_cols).withColumn(
+    with_dev = valued.join(F.broadcast(med), group_cols).withColumn(
         "abs_dev", F.abs(F.col(value_col) - F.col("median"))
     )
     wd = Window.partitionBy(*group_cols).orderBy("abs_dev")

@@ -2164,6 +2164,14 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     test scale (measured: ≤7)."""
     from vacancy_gpt_etl_pipeline_spark.operators.graph import k_core
 
+    return k_core(_kcore_edges(spark, sf_dir), k=2, max_iter=15).orderBy(
+        "node"
+    )
+
+
+def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1997 part co-purchase edge list kcore_parts peels (also used
+    by the convergence-bound test)."""
     li = (
         _t(spark, sf_dir, "lineitem")
         .where(
@@ -2173,14 +2181,13 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
     )
     x, y = li.alias("x"), li.alias("y")
-    edges = x.join(
+    return x.join(
         y,
         (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
         & (F.col("x.l_partkey") < F.col("y.l_partkey")),
     ).select(
         F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
     )
-    return k_core(edges, k=2, max_iter=15).orderBy("node")
 
 
 def _kcore_sql(k: int = 2, depth: int = 10) -> str:
@@ -5981,7 +5988,11 @@ def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     max) span is a 1-row aggregate broadcast back; bin assignment is
     exact integer flooring of the identical IEEE width expression in
     both engines (the max row is clamped into the last bin rather than
-    opening bin N+1). One fact-sized aggregate total."""
+    opening bin N+1). A degenerate span (min == max — every value
+    identical) pins all rows to bin 0 explicitly instead of dividing by
+    a zero width, where the engines' NaN/NULL conventions diverge (the
+    same guard skyline2d's bucket assignment carries). One fact-sized
+    aggregate total."""
     nbins = 20
     orders = _t(spark, sf_dir, "orders").select("o_totalprice")
     span = orders.agg(
@@ -5989,9 +6000,10 @@ def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = F.col("o_totalprice")
     width = (F.col("mx") - F.col("mn")) / F.lit(float(nbins))
-    bin_ = F.least(
-        F.floor((v - F.col("mn")) / width), F.lit(nbins - 1)
-    ).cast("int")
+    bin_ = F.when(
+        F.col("mx") > F.col("mn"),
+        F.least(F.floor((v - F.col("mn")) / width), F.lit(nbins - 1)),
+    ).otherwise(F.lit(0)).cast("int")
     return (
         orders.join(F.broadcast(span))
         .groupBy(bin_.alias("bin"))
@@ -6009,7 +6021,9 @@ WITH span AS (
   SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
 )
 SELECT
-  CAST(LEAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 20.0)), 19) AS INT) AS bin,
+  CAST(CASE WHEN mx > mn
+    THEN LEAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 20.0)), 19)
+    ELSE 0 END AS INT) AS bin,
   CAST(COUNT(*) AS BIGINT) AS n_orders,
   MIN(o_totalprice) AS bin_min,
   MAX(o_totalprice) AS bin_max

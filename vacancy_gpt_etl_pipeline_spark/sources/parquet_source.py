@@ -42,23 +42,89 @@ def widen_scan(df: DataFrame, raw_scan: bool = False) -> DataFrame:
     drop 4-20× (winnowing 53.6 s → 2.4 s, simhash 25.6 s → 6.1 s,
     BM25 28.5 s → 11.5 s, IVF 16.7 s → 4.7 s).
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    # Fast path, ONLY valid for a frame that is a bare file scan (the
-    # read_table caller): there each file contributes ≥1 split, so a
-    # file count ≥ target proves the scan is wide WITHOUT the
-    # df.rdd.getNumPartitions() call (which forces physical planning
-    # plus a Python-RDD conversion — pure driver overhead). The general
-    # case cannot use the listing: a post-scan coalesce/repartition (or
-    # small-file bin-packing under non-default file confs) changes the
-    # partition count while inputFiles() stays the same, so arbitrary
-    # frames fall through to the exact .rdd check. Callers that widen a
-    # raw scan pass raw_scan=True; at cluster scale tables carry
-    # thousands of files and hot reads take the free path.
-    if raw_scan and len(df.inputFiles()) >= target:
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if raw_scan:
+        # Valid ONLY for a frame that is a bare file scan (the
+        # read_table caller): each file contributes ≥1 split, so a file
+        # count ≥ target proves the scan is wide from the listing
+        # alone. Below that, estimate the split count the way
+        # FilePartition packs files (maxSplitBytes = min(
+        # maxPartitionBytes, max(openCost, totalBytes/parallelism)))
+        # from driver-side file sizes — never df.rdd, which forces a
+        # Python-RDD conversion on top of physical planning. The
+        # estimate errs toward widening (an already-wide scan gains a
+        # benign exchange; semantics never change).
+        files = df.inputFiles()
+        if len(files) >= target:
+            return df
+        if _estimate_scan_splits(spark, files) < target:
+            return df.repartition(target)
         return df
-    if df.rdd.getNumPartitions() < target:
+    # General frames (post-shuffle/repartition) report their partition
+    # count through the JVM plan's outputPartitioning — again no Python
+    # RDD materialization. sparkPlan (pre-adaptive) carries the declared
+    # partitioning; the AQE wrapper itself reports UnknownPartitioning.
+    # Plans that don't declare a count (bare maps over scans print
+    # UnknownPartitioning(0)) widen defensively — a benign extra
+    # exchange, never a semantic change.
+    try:
+        n_parts = (
+            df._jdf.queryExecution().sparkPlan().outputPartitioning().numPartitions()
+        )
+    except Exception:
+        n_parts = 0
+    if n_parts < target:
         return df.repartition(target)
     return df
+
+
+_SIZE_SUFFIXES = {
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+}
+
+
+def _parse_bytes(value: str) -> int:
+    v = value.strip().lower()
+    for suffix in sorted(_SIZE_SUFFIXES, key=len, reverse=True):
+        if v.endswith(suffix):
+            return int(float(v[: -len(suffix)]) * _SIZE_SUFFIXES[suffix])
+    return int(float(v))
+
+
+def _estimate_scan_splits(spark: SparkSession, files: list[str]) -> int:
+    """Upper-bound-ish estimate of how many splits a file scan yields,
+    mirroring FilePartition.maxSplitBytes: split each file at
+    min(maxPartitionBytes, max(openCostInBytes, totalBytes/parallelism)).
+    Sizes come from the Hadoop FileSystem (works for any scheme, not
+    just file://); the call count is bounded by the caller's
+    files < parallelism guard."""
+    sc = spark.sparkContext
+    max_pb = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+    )
+    open_cost = _parse_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4MB")
+    )
+    hconf = sc._jsc.hadoopConfiguration()
+    jvm = sc._jvm
+    sizes = []
+    for p in files:
+        path = jvm.org.apache.hadoop.fs.Path(p)
+        fs = path.getFileSystem(hconf)
+        sizes.append(fs.getFileStatus(path).getLen())
+    total = sum(s + open_cost for s in sizes)
+    parallelism = max(sc.defaultParallelism, 1)
+    max_split = min(max_pb, max(open_cost, total // parallelism))
+    return sum(
+        -(-s // max_split) if s else 1 for s in sizes
+    )
 
 
 def read_table(

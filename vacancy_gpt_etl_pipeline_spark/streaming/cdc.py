@@ -17,7 +17,15 @@ committed batches; if a crash lands between the changelog append and
 the snapshot write, the replayed batch may re-append the same changes —
 ``read_changelog`` therefore deduplicates on (batch, key), making the
 log idempotent to consume (the same at-least-once + idempotent-read
-contract as the upsert delta log).
+contract as the upsert delta log). A crash between the snapshot write
+and the checkpoint commit makes the replayed batch write a SECOND,
+byte-identical snapshot under the next ``snap=N`` number — benign
+(``latest_snapshot`` picks it up and the state content is unchanged)
+but the duplicate directory is not reclaimed automatically.
+
+Snapshot discovery goes through the session's Hadoop FileSystem
+(``upsert._snapshot_ids``), so ``state_root`` may live on HDFS/S3/any
+configured scheme — not only the driver-local disk.
 """
 
 from __future__ import annotations
@@ -28,7 +36,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vacancy_gpt_etl_pipeline_spark.operators.diff import snapshot_diff
-from vacancy_gpt_etl_pipeline_spark.streaming.upsert import latest_snapshot
+from vacancy_gpt_etl_pipeline_spark.streaming.upsert import (
+    _snapshot_ids,
+    latest_snapshot,
+)
 
 BATCH_COL = "_batch_id"
 
@@ -93,11 +104,7 @@ def write_stream_changelog(
             .write.mode("append")
             .parquet(changelog_path)
         )
-        existing = []
-        if os.path.isdir(state_root):
-            for d in os.listdir(state_root):
-                if d.startswith("snap=") and d.split("=", 1)[1].isdigit():
-                    existing.append(int(d.split("=", 1)[1]))
+        existing = _snapshot_ids(state_root, spark)
         nxt = os.path.join(
             state_root, f"snap={max(existing, default=-1) + 1}"
         )

@@ -76,6 +76,38 @@ def read_upserted(
     )
 
 
+def _snapshot_ids(
+    snapshot_root: str, spark: SparkSession | None = None
+) -> list[int]:
+    """``snap=N`` ids under the root, listed through the Hadoop
+    FileSystem of the (active) SparkSession — so the snapshot store can
+    live on HDFS/S3/any configured scheme, not only the driver's local
+    disk (r6 ADVICE). Falls back to ``os.listdir`` only when no session
+    exists (pure-local unit use)."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is not None:
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        path = jvm.org.apache.hadoop.fs.Path(snapshot_root)
+        fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+        if not fs.exists(path):
+            return []
+        out = []
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            tail = name.split("=", 1)[1] if name.startswith("snap=") else ""
+            if st.isDirectory() and tail.isdigit():
+                out.append(int(tail))
+        return out
+    if not os.path.isdir(snapshot_root):
+        return []
+    return [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(snapshot_root)
+        if d.startswith("snap=") and d.split("=", 1)[1].isdigit()
+    ]
+
+
 def compact_upsert_log(
     spark: SparkSession,
     log_path: str,
@@ -88,14 +120,7 @@ def compact_upsert_log(
     never overwrite-in-place), so concurrent readers of an older snapshot
     are never corrupted; the newest ``snap=N`` dir is the current table.
     """
-    existing = []
-    if os.path.isdir(snapshot_root):
-        for d in os.listdir(snapshot_root):
-            if d.startswith("snap="):
-                try:
-                    existing.append(int(d.split("=", 1)[1]))
-                except ValueError:
-                    continue
+    existing = _snapshot_ids(snapshot_root, spark)
     nxt = os.path.join(snapshot_root, f"snap={max(existing, default=-1) + 1}")
     read_upserted(spark, log_path, key_cols, version_col).write.mode(
         "error"
@@ -105,14 +130,10 @@ def compact_upsert_log(
 
 def latest_snapshot(snapshot_root: str) -> str | None:
     """Path of the newest compacted snapshot, or None before the first
-    compaction."""
-    if not os.path.isdir(snapshot_root):
-        return None
-    snaps = [
-        (int(d.split("=", 1)[1]), d)
-        for d in os.listdir(snapshot_root)
-        if d.startswith("snap=") and d.split("=", 1)[1].isdigit()
-    ]
+    compaction. Listing goes through the active session's Hadoop
+    FileSystem (see :func:`_snapshot_ids`), so any configured scheme
+    works."""
+    snaps = _snapshot_ids(snapshot_root)
     if not snaps:
         return None
-    return os.path.join(snapshot_root, max(snaps)[1])
+    return os.path.join(snapshot_root, f"snap={max(snaps)}")
