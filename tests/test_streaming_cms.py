@@ -86,3 +86,43 @@ def test_daily_sketches_merge_to_global(spark, tmp_path):
     m = {(r["row"], r["bucket"]): r["counter"] for r in merged.collect()}
     d = {(r["row"], r["bucket"]): r["counter"] for r in direct.collect()}
     assert m == d
+
+
+def test_windowed_cms_per_window_one_sided_bound(spark, tmp_path):
+    """VERDICT r6 item 5 (windowed_cms mirrored-oracle demerit): an
+    algorithm-independent quality bound. Probing each DAY's sketch must
+    never underestimate that day's true per-user count (computed by an
+    exact groupBy — a different algorithm entirely) and stays within the
+    e·N_day/width overestimate bound."""
+    from vacancy_gpt_etl_pipeline_spark.operators.sketches import cms_estimate
+
+    src = tmp_path / "events.parquet"
+    _write_events(str(src))
+    df = spark.read.parquet(str(src))
+    daily = windowed_cms_agg(df, "user_id", "ts", "1 day")
+    day_col = F.to_date("ts").alias("day")
+    exact = {
+        (r["day"], r["user_id"]): r["cnt"]
+        for r in df.select(day_col, "user_id")
+        .groupBy("day", "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    days = sorted({d for d, _ in exact})
+    assert len(days) >= 3
+    for day in days:
+        sketch = daily.where(F.to_date("window_start") == F.lit(day)).select(
+            "row", "bucket", "counter"
+        )
+        probes = df.select("user_id").distinct()
+        est = {
+            r["user_id"]: r["estimate"]
+            for r in cms_estimate(sketch, probes, "user_id").collect()
+        }
+        n_day = sum(c for (d, _), c in exact.items() if d == day)
+        bound = 2.72 * n_day / 256
+        for (d, u), true_cnt in exact.items():
+            if d != day:
+                continue
+            assert est[u] >= true_cnt, (day, u, est[u], true_cnt)
+            assert est[u] - true_cnt <= bound, (day, u, est[u], true_cnt)

@@ -6998,18 +6998,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "pmi_collocations": QuerySpec(pmi_collocations_query, PMI_SQL),
     "zorder_manifest": QuerySpec(zorder_manifest_query, _zorder_sql()),
     "training_prep_pipeline": QuerySpec(training_prep_pipeline, TRAINING_PREP_SQL),
-    # -- new in round-6 session 4: slots 47-50 are the last in-window ----
-    # driver positions; the remaining session-4 entries sit at 51+ where
-    # tests/test_oracle.py exact-compares them every run and the round-7
-    # rotation will hand them driver rows.
-    #
-    # ROUND-7 ROTATION PLAN (for the next session): after the round-6
-    # driver gate lands, every entry from `q14_promo_revenue` through
-    # `pareto_revenue_concentration` (the session-4 tail, ~34 entries)
-    # has NO driver row yet — move that whole block to the FRONT of the
-    # registry, and push the current head (the 46 entries with fresh
-    # r6 rows) to the back. That covers the full surface across two
-    # rounds, same as the r5→r6 rotation did.
+    # -- new in round-6 session 4 ----------------------------------------
+    # NOTE: the literal order below is the round-6 layout, kept for diff
+    # stability; the EFFECTIVE round-7 order is applied by the _R7_FRONT
+    # rotation after this dict (44 never-driver-checked entries first —
+    # see the rotation comment there). tests/test_oracle.py exact-
+    # compares every entry each run regardless of position.
     "q5_local_supplier_volume": QuerySpec(q5_local_supplier_volume, Q5_SQL),
     "snapshot_diff_orders": QuerySpec(snapshot_diff_orders, SNAPSHOT_DIFF_SQL),
     "triangle_count_parts": QuerySpec(triangle_count_parts, TRIANGLE_SQL),
