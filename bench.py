@@ -37,12 +37,13 @@ def _load_previous(repo_dir: str, sf) -> tuple[str, dict[str, float]] | None:
     query against the driver's sf0.1 record), so only a matching scale
     factor counts as a baseline.
     """
-    # BENCH_SELF*.json carries the full float-precision map (written by this
-    # script since r7, when the 140-entry map stopped fitting the driver's
-    # stdout tail); fall back to the driver-recorded BENCH_r*.json history.
-    paths = sorted(
-        glob.glob(os.path.join(repo_dir, "BENCH_SELF*.json")), reverse=True
-    ) + sorted(
+    # BENCH_SELF.json carries the full float-precision map of the most
+    # recent run (written by this script since r7, when the 140-entry map
+    # stopped fitting the driver's stdout tail); round-stamped archive
+    # copies (BENCH_SELF_r*.json) are for the judge, not the baseline —
+    # they would shadow newer runs. Fall back to the driver-recorded
+    # BENCH_r*.json history.
+    paths = [os.path.join(repo_dir, "BENCH_SELF.json")] + sorted(
         glob.glob(os.path.join(repo_dir, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
         reverse=True,
