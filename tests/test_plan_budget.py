@@ -32,7 +32,12 @@ SHUFFLE_FORMS = (
     "Exchange rangepartitioning",
     "Exchange SinglePartition",
 )
-GATED = ("ShuffleExchange", "SortMergeJoin", "CartesianProduct")
+GATED = (
+    "ShuffleExchange",
+    "SortMergeJoin",
+    "CartesianProduct",
+    "UnpartitionedWindow",
+)
 REGEN = os.environ.get("SPARK_GRAFT_REGEN_PLAN_BUDGET") == "1"
 
 
@@ -54,6 +59,21 @@ def _distinct_nodes(plan: str, form: str) -> int:
     return len(seen)
 
 
+def _count_unpartitioned_windows(plan: str) -> int:
+    import re
+
+    seen = set()
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
+        head = spec.split(",")[0].strip()
+        if (
+            head.startswith("specifiedwindowframe")
+            or " ASC" in head
+            or " DESC" in head
+        ):
+            seen.add(spec)
+    return len(seen)
+
+
 def _counts(spark, sf_dir: str, name: str) -> dict[str, int]:
     # budgets are the COLD plan shape: Spark's cache manager substitutes
     # InMemoryRelation for any matching sub-plan another query persisted
@@ -66,6 +86,14 @@ def _counts(spark, sf_dir: str, name: str) -> dict[str, int]:
         "ShuffleExchange": sum(_distinct_nodes(plan, p) for p in SHUFFLE_FORMS),
         "SortMergeJoin": _distinct_nodes(plan, "SortMergeJoin"),
         "CartesianProduct": _distinct_nodes(plan, "CartesianProduct"),
+        # single-task global sort: a window spec with an empty partition
+        # list (first arg is a sort expression or the frame itself).
+        # Five recorded uses run over bounded frames (calendar months,
+        # the 9-digit Benford frame, group-count grand totals, skyline's
+        # B-row bucket frame) — the gate stops any NEW one from landing
+        # on a data-sized frame unnoticed (the r6 judge's rfm/pareto/
+        # ntile flag, made permanent)
+        "UnpartitionedWindow": _count_unpartitioned_windows(plan),
         # recorded for context only — broadcasts are cheap by design
         "BroadcastHashJoin": _distinct_nodes(plan, "BroadcastHashJoin"),
     }
