@@ -86,11 +86,14 @@ def ranked_partitions(
     ]
     if sum_col is not None:
         aggs.append(F.sum(sum_col).alias("_psum"))
-    # stats is ≤ P×G rows but derives from the (big) cached frame, and
-    # its consumers read it three times (both sides of the prefix
-    # theta-join plus the group totals) — persisting it caps the passes
-    # over the cached data at one aggregate + one rank-join probe
-    stats = local.groupBy("_pid", *group_cols).agg(*aggs).persist()
+    # stats is ≤ P×G rows; its three consumers (both sides of the
+    # prefix theta-join plus the group totals) each re-derive it from
+    # the PERSISTED local frame — a map-side aggregate over cached
+    # partitions, no shuffle of data rows. Persisting stats too was
+    # measured SLOWER (5.3 s vs 3.4 s warm for rfm_segments at sf0.1):
+    # the extra materialization barrier costs more than two in-memory
+    # aggregate passes save, at any scale where the cache holds.
+    stats = local.groupBy("_pid", *group_cols).agg(*aggs)
     return local, stats
 
 
