@@ -13,6 +13,7 @@ from __future__ import annotations
 import zlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
     GIF_HEADER_LEN,
@@ -407,3 +408,241 @@ def test_synthesized_y4m_round_trip(spark):
             assert (r.mean_y, r.mean_u, r.mean_v) == tuple(
                 s / plane for s in sums
             )
+
+
+# ---- full compressed-format decode (round 7: PNG inflate, GIF LZW) ----
+
+
+def _build_png(w, h, pixels, filters, ctype=2):
+    """Spec-correct PNG encoder for fixtures: per-row forward filtering
+    (the inverse of the decoder's unfilter) + zlib, real CRCs."""
+    import struct
+    import zlib
+
+    nch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * nch
+    flat = bytes(pixels)
+    assert len(flat) == h * stride
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = flat[y * stride : (y + 1) * stride]
+        ft = filters[y % len(filters)]
+        raw.append(ft)
+        for i in range(stride):
+            a = line[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if ft == 0:
+                enc = line[i]
+            elif ft == 1:
+                enc = (line[i] - a) & 255
+            elif ft == 2:
+                enc = (line[i] - b) & 255
+            elif ft == 3:
+                enc = (line[i] - ((a + b) >> 1)) & 255
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                enc = (line[i] - pred) & 255
+            raw.append(enc)
+        prev = line
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _build_gif(w, h, indices, palette):
+    """Minimal valid GIF89a: global color table + one image block whose
+    LZW stream interleaves CLEAR codes so the table never grows — a
+    legal stream any decoder accepts, trivially encodable."""
+    n_colors = len(palette) // 3
+    depth = max(2, (n_colors - 1).bit_length())
+    pal = bytes(palette) + bytes(3 * ((1 << depth) - n_colors))
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (depth - 1), 0, 0])  # GCT flag + size
+    out += pal
+    out += b"\x2c" + bytes(4) + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    min_code = depth
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    cs = min_code + 1
+    codes = [clear]
+    for px in indices:
+        codes += [px, clear]
+    codes[-1] = end  # final clear -> end-of-information
+    acc = nbits = 0
+    packed = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += cs
+        while nbits >= 8:
+            packed.append(acc & 255)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 255)
+    out += bytes([min_code])
+    for i in range(0, len(packed), 255):
+        blockdata = packed[i : i + 255]
+        out += bytes([len(blockdata)]) + blockdata
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_png_full_decode_all_filter_types(spark):
+    """Round-trip: spec-encoded PNG (every filter type exercised across
+    rows) must decode to the exact planted channel means."""
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        decode_images,
+    )
+
+    w, h = 7, 10
+    pixels = bytearray()
+    for y in range(h):
+        for x in range(w):
+            pixels += bytes(((x * 31 + y * 7) % 256, (x * 5) % 256, (y * 11) % 256))
+    payload = _build_png(w, h, pixels, filters=[0, 1, 2, 3, 4])
+    df = spark.createDataFrame([(1, bytearray(payload))], "asset_id long, content binary")
+    row = decode_images(df).collect()[0]
+    assert (row["fmt"], row["width"], row["height"], row["bit_depth"]) == ("png", 7, 10, 8)
+    n = w * h
+    arr = [pixels[i : i + 3] for i in range(0, len(pixels), 3)]
+    assert row["mean_r"] == sum(p[0] for p in arr) / n
+    assert row["mean_g"] == sum(p[1] for p in arr) / n
+    assert row["mean_b"] == sum(p[2] for p in arr) / n
+
+
+def test_png_grayscale_and_alpha_channels(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        _png_channel_means,
+    )
+
+    # grayscale: single channel maps to all three means
+    w, h = 4, 3
+    gray = bytes((x * 17 + y * 3) % 256 for y in range(h) for x in range(w))
+    mb, mg, mr = _png_channel_means(_build_png(w, h, gray, [0, 2], ctype=0))
+    want = sum(gray) / (w * h)
+    assert mb == mg == mr == want
+    # RGBA: alpha excluded from means
+    rgba = bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in ((x * 3) % 256, (y * 5) % 256, (x + y) % 256, 200)
+    )
+    mb, mg, mr = _png_channel_means(_build_png(w, h, rgba, [4], ctype=6))
+    n = w * h
+    quads = [rgba[i : i + 4] for i in range(0, len(rgba), 4)]
+    assert mr == sum(q[0] for q in quads) / n
+    assert mb == sum(q[2] for q in quads) / n
+
+
+def test_png_header_only_payload_yields_null_means(spark):
+    """The JVM fixture synthesizer's PNG (header + text body, no IDAT)
+    must keep decoding header-only — null channel means, no error."""
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        decode_images,
+        synthesize_image_payload,
+    )
+
+    docs = spark.createDataFrame([(2, "hello world")], "doc_id long, text string")
+    docs = docs.withColumn("n_chars", F.length("text"))
+    assets = synthesize_image_payload(docs)
+    row = decode_images(assets).collect()[0]
+    assert row["fmt"] == "png"
+    assert row["mean_b"] is None and row["mean_r"] is None
+
+
+def test_gif_lzw_full_decode(spark):
+    """Planted palette image through the LZW round-trip: exact means."""
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        decode_images,
+    )
+
+    w, h = 6, 5
+    palette = [10, 20, 30, 200, 100, 50, 0, 255, 128, 77, 66, 55]
+    indices = [(x + y) % 4 for y in range(h) for x in range(w)]
+    payload = _build_gif(w, h, indices, palette)
+    df = spark.createDataFrame([(1, bytearray(payload))], "asset_id long, content binary")
+    row = decode_images(df).collect()[0]
+    assert (row["fmt"], row["width"], row["height"]) == ("gif", 6, 5)
+    n = w * h
+    assert row["mean_r"] == sum(palette[3 * i] for i in indices) / n
+    assert row["mean_g"] == sum(palette[3 * i + 1] for i in indices) / n
+    assert row["mean_b"] == sum(palette[3 * i + 2] for i in indices) / n
+
+
+def test_gif_lzw_growing_dictionary_stream(spark):
+    """A REAL LZW stream (dictionary growth, no interleaved clears) —
+    encoded here with the standard compressor — must also decode."""
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        _gif_lzw_decode,
+    )
+
+    # reference LZW compressor (textbook GIF variant)
+    def lzw_encode(indices, min_code):
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        cs = min_code + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = end + 1
+        codes = [clear]
+        buf = b""
+        for px in indices:
+            cand = buf + bytes([px])
+            if cand in table:
+                buf = cand
+                continue
+            codes.append(table[buf])
+            if next_code < 4096:
+                table[cand] = next_code
+                next_code += 1
+            buf = bytes([px])
+        if buf:
+            codes.append(table[buf])
+        codes.append(end)
+        # pack LSB-first with the same width schedule the decoder uses
+        out = bytearray()
+        acc = nbits = 0
+        cs = min_code + 1
+        nc = end + 1
+        for c in codes:
+            acc |= c << nbits
+            nbits += cs
+            while nbits >= 8:
+                out.append(acc & 255)
+                acc >>= 8
+                nbits -= 8
+            if c == clear:
+                cs = min_code + 1
+                nc = end + 1
+            else:
+                # widen BEFORE counting this emission: the decoder's
+                # next_code (one behind) hits 2^cs right after consuming
+                # this code, so the NEXT code is already written wider
+                if nc < 4096:
+                    if nc == (1 << cs) and cs < 12:
+                        cs += 1
+                    nc += 1
+        if nbits:
+            out.append(acc & 255)
+        return bytes(out)
+
+    indices = [(i * i) % 4 for i in range(500)]
+    data = lzw_encode(indices, 2)
+    got = _gif_lzw_decode(data, 2, len(indices))
+    assert got == bytes(indices)

@@ -7,17 +7,18 @@ headers (PNG signature + IHDR chunk with a true CRC-32, GIF89a logical
 screen descriptor), and :func:`decode_images` recovers width / height /
 bit depth by parsing those bytes — the same offsets and endianness any
 image tool reads (PNG spec: 4-byte big-endian dims at IHDR offsets 0/4;
-GIF spec: little-endian u16 dims at bytes 6/8). For the UNCOMPRESSED
-formats the decode goes all the way to samples: 24-bpp BMP pixel arrays
-(padding-stripped BGR channel means) and 16-bit PCM WAV data chunks
-(frame count, peak, mean |amplitude|) are fully decoded — no codec
-needed, the bytes ARE the samples. Video gets the same treatment via
+GIF spec: little-endian u16 dims at bytes 6/8). The decode goes all the
+way to samples for every image format: 24-bpp BMP pixel arrays
+(padding-stripped BGR channel means), PNG via stdlib-zlib IDAT inflate
+plus full scanline unfiltering (all five filter types), and GIF via a
+pure-arithmetic LZW decoder over the first frame — no external codec
+library anywhere. Audio decodes 16-bit PCM WAV data chunks (frame
+count, peak, mean |amplitude|); video gets the same treatment via
 YUV4MPEG2 (:func:`decode_video_frames` walks FRAME markers and decodes
-raw C444 planes to per-frame statistics). Only the compressed paths
-stop at the header (PNG IDAT inflate / GIF LZW / mp4 would need a
-codec library this container doesn't ship); :func:`sample_frames`
-emits real raw-plane frames for Y4M payloads and falls back to a
-documented deterministic slicer only for compressed codecs.
+raw C444 planes to per-frame statistics). Only compressed VIDEO
+containers (mp4/webm) stop at metadata — they genuinely need ffmpeg;
+:func:`sample_frames` emits real raw-plane frames for Y4M payloads and
+falls back to a documented deterministic slicer only for those codecs.
 
 Scale notes: binary payloads dominate row size, so ``mapInPandas`` with a
 small ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds executor
@@ -476,6 +477,227 @@ def _bmp_channel_means(
     )
 
 
+def _png_pixels(b: bytes) -> tuple[int, int, int, "np.ndarray"] | None:
+    """FULL PNG pixel decode, dependency-free: walk the chunk stream,
+    concatenate IDAT, ``zlib.decompress`` (zlib is stdlib — no codec
+    library needed after all), and undo the five scanline filters
+    (None/Sub/Up/Average/Paeth) per spec. Supports the non-interlaced
+    8-bit-depth color types (grayscale 0, truecolor 2, truecolor+alpha
+    6). Returns (w, h, n_channels, h×(w·nch) sample array) or None for
+    unsupported/malformed payloads (quarantine-not-fail).
+
+    The per-byte unfilter loop is Python — fine for the fixture-scale
+    images the tests decode; a production deployment would swap in a
+    codec library behind the same mapInPandas plumbing."""
+    import zlib
+
+    if not b.startswith(PNG_SIG):
+        return None
+    pos = 8
+    w = h = depth = ctype = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            return None
+        if typ == b"IHDR":
+            if ln != 13:
+                return None
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype, interlace = data[8], data[9], data[12]
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + data + crc
+    nch = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if not idat or not w or not h or depth != 8 or nch is None or interlace:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = nch
+    p = 0
+    for y in range(h):
+        ft = raw[p]
+        line = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        prev = out[y - 1] if y > 0 else bytes(stride)
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 255
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 255
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 255
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pr = a + up - c
+                pa, pb, pc = abs(pr - a), abs(pr - up), abs(pr - c)
+                line[i] = (
+                    line[i]
+                    + (a if pa <= pb and pa <= pc else up if pb <= pc else c)
+                ) & 255
+        elif ft != 0:
+            return None
+        out[y] = np.frombuffer(bytes(line), np.uint8)
+    return w, h, nch, out
+
+
+def _png_channel_means(
+    b: bytes,
+) -> tuple[float | None, float | None, float | None]:
+    """(mean_b, mean_g, mean_r) of a decodable PNG — exact integer sums
+    over the unfiltered samples, one IEEE division each. Grayscale maps
+    its single channel to all three; alpha is excluded."""
+    decoded = _png_pixels(b)
+    if decoded is None:
+        return (None, None, None)
+    w, h, nch, px = decoded
+    samples = px.reshape(h * w, nch).astype(np.int64)
+    cnt = w * h
+    if nch == 1:
+        m = int(samples[:, 0].sum()) / cnt
+        return (m, m, m)
+    mr = int(samples[:, 0].sum()) / cnt
+    mg = int(samples[:, 1].sum()) / cnt
+    mb = int(samples[:, 2].sum()) / cnt
+    return (mb, mg, mr)
+
+
+def _gif_lzw_decode(
+    data: bytes, min_code_size: int, n_pixels: int
+) -> bytes | None:
+    """GIF-variant LZW: LSB-first packed variable-width codes, dictionary
+    reset on CLEAR, width growth at 2^size up to 12 bits. Pure
+    arithmetic — no codec library. Returns exactly ``n_pixels`` color
+    indices or None."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while len(out) < n_pixels:
+        if bitpos + code_size > total_bits:
+            break
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i : byte_i + 4], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == end:
+            break
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return bytes(out[:n_pixels]) if len(out) >= n_pixels else None
+
+
+def _gif_channel_means(
+    b: bytes,
+) -> tuple[float | None, float | None, float | None]:
+    """(mean_b, mean_g, mean_r) of a GIF's FIRST image frame: walk the
+    block stream past extensions, decode the LZW-compressed index
+    stream (:func:`_gif_lzw_decode`), and average the palette-mapped
+    RGB triples. Header-only payloads (no image descriptor — the JVM
+    fixture synthesizer's shape) and malformed streams yield nulls."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return (None, None, None)
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        sz = 2 ** ((packed & 7) + 1)
+        gct = b[pos : pos + 3 * sz]
+        if len(gct) < 3 * sz:
+            return (None, None, None)
+        pos += 3 * sz
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x3B:  # trailer
+            break
+        if blk == 0x21:  # extension: introducer + label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if blk != 0x2C:  # not an image descriptor
+            return (None, None, None)
+        if pos + 10 > len(b):
+            return (None, None, None)
+        iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
+        ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
+        ipacked = b[pos + 9]
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:  # local color table
+            sz = 2 ** ((ipacked & 7) + 1)
+            pal = b[pos : pos + 3 * sz]
+            if len(pal) < 3 * sz:
+                return (None, None, None)
+            pos += 3 * sz
+        if pal is None or pos >= len(b) or iw <= 0 or ih <= 0:
+            return (None, None, None)
+        if ipacked & 0x40:  # interlaced: row order permuted, skip
+            return (None, None, None)
+        min_code = b[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            n = b[pos]
+            data += b[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        idx = _gif_lzw_decode(bytes(data), min_code, iw * ih)
+        if idx is None:
+            return (None, None, None)
+        arr = np.frombuffer(idx, np.uint8).astype(np.int64)
+        pal_arr = np.frombuffer(pal, np.uint8).reshape(-1, 3).astype(np.int64)
+        if int(arr.max()) >= len(pal_arr):
+            return (None, None, None)
+        rgb = pal_arr[arr]
+        cnt = iw * ih
+        return (
+            int(rgb[:, 2].sum()) / cnt,
+            int(rgb[:, 1].sum()) / cnt,
+            int(rgb[:, 0].sum()) / cnt,
+        )
+    return (None, None, None)
+
+
 def decode_images(
     df: DataFrame,
     id_col: str = "asset_id",
@@ -484,12 +706,14 @@ def decode_images(
     """Decode image payloads to (fmt, width, height, bit_depth, n_bytes,
     mean_luma, channel means) by parsing the REAL bytes (Arrow-batched
     ``mapInPandas`` — per-payload work is the genuine shape of a decode
-    stage). PNG/GIF decode stops at the header (IDAT inflate / LZW needs
-    a codec library this container doesn't ship); BMP payloads get a
-    FULL pixel decode — padding-stripped BGR channel means over the
-    uncompressed pixel array (:func:`_bmp_channel_means`). ``mean_luma``
-    is the mean of the raw body bytes behind the header — the format-
-    agnostic statistic."""
+    stage). ALL three formats now decode to samples when the payload
+    carries them: BMP pixel arrays (:func:`_bmp_channel_means`), PNG via
+    stdlib-zlib IDAT inflate + scanline unfiltering
+    (:func:`_png_channel_means`), GIF via a pure-arithmetic LZW decoder
+    (:func:`_gif_channel_means`). Header-only payloads (e.g. the JVM
+    fixture synthesizer's PNG-with-text-body) yield null channel means —
+    quarantine-not-fail. ``mean_luma`` is the mean of the raw body bytes
+    behind the header — the format-agnostic statistic."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -512,6 +736,10 @@ def decode_images(
                 mb = mg = mr = None
                 if fmt == "bmp" and depth == 24:
                     mb, mg, mr = _bmp_channel_means(b, w, h, off)
+                elif fmt == "png":
+                    mb, mg, mr = _png_channel_means(b)
+                elif fmt == "gif":
+                    mb, mg, mr = _gif_channel_means(b)
                 rows["asset_id"].append(int(aid))
                 rows["fmt"].append(fmt)
                 rows["width"].append(w)
