@@ -1,0 +1,249 @@
+"""Round-7 closed-form batch for the analytics pack entries whose only
+prior verification was the (mirrored) DuckDB oracle: each test plants a
+tiny dataset whose correct answer is derived by hand or in plain Python,
+independent of any SQL formulation."""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime, timedelta
+
+from pyspark.sql import Row
+
+
+def _write_tables(spark, tmp_path, **tables):
+    sf_dir = str(tmp_path / "sf")
+    for name, df in tables.items():
+        df.write.parquet(f"{sf_dir}/{name}.parquet")
+    return sf_dir
+
+
+def _event(eid, uid, ts, etype, value=1.0):
+    return Row(
+        event_id=eid, user_id=uid, ts=ts, event_type=etype, value=value, props="{}"
+    )
+
+
+def test_benford_first_significant_digit(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import benford_price_digits
+
+    # digits: 1.50→1, 19.00→1, 123.00→1, 0.50→5, 950.00→9;
+    # 0.001 rounds to 0.00 at decimal(18,2) → dropped entirely
+    orders = spark.createDataFrame(
+        [(v,) for v in (1.5, 19.0, 123.0, 0.5, 950.0, 0.001)],
+        "o_totalprice double",
+    )
+    sf_dir = _write_tables(spark, tmp_path, orders=orders)
+    got = {r["digit"]: r for r in benford_price_digits(spark, sf_dir).collect()}
+    assert set(got) == {1, 5, 9}
+    assert got[1]["n_orders"] == 3 and got[1]["observed_share"] == 0.6
+    assert got[5]["observed_share"] == 0.2 and got[9]["observed_share"] == 0.2
+    assert got[1]["benford_share"] == round(math.log10(2), 6)
+    assert got[9]["benford_share"] == round(math.log10(1 + 1 / 9), 6)
+
+
+def test_ab_test_z_statistic_closed_form(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import ab_test_conversion
+
+    # variant = user_id % 2. Users 2,4,6,8 (variant 0): 2 and 4 convert
+    # (purchase ≥ 250). Users 1,3,5,7 (variant 1): only 1 converts.
+    rows, eid = [], 0
+    for u in range(1, 9):
+        eid += 1
+        rows.append(_event(eid, u, datetime(2024, 1, 2, 9), "view"))
+    for u, v in ((2, 300.0), (4, 260.0), (1, 999.0), (3, 100.0)):
+        eid += 1
+        rows.append(_event(eid, u, datetime(2024, 1, 3, 9), "purchase", v))
+    sf_dir = _write_tables(spark, tmp_path, events=spark.createDataFrame(rows))
+    row = ab_test_conversion(spark, sf_dir).collect()[0]
+    assert (row["users_a"], row["conv_a"], row["users_b"], row["conv_b"]) == (4, 2, 4, 1)
+    p_a, p_b = 0.5, 0.25
+    pool = 3 / 8
+    se = math.sqrt(pool * (1 - pool) * (1 / 4 + 1 / 4))
+    assert row["rate_a"] == p_a and row["rate_b"] == p_b
+    assert row["z_score"] == (p_a - p_b) / se
+    assert row["significant_95"] is False
+
+
+def test_diff_in_diff_four_cells(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import diff_in_diff_conversion
+
+    # period 0: ts < 2024-01-16. control (even users) 2,4; treat (odd) 1,3.
+    # control: before rate 1/2 (u2 converts), after rate 1/2 (u4 converts)
+    # treat: before 0/2, after 1/2 (u1 converts) → DiD = (0.5-0) - (0.5-0.5)
+    rows, eid = [], 0
+    before, after = datetime(2024, 1, 10, 9), datetime(2024, 1, 20, 9)
+    for u in (1, 2, 3, 4):
+        eid += 1
+        rows.append(_event(eid, u, before, "view"))
+        eid += 1
+        rows.append(_event(eid, u, after, "view"))
+    eid += 1
+    rows.append(_event(eid, 2, before, "purchase", 300.0))
+    eid += 1
+    rows.append(_event(eid, 4, after, "purchase", 300.0))
+    eid += 1
+    rows.append(_event(eid, 1, after, "purchase", 300.0))
+    sf_dir = _write_tables(spark, tmp_path, events=spark.createDataFrame(rows))
+    row = diff_in_diff_conversion(spark, sf_dir).collect()[0]
+    assert (row["control_before"], row["control_after"]) == (0.5, 0.5)
+    assert (row["treat_before"], row["treat_after"]) == (0.0, 0.5)
+    assert row["did_estimate"] == 0.5
+
+
+def test_event_transition_matrix_hand_counts(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import event_transition_matrix
+
+    t0 = datetime(2024, 1, 1, 8)
+    rows = [
+        _event(1, 1, t0, "A"),
+        _event(2, 1, t0 + timedelta(hours=1), "B"),
+        _event(3, 1, t0 + timedelta(hours=2), "A"),
+        _event(4, 2, t0, "A"),
+        _event(5, 2, t0 + timedelta(hours=1), "A"),
+    ]
+    sf_dir = _write_tables(spark, tmp_path, events=spark.createDataFrame(rows))
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["probability"])
+        for r in event_transition_matrix(spark, sf_dir).collect()
+    }
+    assert got == {
+        ("A", "B"): (1, 0.5),
+        ("A", "A"): (1, 0.5),
+        ("B", "A"): (1, 1.0),
+    }
+
+
+def test_seasonality_iso_weekday_index(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import seasonality_dow_index
+
+    # 2024-01-01 is a Monday (ISO 1), 2024-01-07 a Sunday (ISO 7):
+    # 6 Monday events + 1 Sunday event → index 6.0 and 1.0
+    rows = [_event(i, 1, datetime(2024, 1, 1, 8 + i), "X") for i in range(6)]
+    rows.append(_event(99, 1, datetime(2024, 1, 7, 8), "X"))
+    sf_dir = _write_tables(spark, tmp_path, events=spark.createDataFrame(rows))
+    got = {r["iso_dow"]: r for r in seasonality_dow_index(spark, sf_dir).collect()}
+    assert set(got) == {1, 7}
+    assert got[1]["n_events"] == 6 and got[1]["seasonality_index"] == (6 / 7) * 7.0
+    assert got[7]["seasonality_index"] == (1 / 7) * 7.0
+
+
+def test_fulfillment_aging_exact_day_gaps(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import order_fulfillment_aging
+
+    orders = spark.createDataFrame(
+        [
+            (1, date(1996, 1, 1), "1-URGENT"),
+            (2, date(1996, 1, 1), "1-URGENT"),
+            (3, date(1996, 2, 1), "5-LOW"),
+        ],
+        "o_orderkey long, o_orderdate date, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, date(1996, 1, 5)),
+            (1, date(1996, 1, 11)),  # last ship → age 10
+            (2, date(1996, 1, 3)),  # age 2
+            (3, date(1996, 2, 21)),  # age 20
+        ],
+        "l_orderkey long, l_shipdate date",
+    )
+    sf_dir = _write_tables(spark, tmp_path, orders=orders, lineitem=li)
+    got = {r["o_orderpriority"]: r for r in order_fulfillment_aging(spark, sf_dir).collect()}
+    assert got["1-URGENT"]["n_orders"] == 2
+    assert got["1-URGENT"]["avg_age_days"] == 6.0  # (10 + 2) / 2
+    assert got["1-URGENT"]["max_age_days"] == 10
+    assert got["5-LOW"]["avg_age_days"] == 20.0
+
+
+def test_modal_priority_deterministic_tie_break(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import modal_priority_per_status
+
+    # status O: priorities tied 2-2 → lexicographically smallest wins
+    orders = spark.createDataFrame(
+        [
+            ("O", "3-MEDIUM"),
+            ("O", "3-MEDIUM"),
+            ("O", "1-URGENT"),
+            ("O", "1-URGENT"),
+            ("F", "5-LOW"),
+        ],
+        "o_orderstatus string, o_orderpriority string",
+    )
+    sf_dir = _write_tables(spark, tmp_path, orders=orders)
+    got = {r["o_orderstatus"]: r for r in modal_priority_per_status(spark, sf_dir).collect()}
+    assert got["O"]["modal_priority"] == "1-URGENT" and got["O"]["n_orders"] == 2
+    assert got["F"]["modal_priority"] == "5-LOW"
+
+
+def test_linear_attribution_even_split_and_window(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import linear_attribution
+
+    t = datetime(2024, 1, 10, 12)
+    rows = [
+        _event(1, 1, t, "purchase", 12.0),
+        _event(2, 1, t - timedelta(days=1), "view"),
+        _event(3, 1, t - timedelta(days=2), "click"),
+        _event(4, 1, t - timedelta(days=8), "view"),  # outside 7-day window
+        _event(5, 2, t, "purchase", 99.0),  # user 2 has no touches → uncredited
+    ]
+    sf_dir = _write_tables(spark, tmp_path, events=spark.createDataFrame(rows))
+    got = {r["touch_type"]: r for r in linear_attribution(spark, sf_dir).collect()}
+    assert set(got) == {"view", "click"}
+    assert got["view"]["n_credits"] == 1 and got["view"]["credited_value"] == 6.0
+    assert got["click"]["credited_value"] == 6.0
+
+
+def test_dau_wau_trailing_window(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import dau_wau_stickiness
+
+    d1, d5 = datetime(2024, 1, 1, 9), datetime(2024, 1, 5, 9)
+    rows = [
+        _event(1, 10, d1, "view"),
+        _event(2, 20, d1, "view"),
+        _event(3, 10, d5, "view"),
+    ]
+    sf_dir = _write_tables(spark, tmp_path, events=spark.createDataFrame(rows))
+    got = {r["day"]: r for r in dau_wau_stickiness(spark, sf_dir).collect()}
+    assert got["2024-01-01"]["dau"] == 2 and got["2024-01-01"]["wau"] == 2
+    # day 5's trailing 7-day window still sees both day-1 users
+    assert got["2024-01-05"]["dau"] == 1 and got["2024-01-05"]["wau"] == 2
+    assert got["2024-01-05"]["stickiness"] == 0.5
+
+
+def test_monthly_growth_exact_deltas(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import monthly_revenue_growth
+
+    orders = spark.createDataFrame(
+        [
+            (date(1996, 1, 10), 100.0),
+            (date(1996, 1, 20), 50.0),
+            (date(1996, 2, 5), 300.0),
+        ],
+        "o_orderdate date, o_totalprice double",
+    )
+    sf_dir = _write_tables(spark, tmp_path, orders=orders)
+    got = {r["month"]: r for r in monthly_revenue_growth(spark, sf_dir).collect()}
+    assert got["1996-01"]["revenue"] == 150.0
+    assert got["1996-01"]["mom_delta"] is None  # first month has no prior
+    assert got["1996-02"]["mom_delta"] == 150.0
+    assert got["1996-02"]["mom_growth"] == 1.0
+
+
+def test_cohort_ltv_cumulative_per_user(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import cohort_ltv_curve
+
+    # one cohort of 2 users first seen Mon 2024-01-01; purchases of 10
+    # in week 0 and 30 in week 1 → ltv/user 5.0 then 20.0
+    mon = datetime(2024, 1, 1, 9)
+    rows = [
+        _event(1, 1, mon, "view"),
+        _event(2, 2, mon, "view"),
+        _event(3, 1, mon + timedelta(days=1), "purchase", 10.0),
+        _event(4, 2, mon + timedelta(days=8), "purchase", 30.0),
+    ]
+    sf_dir = _write_tables(spark, tmp_path, events=spark.createDataFrame(rows))
+    got = {r["week_offset"]: r for r in cohort_ltv_curve(spark, sf_dir).collect()}
+    assert got[0]["cohort_users"] == 2
+    assert got[0]["week_revenue"] == 10.0 and got[0]["ltv_per_user"] == 5.0
+    assert got[1]["cum_revenue"] == 40.0 and got[1]["ltv_per_user"] == 20.0
