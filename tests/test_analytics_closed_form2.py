@@ -247,3 +247,89 @@ def test_cohort_ltv_cumulative_per_user(spark, tmp_path):
     assert got[0]["cohort_users"] == 2
     assert got[0]["week_revenue"] == 10.0 and got[0]["ltv_per_user"] == 5.0
     assert got[1]["cum_revenue"] == 40.0 and got[1]["ltv_per_user"] == 20.0
+
+
+def test_pearson_exact_moments(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import pearson_corr_lineitem
+
+    # flag A: y = 2x exactly → r = 1; flag B: constant y → den 0 → NULL
+    li = spark.createDataFrame(
+        [("A", 1.0, 2.0), ("A", 2.0, 4.0), ("A", 3.0, 6.0),
+         ("B", 1.0, 5.0), ("B", 9.0, 5.0)],
+        "l_returnflag string, l_extendedprice double, l_quantity double",
+    )
+    sf_dir = _write_tables(spark, tmp_path, lineitem=li)
+    got = {r["l_returnflag"]: r for r in pearson_corr_lineitem(spark, sf_dir).collect()}
+    # same IEEE expression recomputed in Python from the exact moments —
+    # for y=2x it lands within one ulp of 1 (sqrt rounding), not at 1
+    xs, ys = [1.0, 2.0, 3.0], [2.0, 4.0, 6.0]
+    n, sx, sy = 3.0, sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    want = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    assert got["A"]["n_rows"] == 3 and got["A"]["price_qty_corr"] == want
+    assert abs(got["A"]["price_qty_corr"] - 1.0) < 1e-12
+    assert got["B"]["price_qty_corr"] is None
+
+
+def test_golden_profile_survivorship(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import golden_user_profile
+
+    t = datetime(2024, 1, 1, 12)
+    rows = [
+        _event(3, 1, t, "signup", 1.0),
+        _event(1, 1, t + timedelta(hours=2), "view", 50.0),
+        _event(2, 1, t + timedelta(hours=2), "purchase", 9.0),  # same ts:
+        # event_id 2 > 1 → purchase is the LAST at the tied timestamp
+    ]
+    sf_dir = _write_tables(spark, tmp_path, events=spark.createDataFrame(rows))
+    row = golden_user_profile(spark, sf_dir).collect()[0]
+    assert row["first_event_type"] == "signup"
+    assert row["last_event_type"] == "purchase"  # tie broken by event_id
+    assert row["peak_value"] == 50.0
+    assert row["first_seen"] == "2024-01-01 12:00:00"
+    assert row["n_events"] == 3
+
+
+def test_gapfill_emits_zero_rows_for_missing_days(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import gapfill_daily_events
+
+    rows = [
+        _event(1, 1, datetime(2024, 1, 1, 9), "error", 350.0),
+        _event(2, 1, datetime(2024, 1, 4, 9), "error", 400.0),
+        _event(3, 1, datetime(2024, 1, 1, 9), "view", 10.0),  # below filter
+    ]
+    sf_dir = _write_tables(spark, tmp_path, events=spark.createDataFrame(rows))
+    got = {(r["day"], r["event_type"]): r["n_events"]
+           for r in gapfill_daily_events(spark, sf_dir).collect()}
+    # spine covers 1..4 for the single surviving type; days 2-3 are zeros
+    assert got == {
+        ("2024-01-01", "error"): 1,
+        ("2024-01-02", "error"): 0,
+        ("2024-01-03", "error"): 0,
+        ("2024-01-04", "error"): 1,
+    }
+
+
+def test_funnel_first_purchase_after_signup_only(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import funnel_conversion
+
+    t = datetime(2024, 1, 1, 0)
+    rows = [
+        # user 1: purchase BEFORE signup ignored; first valid at +90min → bin 1
+        _event(1, 1, t - timedelta(hours=5), "purchase", 9.0),
+        _event(2, 1, t, "signup"),
+        _event(3, 1, t + timedelta(minutes=90), "purchase", 5.0),
+        _event(4, 1, t + timedelta(hours=50), "purchase", 5.0),  # not first
+        # user 2: signup, no purchase → not in any bin
+        _event(5, 2, t, "signup"),
+        # user 3: purchase exactly at signup ts → delay 0
+        _event(6, 3, t, "signup"),
+        _event(7, 3, t, "purchase", 1.0),
+    ]
+    sf_dir = _write_tables(spark, tmp_path, events=spark.createDataFrame(rows))
+    got = {r["delay_hours"]: r["n_users"] for r in funnel_conversion(spark, sf_dir).collect()}
+    assert got == {0: 1, 1: 1}
