@@ -6926,6 +6926,153 @@ FROM z GROUP BY 1 ORDER BY bucket
 """
 
 
+
+
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH (quantile) histogram of order prices: 10 buckets with
+    (near-)equal row counts — the optimizer/skew statistic the
+    equi-width histogram can't give when the distribution is heavy-
+    tailed. Bucket assignment is operators/ranking.grouped_ntile (range
+    exchange + broadcast offsets — no single-task global window; the
+    unpartitioned NTILE lives only in the ORACLE, where DuckDB may do
+    as it likes). Unique o_orderkey tie-break makes bucket boundaries
+    total-order deterministic; per bucket: exact count, price span, and
+    decimal-exact revenue."""
+    from vacancy_gpt_etl_pipeline_spark.operators.ranking import (
+        grouped_ntile,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bucketed = grouped_ntile(
+        orders, [F.asc("o_totalprice"), F.asc("o_orderkey")], 10, "bucket"
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("price_lo"),
+            F.max("o_totalprice").alias("price_hi"),
+            _dsum("o_totalprice", "revenue"),
+        )
+        .orderBy("bucket")
+    )
+
+
+EQUIDEPTH_SQL = """
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+  MIN(o_totalprice) AS price_lo, MAX(o_totalprice) AS price_hi,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM (
+  SELECT o_totalprice,
+    CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS bucket
+  FROM orders
+)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion: the BM25 keyword
+    ranking and the embedding cosine ranking (both top-10, the two
+    retrieval tiers this engine already ships) fuse per (query, doc) as
+    RRF(d) = Σ_lists 1/(60 + rank_list(d)) — the standard k=60 fusion
+    that needs no score calibration between heterogeneous retrievers.
+    Query ids 0-2 pair the fixed BM25 query strings with the same-id
+    embedding vectors (doc_id ≡ vec_id in the fixture corpus).
+
+    Determinism: ranks are exact ints, each reciprocal is one IEEE
+    division, and the fused score is the same two-term coalesce sum in
+    both engines — bit-identical, no rounding. Scale shape: both
+    retrievers are their existing bounded plans; the fusion is a
+    full-outer join of two (queries × k)-sized frames and a per-query
+    top-10 (WindowGroupLimit over ≤ 2k rows per query)."""
+    from vacancy_gpt_etl_pipeline_spark.operators.text_search import (
+        bm25_topk,
+    )
+
+    queries = spark.createDataFrame(
+        [(0, "spark join"), (1, "window agg stream"), (2, "vector scan")],
+        "query_id long, query string",
+    )
+    docs = _t(spark, sf_dir, "documents")
+    text = bm25_topk(docs, queries, k=10).select(
+        "query_id", "doc_id", F.col("rank").alias("t_rank")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vec = knn_brute_force(emb, qv, k=10, dim=_EMB_DIM).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("v_rank"),
+    )
+    fused = text.join(vec, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "t_rank",
+        "v_rank",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(60.0) + F.col("t_rank").cast("double")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60.0) + F.col("v_rank").cast("double")),
+                F.lit(0.0),
+            )
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= 10)
+        .orderBy("query_id", "fused_rank")
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    vec_sql = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < 3),
+s AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+    ROUND(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                 CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+  FROM q, embeddings e WHERE e.vec_id != q.query_id
+)
+SELECT query_id, doc_id, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS INT) AS rank
+  FROM s
+) WHERE rank <= 10
+"""
+    return f"""
+SELECT query_id, doc_id, t_rank, v_rank, rrf_score, fused_rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS INT
+    ) AS fused_rank
+  FROM (
+    SELECT COALESCE(t.query_id, v.query_id) AS query_id,
+      COALESCE(t.doc_id, v.doc_id) AS doc_id,
+      t.rank AS t_rank, v.rank AS v_rank,
+      COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE)
+                 + CAST(t.rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
+        + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE)
+                 + CAST(v.rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS rrf_score
+    FROM ({BM25_SQL}) t
+    FULL OUTER JOIN ({vec_sql}) v
+      ON t.query_id = v.query_id AND t.doc_id = v.doc_id
+  )
+)
+WHERE fused_rank <= 10
+ORDER BY query_id, fused_rank
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7114,6 +7261,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "pivot_event_types": QuerySpec(pivot_event_types, PIVOT_SQL),
     "ref_q1_top_titles": QuerySpec(ref_q1_top_titles, REF_Q1_SQL),
     "ref_q2_market_share": QuerySpec(ref_q2_market_share, REF_Q2_SQL),
+    # -- new in round 7 --------------------------------------------------
+    "equidepth_histogram": QuerySpec(equidepth_histogram, EQUIDEPTH_SQL),
+    "hybrid_search_rrf": QuerySpec(hybrid_search_rrf, _hybrid_rrf_sql()),
 }
 
 # ROUND-7 ROTATION (executed — VERDICT r6 item 1): the driver verifies the
@@ -7170,13 +7320,14 @@ _R7_FRONT: tuple[str, ...] = (
     "price_volume_mix",
     "seasonality_dow_index",
     "order_fulfillment_aging",
+    # NEW in round 7 (need first-ever driver rows)
+    "equidepth_histogram",
+    "hybrid_search_rrf",
     # r6-green buffer (fresh rows exist; re-verification is cheap signal)
     "curation_e2e",
     "windowed_cms",
     "pagerank",
     "semdedup",
-    "image_decode",
-    "salted_join",
 )
 assert len(_R7_FRONT) == len(set(_R7_FRONT)) == 50
 REGISTRY = {
