@@ -1,7 +1,7 @@
 """Local oracle attestation: run EVERY registry entry against its DuckDB
 oracle at sf0.01 (the driver's correctness scale) and write the per-entry
 verdicts to ORACLE_SELF.json — inspectable evidence that the full
-140-entry surface was locally verified this round, not just the ~50
+registry surface was locally verified this round, not just the ~50
 entries inside the driver's correctness window (VERDICT r6 item 8).
 
 The comparison mirrors the driver gate: row count, column-name set, and
