@@ -57,3 +57,38 @@ def test_ntile_with_duplicate_order_values_uses_tie_break(spark):
 def test_more_partitions_than_rows(spark):
     rows = [("a", i, i) for i in range(3)]
     _check_against_window_ntile(spark, rows, 2, parts=16)
+
+
+def test_global_row_number_matches_window(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.ranking import (
+        with_global_row_number,
+    )
+
+    rows = [("g", i, (i * 37) % 13) for i in range(40)]
+    df = spark.createDataFrame(rows, ["g", "key", "v"])
+    got = with_global_row_number(
+        df, [F.asc("v"), F.asc("key")], "rn", num_partitions=6
+    )
+    want = df.withColumn("rn", F.row_number().over(Window.orderBy("v", "key")))
+    assert {(r.key, r.rn) for r in got.collect()} == {
+        (r.key, r.rn) for r in want.collect()
+    }
+    spark.catalog.clearCache()
+
+
+def test_grouped_row_number_matches_window(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.ranking import (
+        with_global_row_number,
+    )
+
+    rows = [(g, i, (i * 7 + ord(g)) % 5) for g in "pq" for i in range(15)]
+    df = spark.createDataFrame(rows, ["g", "key", "v"])
+    got = with_global_row_number(
+        df, [F.desc("v"), F.asc("key")], "rn", group_cols=["g"], num_partitions=4
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("key"))
+    want = df.withColumn("rn", F.row_number().over(w))
+    assert {(r.g, r.key, r.rn) for r in got.collect()} == {
+        (r.g, r.key, r.rn) for r in want.collect()
+    }
+    spark.catalog.clearCache()

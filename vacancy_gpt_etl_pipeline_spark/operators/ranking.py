@@ -37,7 +37,12 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grouped_ntile", "prefix_offsets", "ranked_partitions"]
+__all__ = [
+    "grouped_ntile",
+    "prefix_offsets",
+    "ranked_partitions",
+    "with_global_row_number",
+]
 
 
 def ranked_partitions(
@@ -142,6 +147,38 @@ def _ntile_expr(rank: Column, n: Column, k: int) -> Column:
     small = F.floor((rank - F.lit(1)).cast("double") / (q + F.lit(1)).cast("double"))
     big = r + F.floor((rank - cut - F.lit(1)).cast("double") / q.cast("double"))
     return (F.when(rank <= cut, small).otherwise(big) + F.lit(1)).cast("int")
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    out_col: str = "row_num",
+    group_cols: Sequence[str] = (),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``df`` plus ``out_col`` = ROW_NUMBER() OVER (PARTITION BY
+    group_cols ORDER BY order_by) — the general distributed rank
+    primitive (see module docstring for the recipe). ``order_by`` must
+    end in a unique tie-break for a deterministic total order. Row set
+    unchanged; helper columns dropped."""
+    local, stats = ranked_partitions(
+        df, order_by, group_cols=group_cols, num_partitions=num_partitions
+    )
+    offs = prefix_offsets(stats, group_cols)
+    keyed = (
+        local.join(F.broadcast(offs), ["_pid", *group_cols])
+        if group_cols
+        else local.join(F.broadcast(offs), "_pid")
+    )
+    rank = (
+        F.col("_mid")
+        - F.col("_minmid")
+        + F.lit(1)
+        + F.coalesce(F.col("_cnt_off"), F.lit(0))
+    )
+    return keyed.withColumn(out_col, rank).drop(
+        "_pid", "_mid", "_minmid", "_pcnt", "_cnt_off"
+    )
 
 
 def grouped_ntile(
