@@ -78,3 +78,42 @@ def test_null_values_excluded_from_ranks_and_output(spark):
     mad = mad_outliers(df, "v", ["g"]).collect()
     assert sorted(r["v"] for r in mad) == [1.0, 2.0, 3.0]
     assert all(r["median"] == 2.0 for r in mad)
+
+
+def test_global_winsorize_via_ranking_tier(spark):
+    """Empty group_cols = whole-frame band, computed WITHOUT an
+    unpartitioned window (asserted on the plan) and equal to the
+    grouped implementation run with a constant group."""
+    from vacancy_gpt_etl_pipeline_spark.operators.winsorize import mad_outliers
+
+    vals = [float(v) for v in (5, 1, 9, 3, 7, 2, 8, 100)]
+    df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+    out_global = winsorize(df.select("v"), "v", [], lower=0.25, upper=0.75)
+    plan = out_global._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
+        head = spec.split(",")[0].strip()
+        assert not head.startswith("specifiedwindowframe"), spec
+        assert " ASC" not in head and " DESC" not in head, spec
+    grouped = {
+        (r["v"], r["q_lower"], r["q_upper"], r["v_clipped"])
+        for r in winsorize(df, "v", ["g"], lower=0.25, upper=0.75).collect()
+    }
+    global_set = {
+        (r["v"], r["q_lower"], r["q_upper"], r["v_clipped"])
+        for r in out_global.collect()
+    }
+    assert global_set == grouped
+    spark.catalog.clearCache()
+
+    mad_global = {
+        (r["v"], r["median"], r["mad"], r["is_outlier"])
+        for r in mad_outliers(df.select("v"), "v", []).collect()
+    }
+    mad_grouped = {
+        (r["v"], r["median"], r["mad"], r["is_outlier"])
+        for r in mad_outliers(df, "v", ["g"]).collect()
+    }
+    assert mad_global == mad_grouped
+    spark.catalog.clearCache()

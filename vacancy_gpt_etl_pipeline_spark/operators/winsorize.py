@@ -42,6 +42,38 @@ def _bound(rn: str, v: str, n: str, q: float) -> F.Column:
     return v_lo + frac * (v_hi - v_lo)
 
 
+def _ranked(valued: DataFrame, group_cols: list[str], order_col: str) -> DataFrame:
+    """``valued`` plus ``_rn`` (1-based rank by ``order_col``) and ``_n``
+    (group size) — a per-group window when grouped; when ``group_cols``
+    is EMPTY the rank comes from the distributed ranking tier
+    (operators/ranking) and the size from a 1-row broadcast, because an
+    unpartitioned ``Window.orderBy`` would collapse the whole frame
+    onto one task. Ties in ``order_col`` may rank in either order —
+    harmless for quantile bounds, since tied rows carry equal values by
+    definition."""
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(order_col)
+        return valued.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+        )
+    from vacancy_gpt_etl_pipeline_spark.operators.ranking import (
+        with_global_row_number,
+    )
+
+    ranked = with_global_row_number(valued, [F.asc(order_col)], "_rn")
+    n = valued.agg(F.count(F.lit(1)).alias("_n"))
+    return ranked.crossJoin(F.broadcast(n))
+
+
+def _join_bounds(
+    valued: DataFrame, bounds: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Grouped: broadcast equi-join; global: the bounds frame is ONE row."""
+    if group_cols:
+        return valued.join(F.broadcast(bounds), group_cols)
+    return valued.crossJoin(F.broadcast(bounds))
+
+
 def winsorize(
     df: DataFrame,
     value_col: str,
@@ -57,12 +89,13 @@ def winsorize(
     quantile ranking (Spark would otherwise sort them FIRST and shift
     every rank position, yielding NULL bounds) and from the output —
     as are rows whose group key is NULL, which the equi-join back
-    drops. Pre-filter/impute upstream if those rows must survive."""
+    drops. Pre-filter/impute upstream if those rows must survive.
+
+    An EMPTY ``group_cols`` is the whole-frame quantile band: the rank
+    then routes through the distributed ranking tier instead of an
+    unpartitioned (single-task) window — see :func:`_ranked`."""
     valued = df.where(F.col(value_col).isNotNull())
-    w = Window.partitionBy(*group_cols).orderBy(value_col)
-    ranked = valued.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
-    )
+    ranked = _ranked(valued, group_cols, value_col)
     bounds = ranked.groupBy(*group_cols).agg(
         _bound("_rn", value_col, "_n", lower).alias("q_lower"),
         _bound("_rn", value_col, "_n", upper).alias("q_upper"),
@@ -71,7 +104,7 @@ def winsorize(
         F.greatest(F.col(value_col), F.col("q_lower")), F.col("q_upper")
     )
     return (
-        valued.join(F.broadcast(bounds), group_cols)
+        _join_bounds(valued, bounds, group_cols)
         .withColumn(f"{value_col}_clipped", clipped)
     )
 
@@ -97,28 +130,25 @@ def mad_outliers(
     from ranking and output (they would rank first and shift the
     median), and NULL-keyed groups drop at the equi-join back.
 
+    An EMPTY ``group_cols`` computes the whole-frame median/MAD through
+    the distributed ranking tier (no single-task window).
+
     Scale shape: two per-group window sorts (values, then deviations) —
     exact medians cannot do better; each produces a group-count-sized
     frame that broadcasts back. All projections are codegen.
     """
     valued = df.where(F.col(value_col).isNotNull())
-    w = Window.partitionBy(*group_cols).orderBy(value_col)
-    ranked = valued.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
-    )
+    ranked = _ranked(valued, group_cols, value_col)
     med = ranked.groupBy(*group_cols).agg(
         _bound("_rn", value_col, "_n", 0.5).alias("median")
     )
-    with_dev = valued.join(F.broadcast(med), group_cols).withColumn(
+    with_dev = _join_bounds(valued, med, group_cols).withColumn(
         "abs_dev", F.abs(F.col(value_col) - F.col("median"))
     )
-    wd = Window.partitionBy(*group_cols).orderBy("abs_dev")
-    ranked_dev = with_dev.withColumn("_rn", F.row_number().over(wd)).withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
-    )
+    ranked_dev = _ranked(with_dev, group_cols, "abs_dev")
     mad = ranked_dev.groupBy(*group_cols).agg(
         _bound("_rn", "abs_dev", "_n", 0.5).alias("mad")
     )
-    return with_dev.join(F.broadcast(mad), group_cols).withColumn(
+    return _join_bounds(with_dev, mad, group_cols).withColumn(
         "is_outlier", F.col("abs_dev") > F.lit(k) * F.col("mad")
     )
