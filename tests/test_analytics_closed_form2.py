@@ -333,3 +333,120 @@ def test_funnel_first_purchase_after_signup_only(spark, tmp_path):
     sf_dir = _write_tables(spark, tmp_path, events=spark.createDataFrame(rows))
     got = {r["delay_hours"]: r["n_users"] for r in funnel_conversion(spark, sf_dir).collect()}
     assert got == {0: 1, 1: 1}
+
+
+def test_grouping_sets_exact_cells(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import grouping_sets_revenue
+
+    orders = spark.createDataFrame(
+        [("O", "HI", 10.0), ("O", "LO", 20.0), ("F", "HI", 5.0)],
+        "o_orderstatus string, o_orderpriority string, o_totalprice double",
+    )
+    sf_dir = _write_tables(spark, tmp_path, orders=orders)
+    rows = grouping_sets_revenue(spark, sf_dir).collect()
+    cells = {
+        (r["o_orderstatus"], r["o_orderpriority"], r["g_status"], r["g_priority"]):
+        (r["revenue"], r["n_orders"])
+        for r in rows
+    }
+    # exactly (status) + (priority) + grand total — no cross cells
+    assert len(rows) == 2 + 2 + 1
+    assert cells[("O", None, 0, 1)] == (30.0, 2)
+    assert cells[("F", None, 0, 1)] == (5.0, 1)
+    assert cells[(None, "HI", 1, 0)] == (15.0, 2)
+    assert cells[(None, "LO", 1, 0)] == (20.0, 1)
+    assert cells[(None, None, 1, 1)] == (35.0, 3)
+
+
+def test_unpivot_is_pivot_inverse(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import unpivot_part_measures
+
+    part = spark.createDataFrame(
+        [(1, 7, 19.5), (2, 3, 4.25)],
+        "p_partkey long, p_size int, p_retailprice double",
+    )
+    sf_dir = _write_tables(spark, tmp_path, part=part)
+    got = {(r["p_partkey"], r["metric"]): r["value"]
+           for r in unpivot_part_measures(spark, sf_dir).collect()}
+    assert got == {
+        (1, "p_size"): 7.0, (1, "p_retailprice"): 19.5,
+        (2, "p_size"): 3.0, (2, "p_retailprice"): 4.25,
+    }
+
+
+def test_orders_with_lines_sorted_nesting(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import orders_with_lines
+
+    li = spark.createDataFrame(
+        [
+            (1, 50, 3.0, date(1997, 3, 5)),
+            (1, 2, 1.0, date(1997, 3, 9)),
+            (1, 9, 2.0, date(1997, 2, 28)),  # outside the ship-month window
+            (2, 7, 4.0, date(1997, 3, 15)),
+        ],
+        "l_orderkey long, l_partkey long, l_quantity double, l_shipdate date",
+    )
+    orders = spark.createDataFrame(
+        [(1, "O"), (2, "F"), (3, "O")],
+        "o_orderkey long, o_orderstatus string",
+    )
+    sf_dir = _write_tables(spark, tmp_path, lineitem=li, orders=orders)
+    got = {r["o_orderkey"]: r for r in orders_with_lines(spark, sf_dir).collect()}
+    assert got[1]["n_lines"] == 2 and got[1]["total_qty"] == 4.0
+    # lexicographically sorted "partkey:quantity" serialization
+    assert got[1]["lines"] == "2:1.00,50:3.00"
+    assert got[2]["lines"] == "7:4.00"
+    assert 3 not in got  # no in-window lineitems → inner join drops it
+
+
+def test_moving_average_trailing_hour_edges(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import moving_average_events
+
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        _event(1, 1, t, "purchase", 10.0),
+        # exactly 3600 s later: the -3600 trailing bound is INCLUSIVE
+        _event(2, 1, t + timedelta(seconds=3600), "purchase", 20.0),
+        # 3601 s after the first: first event falls out of the frame
+        _event(3, 1, t + timedelta(seconds=3601), "purchase", 40.0),
+        _event(4, 1, t, "view", 999.0),  # non-purchase ignored
+    ]
+    sf_dir = _write_tables(spark, tmp_path, events=spark.createDataFrame(rows))
+    got = {r["event_id"]: r for r in moving_average_events(spark, sf_dir).collect()}
+    assert got[1]["n_trailing"] == 1 and got[1]["avg_trailing_value"] == 10.0
+    assert got[2]["n_trailing"] == 2 and got[2]["avg_trailing_value"] == 15.0
+    assert got[3]["n_trailing"] == 2 and got[3]["avg_trailing_value"] == 30.0
+
+
+def test_train_test_split_content_keyed_and_deterministic(spark, tmp_path):
+    import hashlib
+    import re as _re
+
+    from vacancy_gpt_etl_pipeline_spark.queries import train_test_split
+
+    texts = [f"doc number {i} body" for i in range(50)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sf_dir = _write_tables(spark, tmp_path, documents=docs)
+    got = {r["split"]: r["n_docs"] for r in train_test_split(spark, sf_dir).collect()}
+    # independent recomputation of the 13/16 hash gate in plain Python
+    want_train = sum(
+        1 for t in texts
+        if hashlib.md5(_re.sub(r"\s+", " ", t.strip()).lower().encode()).hexdigest()[0] < "d"
+    )
+    assert got.get("train", 0) == want_train
+    assert got.get("train", 0) + got.get("test", 0) == 50
+
+
+def test_incremental_dedup_drops_history_copies_only(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import incremental_dedup_batch
+
+    # history = doc_id < 250; batch = ids >= 250 plus planted copies of
+    # ids < 50 under +900000. All copies must drop; novel batch docs stay.
+    docs = spark.createDataFrame(
+        [(i, f"unique body {i}") for i in range(300)], "doc_id long, text string"
+    )
+    sf_dir = _write_tables(spark, tmp_path, documents=docs)
+    kept = [r["doc_id"] for r in incremental_dedup_batch(spark, sf_dir).collect()]
+    assert kept == list(range(250, 300))  # no 900000+ survivor

@@ -269,3 +269,48 @@ def test_skyline_dominance_and_idempotence(spark, pts):
     # idempotence: skyline(skyline) == skyline
     again = {(r["x"], r["y"]) for r in skyline2d(sky, "x", "y", buckets=5).collect()}
     assert again == got
+
+
+# ---------------------------------------------------------------------------
+# distributed ranking ≡ window NTILE on arbitrary shapes (bounded examples:
+# each is a Spark job)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.sampled_from("xyz"), st.integers(0, 50)),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    k=st.integers(2, 8),
+    parts=st.integers(1, 9),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_grouped_ntile_equals_window_ntile_property(spark, data, k, parts):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vacancy_gpt_etl_pipeline_spark.operators.ranking import grouped_ntile
+
+    rows = [(g, key, (key * 31 + ord(g)) % 7) for g, key in data]
+    df = spark.createDataFrame(rows, ["g", "key", "v"])
+    got = grouped_ntile(
+        df,
+        [F.asc("v"), F.asc("key")],
+        k,
+        "bucket",
+        group_cols=["g"],
+        num_partitions=parts,
+    )
+    w = Window.partitionBy("g").orderBy("v", "key")
+    want = df.withColumn("bucket", F.ntile(k).over(w))
+    assert {(r.g, r.key, r.bucket) for r in got.collect()} == {
+        (r.g, r.key, r.bucket) for r in want.collect()
+    }
+    spark.catalog.clearCache()
