@@ -7089,6 +7089,84 @@ ORDER BY query_id, fused_rank
 """
 
 
+
+
+def winsorize_global_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHOLE-FRAME exact p05/p95 winsorization summary — the empty-
+    group_cols path of operators/winsorize, which since round 7 ranks
+    through the distributed ranking tier instead of an unpartitioned
+    window (the single-task shape the plan-budget gate bans). Same
+    first-principles interpolation and decimal-safe totals as the
+    per-status entry; the oracle states the semantics with a plain
+    global ROW_NUMBER — DuckDB may single-thread, Spark must not."""
+    from vacancy_gpt_etl_pipeline_spark.operators.winsorize import winsorize
+
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice")
+    wdf = winsorize(orders, "o_totalprice", [], lower=0.05, upper=0.95)
+    v, lo, hi = F.col("o_totalprice"), F.col("q_lower"), F.col("q_upper")
+    agg = wdf.groupBy().agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("q_lower").alias("p05"),
+        F.min("q_upper").alias("p95"),
+        F.sum((v < lo).cast("long")).alias("n_clipped_low"),
+        F.sum((v > hi).cast("long")).alias("n_clipped_high"),
+        F.sum(
+            F.when((v >= lo) & (v <= hi), v.cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("mid_total"),
+    )
+    return agg.select(
+        "n_orders",
+        "p05",
+        "p95",
+        "n_clipped_low",
+        "n_clipped_high",
+        (
+            F.col("mid_total")
+            + F.col("n_clipped_low").cast("double") * F.col("p05")
+            + F.col("n_clipped_high").cast("double") * F.col("p95")
+        ).alias("winsorized_total"),
+    )
+
+
+WINSORIZE_GLOBAL_SQL = """
+WITH ranked AS (
+  SELECT o_totalprice AS v,
+    ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn,
+    COUNT(*) OVER () AS n
+  FROM orders
+),
+bounds AS (
+  SELECT
+    MIN(CASE WHEN rn = FLOOR(1.0 + CAST(n - 1 AS DOUBLE) * 0.05) THEN v END)
+      + MIN((1.0 + CAST(n - 1 AS DOUBLE) * 0.05)
+            - FLOOR(1.0 + CAST(n - 1 AS DOUBLE) * 0.05))
+        * (MIN(CASE WHEN rn = CEIL(1.0 + CAST(n - 1 AS DOUBLE) * 0.05) THEN v END)
+           - MIN(CASE WHEN rn = FLOOR(1.0 + CAST(n - 1 AS DOUBLE) * 0.05) THEN v END))
+      AS q_lower,
+    MIN(CASE WHEN rn = FLOOR(1.0 + CAST(n - 1 AS DOUBLE) * 0.95) THEN v END)
+      + MIN((1.0 + CAST(n - 1 AS DOUBLE) * 0.95)
+            - FLOOR(1.0 + CAST(n - 1 AS DOUBLE) * 0.95))
+        * (MIN(CASE WHEN rn = CEIL(1.0 + CAST(n - 1 AS DOUBLE) * 0.95) THEN v END)
+           - MIN(CASE WHEN rn = FLOOR(1.0 + CAST(n - 1 AS DOUBLE) * 0.95) THEN v END))
+      AS q_upper
+  FROM ranked
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+  MIN(b.q_lower) AS p05,
+  MIN(b.q_upper) AS p95,
+  CAST(SUM(CASE WHEN r.v < b.q_lower THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+  CAST(SUM(CASE WHEN r.v > b.q_upper THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+  CAST(SUM(CASE WHEN r.v >= b.q_lower AND r.v <= b.q_upper
+    THEN CAST(r.v AS DECIMAL(18,2)) END) AS DOUBLE)
+    + CAST(SUM(CASE WHEN r.v < b.q_lower THEN 1 ELSE 0 END) AS DOUBLE) * MIN(b.q_lower)
+    + CAST(SUM(CASE WHEN r.v > b.q_upper THEN 1 ELSE 0 END) AS DOUBLE) * MIN(b.q_upper)
+    AS winsorized_total
+FROM ranked r CROSS JOIN bounds b
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7280,6 +7358,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # -- new in round 7 --------------------------------------------------
     "equidepth_histogram": QuerySpec(equidepth_histogram, EQUIDEPTH_SQL),
     "hybrid_search_rrf": QuerySpec(hybrid_search_rrf, _hybrid_rrf_sql()),
+    "winsorize_global": QuerySpec(winsorize_global_prices, WINSORIZE_GLOBAL_SQL),
 }
 
 # ROUND-7 ROTATION (executed — VERDICT r6 item 1): the driver verifies the
@@ -7339,11 +7418,11 @@ _R7_FRONT: tuple[str, ...] = (
     # NEW in round 7 (need first-ever driver rows)
     "equidepth_histogram",
     "hybrid_search_rrf",
+    "winsorize_global",
     # r6-green buffer (fresh rows exist; re-verification is cheap signal)
     "curation_e2e",
     "windowed_cms",
     "pagerank",
-    "semdedup",
 )
 assert len(_R7_FRONT) == len(set(_R7_FRONT)) == 50
 REGISTRY = {
