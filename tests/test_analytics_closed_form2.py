@@ -450,3 +450,44 @@ def test_incremental_dedup_drops_history_copies_only(spark, tmp_path):
     sf_dir = _write_tables(spark, tmp_path, documents=docs)
     kept = [r["doc_id"] for r in incremental_dedup_batch(spark, sf_dir).collect()]
     assert kept == list(range(250, 300))  # no 900000+ survivor
+
+
+def test_text_profile_closed_form_counts(spark, tmp_path):
+    """Token/BPE/punct/stopword arithmetic on a hand-counted document,
+    independent of the SQL formulation."""
+    from vacancy_gpt_etl_pipeline_spark.queries import text_analysis_profile
+
+    text = "the cat, and a dog!"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    sf_dir = _write_tables(spark, tmp_path, documents=docs)
+    row = text_analysis_profile(spark, sf_dir).collect()[0]
+    # whitespace tokens: the / cat, / and / a / dog!  -> 5
+    assert row["n_tokens"] == 5
+    # BPE-ish: letter runs (the,cat,and,a,dog)=5 + punct (, !)=2 -> 7
+    assert row["n_bpe_tokens"] == 7
+    # punctuation chars: ',' and '!' over 19 chars
+    assert row["punct_ratio"] == round(2 / len(text), 6)
+    # stopwords among lowercase tokens: the, and, a -> 3/5 (cat,/dog!
+    # carry punctuation so they never match the stopword list)
+    assert row["stopword_ratio"] == round(3 / 5, 6)
+    assert row["lang_pred"] is not None and row["fingerprint"] is not None
+
+
+def test_quality_filter_token_band_edges(spark, tmp_path):
+    """The [20, 80] token band is inclusive on both edges; short/long
+    docs drop regardless of quality."""
+    from vacancy_gpt_etl_pipeline_spark.queries import text_quality_filter
+
+    def doc(n):
+        # long-ish words keep chars/token in the quality sweet spot
+        return " ".join(f"word{i:04d}" for i in range(n))
+
+    docs = spark.createDataFrame(
+        [(19, doc(19)), (20, doc(20)), (80, doc(80)), (81, doc(81))],
+        "doc_id long, text string",
+    )
+    sf_dir = _write_tables(spark, tmp_path, documents=docs)
+    kept = sorted(r["doc_id"] for r in text_quality_filter(spark, sf_dir).collect())
+    assert kept == [20, 80]
+    got = {r["doc_id"]: r["n_tokens"] for r in text_quality_filter(spark, sf_dir).collect()}
+    assert got == {20: 20, 80: 80}

@@ -50,7 +50,10 @@ def _ranked(valued: DataFrame, group_cols: list[str], order_col: str) -> DataFra
     unpartitioned ``Window.orderBy`` would collapse the whole frame
     onto one task. Ties in ``order_col`` may rank in either order —
     harmless for quantile bounds, since tied rows carry equal values by
-    definition."""
+    definition. Skew note: a single massively-hot value cannot be split
+    across range partitions (no tie-break column here), so its rows
+    share one partition — still strictly better than the one-task
+    global window, which put EVERY row there."""
     if group_cols:
         w = Window.partitionBy(*group_cols).orderBy(order_col)
         return valued.withColumn("_rn", F.row_number().over(w)).withColumn(
