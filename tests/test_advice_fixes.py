@@ -183,3 +183,118 @@ def test_cache_scope_releases_all_persisted_frames(spark, op):
         op(docs, scope).count()
         assert _cached_rdd_count(spark) > before  # caches were in use
     assert _cached_rdd_count(spark) == before
+
+
+# ----------------------------------------------------- round-8 ADVICE fixes
+
+
+def _chunk(typ, data):
+    import struct
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", _z.crc32(typ + data))
+    )
+
+
+def test_png_decompression_bomb_quarantines_without_inflating():
+    """A few-KB PNG whose IDAT inflates far past the IHDR-declared size
+    must return None (quarantine) — and must never materialize the full
+    bomb in memory (the decompress is bounded at expected+1 bytes)."""
+    import struct
+    import zlib as _z
+
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        _png_pixels,
+    )
+
+    # declares 2x2 truecolor (expected = 2*(6+1) = 14 bytes) but the
+    # stream inflates to 32 MB of zeros from ~32 KB compressed
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", _z.compress(bytes(32 * 1024 * 1024)))
+        + _chunk(b"IEND", b"")
+    )
+    assert len(bomb) < 64 * 1024  # the payload itself is small
+    assert _png_pixels(bomb) is None
+
+
+def test_png_absurd_declared_dimensions_quarantine_before_inflate():
+    import struct
+    import zlib as _z
+
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        _png_pixels,
+    )
+
+    # 50000x50000 truecolor declares a 7.5 GB sample stream: refused on
+    # the IHDR arithmetic alone, before any inflate happens
+    ihdr = struct.pack(">IIBBBBB", 50000, 50000, 8, 2, 0, 0, 0)
+    b = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", _z.compress(b"\x00" * 64))
+        + _chunk(b"IEND", b"")
+    )
+    assert _png_pixels(b) is None
+
+
+def test_scan_splits_zero_open_cost_many_tiny_files(spark, tmp_path):
+    """openCostInBytes=0 + tiny files drove the divisor to 0 and raised
+    ZeroDivisionError in the read path; the clamp widens instead."""
+    from vacancy_gpt_etl_pipeline_spark.sources.parquet_source import (
+        _estimate_scan_splits,
+    )
+
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"t{i}.bin"
+        p.write_bytes(b"x")  # 1-byte files: total // parallelism == 0
+        paths.append(str(p))
+    old = spark.conf.get("spark.sql.files.openCostInBytes", "4MB")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        assert _estimate_scan_splits(spark, paths) >= len(paths)
+    finally:
+        spark.conf.set("spark.sql.files.openCostInBytes", old)
+
+
+def test_sample_frames_invalid_stride_raises_on_driver(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"xyz"))], "asset_id: long, content: binary"
+    )
+    with pytest.raises(ValueError, match="every_nth_frame"):
+        sample_frames(df, every_nth_frame=0)
+    with pytest.raises(ValueError, match="every_n_bytes"):
+        sample_frames(df, every_n_bytes=0)
+
+
+def test_ranking_cache_scope_releases_sorted_frame(spark):
+    """grouped_ntile persists the range-sorted frame; with a CacheScope
+    the persist is released deterministically after the consuming
+    action (ADVICE r7: no cache accumulation in long-lived sessions)."""
+    from vacancy_gpt_etl_pipeline_spark.operators.ranking import (
+        grouped_ntile,
+    )
+
+    spark.catalog.clearCache()
+    before = _cached_rdd_count(spark)
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    with CacheScope() as scope:
+        out = grouped_ntile(
+            df, [F.asc("v"), F.asc("id")], 4, "q", cache_scope=scope
+        )
+        assert out.count() == 100
+        assert _cached_rdd_count(spark) > before
+    assert _cached_rdd_count(spark) == before

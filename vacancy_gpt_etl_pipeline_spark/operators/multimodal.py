@@ -477,6 +477,13 @@ def _bmp_channel_means(
     )
 
 
+# quarantine ceiling for a single decoded image's filtered sample
+# stream (h × (w·nch + 1) bytes): a row-level payload bigger than this
+# would blow the Arrow batch long before the pixels are useful, and the
+# bound is what lets _png_pixels inflate untrusted IDAT safely.
+_MAX_PIXEL_BYTES = 64 * 1024 * 1024
+
+
 def _png_pixels(b: bytes) -> tuple[int, int, int, "np.ndarray"] | None:
     """FULL PNG pixel decode, dependency-free: walk the chunk stream,
     concatenate IDAT, ``zlib.decompress`` (zlib is stdlib — no codec
@@ -516,12 +523,21 @@ def _png_pixels(b: bytes) -> tuple[int, int, int, "np.ndarray"] | None:
     nch = {0: 1, 2: 3, 6: 4}.get(ctype)
     if not idat or not w or not h or depth != 8 or nch is None or interlace:
         return None
+    stride = w * nch
+    expected = h * (stride + 1)
+    # decompression-bomb guard: the exact output size is known from
+    # IHDR, so (a) refuse absurd declared dimensions before inflating
+    # and (b) inflate AT MOST expected+1 bytes — a few-KB bomb PNG can
+    # otherwise expand to GBs in executor memory before any size check
+    # runs. Oversized streams quarantine (None), per module contract.
+    if expected > _MAX_PIXEL_BYTES:
+        return None
     try:
-        raw = zlib.decompress(bytes(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected + 1)
     except zlib.error:
         return None
-    stride = w * nch
-    if len(raw) < h * (stride + 1):
+    if len(raw) != expected or dec.unconsumed_tail:
         return None
     out = np.zeros((h, stride), dtype=np.uint8)
     bpp = nch
@@ -792,6 +808,14 @@ def sample_frames(
     expansion factor — real); with ``decode_stub=False`` a compressed
     payload raises ``NotImplementedError``. Y4M payloads never raise.
     """
+    # validate on the DRIVER: a 0/negative stride would otherwise
+    # surface as an opaque ZeroDivisionError inside a Python worker
+    if every_nth_frame < 1:
+        raise ValueError(
+            f"every_nth_frame must be >= 1, got {every_nth_frame}"
+        )
+    if every_n_bytes < 1:
+        raise ValueError(f"every_n_bytes must be >= 1, got {every_n_bytes}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -16,123 +16,180 @@ recipe, exact to the row:
    lower 33) — no window, no extra exchange. The id is assigned above
    the sort (nondeterministic expressions are never reordered past it),
    so the sequence follows the sorted order.
-3. Per-(partition, group) counts — ONE tiny aggregate (≤ P×G rows,
-   bounded by cluster width × group cardinality, not by data).
-4. Prefix offsets over that stats frame via a broadcast theta-join
-   (pid' < pid), i.e. an O(P²·G) nested loop over a cluster-width
-   frame — deliberately NOT a window, so no plan in this module ever
-   contains an unpartitioned Window operator.
-5. Broadcast the offsets back; global rank = local + offset, NTILE is
-   closed-form integer arithmetic on (rank, group count).
+3. ONE tiny aggregate — per-(partition, group) count / min-id / sum —
+   ``collect()``-ed to the driver. The frame is ≤ P×G rows (cluster
+   width × group cardinality, NOT data-sized): the same driver-side
+   metadata footprint as ``RDD.zipWithIndex``'s per-partition counts or
+   AQE's per-stage statistics, so this stays legitimate at 1000
+   executors — only cluster-width state ever leaves the executors.
+4. Exclusive prefix offsets and per-group totals computed in plain
+   Python over those P×G rows, then shipped back as a LITERAL broadcast
+   frame. Global rank = local sequence + offset; NTILE is closed-form
+   integer arithmetic on (rank, group count).
+
+Versus the r7 shape (a broadcast theta-join over a lazy stats frame),
+this costs ONE aggregate pass over the cached sorted frame instead of
+three and keeps the final plan a single cached-scan + broadcast-hash-
+join — no plan in this module ever contains an unpartitioned Window
+operator OR re-derives the range exchange.
 
 Rank-identical to the engine NTILE/ROW_NUMBER when the order carries a
 unique tie-break (all callers do), so the DuckDB oracles keep their
 plain ``NTILE() OVER (ORDER BY ...)`` form unchanged.
+
+Cache lifetime: the sorted frame must be persisted (the offsets job and
+the final plan both read it, and ``_mid`` must be consistent between
+them — guaranteed by the cache; on eviction the recompute is still
+deterministic because the range boundaries, the in-partition sort and
+the monotonic-id layout are all deterministic given the same lineage).
+Callers that manage lifetimes pass ``cache_scope``
+(operators/caching.CacheScope) so the persist is released after the
+consuming action; ``None`` keeps the fire-and-forget behavior
+(bench/tests clear the cache per query).
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vacancy_gpt_etl_pipeline_spark.operators.caching import (
+    CacheScope,
+    persist_in,
+)
 
 __all__ = [
+    "collect_rank_stats",
     "grouped_ntile",
-    "prefix_offsets",
-    "ranked_partitions",
+    "offsets_frame",
+    "ranked_local",
     "with_global_row_number",
 ]
 
 
-def ranked_partitions(
+def ranked_local(
     df: DataFrame,
     order_by: Sequence[Column],
     group_cols: Sequence[str] = (),
     num_partitions: int | None = None,
-    sum_col: str | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """Range-partition ``df`` on ``group_cols + order_by`` and return
-    ``(local, stats)``:
-
-    - ``local``: the sorted frame plus ``_pid`` (range partition id)
-      and ``_mid`` (monotonic id whose low 33 bits are the in-partition
-      sequence).
-    - ``stats``: one row per (``_pid``, *group_cols*) with ``_pcnt``
-      (row count), ``_minmid`` (first sequence id — subtract to get the
-      in-group local row number when groups share a partition), and,
-      when ``sum_col`` is given, ``_psum`` (exact per-cell sum).
+    cache_scope: CacheScope | None = None,
+) -> DataFrame:
+    """Range-partition ``df`` on ``group_cols + order_by``, sort within
+    partitions, and add ``_pid`` (range partition id) and ``_mid``
+    (monotonic id whose low 33 bits are the in-partition sequence).
 
     The range order leads with the group columns so each group's rows
     are contiguous across the partition sequence — the property that
-    makes per-group prefix offsets correct.
+    makes per-group prefix offsets correct. The frame is persisted:
+    both the offsets job and the final rank join read it (see module
+    docstring for the lifetime contract).
     """
     spark = df.sparkSession
     n_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
     full_order = [F.col(c) for c in group_cols] + list(order_by)
-    # persisted: both consumers (the stats aggregate and the rank join)
-    # read this frame, and callers chain ntiles — without the persist the
-    # two branches re-derive the range exchange per level and the plan
-    # tree doubles at every chained call (180 exchange nodes for three
-    # chained quintiles; 30 with it). Same internal-persist pattern as
-    # the near-dup candidate frames; bench/tests clear cache per query.
-    local = (
+    return persist_in(
         df.repartitionByRange(n_parts, *full_order)
         .sortWithinPartitions(*full_order)
         .withColumn("_pid", F.spark_partition_id())
-        .withColumn("_mid", F.monotonically_increasing_id())
-        .persist()
+        .withColumn("_mid", F.monotonically_increasing_id()),
+        cache_scope,
     )
+
+
+def collect_rank_stats(
+    local: DataFrame,
+    group_cols: Sequence[str] = (),
+    sum_col: str | None = None,
+) -> list[dict[str, Any]]:
+    """ONE aggregate job over the persisted sorted frame; returns the
+    per-(pid, group) stats with prefix offsets and group totals already
+    folded in, as a driver-local list of dicts::
+
+        {"_pid", *group_cols, "_minmid", "_pcnt", "_cnt_off", "_ntot"}
+        (+ "_psum", "_sum_off", "_gsum" when ``sum_col`` is given)
+
+    ``_cnt_off``/``_sum_off`` are EXCLUSIVE prefix totals of the same
+    group's strictly-smaller pids; ``_ntot``/``_gsum`` are group grand
+    totals. Sums arrive as ``decimal.Decimal`` when ``sum_col`` is a
+    decimal column, so the Python prefix sums stay exact.
+
+    The collected frame is ≤ partitions × groups rows — cluster-width
+    metadata, not data (see module docstring step 3).
+    """
     aggs = [
         F.count(F.lit(1)).alias("_pcnt"),
         F.min("_mid").alias("_minmid"),
     ]
     if sum_col is not None:
         aggs.append(F.sum(sum_col).alias("_psum"))
-    # stats is ≤ P×G rows; its three consumers (both sides of the
-    # prefix theta-join plus the group totals) each re-derive it from
-    # the PERSISTED local frame — a map-side aggregate over cached
-    # partitions, no shuffle of data rows. Persisting stats too was
-    # measured SLOWER (5.3 s vs 3.4 s warm for rfm_segments at sf0.1):
-    # the extra materialization barrier costs more than two in-memory
-    # aggregate passes save, at any scale where the cache holds.
-    stats = local.groupBy("_pid", *group_cols).agg(*aggs)
-    return local, stats
+    rows = local.groupBy("_pid", *group_cols).agg(*aggs).collect()
+    rows.sort(key=lambda r: r["_pid"])
+    cnt_run: dict[tuple, int] = {}
+    sum_run: dict[tuple, Any] = {}
+    out: list[dict[str, Any]] = []
+    for r in rows:
+        g = tuple(r[c] for c in group_cols)
+        d = r.asDict()
+        d["_cnt_off"] = cnt_run.get(g, 0)
+        cnt_run[g] = d["_cnt_off"] + r["_pcnt"]
+        if sum_col is not None:
+            zero = type(r["_psum"])(0) if r["_psum"] is not None else 0
+            d["_sum_off"] = sum_run.get(g, zero)
+            sum_run[g] = d["_sum_off"] + (r["_psum"] or zero)
+        out.append(d)
+    for d in out:
+        g = tuple(d[c] for c in group_cols)
+        d["_ntot"] = cnt_run[g]
+        if sum_col is not None:
+            d["_gsum"] = sum_run[g]
+    return out
 
 
-def prefix_offsets(
-    stats: DataFrame, group_cols: Sequence[str], with_sum: bool = False
+def _offsets_schema(
+    local: DataFrame, group_cols: Sequence[str], with_sum: bool
+) -> T.StructType:
+    """Schema of the literal offsets frame: pid + the caller's group
+    columns (types copied from ``local``) + the rank bookkeeping."""
+    by_name = {f.name: f for f in local.schema.fields}
+    fields = [T.StructField("_pid", T.IntegerType(), False)]
+    fields += [by_name[c] for c in group_cols]
+    fields += [
+        T.StructField("_minmid", T.LongType(), False),
+        T.StructField("_cnt_off", T.LongType(), False),
+        T.StructField("_ntot", T.LongType(), False),
+    ]
+    if with_sum:
+        # decimal(38,2) holds any realistic prefix sum of decimal(18,2)
+        # facts (1e36) — widened past Spark's sum-of-sum inference so
+        # the Python-exact prefix totals never overflow the literal.
+        fields += [
+            T.StructField("_sum_off", T.DecimalType(38, 2), True),
+            T.StructField("_gsum", T.DecimalType(38, 2), True),
+        ]
+    return T.StructType(fields)
+
+
+def offsets_frame(
+    local: DataFrame,
+    group_cols: Sequence[str] = (),
+    sum_col: str | None = None,
 ) -> DataFrame:
-    """Per-(pid, group) exclusive prefix totals over the stats frame.
-
-    A broadcast theta-join (same group, strictly smaller pid) instead
-    of a window: the frame is ≤ partitions × groups rows, so the O(P²)
-    nested loop is trivia — and the resulting plan carries no
-    unpartitioned Window operator anywhere.
-    """
-    right_cols = [F.col("_pid").alias("_bpid"), F.col("_pcnt").alias("_bcnt")]
-    if with_sum:
-        right_cols.append(F.col("_psum").alias("_bsum"))
-    right_cols += [F.col(c).alias(f"_bg_{c}") for c in group_cols]
-    right = stats.select(*right_cols)
-    cond = F.col("_bpid") < F.col("_pid")
-    for c in group_cols:
-        cond = cond & (F.col(f"_bg_{c}") == F.col(c))
-    aggs = [F.sum("_bcnt").alias("_cnt_off")]
-    if with_sum:
-        aggs.append(F.sum("_bsum").alias("_sum_off"))
-    joined = stats.join(F.broadcast(right), cond, "left")
-    return joined.groupBy(
-        "_pid", *group_cols, "_minmid", "_pcnt",
-        *(["_psum"] if with_sum else []),
-    ).agg(*aggs)
-
-
-def _group_totals(stats: DataFrame, group_cols: Sequence[str]) -> DataFrame:
-    """Total row count per group (one row per group, broadcastable)."""
-    return stats.groupBy(*group_cols).agg(F.sum("_pcnt").alias("_ntot"))
+    """The collected rank stats as a small literal DataFrame, ready to
+    ``F.broadcast`` back onto ``local`` (join keys: ``_pid`` +
+    group_cols). Eager: runs the one stats job on call."""
+    stats = collect_rank_stats(local, group_cols, sum_col)
+    with_sum = sum_col is not None
+    schema = _offsets_schema(local, group_cols, with_sum)
+    data = [
+        tuple(d[f.name] for f in schema.fields)
+        for d in stats
+    ]
+    return local.sparkSession.createDataFrame(data, schema)
 
 
 def _ntile_expr(rank: Column, n: Column, k: int) -> Column:
@@ -149,35 +206,34 @@ def _ntile_expr(rank: Column, n: Column, k: int) -> Column:
     return (F.when(rank <= cut, small).otherwise(big) + F.lit(1)).cast("int")
 
 
+def _rank_col() -> Column:
+    """Global 1-based rank from the joined bookkeeping columns."""
+    return F.col("_mid") - F.col("_minmid") + F.lit(1) + F.col("_cnt_off")
+
+
 def with_global_row_number(
     df: DataFrame,
     order_by: Sequence[Column],
     out_col: str = "row_num",
     group_cols: Sequence[str] = (),
     num_partitions: int | None = None,
+    cache_scope: CacheScope | None = None,
 ) -> DataFrame:
     """``df`` plus ``out_col`` = ROW_NUMBER() OVER (PARTITION BY
     group_cols ORDER BY order_by) — the general distributed rank
     primitive (see module docstring for the recipe). ``order_by`` must
     end in a unique tie-break for a deterministic total order. Row set
-    unchanged; helper columns dropped."""
-    local, stats = ranked_partitions(
-        df, order_by, group_cols=group_cols, num_partitions=num_partitions
+    unchanged (NULL group keys excepted — they drop at the equi-join,
+    as they did under the r7 theta-join shape); helper columns dropped.
+    """
+    local = ranked_local(
+        df, order_by, group_cols=group_cols,
+        num_partitions=num_partitions, cache_scope=cache_scope,
     )
-    offs = prefix_offsets(stats, group_cols)
-    keyed = (
-        local.join(F.broadcast(offs), ["_pid", *group_cols])
-        if group_cols
-        else local.join(F.broadcast(offs), "_pid")
-    )
-    rank = (
-        F.col("_mid")
-        - F.col("_minmid")
-        + F.lit(1)
-        + F.coalesce(F.col("_cnt_off"), F.lit(0))
-    )
-    return keyed.withColumn(out_col, rank).drop(
-        "_pid", "_mid", "_minmid", "_pcnt", "_cnt_off"
+    offs = offsets_frame(local, group_cols)
+    keyed = local.join(F.broadcast(offs), ["_pid", *group_cols])
+    return keyed.withColumn(out_col, _rank_col()).drop(
+        "_pid", "_mid", "_minmid", "_cnt_off", "_ntot"
     )
 
 
@@ -188,30 +244,20 @@ def grouped_ntile(
     out_col: str,
     group_cols: Sequence[str] = (),
     num_partitions: int | None = None,
+    cache_scope: CacheScope | None = None,
 ) -> DataFrame:
     """``df`` plus ``out_col`` = NTILE(k) OVER (PARTITION BY group_cols
     ORDER BY order_by) — computed distributedly (see module docstring).
     ``order_by`` must end in a unique tie-break for engine-exact
-    bucket boundaries. Helper columns are dropped; row set unchanged.
-    """
-    local, stats = ranked_partitions(
-        df, order_by, group_cols=group_cols, num_partitions=num_partitions
+    bucket boundaries. Helper columns are dropped; row set unchanged
+    (NULL group keys drop, as under the r7 shape)."""
+    local = ranked_local(
+        df, order_by, group_cols=group_cols,
+        num_partitions=num_partitions, cache_scope=cache_scope,
     )
-    offs = prefix_offsets(stats, group_cols)
-    totals = _group_totals(stats, group_cols)
-    if group_cols:
-        offs = offs.join(F.broadcast(totals), list(group_cols))
-        keyed = local.join(F.broadcast(offs), ["_pid", *group_cols])
-    else:
-        offs = offs.crossJoin(F.broadcast(totals))
-        keyed = local.join(F.broadcast(offs), "_pid")
-    rank = (
-        F.col("_mid")
-        - F.col("_minmid")
-        + F.lit(1)
-        + F.coalesce(F.col("_cnt_off"), F.lit(0))
-    )
+    offs = offsets_frame(local, group_cols)
+    keyed = local.join(F.broadcast(offs), ["_pid", *group_cols])
     return (
-        keyed.withColumn(out_col, _ntile_expr(rank, F.col("_ntot"), k))
-        .drop("_pid", "_mid", "_minmid", "_pcnt", "_cnt_off", "_ntot")
+        keyed.withColumn(out_col, _ntile_expr(_rank_col(), F.col("_ntot"), k))
+        .drop("_pid", "_mid", "_minmid", "_cnt_off", "_ntot")
     )

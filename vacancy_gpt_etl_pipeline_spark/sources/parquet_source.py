@@ -121,7 +121,9 @@ def _estimate_scan_splits(spark: SparkSession, files: list[str]) -> int:
         sizes.append(fs.getFileStatus(path).getLen())
     total = sum(s + open_cost for s in sizes)
     parallelism = max(sc.defaultParallelism, 1)
-    max_split = min(max_pb, max(open_cost, total // parallelism))
+    # clamp ≥1: openCostInBytes=0 plus many tiny files would otherwise
+    # drive the divisor to 0 (ZeroDivisionError in the read path)
+    max_split = max(1, min(max_pb, max(open_cost, total // parallelism)))
     return sum(
         -(-s // max_split) if s else 1 for s in sizes
     )
