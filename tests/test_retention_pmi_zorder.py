@@ -151,3 +151,56 @@ def test_zorder_repartition_sorted_within_partitions(spark):
     # range partitioning: partition z-spans must not overlap
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2
+
+
+def test_zorder_manifest_query_matches_python_brute_force(spark):
+    """VERDICT r7 item 5 (mirror→independent oracles): the registry's
+    zorder_manifest entry, verified against a from-scratch pure-Python
+    brute force over the REAL sf0.001 lineitem at the query's actual
+    parameters (bits=16, bucket_bits=8) — independent of both the Spark
+    codegen expression AND the generated duckdb SQL twin. The Python
+    side re-derives normalization (same IEEE floor expression),
+    interleaves bits with a naive per-bit loop, buckets by the top 8
+    bits, and aggregates with a dict."""
+    import math
+
+    from vacancy_gpt_etl_pipeline_spark.queries import zorder_manifest_query
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r.bucket: (r.n_rows, r.x_min, r.x_max, r.y_min, r.y_max)
+        for r in zorder_manifest_query(spark, sf_dir).collect()
+    }
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    xs = [r.l_orderkey for r in rows]
+    ys = [r.l_partkey for r in rows]
+    xmin, xmax, ymin, ymax = min(xs), max(xs), min(ys), max(ys)
+    top = float((1 << 16) - 1)
+
+    def norm(v, lo, hi):
+        return (
+            int(math.floor((v - lo) * top / float(hi - lo))) if hi > lo else 0
+        )
+
+    def interleave(zx, zy):
+        z = 0
+        for k in range(16):
+            z |= ((zx >> k) & 1) << (2 * k)
+            z |= ((zy >> k) & 1) << (2 * k + 1)
+        return z
+
+    expect: dict[int, list] = {}
+    for x, y in zip(xs, ys):
+        z = interleave(norm(x, xmin, xmax), norm(y, ymin, ymax))
+        b = z >> 24  # 2*bits - bucket_bits
+        e = expect.setdefault(b, [0, x, x, y, y])
+        e[0] += 1
+        e[1], e[2] = min(e[1], x), max(e[2], x)
+        e[3], e[4] = min(e[3], y), max(e[4], y)
+
+    assert got == {b: tuple(e) for b, e in expect.items()}

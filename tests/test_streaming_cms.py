@@ -126,3 +126,37 @@ def test_windowed_cms_per_window_one_sided_bound(spark, tmp_path):
                 continue
             assert est[u] >= true_cnt, (day, u, est[u], true_cnt)
             assert est[u] - true_cnt <= bound, (day, u, est[u], true_cnt)
+
+
+def test_windowed_cms_row_sums_equal_exact_daily_totals(spark):
+    """VERDICT r7 item 5 (mirror→independent oracles): every CMS row is
+    a PARTITION of that day's events (each event lands in exactly one
+    bucket per row), so sum(counter) over each (day, row) must equal
+    the day's exact event count — an identity that holds regardless of
+    the md5 bucket mapping both engines share. Checked over the REAL
+    sf0.001 events through the registry's own query."""
+    from vacancy_gpt_etl_pipeline_spark.queries import windowed_cms_daily
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = windowed_cms_daily(spark, sf_dir)
+    row_sums = {
+        (r.day, r.row): r.total
+        for r in out.groupBy("day", "row")
+        .agg(F.sum("counter").alias("total"))
+        .collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r.day: r.cnt
+        for r in ev.select(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert row_sums  # non-empty
+    depth_rows = {row for _, row in row_sums}
+    assert depth_rows == set(range(len(depth_rows)))  # all CMS rows present
+    for (day, row), total in row_sums.items():
+        assert total == exact[day], (day, row, total, exact[day])

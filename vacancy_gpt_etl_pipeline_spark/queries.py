@@ -2587,20 +2587,24 @@ def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches, never the raw rows (operators/sketches.py — the mergeable
     pre-aggregation pattern for 100 TB dashboards).
 
-    Exact-regime oracle (same gate as sketch_quantiles): at the sf0.01
-    correctness scale each group holds ~150 distinct users, far below the
-    lgk=12 sketch's coupon-mode capacity, so the DataSketches estimate —
-    including through the daily-sketch union — equals the true count and
-    the oracle compares against exact COUNT(DISTINCT). The approx regime
-    (sf0.1 is ~1% under) is bounded in tests/test_sketches.py, and the
-    merge-identity (daily-merge == direct) is asserted there exactly."""
+    Exact-regime oracle (same gate as sketch_quantiles): lgk=14 keeps
+    the DataSketches coupon-set capacity above the per-group distinct
+    cardinality at BOTH verified scales (~150 users at sf0.01, ~1,500
+    at sf0.1 — probed empirically: the estimate, including through the
+    daily-sketch union, equals the true count at lgk=14 but drifts ~1%
+    at the default lgk=12), so the oracle compares against exact
+    COUNT(DISTINCT) and value-hashes at every scale the sweeps run. At
+    production cardinalities (millions of users) the sketch enters the
+    HLL approximate regime regardless of lgk — that regime's error is
+    bounded in tests/test_sketches.py, and the merge-identity
+    (daily-merge == direct) is asserted there exactly."""
     from vacancy_gpt_etl_pipeline_spark.operators.sketches import (
         distinct_count_rollup,
     )
 
     ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     return distinct_count_rollup(
-        ev, ["event_type", "day"], ["event_type"], "user_id"
+        ev, ["event_type", "day"], ["event_type"], "user_id", lgk=14
     ).orderBy("event_type")
 
 
