@@ -646,3 +646,147 @@ def test_gif_lzw_growing_dictionary_stream(spark):
     data = lzw_encode(indices, 2)
     got = _gif_lzw_decode(data, 2, len(indices))
     assert got == bytes(indices)
+
+
+# ---------------------------------------------------- mp4 box-walk metadata
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _mvhd_v0(timescale: int, duration: int) -> bytes:
+    import struct
+
+    return _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", timescale, duration),
+    )
+
+
+def _trak(handler: bytes, w: int = 0, h: int = 0) -> bytes:
+    import struct
+
+    tkhd = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"
+        + struct.pack(">IIII", 0, 0, 1, 0)  # ctime mtime track_id reserved
+        + struct.pack(">I", 500)  # duration
+        + b"\x00" * 8  # reserved
+        + b"\x00" * 2 * 3  # layer, alt_group, volume
+        + b"\x00" * 2  # reserved
+        + b"\x00" * 36  # matrix
+        + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed
+    )
+    hdlr = _box(
+        b"hdlr", b"\x00\x00\x00\x00" + b"\x00" * 4 + handler + b"\x00" * 13
+    )
+    mdia = _box(b"mdia", hdlr)
+    return _box(b"trak", tkhd + mdia)
+
+
+def _golden_mp4() -> bytes:
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    moov = _box(
+        b"moov",
+        _mvhd_v0(1000, 2500)  # 2.5 s at timescale 1000
+        + _trak(b"vide", 640, 360)
+        + _trak(b"soun"),
+    )
+    mdat = _box(b"mdat", b"\x00" * 32)
+    return ftyp + moov + mdat
+
+
+def test_mp4_golden_literal_metadata():
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        _parse_mp4_metadata,
+    )
+
+    dur, tscale, ntr, hnd, w, h = _parse_mp4_metadata(_golden_mp4())
+    assert dur == 2.5
+    assert tscale == 1000
+    assert ntr == 2
+    assert hnd == "vide,soun"
+    assert (w, h) == (640, 360)
+
+
+def test_mp4_mvhd_v1_and_largesize_box():
+    import struct
+
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        _parse_mp4_metadata,
+    )
+
+    mvhd_v1 = _box(
+        b"mvhd",
+        b"\x01\x00\x00\x00"
+        + struct.pack(">QQ", 0, 0)  # 64-bit ctime, mtime
+        + struct.pack(">I", 90000)  # timescale
+        + struct.pack(">Q", 225000),  # 64-bit duration -> 2.5 s
+    )
+    moov_payload = mvhd_v1 + _trak(b"soun")
+    # wrap moov as a size==1 (64-bit largesize) box
+    moov = (
+        struct.pack(">I", 1)
+        + b"moov"
+        + struct.pack(">Q", 16 + len(moov_payload))
+        + moov_payload
+    )
+    b = _box(b"ftyp", b"isom") + moov
+    dur, tscale, ntr, hnd, w, h = _parse_mp4_metadata(b)
+    assert dur == 2.5
+    assert tscale == 90000
+    assert (ntr, hnd) == (1, "soun")
+    assert w is None and h is None
+
+
+def test_mp4_malformed_payloads_quarantine():
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        _parse_mp4_metadata,
+    )
+
+    assert _parse_mp4_metadata(b"") is None
+    assert _parse_mp4_metadata(b"not a video at all") is None
+    # sane leading box but no moov anywhere
+    assert _parse_mp4_metadata(_box(b"ftyp", b"isom") + _box(b"mdat", b"x")) is None
+    # truncated: moov declares more bytes than exist -> walk stops, None
+    import struct
+
+    trunc = _box(b"ftyp", b"isom") + struct.pack(">I", 4096) + b"moov"
+    assert _parse_mp4_metadata(trunc) is None
+
+
+def test_video_metadata_operator_routes_y4m_mp4_and_unknown(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        synthesize_y4m_payload,
+        video_metadata,
+    )
+
+    y4m = (
+        synthesize_y4m_payload(
+            spark.createDataFrame([(3,)], "doc_id: long"), "doc_id"
+        )
+        .select("asset_id", "content")
+        .collect()[0]
+    )
+    rows = [
+        (3, bytearray(y4m.content)),
+        (7, bytearray(_golden_mp4())),
+        (9, bytearray(b"garbage bytes")),
+    ]
+    df = spark.createDataFrame(rows, "asset_id: long, content: binary")
+    got = {r.asset_id: r for r in video_metadata(df).collect()}
+    assert len(got) == 3  # 1:1, quarantine included
+    # Y4M: id=3 -> w=3%8+2=5, h=3%4+2=5, frames=3%5+1=4, F25:1 -> 0.16 s
+    r = got[3]
+    assert (r.container, r.width, r.height, r.n_frames) == ("y4m", 5, 5, 4)
+    assert abs(r.duration_sec - 4 / 25) < 1e-12
+    r = got[7]
+    assert (r.container, r.duration_sec, r.timescale) == ("isobmff", 2.5, 1000)
+    assert (r.n_tracks, r.handlers, r.width, r.height) == (2, "vide,soun", 640, 360)
+    r = got[9]
+    assert r.container is None and r.duration_sec is None

