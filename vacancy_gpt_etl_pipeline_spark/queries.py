@@ -3563,6 +3563,123 @@ FROM st
 """
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the returned-item customer report — customer ⋈
+    date-windowed orders ⋈ R-flagged lineitem ⋈ nation, per-customer
+    decimal-exact revenue, top 20. Join strategy: nation (25 rows)
+    broadcasts; customer joins orders on custkey and orders joins
+    lineitem on orderkey as shuffles (both sides are data-sized at
+    100 TB — customer is NOT broadcastable at scale, unlike Q3's
+    segment-filtered key list). Both date and returnflag filters reach
+    the scans. Top-20 via TakeOrderedAndProject (never a global sort);
+    c_custkey tie-break pins the cut deterministically."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1999-01-01"))
+            & (F.col("o_orderdate") < F.lit("1999-04-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dec = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    revenue = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - dec("l_discount")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+    AS DOUBLE) AS revenue,
+  c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= DATE '1999-01-01' AND o_orderdate < DATE '1999-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three conjunctive
+    (brand, size-band, quantity-band) groups — the disjunctive-pushdown
+    stress test. A mixed OR spanning both tables cannot be pushed to
+    either scan automatically, so the plan applies the hand-derived
+    TABLE-LOCAL relaxations first (part: the brand/size disjunction;
+    lineitem: the quantity hull 1..30) — both semantics-preserving
+    supersets that DO reach the scans — and re-applies the full
+    predicate after the join (the canonical hand-optimized Q19 plan).
+    The filtered part side is key-list-sized and broadcasts."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    groups = [
+        ("Brand#12", 5, 1.0, 11.0),
+        ("Brand#23", 10, 10.0, 20.0),
+        ("Brand#34", 15, 20.0, 30.0),
+    ]
+    p_local = None
+    full = None
+    for brand, max_size, q_lo, q_hi in groups:
+        p_g = (F.col("p_brand") == brand) & F.col("p_size").between(1, max_size)
+        f_g = p_g & F.col("l_quantity").between(q_lo, q_hi)
+        p_local = p_g if p_local is None else (p_local | p_g)
+        full = f_g if full is None else (full | f_g)
+    part_f = part.where(p_local)
+    li_f = li.where(F.col("l_quantity").between(1.0, 30.0))
+    dec = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    revenue = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - dec("l_discount")
+    )
+    return (
+        li_f.join(F.broadcast(part_f), li_f["l_partkey"] == part_f["p_partkey"])
+        .where(full)
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+    AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def rolling_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free rolling z-score anomaly detection on the event
     stream: per user (window PARTITIONED by user_id — never a global
@@ -7578,6 +7695,8 @@ REGISTRY: dict[str, QuerySpec] = {
         rolling_anomaly_events, ROLLING_ANOMALY_SQL
     ),
     "embedding_gram": QuerySpec(embedding_gram, EMBEDDING_GRAM_SQL),
+    "q10_returned_items": QuerySpec(q10_returned_items, Q10_SQL),
+    "q19_disjunctive_revenue": QuerySpec(q19_disjunctive_revenue, Q19_SQL),
 }
 
 # ROUND-8 ROTATION (the standing mechanism VERDICT r7 item 1 asked to keep
@@ -7594,6 +7713,8 @@ _R8_FRONT: tuple[str, ...] = (
     "video_container_metadata",
     "rolling_anomaly_events",
     "embedding_gram",
+    "q10_returned_items",
+    "q19_disjunctive_revenue",
     # (b) changed in round 8: operators/ranking rewrite + pareto driver-
     # side crossing + sketch lgk=14 + windowed_cms/zorder oracle hardening
     "ntile_price_buckets",
@@ -7641,8 +7762,6 @@ _R8_FRONT: tuple[str, ...] = (
     "pii_redaction",
     "merge_upsert_orders",
     "multimodal_metadata",
-    "chunk_documents",
-    "split_contamination",
 )
 assert len(_R8_FRONT) == len(set(_R8_FRONT)) == 50
 REGISTRY = {
