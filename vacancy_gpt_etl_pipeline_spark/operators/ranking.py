@@ -261,3 +261,12 @@ def grouped_ntile(
         keyed.withColumn(out_col, _ntile_expr(_rank_col(), F.col("_ntot"), k))
         .drop("_pid", "_mid", "_minmid", "_cnt_off", "_ntot")
     )
+
+
+# NOTE: a thread-pooled "grouped_ntile_many" variant (submit the eager
+# stats jobs of several independent NTILEs concurrently) was A/B'd in
+# round 8 and REMOVED: at local[32] the concurrent range sorts
+# oversubscribe the same cores and total wall-time LOSES (RFM 5.0-8.9 s
+# threaded vs 4.0 s serial warm at sf0.1). On a real cluster with idle
+# executors concurrent jobs could win, but the serial form is what the
+# harness can defend with measurements — see PLANS.md round 8.

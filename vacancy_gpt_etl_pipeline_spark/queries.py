@@ -4518,10 +4518,11 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recency: LOWER days = better = score 5 → rank ascending, invert.
     # Three INDEPENDENT slim (key, metric) branches off the persisted
     # per-customer frame, hash-joined back on the key — measured ~30%
-    # faster warm (2.0-2.3 s vs 3.0-3.3 s at sf0.1) and 2.8× faster on
-    # first compile than chaining the ntiles, because the three range
-    # sorts carry 2-column rows, can overlap as independent stages, and
-    # the plan tree stays flat
+    # faster warm than chaining the ntiles (r7). The branches run
+    # SERIALLY on purpose: submitting the three eager stats jobs from a
+    # thread pool was A/B'd in r8 and LOST (5.0-8.9 s vs 4.0 s warm at
+    # sf0.1) — three concurrent 32-partition range sorts oversubscribe
+    # the same cores; see PLANS.md round 8.
     per_cust = per_cust.persist()
     branches = []
     for out, metric, order in (
