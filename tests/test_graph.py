@@ -172,3 +172,51 @@ def test_k_core_convergence_within_oracle_unroll(spark, sf_dir):
 
     res = g.k_core_detailed(_kcore_edges(spark, sf_dir), k=2, max_iter=15)
     assert res.converged and res.rounds <= 10
+
+
+# ------------------------------------------------------- label propagation
+
+
+def test_label_propagation_recovers_planted_cliques(spark):
+    """Two 5-cliques joined by ONE bridge edge: after 3 deterministic
+    rounds every clique member carries its clique's minimum id, and the
+    bridge does not merge the communities."""
+    from vacancy_gpt_etl_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = clique([1, 2, 3, 4, 5]) + clique([10, 11, 12, 13, 14]) + [(5, 10)]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {r.node: r.label for r in label_propagation(df, 3).collect()}
+    assert {got[n] for n in (1, 2, 3, 4, 5)} == {1}
+    assert {got[n] for n in (10, 11, 12, 13, 14)} == {10}
+
+
+def test_label_propagation_tiebreak_is_min_label(spark):
+    """A node with equally-frequent neighbor labels takes the SMALLEST
+    (the pinned determinism rule): path 1-3-2 gives node 3 neighbors
+    {1, 2}, one vote each -> label 1."""
+    from vacancy_gpt_etl_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame([(1, 3), (3, 2)], "src: long, dst: long")
+    got = {r.node: r.label for r in label_propagation(df, 1).collect()}
+    assert got[3] == 1
+    # ends see only node 3's initial label
+    assert got[1] == 3 and got[2] == 3
+
+
+def test_label_propagation_ignores_self_loops_and_direction(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (1, 2), (2, 3)], "src: long, dst: long"
+    )
+    got = {r.node: r.label for r in label_propagation(df, 2).collect()}
+    assert set(got) == {1, 2, 3}  # self-loop node still present via 2-1

@@ -378,3 +378,57 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 12) -> DataFrame:
             "raise max_iter (degeneracy is higher than expected)"
         )
     return result.frame
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Deterministic synchronous label propagation (community
+    detection): label₀(v) = v; labelₖ₊₁(v) = the most frequent label
+    among v's neighbors at step k, ties broken by SMALLEST label — the
+    classic near-linear community heuristic (Raghavan et al. 2007) made
+    engine-reproducible by pinning BOTH tie-breaks (count, then label)
+    instead of the paper's random choice. Returns ``(node, label)`` for
+    every non-isolated node after EXACTLY ``iterations`` rounds — a
+    fixed-depth variant, so the output is a well-defined function of
+    the graph even where synchronous LPA would oscillate (bipartite
+    flip-flop), and the registry oracle can replay it as unrolled SQL.
+
+    Scale shape: each round is one equi-join of the label frame into
+    the symmetrized edge list (both (long, long) frames) plus a
+    two-level aggregate — (v, label) counts, then a per-v arg-min over
+    ``struct(-count, label)``. Edges are persisted once; the label
+    frame is node-sized. Lineage is linear in the fixed round count, so
+    no checkpointing is needed at the default depth."""
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(iterations):
+        nbr = sym.join(
+            labels.select(
+                F.col("node").alias("_n"), F.col("label").alias("_l")
+            ),
+            F.col("dst") == F.col("_n"),
+        ).select(F.col("src").alias("v"), F.col("_l").alias("label"))
+        counts = nbr.groupBy("v", "label").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        best = counts.groupBy("v").agg(
+            F.min(
+                F.struct((-F.col("_c")).alias("_nc"), F.col("label"))
+            ).alias("_b")
+        )
+        labels = best.select(
+            F.col("v").alias("node"), F.col("_b.label").alias("label")
+        )
+    return labels

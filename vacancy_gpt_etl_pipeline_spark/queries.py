@@ -2225,6 +2225,69 @@ ORDER BY node
 """
 
 
+def label_prop_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Communities of the 1997 part co-purchase graph via DETERMINISTIC
+    synchronous label propagation (operators/graph.label_propagation):
+    3 fixed rounds, most-frequent-neighbor-label updates with pinned
+    (count desc, label asc) tie-breaks instead of the paper's random
+    choice — which is what lets the oracle replay the identical rounds
+    as unrolled SQL CTEs (same ROW_NUMBER ordering). Shares the
+    kcore/triangle edge derivation. Summarized as one row per surviving
+    label with member count (communities-of-size report), plus the
+    label id doubling as a canonical representative."""
+    from vacancy_gpt_etl_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    labels = label_propagation(_kcore_edges(spark, sf_dir), iterations=3)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("label")
+    )
+
+
+def _label_prop_sql(depth: int = 3) -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, depth + 1):
+        rounds.append(f"""
+c{i} AS MATERIALIZED (
+  SELECT s.a AS v, l.label, COUNT(*) AS c
+  FROM sym s JOIN {prev} l ON l.node = s.b
+  GROUP BY s.a, l.label
+),
+l{i} AS MATERIALIZED (
+  SELECT v AS node, label FROM (
+    SELECT v, label,
+      ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+sym AS MATERIALIZED (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node, a AS label FROM sym
+),{",".join(rounds)}
+SELECT CAST(label AS BIGINT) AS label,
+  CAST(COUNT(*) AS BIGINT) AS n_members
+FROM {prev} GROUP BY label ORDER BY label
+"""
+
+
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-wins keyed upsert (operators/relational.merge_upsert): a
     snapshot of orders merged with an update batch that modifies every
@@ -7696,6 +7759,7 @@ REGISTRY: dict[str, QuerySpec] = {
         rolling_anomaly_events, ROLLING_ANOMALY_SQL
     ),
     "embedding_gram": QuerySpec(embedding_gram, EMBEDDING_GRAM_SQL),
+    "label_prop_parts": QuerySpec(label_prop_parts, _label_prop_sql()),
     "q10_returned_items": QuerySpec(q10_returned_items, Q10_SQL),
     "q19_disjunctive_revenue": QuerySpec(q19_disjunctive_revenue, Q19_SQL),
 }
@@ -7716,6 +7780,7 @@ _R8_FRONT: tuple[str, ...] = (
     "embedding_gram",
     "q10_returned_items",
     "q19_disjunctive_revenue",
+    "label_prop_parts",
     # (b) changed in round 8: operators/ranking rewrite + pareto driver-
     # side crossing + sketch lgk=14 + windowed_cms/zorder oracle hardening
     "ntile_price_buckets",
@@ -7762,7 +7827,6 @@ _R8_FRONT: tuple[str, ...] = (
     "range_join_attribution",
     "pii_redaction",
     "merge_upsert_orders",
-    "multimodal_metadata",
 )
 assert len(_R8_FRONT) == len(set(_R8_FRONT)) == 50
 REGISTRY = {
