@@ -3686,6 +3686,331 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure filter-and-sum scan — revenue delta
+    from discounted small-quantity lines in one ship-year. No joins at
+    all; every predicate (date band, discount band, quantity cap)
+    reaches the parquet scan as a PushedFilter and the decimal products
+    combine map-side into a single-row aggregate — the minimal
+    full-scan shape whose cost is pure I/O at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    dec = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    return li.agg(
+        F.sum(dec("l_extendedprice") * dec("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the customer order-count distribution — LEFT
+    OUTER join (customers with zero orders must survive as count 0)
+    then a double aggregation: orders per customer, customers per
+    order-count. The excluded-comment predicate becomes a priority
+    filter on the orders side BEFORE the join (pushed to the scan).
+    Both aggregates shuffle on keys whose cardinality shrinks fast
+    (customer → distinct count values), the classic histogram-of-
+    aggregates shape."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the top supplier(s) by quarterly revenue — the
+    aggregate-then-max-then-equal pattern (the original's view + scalar
+    subquery). The per-supplier revenue frame is supplier-cardinality;
+    its 1-row MAX broadcasts back for the equality filter (ties all
+    survive, as in the spec), then the supplier dim joins in
+    broadcast-wise. Decimal-exact revenue; the max-equality compares
+    DECIMALS, never doubles, so ties are exact."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    dec = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    revenue = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - dec("l_discount")
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(revenue).alias("_rev")
+    )
+    mx = per_supp.agg(F.max("_rev").alias("_mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.join(F.broadcast(mx), F.col("_rev") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE r = (SELECT MAX(r) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations —
+    lineitem ⋈ supplier-nation and order ⋈ customer-nation, keeping
+    only the (NATION_1 → NATION_2) and (NATION_2 → NATION_1) flows,
+    yearly decimal-exact revenue. Join strategy: the two nation-filtered
+    key lists (suppliers of N1∪N2, customers of N1∪N2) are dimension-
+    sized and BROADCAST into the facts; the orderkey fact-fact join
+    shuffles. The ship-date band reaches the lineitem scan."""
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = F.col("n_name").isin("NATION_1", "NATION_2")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.where(pair)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.where(pair)),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .select(
+            "l_orderkey", "l_suppkey", "l_shipdate",
+            "l_extendedprice", "l_discount",
+        )
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    dec = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    revenue = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - dec("l_discount")
+    )
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+  CAST(SUM(rev) AS DOUBLE) AS revenue
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+    CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+    CAST(l_extendedprice AS DECIMAL(12,2))
+      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS rev
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+    AND cn.n_name IN ('NATION_1', 'NATION_2')
+    AND sn.n_name <> cn.n_name
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_5's market share of PROMO-type part
+    revenue sold to ASIA customers, per order year — the conditional-
+    share pattern (CASE inside both decimal sums, ONE IEEE division at
+    the end, so the ratio is engine-exact). Joins: the PROMO part key
+    list, the supplier→nation map, and the ASIA customer key list all
+    broadcast; only orders ⋈ lineitem shuffles. The order-date band
+    reaches the orders scan."""
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    promo = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount",
+    )
+    dec = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    revenue = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - dec("l_discount")
+    )
+    zero = F.lit(0).cast("decimal(24,4)")
+    joined = (
+        li.join(F.broadcast(promo), li["l_partkey"] == promo["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(asia_cust),
+            orders["o_custkey"] == asia_cust["c_custkey"],
+        )
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("supp_nation") == "NATION_5",
+                    revenue.cast("decimal(24,4)"),
+                ).otherwise(zero)
+            ).alias("_n5"),
+            F.sum(revenue.cast("decimal(24,4)")).alias("_all"),
+        )
+        .select(
+            "o_year",
+            (
+                F.col("_n5").cast("double") / F.col("_all").cast("double")
+            ).alias("mkt_share"),
+            F.col("_all").cast("double").alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT o_year,
+  CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev
+                ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE)
+    / CAST(SUM(rev) AS DOUBLE) AS mkt_share,
+  CAST(SUM(rev) AS DOUBLE) AS total_revenue
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+    sn.n_name AS supp_nation,
+    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+      AS DECIMAL(24,4)) AS rev
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = cn.n_regionkey
+  WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: revenue under an OR of three conjunctive
     (brand, size-band, quantity-band) groups — the disjunctive-pushdown
@@ -7761,6 +8086,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "embedding_gram": QuerySpec(embedding_gram, EMBEDDING_GRAM_SQL),
     "label_prop_parts": QuerySpec(label_prop_parts, _label_prop_sql()),
     "q10_returned_items": QuerySpec(q10_returned_items, Q10_SQL),
+    "q7_volume_shipping": QuerySpec(q7_volume_shipping, Q7_SQL),
+    "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL),
+    "q13_order_count_distribution": QuerySpec(
+        q13_order_count_distribution, Q13_SQL
+    ),
+    "q15_top_supplier": QuerySpec(q15_top_supplier, Q15_SQL),
+    "q8_market_share": QuerySpec(q8_market_share, Q8_SQL),
     "q19_disjunctive_revenue": QuerySpec(q19_disjunctive_revenue, Q19_SQL),
 }
 
@@ -7781,6 +8113,11 @@ _R8_FRONT: tuple[str, ...] = (
     "q10_returned_items",
     "q19_disjunctive_revenue",
     "label_prop_parts",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q6_forecast_revenue",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
     # (b) changed in round 8: operators/ranking rewrite + pareto driver-
     # side crossing + sketch lgk=14 + windowed_cms/zorder oracle hardening
     "ntile_price_buckets",
@@ -7822,11 +8159,6 @@ _R8_FRONT: tuple[str, ...] = (
     "f9_date_functions",
     "window_rank_lag",
     "rollup_status_priority",
-    "cube_flags",
-    "pivot_event_types",
-    "range_join_attribution",
-    "pii_redaction",
-    "merge_upsert_orders",
 )
 assert len(_R8_FRONT) == len(set(_R8_FRONT)) == 50
 REGISTRY = {
