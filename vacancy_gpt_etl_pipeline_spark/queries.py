@@ -2794,6 +2794,80 @@ WHERE {_SQL_QUALITY} >= 0.5 AND {_SQL_NTOK} BETWEEN 20 AND 80
 """
 
 
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition-independent quality rules (Rae et al.
+    2021 §A1.1, adapted to the corpus): per-document word count,
+    mean word length, alphabetic-word fraction and symbol-to-word
+    ratio ('#' and '…'-as-'...' counts), plus the conjunctive pass
+    flag (10 ≤ words ≤ 1000, 3 ≤ mean len ≤ 10, alpha ≥ 0.7,
+    symbols ≤ 0.1). Every signal is a pure codegen column expression
+    (split + higher-order array ops) — the filter runs inside the scan
+    stage at 100 TB, no UDF anywhere. Ratios are int-over-int single
+    IEEE divisions, so both engines produce bit-identical doubles."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_words = F.size(w)
+    sum_len = F.aggregate(
+        w, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    mean_len = sum_len.cast("double") / n_words
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-zа-яё]")))
+    alpha_frac = n_alpha.cast("double") / n_words
+    hash_cnt = F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+    ell_cnt = F.floor(
+        (
+            F.length("text")
+            - F.length(F.expr("replace(text, '...', '')"))
+        )
+        / F.lit(3)
+    )
+    symbol_ratio = (hash_cnt + ell_cnt).cast("double") / n_words
+    passes = (
+        n_words.between(10, 1000)
+        & (mean_len >= 3.0)
+        & (mean_len <= 10.0)
+        & (alpha_frac >= 0.7)
+        & (symbol_ratio <= 0.1)
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        passes.alias("passes"),
+    ).where(n_words > 0)
+
+
+GOPHER_RULES_SQL = r"""
+WITH w AS (
+  SELECT doc_id, text,
+    string_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(ws) AS BIGINT) AS n_words,
+  CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / len(ws)
+    AS mean_word_len,
+  CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zа-яё]')))
+    AS DOUBLE) / len(ws) AS alpha_word_frac,
+  CAST((len(text) - len(replace(text, '#', '')))
+    + (len(text) - len(replace(text, '...', ''))) // 3
+    AS DOUBLE) / len(ws) AS symbol_ratio,
+  (len(ws) BETWEEN 10 AND 1000
+    AND CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+      / len(ws) >= 3.0
+    AND CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+      / len(ws) <= 10.0
+    AND CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zа-яё]')))
+      AS DOUBLE) / len(ws) >= 0.7
+    AND CAST((len(text) - len(replace(text, '#', '')))
+      + (len(text) - len(replace(text, '...', ''))) // 3
+      AS DOUBLE) / len(ws) <= 0.1) AS passes
+FROM w WHERE len(ws) > 0
+"""
+
+
 def training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pass (quality filter → fingerprint keep-first
     dedup): the manifest a tokenization job would join back on. Filters run
@@ -8092,6 +8166,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q13_order_count_distribution, Q13_SQL
     ),
     "q15_top_supplier": QuerySpec(q15_top_supplier, Q15_SQL),
+    "gopher_quality_rules": QuerySpec(gopher_quality_rules, GOPHER_RULES_SQL),
     "q8_market_share": QuerySpec(q8_market_share, Q8_SQL),
     "q19_disjunctive_revenue": QuerySpec(q19_disjunctive_revenue, Q19_SQL),
 }
@@ -8118,6 +8193,7 @@ _R8_FRONT: tuple[str, ...] = (
     "q6_forecast_revenue",
     "q13_order_count_distribution",
     "q15_top_supplier",
+    "gopher_quality_rules",
     # (b) changed in round 8: operators/ranking rewrite + pareto driver-
     # side crossing + sketch lgk=14 + windowed_cms/zorder oracle hardening
     "ntile_price_buckets",
@@ -8158,7 +8234,6 @@ _R8_FRONT: tuple[str, ...] = (
     "f8_json_extract",
     "f9_date_functions",
     "window_rank_lag",
-    "rollup_status_priority",
 )
 assert len(_R8_FRONT) == len(set(_R8_FRONT)) == 50
 REGISTRY = {
