@@ -790,3 +790,19 @@ def test_video_metadata_operator_routes_y4m_mp4_and_unknown(spark):
     assert (r.n_tracks, r.handlers, r.width, r.height) == (2, "vide,soun", 640, 360)
     r = got[9]
     assert r.container is None and r.duration_sec is None
+
+
+def test_mp4_truncated_mvhd_v1_quarantines_duration():
+    """A v1 mvhd shorter than its 32-byte fixed layout must yield no
+    duration (quarantine), never a garbage value read off the end."""
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        _parse_mp4_metadata,
+    )
+
+    # v1 header but only 28 payload bytes (stops mid-duration)
+    short_mvhd = _box(b"mvhd", b"\x01\x00\x00\x00" + b"\x00" * 24)
+    moov = _box(b"moov", short_mvhd + _trak(b"soun"))
+    meta = _parse_mp4_metadata(_box(b"ftyp", b"isom") + moov)
+    dur, tscale, ntr, hnd, w, h = meta
+    assert dur is None and tscale is None
+    assert (ntr, hnd) == (1, "soun")

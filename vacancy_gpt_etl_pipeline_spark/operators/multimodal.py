@@ -1107,7 +1107,10 @@ def _parse_mp4_metadata(
         s, e = mvhd
         if e - s >= 4:
             version = b[s]
-            if version == 1 and e - s >= 28:
+            # v1 layout is 4+8+8+4+8 = 32 bytes through duration — a
+            # shorter payload must quarantine, not read a truncated
+            # slice as a garbage duration
+            if version == 1 and e - s >= 32:
                 timescale = int.from_bytes(b[s + 20 : s + 24], "big")
                 duration = int.from_bytes(b[s + 24 : s + 32], "big")
             elif version == 0 and e - s >= 20:

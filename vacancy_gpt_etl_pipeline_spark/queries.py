@@ -4244,7 +4244,8 @@ q AS (
   FROM idx
 ),
 sums AS (SELECT i, CAST(SUM(qx) AS BIGINT) AS s FROM q GROUP BY i),
-cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+       WHERE embedding IS NOT NULL)
 SELECT a.i AS i, b.i AS j,
   CAST(SUM(a.qx * b.qx) AS BIGINT) AS gram,
   si.s AS sum_i, sj.s AS sum_j, cnt.n AS n_vectors
