@@ -111,6 +111,13 @@ def rolling_anomaly_stream(
             return
         pdf = pd.concat(chunks)
         for _, r in pdf.sort_values([ts_col, id_col]).iterrows():
+            if pd.isna(r[value_col]):
+                # NULL values are never scored and never enter the
+                # baseline. (The batch window differs slightly: there a
+                # NULL still OCCUPIES one of the 7 frame slots while
+                # contributing nothing — a documented divergence that
+                # only matters for null-bearing streams.)
+                continue
             v = float(r[value_col])
             v_cents = round(v * 100)
             hit = _score(cents, v_cents, min_prior, z_thresh)
