@@ -2794,6 +2794,45 @@ WHERE {_SQL_QUALITY} >= 0.5 AND {_SQL_NTOK} BETWEEN 20 AND 80
 """
 
 
+def stratified_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified EXACT train/test split: within every (lang, source)
+    stratum, exactly ⌈80%⌉ of documents (doc_id order, deterministic)
+    go to train — the guarantee hash-based splitting
+    (train_test_split) can only deliver in expectation, needed when
+    strata are small enough that a hash split's variance could starve
+    evaluation slices. Per-stratum windows (PARTITIONED — strata
+    cardinality grows with data, so no global sort anywhere); output is
+    the stratum × split census proving the proportions land exactly."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    rn = F.row_number().over(w)
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("lang", "source"))
+    split = F.when(
+        rn <= F.ceil(cnt.cast("double") * 0.8), F.lit("train")
+    ).otherwise(F.lit("test"))
+    return (
+        d.select("lang", "source", split.alias("split"))
+        .groupBy("lang", "source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "source", "split")
+    )
+
+
+STRATIFIED_SPLIT_SQL = """
+SELECT lang, source, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT lang, source,
+    CASE WHEN ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id)
+           <= CEIL(CAST(COUNT(*) OVER (PARTITION BY lang, source) AS DOUBLE)
+                   * 0.8)
+         THEN 'train' ELSE 'test' END AS split
+  FROM documents
+)
+GROUP BY lang, source, split
+ORDER BY lang, source, split
+"""
+
+
 def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition-independent quality rules (Rae et al.
     2021 §A1.1, adapted to the corpus): per-document word count,
@@ -8168,6 +8207,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "q15_top_supplier": QuerySpec(q15_top_supplier, Q15_SQL),
     "gopher_quality_rules": QuerySpec(gopher_quality_rules, GOPHER_RULES_SQL),
+    "stratified_split_docs": QuerySpec(
+        stratified_split_docs, STRATIFIED_SPLIT_SQL
+    ),
     "q8_market_share": QuerySpec(q8_market_share, Q8_SQL),
     "q19_disjunctive_revenue": QuerySpec(q19_disjunctive_revenue, Q19_SQL),
 }
@@ -8195,6 +8237,7 @@ _R8_FRONT: tuple[str, ...] = (
     "q13_order_count_distribution",
     "q15_top_supplier",
     "gopher_quality_rules",
+    "stratified_split_docs",
     # (b) changed in round 8: operators/ranking rewrite + pareto driver-
     # side crossing + sketch lgk=14 + windowed_cms/zorder oracle hardening
     "ntile_price_buckets",
@@ -8234,7 +8277,6 @@ _R8_FRONT: tuple[str, ...] = (
     "f_scalar_functions",
     "f8_json_extract",
     "f9_date_functions",
-    "window_rank_lag",
 )
 assert len(_R8_FRONT) == len(set(_R8_FRONT)) == 50
 REGISTRY = {
