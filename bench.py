@@ -121,17 +121,32 @@ def main() -> None:
     )
     spark.catalog.clearCache()
 
+    def _jvm_gc_ms() -> int:
+        """Cumulative JVM GC wall-time — lets each timing carry the GC
+        share it absorbed, so a run-to-run inflated line can be
+        ATTRIBUTED to a collection pause instead of hand-waved as
+        session noise (the r5-r8 pattern: one different query per run
+        inflated 3-8 s on an otherwise idle box)."""
+        beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        return sum(b.getCollectionTime() for b in beans)
+
     timings: dict[str, float] = {}
+    gc_ms: dict[str, int] = {}
     total = 0.0
     for name, fn in queries().items():
         t0 = time.perf_counter()
+        g0 = _jvm_gc_ms()
         try:
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             dt = time.perf_counter() - t0
             timings[name] = round(dt, 3)
+            gc_ms[name] = _jvm_gc_ms() - g0
             total += dt
-            print(f"[bench] {name}: {dt:.3f}s", file=sys.stderr)
+            print(
+                f"[bench] {name}: {dt:.3f}s (gc {gc_ms[name]}ms)",
+                file=sys.stderr,
+            )
         except Exception:
             print(f"[bench] {name}: FAILED", file=sys.stderr)
             traceback.print_exc(file=sys.stderr)
@@ -173,6 +188,9 @@ def main() -> None:
         "n_queries": len(timings),
         "n_failed": sum(1 for v in timings.values() if v < 0),
         "queries": timings,
+        # per-query JVM GC wall-time absorbed (ms) — BENCH_SELF only,
+        # never on stdout (driver tail-buffer contract)
+        "gc_ms": gc_ms,
     }
     with open(os.path.join(repo_dir, "BENCH_SELF.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
