@@ -220,3 +220,33 @@ def test_label_propagation_ignores_self_loops_and_direction(spark):
     )
     got = {r.node: r.label for r in label_propagation(df, 2).collect()}
     assert set(got) == {1, 2, 3}  # self-loop node still present via 2-1
+
+
+def test_pagerank_and_lpa_release_caches_via_scope(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.caching import CacheScope
+    from vacancy_gpt_etl_pipeline_spark.operators.graph import (
+        label_propagation,
+        pagerank,
+    )
+
+    def _ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+    spark.catalog.clearCache()
+    before = _ids()
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1), (3, 2), (1, 3)], "src: long, dst: long"
+    )
+    with CacheScope() as scope:
+        pagerank(df, iterations=2, cache_scope=scope).count()
+        label_propagation(df, 2, cache_scope=scope).count()
+        added = _ids() - before
+        assert added  # the loop invariants really were persisted
+    # release() unpersists NON-blocking — poll briefly for the async drop
+    import time
+
+    for _ in range(50):
+        if not (_ids() & added):
+            break
+        time.sleep(0.1)
+    assert not (_ids() & added)

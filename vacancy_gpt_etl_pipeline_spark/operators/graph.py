@@ -34,6 +34,11 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vacancy_gpt_etl_pipeline_spark.operators.caching import (
+    CacheScope,
+    persist_in,
+)
+
 # rounds used by the most recent connected_components call — read by
 # tests and visible in bench stderr so a future timing regression can be
 # attributed to iteration count vs per-round cost (VERDICT r5 item 8).
@@ -163,6 +168,7 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 5,
     scale: int = PAGERANK_SCALE,
+    cache_scope: CacheScope | None = None,
 ) -> DataFrame:
     """Integer-quantized PageRank: ranks live in fixed-point units of
     1/scale with ALL arithmetic in exact BIGINT (floor division for the
@@ -199,8 +205,12 @@ def pagerank(
         .distinct()
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-    ej = e.join(deg, "src").select("src", "dst", "_deg").persist()
-    nodes = ej.select(F.col("src").alias("node")).distinct().persist()
+    # persisted loop invariants; released via cache_scope when given
+    # (operators/caching contract — fire-and-forget otherwise)
+    ej = persist_in(e.join(deg, "src").select("src", "dst", "_deg"), cache_scope)
+    nodes = persist_in(
+        ej.select(F.col("src").alias("node")).distinct(), cache_scope
+    )
     n = nodes.count()  # one scalar job — the n in the closed-form constants
     init = scale // n
     base = (15 * scale) // (100 * n)
@@ -380,7 +390,11 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 12) -> DataFrame:
     return result.frame
 
 
-def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    cache_scope: CacheScope | None = None,
+) -> DataFrame:
     """Deterministic synchronous label propagation (community
     detection): label₀(v) = v; labelₖ₊₁(v) = the most frequent label
     among v's neighbors at step k, ties broken by SMALLEST label — the
@@ -403,10 +417,11 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
-    sym = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .persist()
+    sym = persist_in(
+        e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct(),
+        cache_scope,
     )
     labels = (
         sym.select(F.col("src").alias("node"))

@@ -2794,6 +2794,62 @@ WHERE {_SQL_QUALITY} >= 0.5 AND {_SQL_NTOK} BETWEEN 20 AND 80
 """
 
 
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user over IRREGULARLY-sampled
+    events — the financial/monitoring TWA: each reading holds until the
+    next one, so its weight is the whole-second gap to the user's next
+    event (LEAD over a PARTITIONED window; the final open-ended reading
+    carries no weight). Numerator accumulates as EXACT DECIMAL
+    (2-decimal value × integer seconds), denominator as BIGINT; ONE
+    IEEE division at the end makes the average engine-exact.
+    Single-event users drop (zero total weight), top-25 heaviest users
+    by observed span reported via TakeOrderedAndProject."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    gap = (F.unix_timestamp(nxt) - F.unix_timestamp("ts")).cast("long")
+    dec = F.col("value").cast("decimal(18,2)")
+    weighted = ev.select(
+        "user_id",
+        gap.alias("_w"),
+        (dec * gap).alias("_vw"),
+    ).where(F.col("_w").isNotNull())
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.sum("_w").alias("observed_sec"),
+            (
+                F.sum("_vw").cast("double")
+                / F.sum("_w").cast("double")
+            ).alias("twa_value"),
+        )
+        .where(F.col("observed_sec") > 0)
+        .orderBy(F.desc("observed_sec"), F.asc("user_id"))
+        .limit(25)
+    )
+
+
+TIME_WEIGHTED_SQL = """
+SELECT user_id, observed_sec, twa_value
+FROM (
+  SELECT user_id,
+    CAST(SUM(w) AS BIGINT) AS observed_sec,
+    CAST(SUM(CAST(value AS DECIMAL(18,2)) * w) AS DOUBLE)
+      / CAST(SUM(w) AS DOUBLE) AS twa_value
+  FROM (
+    SELECT user_id, value,
+      date_diff('second', ts,
+        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS w
+    FROM events
+  )
+  WHERE w IS NOT NULL
+  GROUP BY user_id
+)
+WHERE observed_sec > 0
+ORDER BY observed_sec DESC, user_id LIMIT 25
+"""
+
+
 def stratified_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified EXACT train/test split: within every (lang, source)
     stratum, exactly ⌈80%⌉ of documents (doc_id order, deterministic)
@@ -8210,6 +8266,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "stratified_split_docs": QuerySpec(
         stratified_split_docs, STRATIFIED_SPLIT_SQL
     ),
+    "time_weighted_value": QuerySpec(time_weighted_value, TIME_WEIGHTED_SQL),
     "q8_market_share": QuerySpec(q8_market_share, Q8_SQL),
     "q19_disjunctive_revenue": QuerySpec(q19_disjunctive_revenue, Q19_SQL),
 }
@@ -8238,6 +8295,7 @@ _R8_FRONT: tuple[str, ...] = (
     "q15_top_supplier",
     "gopher_quality_rules",
     "stratified_split_docs",
+    "time_weighted_value",
     # (b) changed in round 8: operators/ranking rewrite + pareto driver-
     # side crossing + sketch lgk=14 + windowed_cms/zorder oracle hardening
     "ntile_price_buckets",
@@ -8276,7 +8334,6 @@ _R8_FRONT: tuple[str, ...] = (
     "t2_top_k_by_count",
     "f_scalar_functions",
     "f8_json_extract",
-    "f9_date_functions",
 )
 assert len(_R8_FRONT) == len(set(_R8_FRONT)) == 50
 REGISTRY = {
