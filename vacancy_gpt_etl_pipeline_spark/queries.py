@@ -6174,6 +6174,431 @@ WHERE l_quantity < qty_threshold
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp table — the part↔supplier
+    relation is the observed (l_partkey, l_suppkey) pairs, and the
+    "supply cost" is the cheapest line price the supplier ever quoted
+    for the part). The correlated MIN subquery decorrelates to
+    aggregate-then-join-back: per-pair min cost, per-part global min,
+    equi-join on (partkey, cost) keeps every tied supplier exactly like
+    the SQL. The part filter prunes FIRST and broadcasts into the
+    lineitem scan so the only wide shuffle is the pair aggregation;
+    supplier/nation are broadcast dims. MIN over doubles is exact, so
+    the join-back compares bit-identical values in both engines."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_type") == "LARGE") & (F.col("p_size") >= 10))
+        .select("p_partkey", "p_brand")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    pair_cost = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_brand", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("min_cost"))
+    )
+    best = pair_cost.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
+        F.min("min_cost").alias("best_cost")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        pair_cost.join(
+            F.broadcast(best),
+            (F.col("p_partkey") == F.col("b_partkey"))
+            & (F.col("min_cost") == F.col("best_cost")),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "min_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH pair_cost AS (
+  SELECT p_partkey, p_brand, l_suppkey, MIN(l_extendedprice) AS min_cost
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'LARGE' AND p_size >= 10
+  GROUP BY p_partkey, p_brand, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, min_cost
+FROM pair_cost
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE min_cost = (
+  SELECT MIN(min_cost) FROM pair_cost pc WHERE pc.p_partkey = pair_cost.p_partkey
+)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp.ps_supplycost — the unit
+    cost proxy is 0.6 × p_retailprice). Five-way join profit rollup:
+    lineitem ⋈ part (name filter, broadcast) ⋈ supplier ⋈ nation
+    (broadcast dims) ⋈ orders (the only shuffle join — orderkey
+    cardinality) grouped by supplier nation × order year. All amount
+    arithmetic is exact decimal — (12,2)×(4,2) and (2,1)×(12,2)×(12,2)
+    products fit precision 38 with NO scale truncation in either
+    engine — with one double conversion after the final SUM."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)") - F.expr("CAST(0.6 AS DECIMAL(2,1))") * F.col(
+        "p_retailprice"
+    ).cast("decimal(12,2)") * F.col("l_quantity").cast("decimal(12,2)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation,
+  CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+  CAST(SUM(
+    CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))
+    - CAST(0.6 AS DECIMAL(2,1)) * CAST(p_retailprice AS DECIMAL(12,2))
+      * CAST(l_quantity AS DECIMAL(12,2))
+  ) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, YEAR(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: "stock value" of a part is the revenue
+    shipped by suppliers of one region's nations). The HAVING-vs-global-
+    scalar becomes aggregate → 1-row global frame → broadcast crossJoin
+    → filter; the threshold "part value > 2× the average part value"
+    is evaluated as sum_val × n_parts > 2 × total_val ENTIRELY in
+    decimal×bigint arithmetic so the comparison is exact in both
+    engines (no double rounding at the boundary), and — unlike the
+    spec's hardwired FRACTION — is scale-invariant, so the selectivity
+    survives a 100× row-count jump."""
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 0)
+    region_supp = supp.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    val = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    per_part = (
+        li.join(F.broadcast(region_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("_val"))
+    )
+    totals = per_part.agg(
+        F.sum("_val").alias("_total"),
+        F.count(F.lit(1)).alias("_nparts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(totals))
+        .where(F.col("_val") * F.col("_nparts") > F.lit(2) * F.col("_total"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("_val").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS partkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        * CAST(1 - l_discount AS DECIMAL(4,2))) AS val
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey = 0
+  )
+  GROUP BY l_partkey
+)
+SELECT partkey, CAST(val AS DOUBLE) AS part_value
+FROM per_part
+WHERE val * (SELECT COUNT(*) FROM per_part)
+      > 2 * (SELECT SUM(val) FROM per_part)
+ORDER BY part_value DESC, partkey
+"""
+
+
+def q12_priority_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_shipmode/l_receiptdate — the mode
+    proxy is l_returnflag and "late receipt" is shipping >30 days after
+    the order date). One orderkey-partitioned join (lineitem's date
+    filter pushed to the scan) feeding a conditional aggregate: urgent
+    (priority 1-2) vs other line counts per flag, both as map-side-
+    combined SUM(CASE)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .select("l_orderkey", "l_shipdate", "l_returnflag")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: the part↔supplier relation is observed
+    (l_partkey, l_suppkey) pairs; the "complaints" exclusion is
+    suppliers with negative account balance). The NOT IN subquery
+    becomes a broadcast LEFT ANTI join applied BEFORE the pair distinct
+    so excluded suppliers never enter the wide aggregation; supplier
+    breadth per (brand, type, size) is an exact COUNT(DISTINCT) whose
+    partial de-dup happens map-side under the hash aggregate."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & (~F.col("p_type").like("PROMO%"))
+            & (F.col("p_size").isin(1, 4, 9, 14))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return (
+        pairs.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 14)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp.ps_availqty — a supplier
+    is an "excess shipper" of a part when its 1997 shipped quantity
+    exceeds HALF the part's total 1997 shipped quantity). The nested
+    correlated half-sum becomes one pair aggregate reused twice: pair
+    sums roll up to part totals, broadcast back, and the threshold
+    2×pair > total is compared in exact decimal (×2 is scale-preserving
+    in both engines). Candidate suppkeys collapse via semi join into
+    the broadcast supplier dim — the name filter on part prunes the
+    lineitem scan first."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    pair_qty = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("_qty"))
+    )
+    part_total = pair_qty.groupBy(F.col("p_partkey").alias("t_partkey")).agg(
+        F.sum("_qty").alias("_total")
+    )
+    excess = (
+        pair_qty.join(
+            F.broadcast(part_total), F.col("p_partkey") == F.col("t_partkey")
+        )
+        .where(F.col("_qty") * F.lit(2) > F.col("_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        supp.join(F.broadcast(excess), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+WITH pair_qty AS (
+  SELECT p_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY p_partkey, l_suppkey
+)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM pair_qty p
+  WHERE p.qty * 2 > (
+    SELECT SUM(qty) FROM pair_qty t WHERE t.p_partkey = p.p_partkey
+  )
+)
+ORDER BY s_name
+"""
+
+
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: no l_receiptdate/l_commitdate — a
+    supplier "kept an order waiting" when it shipped >90 days after the
+    order date). The EXISTS/NOT-EXISTS pair over other suppliers of the
+    same order decorrelates to ONE per-order aggregate: an order
+    charges its late supplier iff it has ≥2 distinct suppliers overall
+    and EXACTLY ONE distinct late supplier — algebraically identical to
+    the spec's two correlated subqueries but costs a single orderkey
+    shuffle instead of two self-joins. The DuckDB oracle keeps the
+    EXISTS/NOT-EXISTS formulation, so the two engines verify each other
+    through INDEPENDENT algorithms."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    tagged = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("_late"),
+    )
+    per_order = tagged.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("_nsupp"),
+        F.count_distinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
+            "_nlate"
+        ),
+        F.max(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_late_supp"),
+    )
+    waiting = per_order.where(
+        (F.col("_nsupp") >= 2) & (F.col("_nlate") == 1)
+    ).select(F.col("_late_supp").alias("suppkey"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.groupBy("suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(25)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
+"""
+
+
 def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (adapted to this schema's dates): count orders per
     priority that have at least one lineitem shipped >90 days after the
@@ -8269,6 +8694,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "time_weighted_value": QuerySpec(time_weighted_value, TIME_WEIGHTED_SQL),
     "q8_market_share": QuerySpec(q8_market_share, Q8_SQL),
     "q19_disjunctive_revenue": QuerySpec(q19_disjunctive_revenue, Q19_SQL),
+    "q2_min_cost_supplier": QuerySpec(q2_min_cost_supplier, Q2_SQL),
+    "q9_product_type_profit": QuerySpec(q9_product_type_profit, Q9_SQL),
+    "q11_important_stock": QuerySpec(q11_important_stock, Q11_SQL),
+    "q12_priority_linestatus": QuerySpec(q12_priority_linestatus, Q12_SQL),
+    "q16_supplier_part_variety": QuerySpec(q16_supplier_part_variety, Q16_SQL),
+    "q20_excess_shippers": QuerySpec(q20_excess_shippers, Q20_SQL),
+    "q21_waiting_orders": QuerySpec(q21_waiting_orders, Q21_SQL),
 }
 
 # ROUND-8 ROTATION (the standing mechanism VERDICT r7 item 1 asked to keep
@@ -8296,6 +8728,13 @@ _R8_FRONT: tuple[str, ...] = (
     "gopher_quality_rules",
     "stratified_split_docs",
     "time_weighted_value",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_priority_linestatus",
+    "q16_supplier_part_variety",
+    "q20_excess_shippers",
+    "q21_waiting_orders",
     # (b) changed in round 8: operators/ranking rewrite + pareto driver-
     # side crossing + sketch lgk=14 + windowed_cms/zorder oracle hardening
     "ntile_price_buckets",
@@ -8325,15 +8764,8 @@ _R8_FRONT: tuple[str, ...] = (
     "j2_semi_join",
     "u2_anti_join",
     "u3_intersect",
-    "u4_except_all",
     "a1_full_distinct",
     "a2_keyed_keep_first",
-    "a4_frequency",
-    "a6_conditional_agg",
-    "w1_ratio_of_total",
-    "t2_top_k_by_count",
-    "f_scalar_functions",
-    "f8_json_extract",
 )
 assert len(_R8_FRONT) == len(set(_R8_FRONT)) == 50
 REGISTRY = {
