@@ -250,3 +250,65 @@ def test_pagerank_and_lpa_release_caches_via_scope(spark):
             break
         time.sleep(0.1)
     assert not (_ids() & added)
+
+
+def test_shortest_paths_hand_graph(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.graph import shortest_paths
+
+    # path 1-2-3-4-5 plus isolated seed 9; seeds {1, 9}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src: long, dst: long"
+    )
+    seeds = spark.createDataFrame([(1,), (9,)], "node: long")
+    got = {r.node: r.dist for r in shortest_paths(edges, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 9: 0, 2: 1, 3: 2, 4: 3}  # 5 is beyond max_hops
+
+
+def test_shortest_paths_early_exit_and_min_dist(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.graph import shortest_paths
+
+    # diamond 1-2, 1-3, 2-4, 3-4: node 4 reached twice at dist 2 -> once;
+    # eccentricity 2 < max_hops 10 -> loop must stop at the empty frontier
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src: long, dst: long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node: long")
+    got = {r.node: r.dist for r in shortest_paths(edges, seeds, max_hops=10).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_shortest_paths_zero_hops_and_validation(spark):
+    import pytest
+
+    from vacancy_gpt_etl_pipeline_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame([(1, 2)], "src: long, dst: long")
+    seeds = spark.createDataFrame([(1,)], "node: long")
+    got = {r.node: r.dist for r in shortest_paths(edges, seeds, max_hops=0).collect()}
+    assert got == {1: 0}
+    with pytest.raises(ValueError):
+        shortest_paths(edges, seeds, max_hops=-1)
+
+
+def test_shortest_paths_releases_caches_via_scope(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.caching import CacheScope
+    from vacancy_gpt_etl_pipeline_spark.operators.graph import shortest_paths
+
+    def _ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+    spark.catalog.clearCache()
+    before = _ids()
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src: long, dst: long")
+    seeds = spark.createDataFrame([(1,)], "node: long")
+    with CacheScope() as scope:
+        shortest_paths(edges, seeds, max_hops=2, cache_scope=scope).count()
+        added = _ids() - before
+        assert added
+    import time
+
+    for _ in range(50):
+        if not (_ids() & added):
+            break
+        time.sleep(0.1)
+    assert not (_ids() & added)

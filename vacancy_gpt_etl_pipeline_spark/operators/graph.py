@@ -447,3 +447,66 @@ def label_propagation(
             F.col("v").alias("node"), F.col("_b.label").alias("label")
         )
     return labels
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 6,
+    cache_scope: CacheScope | None = None,
+) -> DataFrame:
+    """Multi-source BFS hop distances on an UNDIRECTED graph: returns
+    ``(node, dist)`` with the minimum number of hops from any source
+    node, exploring at most ``max_hops`` levels (unreached nodes are
+    absent). Classic frontier-expansion BFS made distributed: each
+    level is ONE equi-join of the current frontier into the symmetrized
+    edge list (shuffle keyed on node id) plus a LEFT ANTI join against
+    the settled set — nodes are expanded exactly once, so total work is
+    O(edges within the explored ball), never O(edges × hops). The
+    frontier and settled frames are persisted per level (released via
+    ``cache_scope``) and the frontier count doubles as the early-exit
+    fixpoint probe, so a graph with eccentricity < max_hops stops
+    early. Lineage grows linearly in the level count — fine at the
+    bounded depths this is meant for; checkpoint externally for
+    hundred-hop traversals.
+
+    Isolated sources (no edges) still report dist 0 — "distance to the
+    nearest seed" is well-defined for the seed itself."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    # no pre-union distinct: the post-union distinct dedups everything,
+    # so a second shuffle over the raw edge list would be pure overhead
+    e = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).where(F.col("src") != F.col("dst"))
+    sym = persist_in(
+        e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct(),
+        cache_scope,
+    )
+    src_col = sources.columns[0]
+    frontier = persist_in(
+        sources.select(F.col(src_col).cast("long").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint")),
+        cache_scope,
+    )
+    settled = frontier
+    for hop in range(1, max_hops + 1):
+        reached = (
+            frontier.join(sym, F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = persist_in(
+            reached.join(settled, "node", "left_anti").withColumn(
+                "dist", F.lit(hop).cast("bigint")
+            ),
+            cache_scope,
+        )
+        if fresh.count() == 0:  # materializes the persist + fixpoint probe
+            break
+        settled = persist_in(settled.union(fresh), cache_scope)
+        frontier = fresh
+    return settled
