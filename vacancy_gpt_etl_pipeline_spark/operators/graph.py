@@ -454,6 +454,7 @@ def shortest_paths(
     sources: DataFrame,
     max_hops: int = 6,
     cache_scope: CacheScope | None = None,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Multi-source BFS hop distances on an UNDIRECTED graph: returns
     ``(node, dist)`` with the minimum number of hops from any source
@@ -466,14 +467,21 @@ def shortest_paths(
     frontier and settled frames are persisted per level (released via
     ``cache_scope``) and the frontier count doubles as the early-exit
     fixpoint probe, so a graph with eccentricity < max_hops stops
-    early. Lineage grows linearly in the level count — fine at the
-    bounded depths this is meant for; checkpoint externally for
-    hundred-hop traversals.
+    early. Lineage is truncated with ``localCheckpoint`` every
+    ``checkpoint_every`` levels — same pattern as
+    :func:`connected_components` / k-core — so deep (hundred-hop)
+    traversals don't blow up plan size or re-execute the whole prefix
+    on cache eviction; between checkpoints lineage growth is bounded by
+    the interval.
 
     Isolated sources (no edges) still report dist 0 — "distance to the
     nearest seed" is well-defined for the seed itself."""
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
     # no pre-union distinct: the post-union distinct dedups everything,
     # so a second shuffle over the raw edge list would be pure overhead
     e = edges.select(
@@ -509,4 +517,9 @@ def shortest_paths(
             break
         settled = persist_in(settled.union(fresh), cache_scope)
         frontier = fresh
+        if hop % checkpoint_every == 0:
+            # truncate the union-chain lineage; eager so the cut
+            # happens now, while the per-level persists are still warm
+            settled = settled.localCheckpoint(eager=True)
+            frontier = frontier.localCheckpoint(eager=True)
     return settled

@@ -107,6 +107,12 @@ def pca_model(
     symmetric matrix (numpy ``eigh``). Columns of ``components`` are
     orthonormal; eigenvalues descend."""
     rows = gram.collect()
+    if not rows:
+        raise ValueError(
+            "gram frame is empty — quantized_gram over zero vectors has "
+            "no covariance to decompose; check the input frame is "
+            "non-empty before fitting"
+        )
     d = max(r["j"] for r in rows)
     n = rows[0]["n_vectors"]
     g = np.zeros((d, d))

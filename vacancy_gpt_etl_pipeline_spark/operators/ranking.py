@@ -50,6 +50,7 @@ consuming action; ``None`` keeps the fire-and-forget behavior
 
 from __future__ import annotations
 
+import decimal
 from typing import Any, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -101,6 +102,36 @@ def ranked_local(
     )
 
 
+def _sum_field_type(sum_type: T.DataType) -> T.DataType:
+    """The offsets-frame field type for a prefix sum over ``sum_type``,
+    widened so the Python-exact prefix totals never overflow the
+    literal: decimal(p,s) → decimal(38,s) (any realistic prefix sum of
+    decimal(18,2) facts fits 1e36), integrals → long, float → double.
+    Derived from the CALLER's column — a hardcoded decimal(38,2) made
+    ``createDataFrame`` fail schema verification for every non-decimal
+    or non-scale-2 ``sum_col`` (r8 advice)."""
+    if isinstance(sum_type, T.DecimalType):
+        return T.DecimalType(38, sum_type.scale)
+    if isinstance(sum_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return T.LongType()
+    if isinstance(sum_type, (T.FloatType, T.DoubleType)):
+        return T.DoubleType()
+    raise ValueError(
+        f"sum_col must be numeric, got {sum_type.simpleString()}"
+    )
+
+
+def _sum_zero(sum_type: T.DataType):
+    """Typed zero matching :func:`_sum_field_type` — the prefix-fold
+    seed AND the placeholder for all-NULL partition sums."""
+    field = _sum_field_type(sum_type)
+    if isinstance(field, T.DecimalType):
+        return decimal.Decimal(0)
+    if isinstance(field, T.DoubleType):
+        return 0.0
+    return 0
+
+
 def collect_rank_stats(
     local: DataFrame,
     group_cols: Sequence[str] = (),
@@ -116,7 +147,10 @@ def collect_rank_stats(
     ``_cnt_off``/``_sum_off`` are EXCLUSIVE prefix totals of the same
     group's strictly-smaller pids; ``_ntot``/``_gsum`` are group grand
     totals. Sums arrive as ``decimal.Decimal`` when ``sum_col`` is a
-    decimal column, so the Python prefix sums stay exact.
+    decimal column, so the Python prefix sums stay exact; the ZERO
+    placeholder (first pid of a group, or an all-NULL partition sum) is
+    typed from the COLUMN, not from the row value, so a decimal column
+    never leaks an int 0 into the offsets frame's decimal field.
 
     The collected frame is ≤ partitions × groups rows — cluster-width
     metadata, not data (see module docstring step 3).
@@ -125,8 +159,10 @@ def collect_rank_stats(
         F.count(F.lit(1)).alias("_pcnt"),
         F.min("_mid").alias("_minmid"),
     ]
+    zero: Any = 0
     if sum_col is not None:
         aggs.append(F.sum(sum_col).alias("_psum"))
+        zero = _sum_zero(local.schema[sum_col].dataType)
     rows = local.groupBy("_pid", *group_cols).agg(*aggs).collect()
     rows.sort(key=lambda r: r["_pid"])
     cnt_run: dict[tuple, int] = {}
@@ -138,9 +174,8 @@ def collect_rank_stats(
         d["_cnt_off"] = cnt_run.get(g, 0)
         cnt_run[g] = d["_cnt_off"] + r["_pcnt"]
         if sum_col is not None:
-            zero = type(r["_psum"])(0) if r["_psum"] is not None else 0
             d["_sum_off"] = sum_run.get(g, zero)
-            sum_run[g] = d["_sum_off"] + (r["_psum"] or zero)
+            sum_run[g] = d["_sum_off"] + (r["_psum"] if r["_psum"] is not None else zero)
         out.append(d)
     for d in out:
         g = tuple(d[c] for c in group_cols)
@@ -151,10 +186,12 @@ def collect_rank_stats(
 
 
 def _offsets_schema(
-    local: DataFrame, group_cols: Sequence[str], with_sum: bool
+    local: DataFrame, group_cols: Sequence[str], sum_col: str | None
 ) -> T.StructType:
     """Schema of the literal offsets frame: pid + the caller's group
-    columns (types copied from ``local``) + the rank bookkeeping."""
+    columns (types copied from ``local``) + the rank bookkeeping. The
+    prefix-sum fields take their (widened) type from ``sum_col``'s
+    actual column type — see :func:`_sum_field_type`."""
     by_name = {f.name: f for f in local.schema.fields}
     fields = [T.StructField("_pid", T.IntegerType(), False)]
     fields += [by_name[c] for c in group_cols]
@@ -163,13 +200,11 @@ def _offsets_schema(
         T.StructField("_cnt_off", T.LongType(), False),
         T.StructField("_ntot", T.LongType(), False),
     ]
-    if with_sum:
-        # decimal(38,2) holds any realistic prefix sum of decimal(18,2)
-        # facts (1e36) — widened past Spark's sum-of-sum inference so
-        # the Python-exact prefix totals never overflow the literal.
+    if sum_col is not None:
+        sum_field = _sum_field_type(local.schema[sum_col].dataType)
         fields += [
-            T.StructField("_sum_off", T.DecimalType(38, 2), True),
-            T.StructField("_gsum", T.DecimalType(38, 2), True),
+            T.StructField("_sum_off", sum_field, True),
+            T.StructField("_gsum", sum_field, True),
         ]
     return T.StructType(fields)
 
@@ -183,8 +218,7 @@ def offsets_frame(
     ``F.broadcast`` back onto ``local`` (join keys: ``_pid`` +
     group_cols). Eager: runs the one stats job on call."""
     stats = collect_rank_stats(local, group_cols, sum_col)
-    with_sum = sum_col is not None
-    schema = _offsets_schema(local, group_cols, with_sum)
+    schema = _offsets_schema(local, group_cols, sum_col)
     data = [
         tuple(d[f.name] for f in schema.fields)
         for d in stats

@@ -5234,10 +5234,21 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             d
             for d in stats
-            if float(d["_sum_off"] + d["_psum"]) >= thr
+            if float(d["_sum_off"] + (d["_psum"] or 0)) >= thr
         ),
         key=lambda d: d["_pid"],
+        default=None,
     )
+    if cross is None:
+        # empty orders (or a threshold no partition reaches, impossible
+        # while revenues are non-negative): the oracle's window CTE is
+        # empty too, so return an EMPTY frame with the result schema
+        # instead of raising ValueError off min() (r8 advice)
+        return spark.createDataFrame(
+            [],
+            "customers_for_80pct bigint, n_customers bigint, "
+            "customer_share double, revenue_share_at_cut double",
+        )
     wp = (
         Window.partitionBy("_pid")
         .orderBy(*order)
@@ -6348,11 +6359,16 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped by suppliers of one region's nations). The HAVING-vs-global-
     scalar becomes aggregate → 1-row global frame → broadcast crossJoin
     → filter; the threshold "part value > 2× the average part value"
-    is evaluated as sum_val × n_parts > 2 × total_val ENTIRELY in
-    decimal×bigint arithmetic so the comparison is exact in both
-    engines (no double rounding at the boundary), and — unlike the
-    spec's hardwired FRACTION — is scale-invariant, so the selectivity
-    survives a 100× row-count jump."""
+    is evaluated as sum_val × n_parts > 2 × total_val with BOTH sides
+    explicitly cast to double in BOTH engines: the raw decimal product
+    needs precision 48, where Spark's precision-loss cap (38) and
+    DuckDB's >38 promotion-to-DOUBLE diverge, so matched explicit
+    doubles (correctly-rounded casts + identical IEEE multiplies) are
+    what actually classifies boundary values identically. A value
+    within one double ulp of the 2× boundary classifies consistently
+    across engines, though not per exact-decimal semantics. Unlike the
+    spec's hardwired FRACTION the threshold is scale-invariant, so the
+    selectivity survives a 100× row-count jump."""
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = _t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 0)
     region_supp = supp.join(
@@ -6375,7 +6391,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_part.crossJoin(F.broadcast(totals))
-        .where(F.col("_val") * F.col("_nparts") > F.lit(2) * F.col("_total"))
+        .where(
+            F.col("_val").cast("double") * F.col("_nparts").cast("double")
+            > F.lit(2.0) * F.col("_total").cast("double")
+        )
         .select(
             F.col("l_partkey").alias("partkey"),
             F.col("_val").cast("double").alias("part_value"),
@@ -6398,8 +6417,8 @@ WITH per_part AS (
 )
 SELECT partkey, CAST(val AS DOUBLE) AS part_value
 FROM per_part
-WHERE val * (SELECT COUNT(*) FROM per_part)
-      > 2 * (SELECT SUM(val) FROM per_part)
+WHERE CAST(val AS DOUBLE) * CAST((SELECT COUNT(*) FROM per_part) AS DOUBLE)
+      > 2.0 * CAST((SELECT SUM(val) FROM per_part) AS DOUBLE)
 ORDER BY part_value DESC, partkey
 """
 
