@@ -9,8 +9,11 @@ JSON line:
 
 Execution is forced through the noop sink (full plan runs, nothing is
 collected to the driver), so the timing reflects the distributed work, not
-driver materialization. All diagnostic chatter goes to stderr; stdout carries
-only the JSON line the driver parses.
+driver materialization. Each query is timed ``$SPARK_GRAFT_BENCH_RUNS``
+times (default 2) and reports the MIN — one-off JVM artifacts (GC pause,
+JIT recompile) otherwise inflate a random query per run 2-4×. All
+diagnostic chatter goes to stderr; stdout carries only the JSON line the
+driver parses.
 """
 
 from __future__ import annotations
@@ -130,38 +133,58 @@ def main() -> None:
         beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
         return sum(b.getCollectionTime() for b in beans)
 
+    # min-of-N: one-off JVM artifacts (a GC pause, a JIT recompile, a
+    # lazily-initialized codec) inflate a SINGLE run of a single query
+    # 2-4× on an otherwise idle box — the r5-r8 pattern, most recently
+    # profile_columns at 8.96 s driver vs 2.58 s self with zero code
+    # change. The min of two runs is the plan's cost; the max and the
+    # per-run GC attribution stay in BENCH_SELF for diagnosis.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
-    gc_ms: dict[str, int] = {}
+    runs: dict[str, list[float]] = {}
+    gc_ms: dict[str, list[int]] = {}
     total = 0.0
     for name, fn in queries().items():
-        t0 = time.perf_counter()
-        g0 = _jvm_gc_ms()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            dt = time.perf_counter() - t0
-            timings[name] = round(dt, 3)
-            gc_ms[name] = _jvm_gc_ms() - g0
-            total += dt
+        per_run: list[float] = []
+        per_gc: list[int] = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            g0 = _jvm_gc_ms()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                per_run.append(round(time.perf_counter() - t0, 3))
+                per_gc.append(_jvm_gc_ms() - g0)
+            except Exception:
+                print(f"[bench] {name}: FAILED", file=sys.stderr)
+                traceback.print_exc(file=sys.stderr)
+                per_run.append(-1.0)
+            # drop persists leaked by the previous run (the near-dup
+            # operators persist candidate frames internally) so each
+            # measurement is independent — without this, accumulated
+            # storage + GC pressure inflated late-registry queries ~2×
+            # (22.7s vs 11.1s standalone for dedup_simhash at sf0.1)
+            spark.catalog.clearCache()
+            # clearCache misses localCheckpoint RDDs (connected components
+            # truncates lineage per round); dropping the Python refs lets
+            # the ContextCleaner reclaim those blocks before the next run
+            df = None
+            gc.collect()
+            if per_run[-1] < 0:
+                break  # a failed query stays failed; don't re-run it
+        runs[name] = per_run
+        gc_ms[name] = per_gc
+        ok = [t for t in per_run if t >= 0]
+        if ok and len(ok) == len(per_run):
+            timings[name] = min(ok)
+            total += timings[name]
             print(
-                f"[bench] {name}: {dt:.3f}s (gc {gc_ms[name]}ms)",
+                f"[bench] {name}: {timings[name]:.3f}s "
+                f"(runs {per_run}, gc {per_gc}ms)",
                 file=sys.stderr,
             )
-        except Exception:
-            print(f"[bench] {name}: FAILED", file=sys.stderr)
-            traceback.print_exc(file=sys.stderr)
+        else:
             timings[name] = -1.0
-        # drop persists leaked by the previous query (the near-dup operators
-        # persist candidate frames internally) so each measurement is
-        # independent — without this, accumulated storage + GC pressure
-        # inflated late-registry queries ~2× (22.7s vs 11.1s standalone for
-        # dedup_simhash at sf0.1)
-        spark.catalog.clearCache()
-        # clearCache misses localCheckpoint RDDs (connected components
-        # truncates lineage per round); dropping the Python refs lets the
-        # ContextCleaner reclaim those blocks before the next measurement
-        df = None
-        gc.collect()
 
     # regression comparison goes to STDERR ONLY — round 3 lesson: appending
     # baseline_round/regressions to the stdout JSON pushed the line past the
@@ -188,8 +211,11 @@ def main() -> None:
         "n_queries": len(timings),
         "n_failed": sum(1 for v in timings.values() if v < 0),
         "queries": timings,
-        # per-query JVM GC wall-time absorbed (ms) — BENCH_SELF only,
-        # never on stdout (driver tail-buffer contract)
+        # per-run detail (timings = min over runs) + per-run JVM GC
+        # wall-time absorbed (ms) — BENCH_SELF only, never on stdout
+        # (driver tail-buffer contract)
+        "runs": runs,
+        "n_runs": n_runs,
         "gc_ms": gc_ms,
     }
     with open(os.path.join(repo_dir, "BENCH_SELF.json"), "w") as f:

@@ -436,3 +436,61 @@ def test_embedding_near_dup_lsh_recall_vs_exact(spark):
     assert exact, "fixture must plant true near-dup pairs"
     assert lsh <= exact  # precision 1: same threshold, fewer candidates
     assert len(lsh) / len(exact) >= 0.9
+
+
+def test_ann_ivf_int8_recall_vs_full_precision(spark):
+    """The int8 tier's quantization cost, isolated: same cells, same
+    probes, so any top-k difference vs knn_ivf comes ONLY from int8
+    rounding. Unit-normalized 32-dim gaussians quantized at 1/127
+    granularity perturb cosines by ~1e-2 — neighbor-set overlap must
+    stay near-perfect, and end-to-end recall vs brute force must match
+    the full-precision tier's bound."""
+    from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
+        knn_ivf,
+        knn_ivf_int8,
+        sampled_centroids,
+    )
+
+    emb = _embeddings(spark)
+    emb.cache().count()
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = sampled_centroids(emb, 8, 23)
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivf(emb, queries, cents, k=10, nprobe=3, dim=32).collect()
+    }
+    q8 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivf_int8(
+            emb, queries, cents, k=10, nprobe=3, dim=32
+        ).collect()
+    }
+    overlap = len(full & q8) / len(full)
+    assert overlap >= 0.9, f"int8-vs-float top-k overlap {overlap:.2f}"
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_brute_force(emb, queries, k=10).collect()
+    }
+    recall = len(exact & q8) / len(exact)
+    assert recall >= 0.35, f"ann_ivf_int8 recall {recall:.2f}"
+    emb.unpersist()
+
+
+def test_ann_ivf_int8_candidate_frame_is_tinyint(spark):
+    """The 100 TB point of the tier: the frame entering the probe join
+    carries array<tinyint> (1 B/component), never the float vectors."""
+    from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
+        quantize_unit_int8,
+    )
+
+    emb = _embeddings(spark, n=20)
+    q = quantize_unit_int8(emb, "embedding", dim=32, out_col="qvec")
+    assert dict(q.dtypes)["qvec"] == "array<tinyint>"
+    assert "embedding" not in q.columns
+    row = q.where(F.col("vec_id") == 0).collect()[0]
+    assert all(-127 <= v <= 127 for v in row["qvec"])
+    # unit-normalized: sum of squares of q/127 ≈ 1
+    ss = sum((v / 127.0) ** 2 for v in row["qvec"])
+    assert 0.9 <= ss <= 1.1, ss

@@ -679,3 +679,132 @@ def knn_ivf_adaptive(
         assigned=assigned,
     )
     return strong.unionByName(hi)
+
+
+def _unit_norm_sql(vec: str, dim: int) -> str:
+    """Per-row L2 norm of ``vec`` as ONE unrolled SQL string, floored at
+    1e-30 so a zero vector quantizes to all-zeros instead of NaN. The
+    accumulation order matches :func:`_dot_sql` exactly — the oracle
+    mirrors it term for term, so the double is bit-identical."""
+    return f"greatest(sqrt({_dot_sql(vec, vec, dim)}), CAST(1e-30 AS DOUBLE))"
+
+
+def _int_dot_sql(a: str, b: str, dim: int) -> str:
+    """Exact integer dot product of two int8 array columns, accumulated
+    as BIGINT (max |term| = 127² and dim ≪ 2⁵⁰, so no overflow). Being
+    integer arithmetic, the score — unlike every cosine in this module —
+    has NO floating-point cross-engine risk at all."""
+    terms = " + ".join(
+        f"CAST(element_at(`{a}`, {i}) AS BIGINT) * "
+        f"CAST(element_at(`{b}`, {i}) AS BIGINT)"
+        for i in range(1, dim + 1)
+    )
+    return f"(CAST(0 AS BIGINT) + {terms})"
+
+
+def quantize_unit_int8(
+    df: DataFrame, vec_col: str, dim: int, out_col: str = "qvec"
+) -> DataFrame:
+    """Replace ``vec_col`` (array<float|double>, width ``dim``) with its
+    unit-normalized int8 quantization ``out_col`` (array<tinyint>).
+
+    This is the compressed-residency tier the IVF path was missing at
+    100 TB (r8 verdict): the candidate-generation shuffle moves 1 byte
+    per component instead of 8 — an 8× cut in the embedding pipeline's
+    dominant bandwidth term — and downstream scoring runs in exact
+    integer arithmetic. Normalizing BEFORE quantization makes the int
+    dot product a cosine surrogate (monotone in cosine up to the ±0.5/127
+    per-component rounding), so ranking quality survives heterogeneous
+    vector norms; the recall bound vs full precision is asserted in
+    tests/test_neardup_quality.py.
+
+    The quantized array is built with ``F.transform`` (interpreted,
+    O(dim) once per ROW) rather than a ``_dot_sql``-style unrolled
+    array: unrolled, the 64 round/div elements collapse into the
+    consuming sort's whole-stage codegen and blow Janino's 64 KB method
+    limit — Spark then falls back to interpreting the ENTIRE sort
+    stage, which is the worse trade (measured: the transform build
+    keeps every stage codegen-clean at +0.5 s on sf0.1 vs an unrolled
+    build that logs per-run CodeGenerator errors). The HOT path — the
+    per-candidate integer dot — stays unrolled via :func:`_int_dot_sql`
+    over the materialized tinyint arrays."""
+    norm = _unit_norm_sql(vec_col, dim)
+    return df.withColumn("_nrm", F.expr(norm)).select(
+        *[c for c in df.columns if c != vec_col],
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") / F.col("_nrm") * 127.0).cast(
+                "tinyint"
+            ),
+        ).alias(out_col),
+    )
+
+
+def knn_ivf_int8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF top-k with int8-quantized scoring (IVF-SQ8, the scalar-
+    quantization sibling of IVF-PQ): cell assignment and probe selection
+    run in full precision exactly as :func:`knn_ivf`, but the candidate
+    frame that leaves the assignment stage carries ONLY (id, cell,
+    int8 qvec) — the float vectors never enter the probe shuffle — and
+    candidates rank by the exact integer dot of unit-quantized vectors
+    (descending, neighbor id tie-break).
+
+    Returns (query_id, neighbor_id, dot_q: bigint, rank). ``dot_q`` ≈
+    cosine × 127²; it is reported raw (not rescaled to a float) so the
+    result column stays integer-exact across engines."""
+    if assigned is None:
+        assigned = ivf_assign(
+            corpus, centroids, id_col=id_col, vec_col=vec_col, dim=dim
+        )
+    # quantize at the assignment boundary: everything after this line
+    # moves tinyint arrays, not doubles
+    qcorp = quantize_unit_int8(
+        assigned.select(id_col, vec_col, "cell"), vec_col, dim, out_col="_qv"
+    )
+    q_scored = _cell_scores(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_fq")
+        ),
+        "_fq",
+        centroids,
+        dim,
+    )
+    from pyspark.sql import Window
+
+    pw = Window.partitionBy("query_id").orderBy(F.desc("_ccos"), F.asc("cell"))
+    probes = quantize_unit_int8(
+        q_scored.withColumn("_crank", F.row_number().over(pw))
+        .where(F.col("_crank") <= nprobe)
+        .select("query_id", "_fq", "cell"),
+        "_fq",
+        dim,
+        out_col="_qq",
+    )
+    scored = (
+        qcorp.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(_int_dot_sql("_qq", "_qv", dim)).alias("dot_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_q"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot_q", "rank")
+    )

@@ -1730,6 +1730,93 @@ SELECT query_id, neighbor_id, cosine, rank FROM hi
 """
 
 
+def ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 approximate top-10 (operators/similarity.knn_ivf_int8):
+    same deterministic cells and full-precision probe selection as
+    ann_ivf, but the candidate shuffle carries int8-quantized unit
+    vectors (8× less bandwidth — the r8 verdict's compressed-residency
+    gap) and candidates rank by the EXACT integer dot product of the
+    quantized vectors, so the scoring path has zero cross-engine
+    floating-point risk. The only FP in the pipeline is the shared
+    norm/quantize arithmetic, mirrored term-for-term in the oracle;
+    recall vs full-precision IVF is bounded in
+    tests/test_neardup_quality.py."""
+    from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
+        knn_ivf_int8,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sampled_centroids(emb, _IVF_CELLS, _IVF_STRIDE)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_ivf_int8(
+        emb, queries, cents, k=10, nprobe=_IVF_NPROBE, dim=_EMB_DIM
+    )
+
+
+def _ann_ivf_int8_sql() -> str:
+    """IVF-SQ8 mirrored in SQL: the ann_ivf assignment/probe CTEs
+    verbatim, plus per-row unit-int8 quantization whose norm sum,
+    association order, rounding and casts copy the operator's unrolled
+    expressions term for term (both engines accumulate doubles
+    left-to-right from 0.0, then ROUND half-away-from-zero)."""
+    d = _EMB_DIM
+    sq = " + ".join(f"e[{i}] * e[{i}]" for i in range(1, d + 1))
+    nrm = (
+        f"GREATEST(SQRT((CAST(0.0 AS DOUBLE) + {sq})), "
+        "CAST(1e-30 AS DOUBLE))"
+    )
+    qarr = ", ".join(
+        f"CAST(ROUND(e[{i}] / nrm * 127.0) AS BIGINT)" for i in range(1, d + 1)
+    )
+    dot = " + ".join(f"qq.qv[{i}] * nq.qv[{i}]" for i in range(1, d + 1))
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (
+  SELECT vec_id AS cell, e AS ce FROM base
+  WHERE vec_id % {_IVF_STRIDE} = 0 ORDER BY vec_id LIMIT {_IVF_CELLS}
+),
+ca AS (
+  SELECT vec_id, cell FROM (
+    SELECT b.vec_id, c.cell,
+      row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY ROUND(list_cosine_similarity(b.e, c.ce), 6) DESC, c.cell
+      ) AS rnk
+    FROM base b, cents c
+  ) WHERE rnk = 1
+),
+qa AS (
+  SELECT query_id, cell FROM (
+    SELECT b.vec_id AS query_id, c.cell,
+      row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY ROUND(list_cosine_similarity(b.e, c.ce), 6) DESC, c.cell
+      ) AS rnk
+    FROM base b, cents c WHERE b.vec_id < 5
+  ) WHERE rnk <= {_IVF_NPROBE}
+),
+qb AS (
+  SELECT vec_id, [{qarr}] AS qv
+  FROM (SELECT vec_id, e, {nrm} AS nrm FROM base)
+),
+s AS (
+  SELECT qa.query_id, ca.vec_id AS neighbor_id,
+    CAST((CAST(0 AS BIGINT) + {dot}) AS BIGINT) AS dot_q
+  FROM qa JOIN ca USING (cell)
+  JOIN qb qq ON qq.vec_id = qa.query_id
+  JOIN qb nq ON nq.vec_id = ca.vec_id
+  WHERE ca.vec_id != qa.query_id
+)
+SELECT query_id, neighbor_id, dot_q, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS INT) AS rank
+  FROM s
+) WHERE rank <= 10
+"""
+
+
 def trajectory_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 behaviorally-similar users by trajectory signature
     (operators/trajectory — the REPOSE reference-point summarization):
@@ -8649,6 +8736,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_incremental_topk": QuerySpec(ann_incremental_topk, ANN_SQL),
     "sentiment_docs": QuerySpec(sentiment_docs, SENTIMENT_SQL),
     "ann_ivf_adaptive": QuerySpec(ann_ivf_adaptive, _ivf_adaptive_sql()),
+    "ann_ivf_int8": QuerySpec(ann_ivf_int8, _ann_ivf_int8_sql()),
     "trajectory_similar_users": QuerySpec(
         trajectory_similar_users, _trajectory_sql()
     ),
