@@ -808,3 +808,280 @@ def knn_ivf_int8(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dot_q", "rank")
     )
+
+
+def _sub_slice(s: int, sub: int) -> range:
+    """1-based element indices of subspace ``s`` (width ``sub``)."""
+    return range(s * sub + 1, (s + 1) * sub + 1)
+
+
+def _sub_dist_sql(a: str, b: str, s: int, sub: int) -> str:
+    """Unrolled squared L2 distance between subspace ``s`` of two array
+    columns, rounded to 6 dp BEFORE the argmin so code assignment
+    tie-breaks identically in any engine."""
+    terms = " + ".join(
+        f"(CAST(element_at(`{a}`, {i}) AS DOUBLE) - "
+        f"CAST(element_at(`{b}`, {i}) AS DOUBLE)) * "
+        f"(CAST(element_at(`{a}`, {i}) AS DOUBLE) - "
+        f"CAST(element_at(`{b}`, {i}) AS DOUBLE))"
+        for i in _sub_slice(s, sub)
+    )
+    return f"ROUND((CAST(0.0 AS DOUBLE) + {terms}), 6)"
+
+
+def _sub_dot_q_sql(a: str, b: str, s: int, sub: int) -> str:
+    """Subspace dot product quantized to an exact BIGINT at 1e-6
+    resolution: ``CAST(ROUND(<dot> * 1e6) AS BIGINT)``. The per-
+    candidate ADC score is then a SUM OF INTEGERS — order-free and
+    bit-identical in any engine, unlike a sum of rounded doubles whose
+    accumulation order a groupBy does not define."""
+    terms = " + ".join(
+        f"CAST(element_at(`{a}`, {i}) AS DOUBLE) * "
+        f"CAST(element_at(`{b}`, {i}) AS DOUBLE)"
+        for i in _sub_slice(s, sub)
+    )
+    return f"CAST(ROUND((CAST(0.0 AS DOUBLE) + {terms}) * 1000000.0) AS BIGINT)"
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    n_codes: int,
+    stride: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PQ codebook: the first ``n_codes`` corpus vectors
+    with id divisible by ``stride``, numbered 0..n_codes-1 in id order —
+    codeword (s, j) is subspace s of sampled vector j. Deterministic for
+    the same reason as :func:`sampled_centroids`: the whole encode/
+    score path stays replayable in plain SQL, so the oracle can verify
+    it end to end. Returns ``(code_id int, codeword array)``.
+
+    The ``row_number`` below is an UNPARTITIONED window by design — a
+    documented bounded-frame use (tests/plan_budget.json): its input is
+    already capped at ``n_codes`` rows (16 in the registry entries) by
+    the LIMIT beneath it, so the single-task sort touches codebook
+    metadata, never data. Dense 0-based codes are what let
+    :func:`pq_encode` emit tinyints."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col)
+    return (
+        corpus.where((F.col(id_col) % stride) == 0)
+        .orderBy(id_col)
+        .limit(n_codes)
+        .select(
+            (F.row_number().over(w) - 1).alias("code_id"),
+            F.col(vec_col).alias("codeword"),
+        )
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    sub: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantize every vector: for each of the ``m`` subspaces,
+    the id of the L2-nearest codeword (ties to the lowest code id).
+    Output replaces ``vec_col`` with ``code_0..code_{m-1}`` tinyints —
+    at m=8 that is 8 BYTES per vector in the candidate shuffle, versus
+    512 for float64 and 64 for the int8 tier.
+
+    Scale shape: the ×n_codes crossJoin against the BROADCAST codebook
+    collapses map-side via one groupBy with ``m`` min(struct) partial
+    aggregates — the only shuffle carries (id, m codes), never the
+    expansion (same pattern as :func:`ivf_assign`)."""
+    others = [c for c in df.columns if c != vec_col]
+    scored = df.crossJoin(F.broadcast(codebook))
+    aggs = [
+        F.min(
+            F.struct(
+                F.expr(_sub_dist_sql(vec_col, "codeword", s, sub)).alias("_d"),
+                F.col("code_id").alias("_c"),
+            )
+        )["_c"]
+        .cast("tinyint")
+        .alias(f"code_{s}")
+        for s in range(m)
+    ]
+    return scored.groupBy(*others).agg(*aggs)
+
+
+def knn_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    code_stride: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    rescore_mult: int | None = None,
+    cache_scope: CacheScope | None = None,
+) -> DataFrame:
+    """IVF-PQ (Jegou et al., PAMI'11 — the compressed-residency ANN the
+    r8 verdict asked for): IVF cells prune the corpus, product-
+    quantization codes stand in for the vectors, and each query scores
+    candidates by asymmetric distance computation (ADC) — a per-query
+    lookup table of query-subvector x codeword dots, so scoring never
+    touches a corpus float.
+
+    All vectors are unit-normalized (guarded, :func:`_unit_norm_sql`)
+    before encoding, and the codebook is ``n_codes`` stride-sampled
+    normalized corpus vectors split into ``m`` subspaces — fully
+    deterministic, so the whole encode/LUT/score path replays in plain
+    SQL for the oracle. LUT entries are int64-quantized at 1e-6
+    (:func:`_sub_dot_q_sql`), so the per-candidate ADC score — a sum of
+    ``m`` integers — is EXACT: no accumulation-order or cross-engine FP
+    risk downstream of the LUT build. Returns (query_id, neighbor_id,
+    score_q: bigint ~ cosine x 1e6, rank).
+
+    ``rescore_mult``: the canonical IVFPQ+refine step — take the top
+    ``k × rescore_mult`` candidates by ADC, then re-rank ONLY those by
+    exact rounded cosine against the full vectors (an id-keyed join
+    back to the normalized corpus, bounded by queries × k ×
+    rescore_mult rows). Recovers most of the recall PQ loses on
+    structure-free data while the probe shuffle still moves 8 B codes;
+    output columns become (query_id, neighbor_id, cosine, rank).
+
+    Scale shape: codebook and LUT broadcast (n_codes and
+    queries x m x n_codes rows); candidates shuffle as (query, id,
+    m codes) tinyint tuples — 8 B of payload per vector at m=8, the
+    smallest residency of the three ANN tiers (float 512 B, int8 64 B,
+    PQ 8 B); the melt-join-sum runs on (query, id, s, int) rows with
+    one final partial-aggregated sum."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+
+    def unit(df: DataFrame, vcol: str) -> DataFrame:
+        others = [c for c in df.columns if c != vcol]
+        return df.withColumn("_nrm", F.expr(_unit_norm_sql(vcol, dim))).select(
+            *others,
+            F.transform(
+                F.col(vcol), lambda x: x.cast("double") / F.col("_nrm")
+            ).alias(vcol),
+        )
+
+    ncorp = unit(corpus.select(id_col, vec_col), vec_col)
+    cb = persist_in(
+        pq_codebook(ncorp, n_codes, code_stride, id_col=id_col, vec_col=vec_col),
+        cache_scope,
+    )
+    assigned = ivf_assign(ncorp, centroids, id_col=id_col, vec_col=vec_col, dim=dim)
+    enc = pq_encode(
+        assigned.select(id_col, vec_col, "cell"), cb, m, sub, vec_col=vec_col
+    )
+    nq = unit(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_fq")
+        ),
+        "_fq",
+    )
+    q_scored = _cell_scores(nq, "_fq", centroids, dim)
+    from pyspark.sql import Window
+
+    pw = Window.partitionBy("query_id").orderBy(F.desc("_ccos"), F.asc("cell"))
+    probes = persist_in(
+        q_scored.withColumn("_crank", F.row_number().over(pw))
+        .where(F.col("_crank") <= nprobe)
+        .select("query_id", "_fq", "cell"),
+        cache_scope,
+    )
+    # per-query ADC lookup table: queries x codebook x m subspaces,
+    # int64-quantized dots — bounded by the query batch, broadcast
+    lut_melt = (
+        probes.select("query_id", "_fq")
+        .distinct()
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            "code_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.expr(
+                                _sub_dot_q_sql("_fq", "codeword", s, sub)
+                            ).alias("d"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("_sd"),
+        )
+        .select(
+            "query_id", F.col("_sd.s").alias("s"), "code_id", F.col("_sd.d").alias("d")
+        )
+    )
+    cand = enc.join(
+        F.broadcast(probes.select("query_id", "cell")), "cell"
+    ).where(F.col("query_id") != F.col(id_col))
+    cand_melt = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.col(f"code_{s}").cast("int").alias("code_id"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("_sc"),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("_sc.s").alias("s"),
+        F.col("_sc.code_id").alias("code_id"),
+    )
+    scored = (
+        cand_melt.join(F.broadcast(lut_melt), ["query_id", "s", "code_id"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("score_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q"), F.asc("neighbor_id")
+    )
+    adc = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k * (rescore_mult or 1))
+        .select("query_id", "neighbor_id", "score_q", "rank")
+    )
+    if rescore_mult is None:
+        return adc
+    # refine: exact rounded cosine over the bounded ADC short-list only
+    resc = (
+        adc.select("query_id", "neighbor_id")
+        .join(
+            ncorp.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("_nv"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(nq), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity_col("_fq", "_nv", dim=dim).alias("cosine"),
+        )
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        resc.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1817,6 +1817,210 @@ SELECT query_id, neighbor_id, dot_q, rank FROM (
 """
 
 
+_PQ_M, _PQ_CODES, _PQ_STRIDE = 8, 16, 37
+
+
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-10 (operators/similarity.knn_ivf_pq —
+    Jégou PAMI'11): same deterministic cells as ann_ivf, candidates
+    represented by 8 product-quantization codes (8 BYTES per vector in
+    the probe shuffle — the smallest residency of the three ANN tiers),
+    scored via per-query asymmetric-distance lookup tables whose
+    entries are int64-quantized, so candidate ranking is a sum of
+    integers with zero cross-engine FP risk. Codebook = 16 stride-37
+    sampled unit-normalized corpus vectors, split into 8 subspaces —
+    fully replayed in the oracle's SQL."""
+    from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
+        knn_ivf_pq,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sampled_centroids(emb, _IVF_CELLS, _IVF_STRIDE)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_ivf_pq(
+        emb,
+        queries,
+        cents,
+        k=10,
+        nprobe=_IVF_NPROBE,
+        m=_PQ_M,
+        n_codes=_PQ_CODES,
+        code_stride=_PQ_STRIDE,
+        dim=_EMB_DIM,
+    )
+
+
+_PQ_RESCORE_MULT = 4
+
+
+def ann_ivf_pq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ+refine (the canonical two-stage recipe): the ann_ivf_pq
+    ADC pipeline short-lists k×4 candidates, then ONLY those are
+    re-ranked by exact rounded cosine against the full normalized
+    vectors — an id-keyed join bounded by queries×40 rows. Recovers the
+    recall PQ loses to 16-codeword quantization (0.61 vs plain IVF's
+    0.63 on structure-free gaussians, 95% top-k overlap —
+    tests/test_neardup_quality.py) while the corpus-sized probe shuffle
+    still moves 8-byte codes."""
+    from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
+        knn_ivf_pq,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sampled_centroids(emb, _IVF_CELLS, _IVF_STRIDE)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_ivf_pq(
+        emb,
+        queries,
+        cents,
+        k=10,
+        nprobe=_IVF_NPROBE,
+        m=_PQ_M,
+        n_codes=_PQ_CODES,
+        code_stride=_PQ_STRIDE,
+        dim=_EMB_DIM,
+        rescore_mult=_PQ_RESCORE_MULT,
+    )
+
+
+def _ann_ivf_pq_sql(rescore: bool = False) -> str:
+    """IVF-PQ mirrored in SQL: normalized base, the ann_ivf cell CTEs
+    over the normalized vectors, the deterministic codebook, melted
+    per-subspace encode (argmin of rounded L2), melted int64 ADC LUT,
+    and the exact integer score sum. Every double op copies the
+    operator's association order. With ``rescore``, the ADC top-k×4
+    short-list re-ranks by rounded cosine over the normalized vectors —
+    the refine stage mirrored too."""
+    d, m, sub = _EMB_DIM, _PQ_M, _EMB_DIM // _PQ_M
+    sq = " + ".join(f"e[{i}] * e[{i}]" for i in range(1, d + 1))
+    nrm = (
+        f"GREATEST(SQRT((CAST(0.0 AS DOUBLE) + {sq})), "
+        "CAST(1e-30 AS DOUBLE))"
+    )
+
+    def dist_case(a: str, b: str) -> str:
+        branches = []
+        for s in range(m):
+            terms = " + ".join(
+                f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
+                for i in range(s * sub + 1, (s + 1) * sub + 1)
+            )
+            branches.append(
+                f"WHEN {s} THEN ROUND((CAST(0.0 AS DOUBLE) + {terms}), 6)"
+            )
+        return "CASE ss.s " + " ".join(branches) + " END"
+
+    def dotq_case(a: str, b: str) -> str:
+        branches = []
+        for s in range(m):
+            terms = " + ".join(
+                f"{a}[{i}] * {b}[{i}]"
+                for i in range(s * sub + 1, (s + 1) * sub + 1)
+            )
+            branches.append(
+                f"WHEN {s} THEN CAST(ROUND((CAST(0.0 AS DOUBLE) + {terms})"
+                " * 1000000.0) AS BIGINT)"
+            )
+        return "CASE ss.s " + " ".join(branches) + " END"
+
+    subspaces = ", ".join(f"({s})" for s in range(m))
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+nb AS (
+  SELECT vec_id, list_transform(e, x -> x / nrm) AS u
+  FROM (SELECT vec_id, e, {nrm} AS nrm FROM base)
+),
+cents AS (
+  SELECT vec_id AS cell, e AS ce FROM base
+  WHERE vec_id % {_IVF_STRIDE} = 0 ORDER BY vec_id LIMIT {_IVF_CELLS}
+),
+ss(s) AS (VALUES {subspaces}),
+ca AS (
+  SELECT vec_id, cell FROM (
+    SELECT n.vec_id, c.cell,
+      row_number() OVER (
+        PARTITION BY n.vec_id
+        ORDER BY ROUND(list_cosine_similarity(n.u, c.ce), 6) DESC, c.cell
+      ) AS rnk
+    FROM nb n, cents c
+  ) WHERE rnk = 1
+),
+cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, u AS cw
+  FROM (SELECT vec_id, u FROM nb
+        WHERE vec_id % {_PQ_STRIDE} = 0 ORDER BY vec_id LIMIT {_PQ_CODES})
+),
+encm AS (
+  SELECT vec_id, s, code_id FROM (
+    SELECT n.vec_id, ss.s, cb.code_id,
+      row_number() OVER (PARTITION BY n.vec_id, ss.s
+        ORDER BY {dist_case('n.u', 'cb.cw')}, cb.code_id) AS rnk
+    FROM nb n, cb, ss
+  ) WHERE rnk = 1
+),
+qn AS (SELECT vec_id AS query_id, u FROM nb WHERE vec_id < 5),
+qa AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+      row_number() OVER (
+        PARTITION BY q.query_id
+        ORDER BY ROUND(list_cosine_similarity(q.u, c.ce), 6) DESC, c.cell
+      ) AS rnk
+    FROM qn q, cents c
+  ) WHERE rnk <= {_IVF_NPROBE}
+),
+lutm AS (
+  SELECT q.query_id, ss.s, cb.code_id, {dotq_case('q.u', 'cb.cw')} AS d
+  FROM qn q, cb, ss
+),
+sc AS (
+  SELECT qa.query_id, ca.vec_id AS neighbor_id,
+    CAST(SUM(l.d) AS BIGINT) AS score_q
+  FROM qa JOIN ca USING (cell)
+  JOIN encm em ON em.vec_id = ca.vec_id
+  JOIN lutm l ON l.query_id = qa.query_id AND l.s = em.s
+    AND l.code_id = em.code_id
+  WHERE ca.vec_id != qa.query_id
+  GROUP BY qa.query_id, ca.vec_id
+)
+{_pq_final(rescore)}"""
+
+
+def _pq_final(rescore: bool) -> str:
+    """Final select of the PQ oracle: plain ADC top-10, or the refine
+    re-rank over the ADC top-40 short-list."""
+    if not rescore:
+        return """SELECT query_id, neighbor_id, score_q, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY score_q DESC, neighbor_id) AS INT) AS rank
+  FROM sc
+) WHERE rank <= 10
+"""
+    shortlist = 10 * _PQ_RESCORE_MULT
+    return f"""SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM (
+    SELECT c.query_id, c.neighbor_id,
+      ROUND(list_cosine_similarity(q.u, n.u), 6) AS cosine
+    FROM (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score_q DESC, neighbor_id) AS rnk
+        FROM sc
+      ) WHERE rnk <= {shortlist}
+    ) c
+    JOIN qn q ON q.query_id = c.query_id
+    JOIN nb n ON n.vec_id = c.neighbor_id
+  )
+) WHERE rank <= 10
+"""
+
+
 def trajectory_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 behaviorally-similar users by trajectory signature
     (operators/trajectory — the REPOSE reference-point summarization):
@@ -6510,6 +6714,48 @@ ORDER BY part_value DESC, partkey
 """
 
 
+def bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter semi join as a first-class verified operator
+    (operators/bloom): orders of high-balance customers, pre-filtered by
+    an explicit 128 K-bit Bloom filter built from the customer keys
+    BEFORE the verifying left-semi join. The oracle is a plain IN
+    subquery — row-for-row equivalence with the exact semi join IS the
+    operator's claim (false positives removed by the verifying join,
+    false negatives impossible: build and probe hash through the
+    canonical common key type). Aggregated per priority so any dropped
+    or duplicated row shifts the counts/totals and fails the hash."""
+    from vacancy_gpt_etl_pipeline_spark.operators.bloom import bloom_semi_join
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    kept = bloom_semi_join(orders, cust, "o_custkey", "c_custkey")
+    return (
+        kept.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            _dsum("o_totalprice", "total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+BLOOM_SEMI_SQL = """
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def q12_priority_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape (adapted: no l_shipmode/l_receiptdate — the mode
     proxy is l_returnflag and "late receipt" is shipping >30 days after
@@ -8737,6 +8983,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "sentiment_docs": QuerySpec(sentiment_docs, SENTIMENT_SQL),
     "ann_ivf_adaptive": QuerySpec(ann_ivf_adaptive, _ivf_adaptive_sql()),
     "ann_ivf_int8": QuerySpec(ann_ivf_int8, _ann_ivf_int8_sql()),
+    "bloom_semi_join_orders": QuerySpec(bloom_semi_join_orders, BLOOM_SEMI_SQL),
+    "ann_ivf_pq": QuerySpec(ann_ivf_pq, _ann_ivf_pq_sql()),
+    "ann_ivf_pq_rescore": QuerySpec(
+        ann_ivf_pq_rescore, _ann_ivf_pq_sql(rescore=True)
+    ),
     "trajectory_similar_users": QuerySpec(
         trajectory_similar_users, _trajectory_sql()
     ),
