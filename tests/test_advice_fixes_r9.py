@@ -231,3 +231,61 @@ def test_parse_size_bytes():
     assert _parse_size_bytes("512k") == 512 << 10
     assert _parse_size_bytes("1g") == 1 << 30
     assert _parse_size_bytes("-1") == -1
+
+
+# ------------------------------------------------- exact-substring dedup
+
+
+def test_exact_substring_dedup_closed_form(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    # doc 1: two identical 4-token blocks (within-doc repeat);
+    # doc 2: copies doc 1's first block (cross-doc repeat) + own block;
+    # doc 3: fully unique
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d a b c d"),
+            (2, "a b c d x y z w"),
+            (3, "p q r s t u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(docs, block_tokens=4).collect()
+    }
+    assert out[1]["n_blocks"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["text_dedup"] == "a b c d"
+    assert out[2]["n_blocks"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["text_dedup"] == "x y z w"
+    assert out[3]["n_kept"] == 2
+    assert out[3]["text_dedup"] == "p q r s t u v w"
+
+
+def test_exact_substring_dedup_fully_duplicated_doc(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(docs, block_tokens=4).collect()
+    }
+    # doc 2's only block occurred in doc 1 — comes back empty, not absent
+    assert out[2]["n_kept"] == 0 and out[2]["text_dedup"] == ""
+    assert out[1]["n_kept"] == 1
+
+
+def test_exact_substring_dedup_validates_block_tokens(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="block_tokens"):
+        exact_substring_dedup(docs, block_tokens=0)

@@ -777,3 +777,76 @@ def winnowing_pairs(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    block_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring span dedup at block granularity — the scalable
+    MapReduce variant of Lee et al., ACL'22 ("Deduplicating Training
+    Data Makes Language Models Better"): the corpus keeps exactly ONE
+    occurrence of every ``block_tokens``-token span, removing verbatim
+    boilerplate/mirror spans ACROSS documents (and repeated spans
+    WITHIN a document) that document-level dedup can never see.
+
+    Token stream → non-overlapping ``block_tokens`` blocks → the
+    occurrence with the globally smallest (doc_id, block_idx) survives;
+    each doc reassembles from its surviving blocks in order. Returns
+    ``(doc_id, n_blocks, n_kept, text_dedup)`` — a doc whose every
+    block occurred earlier elsewhere comes back with n_kept 0 and empty
+    text (the downstream quality filter's job to drop).
+
+    Scale shape: block construction is map-side (one split + slice HOF
+    pass per doc); the argmin is ONE groupBy on the block string with a
+    min(struct) partial aggregate (the frequency table is data-sized —
+    that is inherent to the operator, same as the paper's suffix-array
+    shards); the keep-join is block-keyed and the reassembly is one
+    doc-keyed aggregate. No window over the corpus, no driver state.
+    The suffix-array formulation finds repeats at ANY alignment; this
+    block variant trades alignment sensitivity for three shuffles of
+    bounded-width rows — the standard engineering compromise at corpus
+    scale."""
+    if block_tokens < 1:
+        raise ValueError(f"block_tokens must be >= 1, got {block_tokens}")
+    k = block_tokens
+    t = docs.select(
+        id_col, F.split(F.col(text_col), " ").alias("_toks")
+    ).withColumn("_nb", F.expr(f"int(ceil(size(_toks) / {k}.0))"))
+    b = t.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, _nb - 1), "
+                f"i -> array_join(slice(_toks, i*{k}+1, {k}), ' '))"
+            )
+        ).alias("idx", "block"),
+    )
+    firsts = b.groupBy("block").agg(
+        F.min(F.struct(F.col(id_col), F.col("idx"))).alias("_f")
+    )
+    kept = b.join(firsts, "block").where(
+        (F.col(id_col) == F.col(f"_f.{id_col}")) & (F.col("idx") == F.col("_f.idx"))
+    )
+    survived = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "block"))),
+                lambda s: s["block"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    return (
+        t.select(id_col, F.col("_nb").cast("bigint").alias("n_blocks"))
+        .join(survived, id_col, "left")
+        .select(
+            id_col,
+            "n_blocks",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+        )
+    )

@@ -828,6 +828,57 @@ FROM documents GROUP BY 1
 """
 
 
+_ESD_K = 8
+
+
+def exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (operators/dedup.exact_substring_dedup
+    — Lee et al. ACL'22, block-hash variant at 8-token granularity):
+    the corpus keeps one occurrence of every 8-token span; each doc
+    returns its surviving-block count and reassembled text. Catches the
+    verbatim boilerplate that document-level hashing can't (the
+    synthetic corpus repeats word runs within and across docs, so both
+    removal classes fire at every SF)."""
+    from vacancy_gpt_etl_pipeline_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    return exact_substring_dedup(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        block_tokens=_ESD_K,
+    ).orderBy("doc_id")
+
+
+EXACT_SUBSTR_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+b AS (
+  SELECT doc_id, CAST(u.i AS INT) AS idx,
+    array_to_string(toks[CAST(u.i AS INT)*{_ESD_K}+1 :
+                          CAST(u.i AS INT)*{_ESD_K}+{_ESD_K}], ' ') AS block
+  FROM t, UNNEST(range(CAST(CEIL(len(toks) / {_ESD_K}.0) AS BIGINT))) AS u(i)
+),
+kept AS (
+  SELECT doc_id, idx, block FROM (
+    SELECT *, row_number() OVER (PARTITION BY block ORDER BY doc_id, idx) AS rnk
+    FROM b
+  ) WHERE rnk = 1
+),
+survived AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+    string_agg(block, ' ' ORDER BY idx) AS text_dedup
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(CEIL(len(t.toks) / {_ESD_K}.0) AS BIGINT) AS n_blocks,
+  COALESCE(s.n_kept, 0) AS n_kept,
+  COALESCE(s.text_dedup, '') AS text_dedup
+FROM t LEFT JOIN survived s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-Jaccard near-dup pairs (threshold 0.5), with the
     frequent-shingle skew guard ON (max_shingle_freq=100) — the registered
@@ -9049,6 +9100,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # outside it. All have green full-hash CORRECTNESS_r05 rows AND are
     # re-verified exactly on every pytest run by tests/test_oracle.py.
     "dedup_exact_documents": QuerySpec(dedup_exact_documents, DEDUP_EXACT_SQL),
+    "exact_substr_dedup": QuerySpec(exact_substr_dedup, EXACT_SUBSTR_SQL),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_cc_clusters": QuerySpec(dedup_cc_clusters, CC_CLUSTERS_SQL),
     "incremental_dedup_batch": QuerySpec(incremental_dedup_batch, INCR_DEDUP_SQL),
