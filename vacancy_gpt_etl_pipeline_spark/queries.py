@@ -8395,6 +8395,125 @@ FROM ranked WHERE cum_before < budget
 """
 
 
+_BPE_TOP_K = 30
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE merge learning (Sennrich ACL'16), corpus-
+    scale: word-frequency table → adjacent-symbol-pair counts weighted
+    by word frequency → top-30 merge candidates. Two aggregates, both
+    map-side combined: words dedup to a (word, freq) table FIRST — the
+    classic BPE trick, pair counting is then O(distinct words × word
+    length), not O(corpus tokens) — and the character-pair explode runs
+    over that bounded table. Top-k via TakeOrdered on (count desc, pair)
+    — total order, no global window. Exact bigint counts end to end."""
+    docs = _t(spark, sf_dir, "documents").select("text")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).where(F.col("word") != "")
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    # length >= 2 guard: Spark's sequence(1, 0) produces a DESCENDING
+    # [1, 0] for 1-char words (auto-negative step), not an empty array —
+    # emitting junk pairs DuckDB's end-exclusive range never sees
+    pairs = wf.where(F.length("word") >= 2).select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> concat(substring(word, i, 1), substring(word, i+1, 1)))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(_BPE_TOP_K)
+    )
+
+
+BPE_PAIR_SQL = f"""
+WITH words AS (
+  SELECT w AS word FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+  WHERE w != ''
+),
+wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM words GROUP BY word),
+pairs AS (
+  SELECT freq,
+    substring(word, CAST(u.i AS INT), 1) ||
+      substring(word, CAST(u.i AS INT) + 1, 1) AS pair
+  FROM wf, UNNEST(range(1, length(word))) AS u(i)
+  WHERE length(word) >= 2
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT {_BPE_TOP_K}
+"""
+
+
+_TEMP_ALPHA, _TEMP_BUDGET = 0.7, 300
+
+
+def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-sampling rule
+    from mBERT/XLM-R, p_s ∝ n_s^α with α=0.7): flattens the source
+    distribution so rare sources up-sample. The α-power weights are
+    int64-QUANTIZED at 1e6 before the normalizing sum (the repo's
+    standard trick — a 20-value double sum has engine-dependent
+    accumulation order; a bigint sum is exact and order-free), so the
+    shares and expected-doc columns are deterministic IEEE expressions
+    over exact integers. One count aggregate + one broadcast of the
+    20-row totals frame."""
+    docs = _t(spark, sf_dir, "documents").select("source")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    wq = F.expr(
+        f"CAST(ROUND(POWER(CAST(n_docs AS DOUBLE), {_TEMP_ALPHA})"
+        " * 1000000.0) AS BIGINT)"
+    )
+    weighted = per_src.withColumn("weight_q", wq)
+    totals = weighted.agg(F.sum("weight_q").cast("bigint").alias("_tot"))
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "weight_q",
+            (F.col("weight_q").cast("double") / F.col("_tot").cast("double")).alias(
+                "share"
+            ),
+            (
+                F.col("weight_q").cast("double")
+                / F.col("_tot").cast("double")
+                * F.lit(float(_TEMP_BUDGET))
+            ).alias("expected_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+TEMP_MIX_SQL = f"""
+WITH per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+weighted AS (
+  SELECT source, n_docs,
+    CAST(ROUND(POWER(CAST(n_docs AS DOUBLE), {_TEMP_ALPHA}) * 1000000.0)
+      AS BIGINT) AS weight_q
+  FROM per_src
+),
+tot AS (SELECT CAST(SUM(weight_q) AS BIGINT) AS t FROM weighted)
+SELECT source, n_docs, weight_q,
+  CAST(weight_q AS DOUBLE) / CAST(t AS DOUBLE) AS share,
+  CAST(weight_q AS DOUBLE) / CAST(t AS DOUBLE) * {float(_TEMP_BUDGET)} AS expected_docs
+FROM weighted, tot
+ORDER BY source
+"""
+
+
 def moving_average_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour moving aggregate per user over event time — the
     rolling-metric staple. Spark's RANGE frames accept only numeric
@@ -9081,6 +9200,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "tfidf_keywords": QuerySpec(tfidf_keywords_query, TFIDF_SQL),
     "weighted_sample_docs": QuerySpec(weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
     "budget_mix_docs": QuerySpec(budget_mix_docs, BUDGET_MIX_SQL),
+    "bpe_pair_counts": QuerySpec(bpe_pair_counts, BPE_PAIR_SQL),
+    "temperature_mix_docs": QuerySpec(temperature_mix_docs, TEMP_MIX_SQL),
     "text_quality_filter": QuerySpec(text_quality_filter, QUALITY_FILTER_SQL),
     "train_test_split": QuerySpec(train_test_split, TRAIN_TEST_SPLIT_SQL),
     "split_contamination": QuerySpec(split_contamination, SPLIT_CONTAMINATION_SQL),
