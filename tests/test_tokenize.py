@@ -1,0 +1,163 @@
+"""Tokenizer-exact BPE: closed forms, an INDEPENDENT Sennrich
+batch-apply reference (validating the one-merge-per-step equivalence
+argument the oracle depends on), and the packing integration."""
+
+from __future__ import annotations
+
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
+    DEFAULT_BPE_MERGES,
+    bpe_segment,
+    bpe_token_counts,
+)
+
+
+def _sennrich_apply(word: str, merges) -> list[str]:
+    """Independent reference: the textbook apply step — find the
+    lowest-rank pair PRESENT, merge ALL its occurrences left-to-right
+    non-overlapping, repeat. Deliberately a different formulation from
+    operators/tokenize.bpe_segment."""
+    ranks: dict = {}
+    for i, pair in enumerate(merges):
+        ranks.setdefault(pair, i)  # real merge lists are duplicate-free
+    seq = list(word)
+    while True:
+        pairs = {(seq[i], seq[i + 1]) for i in range(len(seq) - 1)}
+        ranked = [p for p in pairs if p in ranks]
+        if not ranked:
+            return seq
+        x, y = min(ranked, key=lambda p: ranks[p])
+        out, i = [], 0
+        while i < len(seq):
+            if i < len(seq) - 1 and seq[i] == x and seq[i + 1] == y:
+                out.append(x + y)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+
+
+def test_bpe_segment_closed_forms():
+    cases = {
+        "table": ["table"],  # 4-deep cascade t,a -> ta,b -> tab + l,e -> le -> table
+        "agg": ["a", "gg"],
+        "scan": ["sca", "n"],  # s,c -> sc then sc,a -> sca
+        "query": ["q", "u", "ery"],  # e,r -> er then er,y
+        "value": ["va", "l", "u", "e"],  # l,e consumed the e? no: v,a wins first
+        "a": ["a"],
+        "": [],
+        "ttaable": ["t", "ta", "a", "b", "le"],
+    }
+    for word, want in cases.items():
+        assert bpe_segment(word, DEFAULT_BPE_MERGES) == want, word
+
+
+def test_bpe_segment_matches_independent_sennrich_reference():
+    """The equivalence claim in the module docstring, empirically: the
+    one-merge-per-step loop == batch lowest-rank apply, over random
+    words AND random merge lists (including merges of merged symbols)."""
+    rng = random.Random(7)
+    alphabet = "abcdegklorstuvy"
+    for trial in range(300):
+        word = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 14)))
+        assert bpe_segment(word, DEFAULT_BPE_MERGES) == _sennrich_apply(
+            word, DEFAULT_BPE_MERGES
+        ), word
+    # random rule lists: grow symbols by merging previous outputs
+    for trial in range(60):
+        symbols = list("abcd")
+        merges = []
+        for _ in range(rng.randint(1, 8)):
+            x, y = rng.choice(symbols), rng.choice(symbols)
+            merges.append((x, y))
+            symbols.append(x + y)
+        for _ in range(10):
+            word = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 12)))
+            assert bpe_segment(word, merges) == _sennrich_apply(word, merges), (
+                word,
+                merges,
+            )
+
+
+def test_bpe_token_counts_operator_keeps_zero_word_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "table table agg"), (2, ""), (3, "   "), (4, "scan")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bpe_token_counts(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert (rows[1]["n_words"], rows[1]["n_tokens"]) == (3, 4)  # 1+1+2
+    assert (rows[2]["n_words"], rows[2]["n_tokens"]) == (0, 0)
+    assert (rows[3]["n_words"], rows[3]["n_tokens"]) == (0, 0)
+    assert (rows[4]["n_words"], rows[4]["n_tokens"]) == (1, 2)
+
+
+def test_bpe_pack_docs_integration(spark, tmp_path):
+    """Packing budgeted in exact tokens: replay the offset-bin rule in
+    Python from per-doc exact counts and demand identical packs."""
+    from vacancy_gpt_etl_pipeline_spark.queries import (
+        _BPE_PACK_TARGET,
+        REGISTRY,
+    )
+
+    rng = random.Random(23)
+    vocab = ["table", "agg", "scan", "query", "value", "stream", "group"]
+    n = 120
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+        for _ in range(n)
+    ]
+    sources = [f"s{rng.randint(0, 3)}" for _ in range(n)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(sources),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r["source"], r["pack_id"]): (r["n_docs"], r["pack_tokens"])
+        for r in REGISTRY["bpe_pack_docs"].spark(spark, str(tmp_path)).collect()
+    }
+
+    # python replay
+    def tok_count(text):
+        return sum(
+            len(bpe_segment(w, DEFAULT_BPE_MERGES))
+            for w in text.split(" ")
+            if w
+        )
+
+    per_src: dict[str, list[tuple[int, int]]] = {}
+    for i in range(n):
+        c = tok_count(texts[i])
+        if c > 0:
+            per_src.setdefault(sources[i], []).append((i, c))
+    want: dict[tuple[str, int], list[int]] = {}
+    for src, docs in per_src.items():
+        cum = 0
+        for doc_id, c in sorted(docs):
+            pack = cum // _BPE_PACK_TARGET
+            want.setdefault((src, pack), []).append(c)
+            cum += c
+    want_agg = {k: (len(v), sum(v)) for k, v in want.items()}
+    assert got == want_agg
+    # conservation: every token lands in exactly one pack
+    assert sum(t for _, t in got.values()) == sum(
+        c for docs in per_src.values() for _, c in docs
+    )
+    # pack ids are contiguous from 0 within each source
+    for src in per_src:
+        ids = sorted(p for s, p in got if s == src)
+        assert ids == list(range(len(ids)))

@@ -8514,6 +8514,141 @@ ORDER BY source
 """
 
 
+_BPE_PACK_TARGET = 256
+
+
+def bpe_token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-exact per-document token budgeting (the r8-verdict
+    ask): exact BPE segmentation under operators/tokenize's ranked
+    merge list. The encode runs over DISTINCT words only — cost
+    O(vocabulary), never O(corpus tokens) — via an Arrow mapInPandas
+    with the merge table closure-captured; counts join back on the
+    word string (AQE broadcasts the vocabulary-sized frame) and one
+    map-side-combinable aggregate produces per-doc totals. The oracle
+    replays the encode loop step-for-step as a recursive CTE generated
+    from the SAME Python merge list (tokenize.bpe_merge_sql) — the
+    one-merge-per-step formulation is provably identical to Sennrich's
+    batch apply (a merge only creates higher-rank pairs). Exact bigint
+    counts; zero-word documents keep a zero row."""
+    from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
+        bpe_token_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_token_counts(docs).orderBy("doc_id")
+
+
+BPE_TOKEN_SQL_TEMPLATE = """
+WITH RECURSIVE
+docs AS (
+  SELECT doc_id, u.w AS word
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+  WHERE u.w != ''
+),
+vocab AS (SELECT DISTINCT word FROM docs),
+{merge_cte},
+per_doc AS (
+  SELECT d.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_words,
+    CAST(SUM(t.word_tokens) AS BIGINT) AS n_tokens
+  FROM docs d JOIN tok t USING (word)
+  GROUP BY d.doc_id
+)
+SELECT a.doc_id,
+  COALESCE(p.n_words, 0) AS n_words,
+  COALESCE(p.n_tokens, 0) AS n_tokens
+FROM documents a LEFT JOIN per_doc p USING (doc_id)
+ORDER BY a.doc_id
+"""
+
+
+def bpe_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing budgeted in tokenizer-exact tokens — the integration the
+    whitespace-count packer (`pack_sequences_by_source`) was missing:
+    per-source offset-bin packing where the running cumsum is over
+    EXACT BPE token counts from operators/tokenize. pack_id =
+    floor(start_offset / target): pure integer arithmetic over exact
+    counts, so bin assignment is deterministic and engine-free. One
+    vocabulary-sized encode + one window shuffle partitioned by
+    source (parallelism = #sources); summary rows only."""
+    from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
+        bpe_token_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    counts = bpe_token_counts(docs).where(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        docs.select("doc_id", "source")
+        .join(counts, "doc_id")
+        .withColumn(
+            "pack_id",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / F.lit(_BPE_PACK_TARGET)
+            ).cast("bigint"),
+        )
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+BPE_PACK_SQL_TEMPLATE = """
+WITH RECURSIVE
+docs AS (
+  SELECT doc_id, u.w AS word
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+  WHERE u.w != ''
+),
+vocab AS (SELECT DISTINCT word FROM docs),
+{merge_cte},
+per_doc AS (
+  SELECT d.doc_id,
+    CAST(SUM(t.word_tokens) AS BIGINT) AS n_tokens
+  FROM docs d JOIN tok t USING (word)
+  GROUP BY d.doc_id
+),
+packed AS (
+  SELECT a.source, p.doc_id, p.n_tokens,
+    CAST(FLOOR((SUM(p.n_tokens) OVER (PARTITION BY a.source
+        ORDER BY p.doc_id) - p.n_tokens) / {target}) AS BIGINT) AS pack_id
+  FROM per_doc p JOIN documents a USING (doc_id)
+  WHERE p.n_tokens > 0
+)
+SELECT source, pack_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM packed
+GROUP BY source, pack_id
+ORDER BY source, pack_id
+"""
+
+
+def _bpe_sqls() -> tuple[str, str]:
+    from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
+        bpe_merge_sql,
+    )
+
+    cte = bpe_merge_sql()
+    return (
+        BPE_TOKEN_SQL_TEMPLATE.format(merge_cte=cte),
+        BPE_PACK_SQL_TEMPLATE.format(merge_cte=cte, target=_BPE_PACK_TARGET),
+    )
+
+
+BPE_TOKEN_SQL, BPE_PACK_SQL = _bpe_sqls()
+
+
 def moving_average_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour moving aggregate per user over event time — the
     rolling-metric staple. Spark's RANGE frames accept only numeric
@@ -9201,6 +9336,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "weighted_sample_docs": QuerySpec(weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
     "budget_mix_docs": QuerySpec(budget_mix_docs, BUDGET_MIX_SQL),
     "bpe_pair_counts": QuerySpec(bpe_pair_counts, BPE_PAIR_SQL),
+    "bpe_token_counts": QuerySpec(bpe_token_counts_docs, BPE_TOKEN_SQL),
+    "bpe_pack_docs": QuerySpec(bpe_pack_docs, BPE_PACK_SQL),
     "temperature_mix_docs": QuerySpec(temperature_mix_docs, TEMP_MIX_SQL),
     "text_quality_filter": QuerySpec(text_quality_filter, QUALITY_FILTER_SQL),
     "train_test_split": QuerySpec(train_test_split, TRAIN_TEST_SPLIT_SQL),
