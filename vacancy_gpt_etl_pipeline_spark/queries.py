@@ -8649,6 +8649,183 @@ def _bpe_sqls() -> tuple[str, str]:
 BPE_TOKEN_SQL, BPE_PACK_SQL = _bpe_sqls()
 
 
+_QC_BUCKETS = 1024
+
+
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring, fastText/DCLM-shape: hash each word
+    into one of 1024 feature buckets (portable 28-bit md5 prefix mod D),
+    join a BROADCAST D-row weight table, and aggregate an exact-integer
+    logit per document. The weight values are a deterministic md5-derived
+    placeholder — no trained model ships in-container — but the plumbing
+    is the production shape: feature hashing entirely in codegen
+    expressions, a broadcast join against a model-parameter table, and
+    one map-side-combinable aggregate. Determinism: weights are
+    INTEGER-quantized in [-1000, 1000], the per-doc sum is an exact
+    bigint, the logit is one IEEE division of exact integers, and the
+    keep decision compares the exact integer sum — zero FP-accumulation
+    risk. Docs with no words carry no signal and are omitted
+    (documented; a pipeline would route them to the length filter)."""
+    weights = spark.range(_QC_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            F.expr(
+                "CAST(conv(substring(md5(concat('w', CAST(id AS STRING))),"
+                " 1, 7), 16, 10) AS BIGINT)"
+            )
+            % 2001
+            - 1000
+        ).alias("wq"),
+    )
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .where(F.col("word") != "")
+    )
+    feats = words.select(
+        "doc_id",
+        (
+            F.expr(
+                "CAST(conv(substring(md5(word), 1, 7), 16, 10) AS BIGINT)"
+            )
+            % _QC_BUCKETS
+        ).alias("bucket"),
+    )
+    return (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("wq").cast("bigint").alias("logit_q"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "logit_q",
+            (
+                F.col("logit_q").cast("double")
+                / (F.lit(1000.0) * F.col("n_words").cast("double"))
+            ).alias("logit"),
+            (F.col("logit_q") > 0).alias("keep_quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH weights AS (
+  SELECT CAST(r.range AS BIGINT) AS bucket,
+    ('0x' || substr(md5('w' || CAST(r.range AS VARCHAR)), 1, 7))::BIGINT
+      % 2001 - 1000 AS wq
+  FROM range({_QC_BUCKETS}) r
+),
+words AS (
+  SELECT doc_id, u.w AS word
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+  WHERE u.w != ''
+),
+feats AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(word), 1, 7))::BIGINT % {_QC_BUCKETS} AS bucket
+  FROM words
+)
+SELECT f.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(w.wq) AS BIGINT) AS logit_q,
+  CAST(SUM(w.wq) AS DOUBLE) / (1000.0 * CAST(COUNT(*) AS DOUBLE)) AS logit,
+  CAST(SUM(w.wq) AS BIGINT) > 0 AS keep_quality
+FROM feats f JOIN weights w USING (bucket)
+GROUP BY f.doc_id
+ORDER BY f.doc_id
+"""
+
+
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift audit: KL(P_source || P_corpus) over unigram
+    word distributions, per source — the standard check that one
+    source's token mix has drifted from the corpus before it skews a
+    training mix. All probabilities are exact ratios of bigint counts;
+    each summand p_sw * ln((c_sw * N) / (n_s * c_w)) is computed in
+    double then QUANTIZED to decimal(28,12) before the per-source sum
+    (lm_score's rule: the aggregate is exact-decimal, order-free; the
+    accepted 1-ulp-per-term risk sits 12 digits down). The corpus word
+    table re-aggregates FROM the source-word counts — one corpus pass
+    total. Corpus marginals and source totals ride broadcast joins."""
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    # persisted: three downstream aggregates (src_tot, corpus_w via n,
+    # and the term join) would otherwise each replay the corpus-sized
+    # explode — the one frame here is vocabulary×sources sized
+    sw = (
+        words.groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_sw"))
+        .persist()
+    )
+    src_tot = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    corpus_w = sw.groupBy("word").agg(F.sum("c_sw").alias("c_w"))
+    n = corpus_w.agg(F.sum("c_w").alias("n_corpus"))
+    term = (
+        F.col("c_sw").cast("double") / F.col("n_s").cast("double")
+    ) * F.log(
+        (F.col("c_sw").cast("double") * F.col("n_corpus").cast("double"))
+        / (F.col("n_s").cast("double") * F.col("c_w").cast("double"))
+    )
+    return (
+        sw.join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(corpus_w), "word")
+        .crossJoin(F.broadcast(n))
+        .select("source", "n_s", term.cast("decimal(28,12)").alias("_kl"))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("bigint").alias("n_words"),
+            # round the DECIMAL sum (exact HALF_UP in both engines),
+            # then cast — rounding the double cast can tie-break
+            # differently when digits 10..12 of the exact sum are 500
+            F.round(F.sum("_kl"), 9).cast("double").alias("kl_divergence"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_KL_SQL = """
+WITH words AS (
+  SELECT source, u.w AS word
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+  WHERE u.w != ''
+),
+sw AS (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c_sw
+  FROM words GROUP BY source, word
+),
+src_tot AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY source),
+corpus_w AS (SELECT word, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY word),
+n AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_corpus FROM corpus_w),
+terms AS (
+  SELECT sw.source, t.n_s,
+    CAST(
+      (CAST(c_sw AS DOUBLE) / CAST(t.n_s AS DOUBLE))
+      * ln((CAST(c_sw AS DOUBLE) * CAST(n.n_corpus AS DOUBLE))
+           / (CAST(t.n_s AS DOUBLE) * CAST(c.c_w AS DOUBLE)))
+      AS DECIMAL(28,12)) AS _kl
+  FROM sw
+  JOIN src_tot t USING (source)
+  JOIN corpus_w c USING (word)
+  CROSS JOIN n
+)
+SELECT source,
+  CAST(MAX(n_s) AS BIGINT) AS n_words,
+  CAST(ROUND(SUM(_kl), 9) AS DOUBLE) AS kl_divergence
+FROM terms
+GROUP BY source
+ORDER BY source
+"""
+
+
 def moving_average_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour moving aggregate per user over event time — the
     rolling-metric staple. Spark's RANGE frames accept only numeric
@@ -9338,6 +9515,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "bpe_pair_counts": QuerySpec(bpe_pair_counts, BPE_PAIR_SQL),
     "bpe_token_counts": QuerySpec(bpe_token_counts_docs, BPE_TOKEN_SQL),
     "bpe_pack_docs": QuerySpec(bpe_pack_docs, BPE_PACK_SQL),
+    "quality_classifier_scores": QuerySpec(
+        quality_classifier_scores, QUALITY_CLASSIFIER_SQL
+    ),
+    "source_kl_divergence": QuerySpec(source_kl_divergence, SOURCE_KL_SQL),
     "temperature_mix_docs": QuerySpec(temperature_mix_docs, TEMP_MIX_SQL),
     "text_quality_filter": QuerySpec(text_quality_filter, QUALITY_FILTER_SQL),
     "train_test_split": QuerySpec(train_test_split, TRAIN_TEST_SPLIT_SQL),
