@@ -1,0 +1,97 @@
+"""Closed-form tests for the corpus-audit queries: n-gram novelty,
+source n-gram overlap, and curriculum ordering."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_docs(tmp_path, texts, sources):
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(sources),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+
+def test_ngram_novelty_closed_form(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import REGISTRY
+
+    # doc0 grams: {a b c, b c d}; doc1 grams: {a b c, b c x}
+    # df: "a b c"->2, "b c d"->1, "b c x"->1
+    # doc2 is too short for any 3-gram
+    texts = ["a b c d", "a b c x", "a b"]
+    _write_docs(tmp_path, texts, ["s"] * 3)
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["ngram_novelty"].spark(spark, str(tmp_path)).collect()
+    }
+    assert (rows[0]["n_grams"], rows[0]["n_unique"]) == (2, 1)
+    assert rows[0]["novelty"] == 0.5
+    assert (rows[1]["n_grams"], rows[1]["n_unique"]) == (2, 1)
+    assert (rows[2]["n_grams"], rows[2]["n_unique"]) == (0, 0)
+    assert rows[2]["novelty"] == 0.0
+
+
+def test_ngram_novelty_repeated_gram_within_doc_counts_once(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import REGISTRY
+
+    # "a b a b a" has grams [a b a, b a b, a b a] -> distinct {a b a, b a b}
+    _write_docs(tmp_path, ["a b a b a"], ["s"])
+    (r,) = REGISTRY["ngram_novelty"].spark(spark, str(tmp_path)).collect()
+    assert (r["n_grams"], r["n_unique"], r["novelty"]) == (2, 2, 1.0)
+
+
+def test_source_ngram_overlap_closed_form(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import REGISTRY
+
+    # sA: {a b c, b c d} ; sB: {a b c} ; sC: {x y z}
+    texts = ["a b c d", "a b c", "x y z"]
+    _write_docs(tmp_path, texts, ["sA", "sB", "sC"])
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in REGISTRY["source_ngram_overlap"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    # disjoint pairs produce no row (inner join on shared grams)
+    assert set(rows) == {("sA", "sB")}
+    r = rows[("sA", "sB")]
+    assert r["n_shared"] == 1
+    assert r["jaccard"] == pytest.approx(1 / 2)  # 1 / (2 + 1 - 1)
+
+
+def test_curriculum_order_phases(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import REGISTRY
+
+    # 8 docs in one source: ranks 1..8 -> phases 0,0,1,1,2,2,3,3
+    texts = ["word " * (10 * (i + 1)) for i in range(8)]
+    _write_docs(tmp_path, texts, ["s0"] * 8)
+    rows = (
+        REGISTRY["curriculum_order_docs"].spark(spark, str(tmp_path)).collect()
+    )
+    assert [r["phase"] for r in rows] == [0, 0, 1, 1, 2, 2, 3, 3]
+    assert [r["rank_in_source"] for r in rows] == list(range(1, 9))
+    # ranks descend by quality, ties impossible here; phases partition
+    qualities = [r["quality"] for r in rows]
+    assert qualities == sorted(qualities, reverse=True)
+
+
+def test_curriculum_order_tie_break_on_doc_id(spark, tmp_path):
+    from vacancy_gpt_etl_pipeline_spark.queries import REGISTRY
+
+    # identical texts -> identical quality; rank must follow doc_id
+    _write_docs(tmp_path, ["same text here ok"] * 4, ["s0"] * 4)
+    rows = (
+        REGISTRY["curriculum_order_docs"].spark(spark, str(tmp_path)).collect()
+    )
+    assert [r["doc_id"] for r in rows] == [0, 1, 2, 3]
+    assert [r["rank_in_source"] for r in rows] == [1, 2, 3, 4]

@@ -8826,6 +8826,225 @@ ORDER BY source
 """
 
 
+_NGRAM_SQL_SH = """
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 2, 0)),
+      i -> string_split_regex(trim(lower(text)), '\\s+')[i] || ' ' ||
+           string_split_regex(trim(lower(text)), '\\s+')[i+1] || ' ' ||
+           string_split_regex(trim(lower(text)), '\\s+')[i+2]
+    )) AS grams
+  FROM documents
+"""
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the memorization/diversity audit:
+    what fraction of a document's distinct 3-grams appear NOWHERE else
+    in the corpus (document frequency exactly 1)? Low-novelty docs are
+    template/boilerplate candidates even when no single near-dup pair
+    fires. One shingle pass (operators/dedup._shingled, persisted), a
+    gram-df aggregate over the doc-distinct inverted index, a join back
+    on the gram, and one per-doc aggregate — O(corpus grams), no
+    self-join. Counts are exact bigints; the ratio is one rounded
+    division of exact ints. Docs shorter than 3 tokens report zero
+    grams and 0.0 novelty."""
+    from vacancy_gpt_etl_pipeline_spark.operators.dedup import _shingled
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    inv = _shingled(docs, "text", "doc_id", 3).select(
+        "_id", F.explode("_sh").alias("_g")
+    )
+    # inv is doc-distinct, so COUNT per gram IS document frequency
+    gram_df = inv.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        inv.join(gram_df, "_g")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("_df") == 1).cast("long"))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+    )
+    return (
+        docs.select(F.col("doc_id").alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias("doc_id"),
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_unique", F.lit(0)).cast("bigint").alias("n_unique"),
+            F.round(
+                F.coalesce(
+                    F.col("n_unique") / F.col("n_grams"), F.lit(0.0)
+                ),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+NGRAM_NOVELTY_SQL = f"""
+WITH sh AS ({_NGRAM_SQL_SH}),
+inv AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE len(grams) > 0),
+gram_df AS (SELECT g, COUNT(*) AS df FROM inv GROUP BY g),
+per_doc AS (
+  SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_grams,
+    CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+  FROM inv JOIN gram_df USING (g)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(p.n_grams, 0) AS n_grams,
+  COALESCE(p.n_unique, 0) AS n_unique,
+  COALESCE(ROUND(CAST(p.n_unique AS DOUBLE) / CAST(p.n_grams AS DOUBLE), 6),
+           0.0) AS novelty
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-level corpus overlap: exact Jaccard between each
+    source pair's distinct 3-gram sets — the audit that tells a mix
+    designer which sources are near-redundant BEFORE weighting them.
+    Scale shape: the inverted self-join is on the gram with fan-out
+    bounded by (#sources choose 2) per gram — sources are a mix
+    dimension (tens to hundreds), so the join output is O(grams × S²)
+    worst case and the gram key itself is the shuffle key; set sizes
+    ride a broadcast join. Exact integer intersections/unions; one
+    rounded division per pair."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    from vacancy_gpt_etl_pipeline_spark.operators.dedup import _shingled
+
+    sh = _shingled(docs, "text", "doc_id", 3)
+    # persisted: read three times (both self-join sides + sizes); an
+    # unpersisted plan replays the shingle explode per reader
+    sg = (
+        sh.join(
+            docs.select(F.col("doc_id").alias("_id"), "source"), "_id"
+        )
+        .select("source", F.explode("_sh").alias("_g"))
+        .distinct()
+        .persist()
+    )
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = sg.select(F.col("source").alias("source_a"), "_g")
+    b = sg.select(F.col("source").alias("source_b"), "_g")
+    inter = (
+        a.join(b, "_g")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sz_a = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("_na")
+    )
+    sz_b = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("_nb")
+    )
+    return (
+        inter.join(F.broadcast(sz_a), "source_a")
+        .join(F.broadcast(sz_b), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("_na") + F.col("_nb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH sh AS ({_NGRAM_SQL_SH}),
+sg AS (
+  SELECT DISTINCT d.source, u.g
+  FROM sh JOIN documents d USING (doc_id), UNNEST(sh.grams) AS u(g)
+  WHERE len(sh.grams) > 0
+),
+sizes AS (SELECT source, COUNT(*) AS n_grams FROM sg GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared,
+  ROUND(CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared), 6)
+    AS jaccard
+FROM inter
+JOIN sizes sa ON inter.source_a = sa.source
+JOIN sizes sb ON inter.source_b = sb.source
+ORDER BY source_a, source_b
+"""
+
+
+def curriculum_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: rank documents by heuristic quality WITHIN
+    each source (partitioned window — parallelism is the source count,
+    never a global sort) and cut each source's ranking into 4 curriculum
+    phases by exact integer arithmetic (phase = floor(4·(rank−1)/n)).
+    A trainer streams phase 0 → 3; within a phase the (source, rank)
+    pair is the deterministic read order. Rank ties break on doc_id, so
+    the full ordering is total and engine-exact. No global window — the
+    cross-source interleave IS the (phase, source, rank) sort order of
+    the result, not a computed global position."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = docs.select(
+        "doc_id", "source", quality_score("text").alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    n_src = Window.partitionBy("source")
+    ranked = scored.select(
+        "source",
+        "doc_id",
+        "quality",
+        F.row_number().over(w).cast("bigint").alias("rank_in_source"),
+        F.count(F.lit(1)).over(n_src).alias("_n"),
+    )
+    return (
+        ranked.select(
+            "source",
+            "doc_id",
+            "quality",
+            "rank_in_source",
+            F.floor(
+                (F.lit(4) * (F.col("rank_in_source") - 1)) / F.col("_n")
+            )
+            .cast("bigint")
+            .alias("phase"),
+        )
+        .orderBy("phase", "source", "rank_in_source")
+    )
+
+
+CURRICULUM_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source, {_SQL_QUALITY} AS quality FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, quality,
+    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      ORDER BY quality DESC, doc_id) AS BIGINT) AS rank_in_source,
+    COUNT(*) OVER (PARTITION BY source) AS _n
+  FROM scored
+)
+SELECT source, doc_id, quality, rank_in_source,
+  CAST(FLOOR((4 * (rank_in_source - 1)) / _n) AS BIGINT) AS phase
+FROM ranked
+ORDER BY phase, source, rank_in_source
+"""
+
+
 def moving_average_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour moving aggregate per user over event time — the
     rolling-metric staple. Spark's RANGE frames accept only numeric
@@ -9519,6 +9738,9 @@ REGISTRY: dict[str, QuerySpec] = {
         quality_classifier_scores, QUALITY_CLASSIFIER_SQL
     ),
     "source_kl_divergence": QuerySpec(source_kl_divergence, SOURCE_KL_SQL),
+    "ngram_novelty": QuerySpec(ngram_novelty, NGRAM_NOVELTY_SQL),
+    "source_ngram_overlap": QuerySpec(source_ngram_overlap, SOURCE_OVERLAP_SQL),
+    "curriculum_order_docs": QuerySpec(curriculum_order_docs, CURRICULUM_SQL),
     "temperature_mix_docs": QuerySpec(temperature_mix_docs, TEMP_MIX_SQL),
     "text_quality_filter": QuerySpec(text_quality_filter, QUALITY_FILTER_SQL),
     "train_test_split": QuerySpec(train_test_split, TRAIN_TEST_SPLIT_SQL),
