@@ -95,3 +95,41 @@ def test_curriculum_order_tie_break_on_doc_id(spark, tmp_path):
     )
     assert [r["doc_id"] for r in rows] == [0, 1, 2, 3]
     assert [r["rank_in_source"] for r in rows] == [1, 2, 3, 4]
+
+
+def test_training_mix_e2e_invariants(spark, tmp_path):
+    """Pipeline composition invariants: dedup really removed the clone,
+    the quality gate matches the classifier query's keep flags, and
+    shares sum to 1."""
+    from vacancy_gpt_etl_pipeline_spark.queries import REGISTRY
+
+    texts = [
+        "table scan merge join filter",
+        "table scan merge join filter",  # exact dup of doc 0
+        "agg window sort batch",
+        "value part hash key",
+        "small big fast slow",
+    ]
+    _write_docs(tmp_path, texts, ["sA", "sB", "sA", "sB", "sA"])
+    mix = {
+        r["source"]: r
+        for r in REGISTRY["training_mix_e2e"].spark(spark, str(tmp_path)).collect()
+    }
+    qc = {
+        r["doc_id"]: r["keep_quality"]
+        for r in REGISTRY["quality_classifier_scores"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    # doc 1 deduped away (doc 0 keeps the fingerprint); survivors are
+    # the quality-kept among {0, 2, 3, 4}
+    kept = [d for d in (0, 2, 3, 4) if qc[d]]
+    want_by_src = {}
+    for d in kept:
+        src = ["sA", "sB", "sA", "sB", "sA"][d]
+        want_by_src[src] = want_by_src.get(src, 0) + 1
+    assert {s: r["n_docs"] for s, r in mix.items()} == want_by_src
+    assert sum(r["share"] for r in mix.values()) == pytest.approx(1.0)
+    # every source's packs cover its docs: n_packs >= 1, <= n_docs
+    for r in mix.values():
+        assert 1 <= r["n_packs"] <= r["n_docs"]

@@ -8652,20 +8652,10 @@ BPE_TOKEN_SQL, BPE_PACK_SQL = _bpe_sqls()
 _QC_BUCKETS = 1024
 
 
-def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-based quality scoring, fastText/DCLM-shape: hash each word
-    into one of 1024 feature buckets (portable 28-bit md5 prefix mod D),
-    join a BROADCAST D-row weight table, and aggregate an exact-integer
-    logit per document. The weight values are a deterministic md5-derived
-    placeholder — no trained model ships in-container — but the plumbing
-    is the production shape: feature hashing entirely in codegen
-    expressions, a broadcast join against a model-parameter table, and
-    one map-side-combinable aggregate. Determinism: weights are
-    INTEGER-quantized in [-1000, 1000], the per-doc sum is an exact
-    bigint, the logit is one IEEE division of exact integers, and the
-    keep decision compares the exact integer sum — zero FP-accumulation
-    risk. Docs with no words carry no signal and are omitted
-    (documented; a pipeline would route them to the length filter)."""
+def _hashed_logits(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Shared classifier core: per-doc ``(doc_id, n_words, logit_q)``
+    from md5 feature hashing + a broadcast weight table (see
+    quality_classifier_scores for the full contract)."""
     weights = spark.range(_QC_BUCKETS).select(
         F.col("id").alias("bucket"),
         (
@@ -8677,13 +8667,9 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 1000
         ).alias("wq"),
     )
-    words = (
-        _t(spark, sf_dir, "documents")
-        .select(
-            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
-        )
-        .where(F.col("word") != "")
-    )
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).where(F.col("word") != "")
     feats = words.select(
         "doc_id",
         (
@@ -8700,6 +8686,26 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_words"),
             F.sum("wq").cast("bigint").alias("logit_q"),
         )
+    )
+
+
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring, fastText/DCLM-shape: hash each word
+    into one of 1024 feature buckets (portable 28-bit md5 prefix mod D),
+    join a BROADCAST D-row weight table, and aggregate an exact-integer
+    logit per document. The weight values are a deterministic md5-derived
+    placeholder — no trained model ships in-container — but the plumbing
+    is the production shape: feature hashing entirely in codegen
+    expressions, a broadcast join against a model-parameter table, and
+    one map-side-combinable aggregate. Determinism: weights are
+    INTEGER-quantized in [-1000, 1000], the per-doc sum is an exact
+    bigint, the logit is one IEEE division of exact integers, and the
+    keep decision compares the exact integer sum — zero FP-accumulation
+    risk. Docs with no words carry no signal and are omitted
+    (documented; a pipeline would route them to the length filter)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        _hashed_logits(spark, docs)
         .select(
             "doc_id",
             "n_words",
@@ -9043,6 +9049,178 @@ SELECT source, doc_id, quality, rank_in_source,
 FROM ranked
 ORDER BY phase, source, rank_in_source
 """
+
+
+def training_mix_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data preparation manifest — the composition
+    a pipeline user actually runs, wired from the round-9 operators:
+    (1) exact dedup on the normalized content fingerprint (keep lowest
+    doc_id; fingerprint-partitioned window), (2) model-based quality
+    gate (hashed-feature classifier, keep exact-integer logit > 0),
+    (3) tokenizer-exact BPE counting over the survivors (distinct-word
+    encode), (4) per-source offset-bin packing in exact tokens, and
+    (5) temperature (α=0.7) mix shares over the kept doc counts.
+    One summary row per source: docs kept, exact tokens, pack count,
+    quantized mix weight, share. The survivor frame is persisted — it
+    is the materialization boundary between the gate and the three
+    downstream readers (vocab build, count join-back, packing).
+    Everything is exact integer arithmetic except the single share
+    division."""
+    from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
+        bpe_token_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    wfp = Window.partitionBy("_fp").orderBy("doc_id")
+    # persisted: both the classifier word explode and the survivor
+    # join read this frame — unpersisted, the fingerprint window runs
+    # twice over the corpus
+    deduped = (
+        docs.withColumn("_fp", fp)
+        .withColumn("_rn", F.row_number().over(wfp))
+        .where(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+        .persist()
+    )
+    kept = (
+        deduped.join(
+            _hashed_logits(spark, deduped).where(F.col("logit_q") > 0),
+            "doc_id",
+        )
+        .select("doc_id", "source", "text")
+        .persist()
+    )
+    counts = bpe_token_counts(kept).where(F.col("n_tokens") > 0)
+    wp = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        kept.select("doc_id", "source")
+        .join(counts, "doc_id")
+        .withColumn(
+            "pack_id",
+            F.floor(
+                (F.sum("n_tokens").over(wp) - F.col("n_tokens"))
+                / F.lit(_BPE_PACK_TARGET)
+            ).cast("bigint"),
+        )
+    )
+    per_src = packed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.countDistinct("pack_id").cast("bigint").alias("n_packs"),
+    )
+    weighted = per_src.withColumn(
+        "weight_q",
+        F.expr(
+            f"CAST(ROUND(POWER(CAST(n_docs AS DOUBLE), {_TEMP_ALPHA})"
+            " * 1000000.0) AS BIGINT)"
+        ),
+    )
+    totals = weighted.agg(F.sum("weight_q").cast("bigint").alias("_tot"))
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_packs",
+            "weight_q",
+            (
+                F.col("weight_q").cast("double")
+                / F.col("_tot").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("source")
+    )
+
+
+def _training_mix_sql() -> str:
+    from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
+        bpe_merge_sql,
+    )
+
+    return f"""
+WITH RECURSIVE
+deduped AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+      ROW_NUMBER() OVER (
+        PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+        ORDER BY doc_id) AS _rn
+    FROM documents
+  ) WHERE _rn = 1
+),
+qweights AS (
+  SELECT CAST(r.range AS BIGINT) AS bucket,
+    ('0x' || substr(md5('w' || CAST(r.range AS VARCHAR)), 1, 7))::BIGINT
+      % 2001 - 1000 AS wq
+  FROM range({_QC_BUCKETS}) r
+),
+dwords AS (
+  SELECT doc_id, u.w AS word
+  FROM deduped, UNNEST(string_split(text, ' ')) AS u(w)
+  WHERE u.w != ''
+),
+logits AS (
+  SELECT f.doc_id, CAST(SUM(w.wq) AS BIGINT) AS logit_q
+  FROM (
+    SELECT doc_id,
+      ('0x' || substr(md5(word), 1, 7))::BIGINT % {_QC_BUCKETS} AS bucket
+    FROM dwords
+  ) f JOIN qweights w USING (bucket)
+  GROUP BY f.doc_id
+),
+kept AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM deduped d JOIN logits l USING (doc_id)
+  WHERE l.logit_q > 0
+),
+kwords AS (
+  SELECT doc_id, u.w AS word
+  FROM kept, UNNEST(string_split(text, ' ')) AS u(w)
+  WHERE u.w != ''
+),
+vocab AS (SELECT DISTINCT word FROM kwords),
+{bpe_merge_sql()},
+per_doc AS (
+  SELECT d.doc_id, CAST(SUM(t.word_tokens) AS BIGINT) AS n_tokens
+  FROM kwords d JOIN tok t USING (word)
+  GROUP BY d.doc_id
+),
+packed AS (
+  SELECT k.source, p.doc_id, p.n_tokens,
+    CAST(FLOOR((SUM(p.n_tokens) OVER (PARTITION BY k.source
+        ORDER BY p.doc_id) - p.n_tokens) / {_BPE_PACK_TARGET}) AS BIGINT)
+      AS pack_id
+  FROM per_doc p JOIN kept k USING (doc_id)
+  WHERE p.n_tokens > 0
+),
+per_src AS (
+  SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+    CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs
+  FROM packed GROUP BY source
+),
+weighted AS (
+  SELECT source, n_docs, n_tokens, n_packs,
+    CAST(ROUND(POWER(CAST(n_docs AS DOUBLE), {_TEMP_ALPHA}) * 1000000.0)
+      AS BIGINT) AS weight_q
+  FROM per_src
+),
+tot AS (SELECT CAST(SUM(weight_q) AS BIGINT) AS t FROM weighted)
+SELECT source, n_docs, n_tokens, n_packs, weight_q,
+  CAST(weight_q AS DOUBLE) / CAST(t AS DOUBLE) AS share
+FROM weighted, tot
+ORDER BY source
+"""
+
+
+TRAINING_MIX_E2E_SQL = _training_mix_sql()
 
 
 def moving_average_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9738,6 +9916,7 @@ REGISTRY: dict[str, QuerySpec] = {
         quality_classifier_scores, QUALITY_CLASSIFIER_SQL
     ),
     "source_kl_divergence": QuerySpec(source_kl_divergence, SOURCE_KL_SQL),
+    "training_mix_e2e": QuerySpec(training_mix_e2e, TRAINING_MIX_E2E_SQL),
     "ngram_novelty": QuerySpec(ngram_novelty, NGRAM_NOVELTY_SQL),
     "source_ngram_overlap": QuerySpec(source_ngram_overlap, SOURCE_OVERLAP_SQL),
     "curriculum_order_docs": QuerySpec(curriculum_order_docs, CURRICULUM_SQL),
