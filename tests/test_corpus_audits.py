@@ -133,3 +133,42 @@ def test_training_mix_e2e_invariants(spark, tmp_path):
     # every source's packs cover its docs: n_packs >= 1, <= n_docs
     for r in mix.values():
         assert 1 <= r["n_packs"] <= r["n_docs"]
+
+
+def test_cluster_cohesion_closed_form(spark, tmp_path):
+    """|sum of units|^2 identity on hand vectors: label 0 has two
+    identical unit vectors (mean pairwise cos = 1), label 1 has two
+    orthogonal ones (cos = 0), label 2 has opposite ones (cos = -1);
+    a singleton label is excluded (no pairs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vacancy_gpt_etl_pipeline_spark.queries import REGISTRY
+
+    vecs = [
+        (0, [1.0, 0.0]), (1, [1.0, 0.0]),          # label 0: identical
+        (2, [1.0, 0.0]), (3, [0.0, 1.0]),          # label 1: orthogonal
+        (4, [1.0, 0.0]), (5, [-1.0, 0.0]),         # label 2: opposite
+        (6, [0.5, 0.5]),                           # label 3: singleton
+    ]
+    labels = [0, 0, 1, 1, 2, 2, 3]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([v[0] for v in vecs], type=pa.int64()),
+            "embedding": pa.array(
+                [v[1] for v in vecs], type=pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels, type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    rows = {
+        r["label"]: r
+        for r in REGISTRY["cluster_cohesion_embeddings"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(rows) == {0, 1, 2}  # singleton label 3 excluded
+    assert rows[0]["mean_pairwise_cos"] == pytest.approx(1.0, abs=1e-9)
+    assert rows[1]["mean_pairwise_cos"] == pytest.approx(0.0, abs=1e-9)
+    assert rows[2]["mean_pairwise_cos"] == pytest.approx(-1.0, abs=1e-9)

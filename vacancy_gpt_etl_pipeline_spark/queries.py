@@ -9223,6 +9223,147 @@ ORDER BY source
 TRAINING_MIX_E2E_SQL = _training_mix_sql()
 
 
+def cluster_cohesion_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-cluster semantic cohesion per label — the clustering/
+    SemDeDup eval metric: EXACT mean pairwise cosine within each label
+    over unit vectors, WITHOUT the O(n²) pair join, via the identity
+    Σᵢⱼ⟨x̂ᵢ,x̂ⱼ⟩ = |Σx̂|². Unit components are int64-QUANTIZED at 1e9
+    (round-to-int of a <2⁵² double is shortest-repr/binary agreeing,
+    unlike fractional ROUND), so the per-dimension sums S_d and the
+    per-vector norm terms are EXACT integers; |S|² folds over the
+    dims in a SORTED array (collect_list order is nondeterministic —
+    the sort makes the double fold order-fixed), and the self-pair
+    mass Q accumulates as SPLIT hi/lo bigint sums (qq div/mod 10⁹ —
+    n·10¹⁸ overflows int64, and summing as decimal(38,0) then casting
+    to double hits Spark's BigDecimal.doubleValue, which is NOT
+    correctly rounded for >53-bit integers where DuckDB's hugeint
+    cast is: measured 1-ulp divergence at sf0.01). The recombine
+    hi·10⁹ + lo and the excluding-self mean are deterministic IEEE
+    ops over exactly-representable operands. Bounds: S_d ≤ n·10⁹
+    holds to n ≈ 9·10⁹ vectors per label. Shape: one n×d explode +
+    two aggregates + a broadcast label join — never pairwise."""
+    from vacancy_gpt_etl_pipeline_spark.operators.similarity import l2_normalize
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .select("label", "vec_id", "embedding")
+        .where(F.col("label").isNotNull())
+    )
+    unit = l2_normalize(emb, "embedding").where(F.col("l2_norm") > 0.0)
+    per_vec = unit.select(
+        "label",
+        F.transform(
+            "embedding_unit",
+            lambda x: F.round(x * F.lit(1000000000.0)).cast("long"),
+        ).alias("_q"),
+    ).select(
+        "label",
+        "_q",
+        F.aggregate(
+            "_q", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("_qq"),
+    )
+    sd = (
+        per_vec.select("label", F.posexplode("_q").alias("idx", "_qd"))
+        .groupBy("label", "idx")
+        .agg(F.sum("_qd").alias("_sd"))
+    )
+    s2 = sd.groupBy("label").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("idx", "_sd"))),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["_sd"].cast("double") * x["_sd"].cast("double"),
+        ).alias("_s2")
+    )
+    qn = per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(F.expr("_qq DIV 1000000000")).cast("bigint").alias("_qhi"),
+        F.sum(F.expr("_qq % 1000000000")).cast("bigint").alias("_qlo"),
+    )
+    q_double = (
+        F.col("_qhi").cast("double") * F.lit(1e9)
+        + F.col("_qlo").cast("double")
+    )
+    return (
+        qn.where(F.col("n_vecs") >= 2)
+        .join(F.broadcast(s2), "label")
+        .select(
+            "label",
+            "n_vecs",
+            (
+                (F.col("_s2") - q_double)
+                / (
+                    F.col("n_vecs").cast("double")
+                    * (F.col("n_vecs") - 1).cast("double")
+                    * F.lit(1e18)
+                )
+            ).alias("mean_pairwise_cos"),
+        )
+        .orderBy("label")
+    )
+
+
+CLUSTER_COHESION_SQL = """
+WITH e AS (
+  SELECT label, vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+  FROM embeddings WHERE label IS NOT NULL
+),
+n AS (
+  SELECT label, xs,
+    sqrt(list_reduce(list_prepend(0.0, list_transform(xs, x -> x * x)),
+                     (acc, v) -> acc + v)) AS l2_norm
+  FROM e
+),
+q AS (
+  SELECT label,
+    list_transform(xs, x -> CAST(round(x / l2_norm * 1000000000.0)
+                                 AS BIGINT)) AS qs
+  FROM n WHERE l2_norm > 0.0
+),
+per_vec AS (
+  SELECT label, qs,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                             list_transform(qs, v -> v * v)),
+                (acc, v) -> acc + v) AS qq
+  FROM q
+),
+dims AS (
+  SELECT label,
+    CAST(i AS INT) - 1 AS idx,
+    qs[CAST(i AS INT)] AS qd
+  FROM per_vec, UNNEST(generate_series(1, len(qs))) AS u(i)
+),
+sd AS (
+  SELECT label, idx, CAST(SUM(qd) AS BIGINT) AS sdv
+  FROM dims GROUP BY label, idx
+),
+s2 AS (
+  SELECT label,
+    list_reduce(list_prepend(0.0,
+        list_transform(list(sdv ORDER BY idx),
+                       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+      (acc, v) -> acc + v) AS s2v
+  FROM sd GROUP BY label
+),
+qn AS (
+  SELECT label,
+    CAST(COUNT(*) AS BIGINT) AS n_vecs,
+    CAST(SUM(qq // 1000000000) AS BIGINT) AS qhi,
+    CAST(SUM(qq % 1000000000) AS BIGINT) AS qlo
+  FROM per_vec GROUP BY label
+)
+SELECT qn.label, qn.n_vecs,
+  (s2.s2v - (CAST(qn.qhi AS DOUBLE) * 1e9 + CAST(qn.qlo AS DOUBLE)))
+    / (CAST(qn.n_vecs AS DOUBLE) * CAST(qn.n_vecs - 1 AS DOUBLE) * 1e18)
+    AS mean_pairwise_cos
+FROM qn JOIN s2 USING (label)
+WHERE qn.n_vecs >= 2
+ORDER BY qn.label
+"""
+
+
 def moving_average_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour moving aggregate per user over event time — the
     rolling-metric staple. Spark's RANGE frames accept only numeric
@@ -9917,6 +10058,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "source_kl_divergence": QuerySpec(source_kl_divergence, SOURCE_KL_SQL),
     "training_mix_e2e": QuerySpec(training_mix_e2e, TRAINING_MIX_E2E_SQL),
+    "cluster_cohesion_embeddings": QuerySpec(
+        cluster_cohesion_embeddings, CLUSTER_COHESION_SQL
+    ),
     "ngram_novelty": QuerySpec(ngram_novelty, NGRAM_NOVELTY_SQL),
     "source_ngram_overlap": QuerySpec(source_ngram_overlap, SOURCE_OVERLAP_SQL),
     "curriculum_order_docs": QuerySpec(curriculum_order_docs, CURRICULUM_SQL),
