@@ -172,3 +172,53 @@ def test_cluster_cohesion_closed_form(spark, tmp_path):
     assert rows[0]["mean_pairwise_cos"] == pytest.approx(1.0, abs=1e-9)
     assert rows[1]["mean_pairwise_cos"] == pytest.approx(0.0, abs=1e-9)
     assert rows[2]["mean_pairwise_cos"] == pytest.approx(-1.0, abs=1e-9)
+
+
+def test_cluster_cohesion_matches_brute_force(spark, tmp_path):
+    """Identity check against the O(n^2) definition on random vectors:
+    quantization at 1e9 bounds the cosine error near 1e-7."""
+    import math
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vacancy_gpt_etl_pipeline_spark.queries import REGISTRY
+
+    rng = random.Random(41)
+    dim, per_label = 16, 9
+    vecs, labels = [], []
+    for lbl in range(3):
+        for _ in range(per_label):
+            vecs.append([rng.gauss(0, 1) for _ in range(dim)])
+            labels.append(lbl)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            "label": pa.array(labels, type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    rows = {
+        r["label"]: r["mean_pairwise_cos"]
+        for r in REGISTRY["cluster_cohesion_embeddings"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+
+    # brute force from the float32 values (what the operator reads)
+    import numpy as np
+
+    f32 = np.array(vecs, dtype=np.float32).astype(np.float64)
+    for lbl in range(3):
+        xs = f32[np.array(labels) == lbl]
+        units = xs / np.linalg.norm(xs, axis=1, keepdims=True)
+        n = len(units)
+        total = 0.0
+        for i in range(n):
+            for j in range(n):
+                if i != j:
+                    total += float(units[i] @ units[j])
+        want = total / (n * (n - 1))
+        assert rows[lbl] == pytest.approx(want, abs=1e-6), lbl
