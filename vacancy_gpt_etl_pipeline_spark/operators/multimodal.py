@@ -15,10 +15,13 @@ pure-arithmetic LZW decoder over the first frame — no external codec
 library anywhere. Audio decodes 16-bit PCM WAV data chunks (frame
 count, peak, mean |amplitude|); video gets the same treatment via
 YUV4MPEG2 (:func:`decode_video_frames` walks FRAME markers and decodes
-raw C444 planes to per-frame statistics). Only compressed VIDEO
-containers (mp4/webm) stop at metadata — they genuinely need ffmpeg;
-:func:`sample_frames` emits real raw-plane frames for Y4M payloads and
-falls back to a documented deterministic slicer only for those codecs.
+raw C444 planes to per-frame statistics) AND via Motion-JPEG in AVI —
+a real compressed codec, decoded frame-by-frame through the baseline
+JPEG stack in :mod:`operators.jpeg`. Only inter-frame-predicted
+containers (H.264/VP9/... in mp4/webm) stop at metadata — they
+genuinely need ffmpeg; :func:`sample_frames` emits real frames for Y4M
+and MJPEG-AVI payloads and falls back to a documented deterministic
+slicer only for those codecs.
 
 Scale notes: binary payloads dominate row size, so ``mapInPandas`` with a
 small ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds executor
@@ -36,6 +39,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from . import jpeg
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 PNG_HEADER_LEN = 33  # 8 sig + 4 len + 4 'IHDR' + 13 data + 4 CRC
@@ -800,13 +805,16 @@ def sample_frames(
     FRAME markers walked, and every ``every_nth_frame``-th frame's raw
     C444 planes are emitted verbatim as ``frame_bytes`` — the same
     parser :func:`decode_video_frames` uses, no codec anywhere.
+    MJPEG-AVI payloads get REAL sampling too: each sampled frame is
+    its self-contained baseline-JPEG still (:mod:`operators.jpeg`).
 
-    Compressed containers (mp4/webm/...) need ffmpeg, which this
+    Inter-predicted containers (mp4/webm/...) need ffmpeg, which this
     environment does not ship: with ``decode_stub=True`` they fall back
     to deterministic ``every_n_bytes`` payload slices (a documented
     fake that keeps the Spark-side plumbing — schema, batch shape,
-    expansion factor — real); with ``decode_stub=False`` a compressed
-    payload raises ``NotImplementedError``. Y4M payloads never raise.
+    expansion factor — real); with ``decode_stub=False`` such a
+    payload raises ``NotImplementedError``. Y4M and MJPEG-AVI payloads
+    never raise.
     """
     # validate on the DRIVER: a 0/negative stride would otherwise
     # surface as an opaque ZeroDivisionError inside a Python worker
@@ -830,10 +838,21 @@ def sample_frames(
                         rows["frame_idx"].append(idx)
                         rows["frame_bytes"].append(data.tobytes())
                     continue
+                if b[:4] == b"RIFF" and jpeg.avi_video_fourcc(b) == "MJPG":
+                    # REAL sampling for MJPEG AVIs too: each emitted
+                    # frame is the self-contained baseline JPEG still
+                    for idx, jpg in jpeg.iter_avi_mjpeg_frames(b):
+                        if idx % every_nth_frame:
+                            continue
+                        rows["asset_id"].append(int(aid))
+                        rows["frame_idx"].append(idx)
+                        rows["frame_bytes"].append(jpg)
+                    continue
                 if not decode_stub:
                     raise NotImplementedError(
-                        "compressed-codec frame sampling requires ffmpeg "
-                        "(only raw Y4M decodes dependency-free)"
+                        "inter-predicted-codec frame sampling requires "
+                        "ffmpeg (raw Y4M and MJPEG-AVI decode "
+                        "dependency-free)"
                     )
                 for i, off in enumerate(range(0, len(b), every_n_bytes)):
                     rows["asset_id"].append(int(aid))
@@ -903,6 +922,84 @@ def synthesize_y4m_payload(
         F.unhex(F.concat(header_hex, frames_hex)).alias("content"),
         F.lit("video").alias("modality"),
         F.lit("video/x-yuv4mpeg").alias("mime_type"),
+    )
+
+
+MULTIMODAL_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("mime_type", T.StringType()),
+    ]
+)
+
+
+def synthesize_mjpeg_avi_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic MJPEG-in-AVI video fixture: each frame is a REAL
+    baseline JPEG (FDCT → quantize → Annex-K Huffman → byte stuffing)
+    wrapped in a minimal valid RIFF-AVI container — the compressed-video
+    fixture matching :mod:`operators.jpeg`'s decode path.
+
+    Unlike the sibling synthesizers this one is built in an Arrow
+    ``mapInPandas`` stage, not JVM-side SQL: JPEG entropy coding
+    (bit-packed canonical Huffman with FF-byte stuffing) is genuinely
+    not expressible as Catalyst column arithmetic. The ORACLE stays
+    byte-free because the content is closed-form: frame ``f`` of asset
+    ``id`` is a grid of solid 8×8 blocks where raster-order block ``k``
+    has luma ``(id·37 + f·11 + k·29) mod 256`` (chroma = luma+85 / +170
+    mod 256, 4:4:4). Per the exactness contract in
+    :mod:`operators.jpeg`, solid blocks under the DC-step-8 fixture
+    quant table round-trip bit-exactly through the LOSSY codec, so a
+    SQL engine can recompute every frame mean from the formula without
+    touching a byte. ``w = (id%4+1)·8``, ``h = (id%2+1)·8``,
+    ``id%3+1`` frames, restart interval ``id%3`` (0 = none) — the DRI/
+    RSTn path is exercised by two-thirds of the corpus.
+    """
+    rest_mod = 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "content": [],
+                "modality": [],
+                "mime_type": [],
+            }
+            for did in pdf[id_col]:
+                i = int(did)
+                w = (i % 4 + 1) * 8
+                h = (i % 2 + 1) * 8
+                nf = i % 3 + 1
+                nbx, nby = w // 8, h // 8
+                frames = []
+                for f in range(nf):
+                    ks = np.arange(nby * nbx, dtype=np.int64)
+                    y_g = (i * 37 + f * 11 + ks * 29) % 256
+                    grid = y_g.reshape(nby, nbx)
+                    planes = [
+                        np.repeat(
+                            np.repeat(((grid + off) % 256).astype(np.uint8), 8, 0),
+                            8,
+                            1,
+                        )
+                        for off in (0, 85, 170)
+                    ]
+                    frames.append(
+                        jpeg.encode_baseline_jpeg(
+                            planes, w, h, restart_interval=i % rest_mod
+                        )
+                    )
+                out["asset_id"].append(i)
+                out["content"].append(jpeg.build_mjpeg_avi(frames, w, h))
+                out["modality"].append("video")
+                out["mime_type"].append("video/x-msvideo")
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
+        run, MULTIMODAL_PAYLOAD_SCHEMA
     )
 
 
@@ -979,22 +1076,28 @@ def decode_video_frames(
     id_col: str = "asset_id",
     content_col: str = "content",
 ) -> DataFrame:
-    """REAL video frame extraction for Y4M payloads: parse the stream
-    header, walk the FRAME markers, and decode every raw C444 plane to
-    per-frame (width, height, mean Y/U/V) — the 1→N expansion of a real
-    frame sampler with actual sample math, dependency-free.
+    """REAL video frame extraction for Y4M *and* MJPEG-AVI payloads:
+    raw C444 Y4M streams are walked by FRAME marker and each plane
+    decoded to per-frame (width, height, mean Y/U/V); RIFF-AVI payloads
+    whose video stream is Motion-JPEG get each ``00dc`` chunk decoded
+    through the full baseline-JPEG stack (Huffman → dequant → IDCT →
+    upsample, :mod:`operators.jpeg`) to the same per-frame statistics —
+    a genuine compressed-codec pixel path, dependency-free.
 
-    PERMANENT DOCUMENTED LIMIT: compressed-codec pixel decode (H.264/
-    H.265/VP9/AV1 inside mp4/webm) is out of scope for this engine —
-    a real codec stack (ffmpeg/pyav) is not in the environment and a
-    from-scratch entropy decoder is not a Spark problem. A production
-    multimodal pipeline hits H.264-in-mp4 first; the intended
-    integration point is swapping the Arrow ``mapInPandas`` body for an
+    PERMANENT DOCUMENTED LIMIT: inter-frame-predicted codec decode
+    (H.264/H.265/VP9/AV1 inside mp4/webm) is out of scope — a real
+    codec stack (ffmpeg/pyav) is not in the environment, and those
+    formats' arithmetic/CABAC entropy layers plus motion compensation
+    are not a Spark problem. MJPEG is the one mainstream compressed
+    format whose frames are independently decodable stills, which is
+    why it decodes here and they don't. The intended integration point
+    for the rest is swapping the Arrow ``mapInPandas`` body for an
     ffmpeg call — the Spark-side plumbing (schema, 1→N expansion,
     partitioning, batch shape) is exactly what those payloads need and
-    is fully tested on Y4M. Until then mp4 stops at container metadata
-    (:func:`video_container_metadata`); :func:`sample_frames` shares
-    this parser for its Y4M path and stubs only compressed payloads."""
+    is fully exercised by the Y4M and MJPEG paths. Until then mp4
+    stops at container metadata (:func:`video_container_metadata`);
+    :func:`sample_frames` shares both parsers and stubs only
+    inter-predicted payloads."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1009,7 +1112,12 @@ def decode_video_frames(
             }
             for aid, content in zip(pdf[id_col], pdf[content_col]):
                 b = bytes(content) if content is not None else b""
-                for idx, w, h, my, mu, mv in _parse_y4m(b):
+                stats = (
+                    jpeg.parse_mjpeg_avi_stats(b)
+                    if b[:4] == b"RIFF"
+                    else _parse_y4m(b)
+                )
+                for idx, w, h, my, mu, mv in stats:
                     rows["asset_id"].append(int(aid))
                     rows["frame_idx"].append(idx)
                     rows["width"].append(w)

@@ -65,6 +65,7 @@ from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
     synthesize_bmp_payload,
     synthesize_image_payload,
     synthesize_pcm_payload,
+    synthesize_mjpeg_avi_payload,
     synthesize_y4m_payload,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.relational import ratio_of_total
@@ -4177,6 +4178,71 @@ st AS (
     CAST(SUM(CASE WHEN p = 2 THEN val ELSE 0 END) AS BIGINT)
       / CAST(w * h AS DOUBLE) AS mean_v
   FROM v GROUP BY doc_id, w, h, f
+)
+SELECT CAST(doc_id AS BIGINT) AS asset_id, CAST(f AS INTEGER) AS frame_idx,
+  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+  mean_y, mean_u, mean_v
+FROM st
+"""
+
+
+def multimodal_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED video pixel decode (operators/jpeg.py): documents
+    become MJPEG-in-AVI containers whose every frame is a real baseline
+    JPEG — FDCT'd, quantized, Annex-K-Huffman-entropy-coded, byte-
+    stuffed, RIFF-wrapped — and decode_video_frames routes the RIFF
+    payloads through the full T.81 decode stack (marker parse, canonical
+    Huffman, dequant, IDCT, 4:4:4 upsample) to per-frame mean Y/U/V.
+    Closing the r8 verdict's compressed-video question with the decode
+    option: MJPEG is the one mainstream compressed format whose frames
+    are independently decodable stills, so a spec-conformant still
+    decoder is the whole codec.
+
+    Fixture frames are grids of solid 8×8 blocks (block k of frame f:
+    luma (id·37+f·11+k·29)%256, chroma +85/+170), and under the DC-
+    step-8 fixture quant table a solid block's DCT has ONLY a DC
+    coefficient that quantizes without remainder — so the lossy codec
+    round-trips these frames bit-exactly and the oracle recomputes every
+    mean from the closed form without parsing a byte. The hash matches
+    only if header parse, Huffman tables, entropy decode, DC prediction
+    (incl. RSTn resets — two-thirds of assets carry restart markers),
+    dequant, IDCT and plane crop are ALL exact. Arbitrary-content
+    (lossy-path) conformance is asserted separately in
+    tests/test_jpeg_codec.py. Means are BIGINT sums divided once in
+    IEEE double — bit-identical across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = synthesize_mjpeg_avi_payload(docs, "doc_id")
+    return decode_video_frames(assets).select(
+        "asset_id", "frame_idx", "width", "height", "mean_y", "mean_u", "mean_v"
+    )
+
+
+MJPEG_VIDEO_SQL = """
+WITH base AS (
+  SELECT doc_id,
+    CAST((doc_id % 4 + 1) * 8 AS BIGINT) AS w,
+    CAST((doc_id % 2 + 1) * 8 AS BIGINT) AS h,
+    CAST(doc_id % 3 + 1 AS BIGINT) AS nf
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS f FROM base
+),
+blk AS (
+  SELECT doc_id, w, h, f,
+    unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS k
+  FROM fr
+),
+g AS (
+  SELECT doc_id, w, h, f, (doc_id * 37 + f * 11 + k * 29) % 256 AS y
+  FROM blk
+),
+st AS (
+  SELECT doc_id, w, h, f,
+    CAST(SUM(y) * 64 AS BIGINT) / CAST(w * h AS DOUBLE) AS mean_y,
+    CAST(SUM((y + 85) % 256) * 64 AS BIGINT) / CAST(w * h AS DOUBLE) AS mean_u,
+    CAST(SUM((y + 170) % 256) * 64 AS BIGINT) / CAST(w * h AS DOUBLE) AS mean_v
+  FROM g GROUP BY doc_id, w, h, f
 )
 SELECT CAST(doc_id AS BIGINT) AS asset_id, CAST(f AS INTEGER) AS frame_idx,
   CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
@@ -9954,6 +10020,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "video_decode": QuerySpec(
         multimodal_video_decode, MULTIMODAL_VIDEO_SQL
+    ),
+    "mjpeg_video_decode": QuerySpec(
+        multimodal_mjpeg_decode, MJPEG_VIDEO_SQL
     ),
     "semdedup": QuerySpec(semdedup_survivors, SEMDEDUP_SQL),
     "scd2_history": QuerySpec(scd2_user_state, SCD2_SQL),
