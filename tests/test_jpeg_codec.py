@@ -15,8 +15,12 @@ from pyspark.sql import functions as F
 
 from vacancy_gpt_etl_pipeline_spark.operators import jpeg
 from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+    _jpeg_channel_means,
+    _parse_image_header,
+    decode_images,
     decode_video_frames,
     sample_frames,
+    synthesize_jpeg_payload,
     synthesize_mjpeg_avi_payload,
     synthesize_y4m_payload,
 )
@@ -127,6 +131,67 @@ def test_avi_container_roundtrip_and_quarantine():
     broken[off + 1] = 0xC2
     got = [r[3] for r in jpeg.parse_mjpeg_avi_stats(bytes(broken))]
     assert 84.0 not in got and {10.0, 47.0, 121.0} <= set(got)
+
+
+# --- still-image path ------------------------------------------------------
+
+
+def test_jpeg_header_parse_and_grayscale_means():
+    plane = np.full((16, 8), 200, dtype=np.uint8)
+    b = jpeg.encode_baseline_jpeg([plane], 8, 16)
+    fmt, w, h, depth, off = _parse_image_header(b)
+    assert (fmt, w, h, depth, off) == ("jpeg", 8, 16, 8, 2)
+    # grayscale maps Y to all three channels, exactly
+    assert _jpeg_channel_means(b) == (200.0, 200.0, 200.0)
+
+
+def test_jpeg_channel_means_match_brute_force_bt601():
+    y = np.full((8, 8), 120, dtype=np.uint8)
+    cb = np.full((8, 8), 53, dtype=np.uint8)
+    cr = np.full((8, 8), 201, dtype=np.uint8)
+    b = jpeg.encode_baseline_jpeg([y, cb, cr], 8, 8)
+    mb, mg, mr = _jpeg_channel_means(b)
+    # floor(x+0.5) rounding, full-range BT.601 — the oracle's formula
+    exp_r = min(max(np.floor(120 + 1.402 * (201 - 128) + 0.5), 0), 255)
+    exp_g = min(
+        max(
+            np.floor(
+                120 - 0.344136 * (53 - 128) - 0.714136 * (201 - 128) + 0.5
+            ),
+            0,
+        ),
+        255,
+    )
+    exp_b = min(max(np.floor(120 + 1.772 * (53 - 128) + 0.5), 0), 255)
+    assert (mb, mg, mr) == (exp_b, exp_g, exp_r)
+
+
+def test_jpeg_progressive_dims_parse_but_means_null():
+    plane = np.full((8, 8), 50, dtype=np.uint8)
+    b = bytearray(jpeg.encode_baseline_jpeg([plane], 8, 8))
+    b[b.index(b"\xff\xc0") + 1] = 0xC2
+    fmt, w, h, depth, _ = _parse_image_header(bytes(b))
+    # header dims remain readable for frame types the decoder rejects
+    assert (fmt, w, h, depth) == ("jpeg", 8, 8, 8)
+    assert _jpeg_channel_means(bytes(b)) == (None, None, None)
+
+
+def test_decode_images_jpeg_fixture(spark):
+    ids = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    out = decode_images(synthesize_jpeg_payload(ids)).toPandas()
+    assert len(out) == 10
+    assert set(out["fmt"]) == {"jpeg"}
+    for _, r in out.iterrows():
+        i = int(r.asset_id)
+        assert (r.width, r.height) == ((i % 4 + 1) * 8, (i % 2 + 1) * 8)
+        assert r.bit_depth == 8
+        nb = (r.width // 8) * (r.height // 8)
+        ks = np.arange(nb, dtype=np.int64)
+        y = ((i * 37 + ks * 29) % 256).astype(np.float64)
+        u = ((i * 37 + ks * 29) % 256 + 85) % 256 - 128.0
+        v = ((i * 37 + ks * 29) % 256 + 170) % 256 - 128.0
+        exp_b = np.clip(np.floor(y + 1.772 * u + 0.5), 0, 255).sum() / nb
+        assert r.mean_b == exp_b
 
 
 # --- Spark plumbing --------------------------------------------------------

@@ -32,6 +32,7 @@ even reading it when only metadata is touched).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -458,7 +459,76 @@ def _parse_image_header(b: bytes) -> tuple[str | None, int | None, int | None, i
             int.from_bytes(b[28:30], "little"),
             int.from_bytes(b[10:14], "little"),
         )
+    if len(b) >= 4 and b[:3] == b"\xff\xd8\xff":
+        w, h, depth = _jpeg_header_dims(b)
+        return ("jpeg", w, h, depth, 2)
     return ("unknown", None, None, None, 0)
+
+
+def _jpeg_header_dims(
+    b: bytes,
+) -> tuple[int | None, int | None, int | None]:
+    """(width, height, precision) from a JPEG's frame header: walk the
+    marker stream to the first SOFn segment (any frame type — dims are
+    readable even for progressive/arithmetic streams the pixel decoder
+    rejects). Malformed streams yield nulls, quarantine-not-fail."""
+    pos = 2
+    sof = frozenset(
+        (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+    )
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return (None, None, None)
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            continue
+        if pos + 2 > len(b):
+            return (None, None, None)
+        seglen = struct.unpack(">H", b[pos : pos + 2])[0]
+        if marker in sof and pos + 7 <= len(b):
+            prec, h, w = struct.unpack(">BHH", b[pos + 2 : pos + 7])
+            return (w, h, prec)
+        if marker == 0xDA:  # entropy data follows; no SOF seen
+            return (None, None, None)
+        pos += seglen
+    return (None, None, None)
+
+
+def _jpeg_channel_means(
+    b: bytes,
+) -> tuple[float | None, float | None, float | None]:
+    """(mean_b, mean_g, mean_r) of a baseline JPEG still via the full
+    T.81 decode (:mod:`operators.jpeg`) + JFIF/BT.601 full-range
+    YCbCr→RGB with ``floor(x+0.5)`` rounding — half-away-from-zero on
+    the non-negative domain, chosen over numpy's banker's ``rint``
+    because it is what SQL ``FLOOR(x+0.5)`` computes, keeping the
+    conversion oracle-expressible. Grayscale maps Y to all three
+    channels. Non-baseline / malformed payloads yield nulls."""
+    try:
+        w, h, planes = jpeg.decode_baseline_jpeg(b)
+    except (ValueError, IndexError, struct.error):
+        return (None, None, None)
+    cnt = w * h
+    if cnt == 0:
+        return (None, None, None)
+    y = planes[0].astype(np.float64)
+    if len(planes) >= 3:
+        cb = planes[1].astype(np.float64) - 128.0
+        cr = planes[2].astype(np.float64) - 128.0
+        r = np.clip(np.floor(y + 1.402 * cr + 0.5), 0, 255)
+        g = np.clip(
+            np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5), 0, 255
+        )
+        bl = np.clip(np.floor(y + 1.772 * cb + 0.5), 0, 255)
+    else:
+        r = g = bl = y
+    return (
+        int(bl.astype(np.int64).sum()) / cnt,
+        int(g.astype(np.int64).sum()) / cnt,
+        int(r.astype(np.int64).sum()) / cnt,
+    )
 
 
 def _bmp_channel_means(
@@ -727,11 +797,13 @@ def decode_images(
     """Decode image payloads to (fmt, width, height, bit_depth, n_bytes,
     mean_luma, channel means) by parsing the REAL bytes (Arrow-batched
     ``mapInPandas`` — per-payload work is the genuine shape of a decode
-    stage). ALL three formats now decode to samples when the payload
+    stage). ALL four formats now decode to samples when the payload
     carries them: BMP pixel arrays (:func:`_bmp_channel_means`), PNG via
     stdlib-zlib IDAT inflate + scanline unfiltering
     (:func:`_png_channel_means`), GIF via a pure-arithmetic LZW decoder
-    (:func:`_gif_channel_means`). Header-only payloads (e.g. the JVM
+    (:func:`_gif_channel_means`), and baseline JPEG through the full
+    T.81 Huffman/IDCT stack with BT.601 RGB conversion
+    (:func:`_jpeg_channel_means`). Header-only payloads (e.g. the JVM
     fixture synthesizer's PNG-with-text-body) yield null channel means —
     quarantine-not-fail. ``mean_luma`` is the mean of the raw body bytes
     behind the header — the format-agnostic statistic."""
@@ -761,6 +833,8 @@ def decode_images(
                     mb, mg, mr = _png_channel_means(b)
                 elif fmt == "gif":
                     mb, mg, mr = _gif_channel_means(b)
+                elif fmt == "jpeg":
+                    mb, mg, mr = _jpeg_channel_means(b)
                 rows["asset_id"].append(int(aid))
                 rows["fmt"].append(fmt)
                 rows["width"].append(w)
@@ -935,6 +1009,60 @@ MULTIMODAL_PAYLOAD_SCHEMA = T.StructType(
 )
 
 
+def _solid_block_planes(i: int, f: int, w: int, h: int) -> list[np.ndarray]:
+    """The shared MJPEG/JPEG fixture content: a w×h 4:4:4 frame of solid
+    8×8 blocks, raster-order block ``k`` with luma ``(i·37+f·11+k·29)
+    mod 256`` and chroma offsets +85/+170 — exactly round-trippable per
+    the DC-step-8 contract in :mod:`operators.jpeg`."""
+    nbx, nby = w // 8, h // 8
+    ks = np.arange(nby * nbx, dtype=np.int64)
+    grid = ((i * 37 + f * 11 + ks * 29) % 256).reshape(nby, nbx)
+    return [
+        np.repeat(np.repeat(((grid + off) % 256).astype(np.uint8), 8, 0), 8, 1)
+        for off in (0, 85, 170)
+    ]
+
+
+def synthesize_jpeg_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic baseline-JPEG still fixture: one real entropy-coded
+    JPEG per row (``w = (id%4+1)·8``, ``h = (id%2+1)·8``, restart
+    interval ``id%3``), content per :func:`_solid_block_planes` so the
+    decode oracle is closed-form. Built in ``mapInPandas`` for the same
+    reason as :func:`synthesize_mjpeg_avi_payload` (entropy coding is
+    not Catalyst arithmetic)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "content": [],
+                "modality": [],
+                "mime_type": [],
+            }
+            for did in pdf[id_col]:
+                i = int(did)
+                w = (i % 4 + 1) * 8
+                h = (i % 2 + 1) * 8
+                out["asset_id"].append(i)
+                out["content"].append(
+                    jpeg.encode_baseline_jpeg(
+                        _solid_block_planes(i, 0, w, h),
+                        w,
+                        h,
+                        restart_interval=i % 3,
+                    )
+                )
+                out["modality"].append("image")
+                out["mime_type"].append("image/jpeg")
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
+        run, MULTIMODAL_PAYLOAD_SCHEMA
+    )
+
+
 def synthesize_mjpeg_avi_payload(
     df: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -973,25 +1101,15 @@ def synthesize_mjpeg_avi_payload(
                 w = (i % 4 + 1) * 8
                 h = (i % 2 + 1) * 8
                 nf = i % 3 + 1
-                nbx, nby = w // 8, h // 8
-                frames = []
-                for f in range(nf):
-                    ks = np.arange(nby * nbx, dtype=np.int64)
-                    y_g = (i * 37 + f * 11 + ks * 29) % 256
-                    grid = y_g.reshape(nby, nbx)
-                    planes = [
-                        np.repeat(
-                            np.repeat(((grid + off) % 256).astype(np.uint8), 8, 0),
-                            8,
-                            1,
-                        )
-                        for off in (0, 85, 170)
-                    ]
-                    frames.append(
-                        jpeg.encode_baseline_jpeg(
-                            planes, w, h, restart_interval=i % rest_mod
-                        )
+                frames = [
+                    jpeg.encode_baseline_jpeg(
+                        _solid_block_planes(i, f, w, h),
+                        w,
+                        h,
+                        restart_interval=i % rest_mod,
                     )
+                    for f in range(nf)
+                ]
                 out["asset_id"].append(i)
                 out["content"].append(jpeg.build_mjpeg_avi(frames, w, h))
                 out["modality"].append("video")

@@ -64,6 +64,7 @@ from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
     decode_video_frames,
     synthesize_bmp_payload,
     synthesize_image_payload,
+    synthesize_jpeg_payload,
     synthesize_pcm_payload,
     synthesize_mjpeg_avi_payload,
     synthesize_y4m_payload,
@@ -4248,6 +4249,67 @@ SELECT CAST(doc_id AS BIGINT) AS asset_id, CAST(f AS INTEGER) AS frame_idx,
   CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
   mean_y, mean_u, mean_v
 FROM st
+"""
+
+
+def multimodal_jpeg_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG STILL decode through decode_images: documents
+    become real entropy-coded JPEGs (operators/jpeg.py encoder over the
+    solid-block closed form) and the image decoder routes FFD8 payloads
+    through the full T.81 stack plus JFIF/BT.601 full-range YCbCr→RGB.
+    The RGB conversion uses floor(x+0.5) (= SQL FLOOR(x+0.5)) instead
+    of numpy's banker's rounding precisely so the oracle can replicate
+    it: both engines evaluate the identical IEEE-double expression
+    `y + c·(chroma−128) + 0.5` and floor it, so the hash only matches
+    if Huffman decode, dequant, IDCT, DC-predictor restarts AND the
+    color-space arithmetic are all exact. mean_luma/n_bytes are
+    entropy-stream statistics (not SQL-recomputable) and are projected
+    away; width/height also flow through _jpeg_header_dims, the
+    SOF-walking header parser."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = synthesize_jpeg_payload(docs, "doc_id")
+    return decode_images(assets).select(
+        "asset_id", "fmt", "width", "height", "bit_depth",
+        "mean_b", "mean_g", "mean_r",
+    )
+
+
+JPEG_IMAGE_SQL = """
+WITH base AS (
+  SELECT doc_id,
+    CAST((doc_id % 4 + 1) * 8 AS BIGINT) AS w,
+    CAST((doc_id % 2 + 1) * 8 AS BIGINT) AS h
+  FROM documents
+),
+blk AS (
+  SELECT doc_id, w, h,
+    unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS k
+  FROM base
+),
+yuv AS (
+  SELECT doc_id, w, h,
+    CAST((doc_id * 37 + k * 29) % 256 AS DOUBLE) AS y,
+    CAST(((doc_id * 37 + k * 29) % 256 + 85) % 256 AS DOUBLE) AS u,
+    CAST(((doc_id * 37 + k * 29) % 256 + 170) % 256 AS DOUBLE) AS v
+  FROM blk
+),
+rgb AS (
+  SELECT doc_id, w, h,
+    LEAST(GREATEST(FLOOR(y + 1.402 * (v - 128) + 0.5), 0), 255) AS r,
+    LEAST(GREATEST(
+      FLOOR(y - 0.344136 * (u - 128) - 0.714136 * (v - 128) + 0.5), 0), 255
+    ) AS g,
+    LEAST(GREATEST(FLOOR(y + 1.772 * (u - 128) + 0.5), 0), 255) AS b
+  FROM yuv
+)
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+  'jpeg' AS fmt,
+  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+  CAST(8 AS INTEGER) AS bit_depth,
+  CAST(SUM(CAST(b AS BIGINT)) * 64 AS BIGINT) / CAST(w * h AS DOUBLE) AS mean_b,
+  CAST(SUM(CAST(g AS BIGINT)) * 64 AS BIGINT) / CAST(w * h AS DOUBLE) AS mean_g,
+  CAST(SUM(CAST(r AS BIGINT)) * 64 AS BIGINT) / CAST(w * h AS DOUBLE) AS mean_r
+FROM rgb GROUP BY doc_id, w, h
 """
 
 
@@ -10024,6 +10086,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "mjpeg_video_decode": QuerySpec(
         multimodal_mjpeg_decode, MJPEG_VIDEO_SQL
     ),
+    "jpeg_image_decode": QuerySpec(
+        multimodal_jpeg_image_decode, JPEG_IMAGE_SQL
+    ),
     "semdedup": QuerySpec(semdedup_survivors, SEMDEDUP_SQL),
     "scd2_history": QuerySpec(scd2_user_state, SCD2_SQL),
     "cms_frequency": QuerySpec(cms_frequency, CMS_SQL),
@@ -10283,6 +10348,77 @@ assert len(_R8_FRONT) == len(set(_R8_FRONT)) == 50
 REGISTRY = {
     **{name: REGISTRY[name] for name in _R8_FRONT},
     **{k: v for k, v in REGISTRY.items() if k not in frozenset(_R8_FRONT)},
+}
+
+# ROUND-9 ROTATION (same standing mechanism): (a) the 17 entries added
+# this round, none of which has ever had a driver row — the BPE/token
+# suite, the corpus-audit suite, the quantized ANN tiers, bloom semi-
+# join, exact-substring dedup, and the new MJPEG compressed-video
+# decode; (b) entries whose code or plan changed this round — the
+# enrichment adaptive join-back, deep-BFS checkpointing, the ranking-
+# tier offsets typing fix (its three consumers), the pareto empty-input
+# guard, q11's matched-double threshold, video_decode's container
+# routing, and profile_columns (r8 bench-noise re-measure); then (c)
+# the oldest driver rows (r5 cohort) to keep cumulative freshness.
+_R9_FRONT: tuple[str, ...] = (
+    # (a) never driver-checked (added in round 9)
+    "mjpeg_video_decode",
+    "jpeg_image_decode",
+    "exact_substr_dedup",
+    "ann_ivf_int8",
+    "ann_ivf_pq",
+    "ann_ivf_pq_rescore",
+    "bloom_semi_join_orders",
+    "bpe_pair_counts",
+    "bpe_token_counts",
+    "bpe_pack_docs",
+    "quality_classifier_scores",
+    "source_kl_divergence",
+    "training_mix_e2e",
+    "cluster_cohesion_embeddings",
+    "ngram_novelty",
+    "source_ngram_overlap",
+    "curriculum_order_docs",
+    "temperature_mix_docs",
+    # (b) code or plan changed in round 9
+    "enrich_documents",
+    "shortest_paths_parts",
+    "video_decode",
+    "pareto_revenue_concentration",
+    "q11_important_stock",
+    "ntile_price_buckets",
+    "rfm_segments",
+    "profile_columns",
+    # (c) oldest driver rows (r5 cohort) — refresh
+    "a1_full_distinct",
+    "a4_frequency",
+    "a6_conditional_agg",
+    "bigram_lm_score",
+    "budget_mix_docs",
+    "chunk_documents",
+    "cube_flags",
+    "f8_json_extract",
+    "f9_date_functions",
+    "f_scalar_functions",
+    "funnel_conversion",
+    "merge_upsert_orders",
+    "multimodal_metadata",
+    "ngram_contamination_audit",
+    "pii_redaction",
+    "pivot_event_types",
+    "range_join_attribution",
+    "repetition_profile",
+    "rollup_status_priority",
+    "sessionize_events",
+    "split_contamination",
+    "t2_top_k_by_count",
+    "text_quality_filter",
+    "tfidf_keywords",
+)
+assert len(_R9_FRONT) == len(set(_R9_FRONT)) == 50
+REGISTRY = {
+    **{name: REGISTRY[name] for name in _R9_FRONT},
+    **{k: v for k, v in REGISTRY.items() if k not in frozenset(_R9_FRONT)},
 }
 
 
