@@ -194,6 +194,25 @@ def test_decode_images_jpeg_fixture(spark):
         assert r.mean_b == exp_b
 
 
+def test_avi_metadata_parse():
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        _parse_avi_metadata,
+    )
+
+    frames = [
+        jpeg.encode_baseline_jpeg(
+            [np.full((16, 24), 99, dtype=np.uint8)], 24, 16
+        )
+        for _ in range(5)
+    ]
+    avi = jpeg.build_mjpeg_avi(frames, 24, 16, fps=25)
+    w, h, nf, dur, ntr, hnd = _parse_avi_metadata(avi)
+    assert (w, h, nf, ntr, hnd) == (24, 16, 5, 1, "vids:MJPG")
+    assert dur == 5 * 40000 / 1_000_000
+    assert _parse_avi_metadata(b"RIFFxxxxWAVE") is None  # RIFF, not AVI
+    assert _parse_avi_metadata(b"not riff at all") is None
+
+
 # --- Spark plumbing --------------------------------------------------------
 
 

@@ -1414,6 +1414,36 @@ def _parse_y4m_metadata(
     return w, h, n, (n / fps if fps else None)
 
 
+def _parse_avi_metadata(
+    b: bytes,
+) -> tuple[int | None, int | None, int | None, float | None, int, str | None] | None:
+    """(width, height, n_frames, duration_sec, n_tracks, handlers) of a
+    RIFF-AVI payload from the avih main header (dims, total frames,
+    µs-per-frame) and the strh stream headers (fccType:fccHandler pairs,
+    e.g. ``vids:MJPG``). None for non-AVI payloads; missing boxes
+    degrade to null fields, quarantine-not-fail."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    w = h = nf = None
+    dur = None
+    handlers: list[str] = []
+    for cid, data in jpeg._iter_riff_chunks(b):
+        if cid == b"avih" and len(data) >= 40:
+            uspf, _mbps, _pad, _flags, total = struct.unpack("<5I", data[:20])
+            w = int.from_bytes(data[32:36], "little")
+            h = int.from_bytes(data[36:40], "little")
+            nf = total
+            if uspf:
+                dur = total * uspf / 1_000_000
+        elif cid == b"strh" and len(data) >= 8:
+            handlers.append(
+                data[:4].decode("ascii", "replace")
+                + ":"
+                + data[4:8].decode("ascii", "replace")
+            )
+    return (w, h, nf, dur, len(handlers), ",".join(handlers) or None)
+
+
 def video_metadata(
     df: DataFrame,
     id_col: str = "asset_id",
@@ -1422,11 +1452,12 @@ def video_metadata(
     """Per-asset video container metadata, dependency-free: Y4M streams
     yield (width, height, n_frames, duration); ISO-BMFF (mp4/mov/m4a)
     payloads yield (duration, timescale, n_tracks, handler list, video
-    track dimensions) from the moov box walk — no codec anywhere.
-    Unrecognized payloads quarantine as container=NULL rows (1:1 with
-    input, so anti-join recovers the reject set). Runs as one Arrow
-    mapInPandas projection; only (id, content) are read, so payload
-    pruning upstream still applies."""
+    track dimensions) from the moov box walk; RIFF-AVI payloads yield
+    (dims, frame count, duration, stream handlers) from the avih/strh
+    headers — no codec anywhere. Unrecognized payloads quarantine as
+    container=NULL rows (1:1 with input, so anti-join recovers the
+    reject set). Runs as one Arrow mapInPandas projection; only (id,
+    content) are read, so payload pruning upstream still applies."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1455,6 +1486,11 @@ def video_metadata(
                 if mp4 is not None:
                     dur, tscale, ntr, hnd, w, h = mp4
                     emit(aid, "isobmff", w, h, None, dur, tscale, ntr, hnd)
+                    continue
+                avi = _parse_avi_metadata(b)
+                if avi is not None:
+                    w, h, nf, dur, ntr, hnd = avi
+                    emit(aid, "riff-avi", w, h, nf, dur, None, ntr, hnd)
                     continue
                 emit(aid)
             out = pd.DataFrame(rows)
