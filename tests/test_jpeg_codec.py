@@ -133,6 +133,66 @@ def test_avi_container_roundtrip_and_quarantine():
     assert 84.0 not in got and {10.0, 47.0, 121.0} <= set(got)
 
 
+# --- golden-literal conformance ---------------------------------------------
+# Round-tripping through our own encoder cannot catch SYMMETRIC bugs (a
+# wrong zigzag or Huffman assignment used in both directions cancels
+# out). These streams are hand-derived from the published ITU-T T.81
+# Annex-K code tables — '011' is the spec's DC-luma category-2 code,
+# '1010' its AC-luma EOB, '01' its (run 0, size 2) — never touching the
+# encoder, so the decoder is checked against the spec itself.
+
+
+def _golden_jpeg(entropy: bytes) -> bytes:
+    """Minimal 8×8 grayscale baseline JPEG around a given entropy
+    segment: FIXTURE_QTABLE quant, Annex-K DC/AC luma tables."""
+    out = bytearray(b"\xff\xd8")
+    zz_qt = jpeg.FIXTURE_QTABLE[jpeg.ZIGZAG]
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00"
+    out += bytes(int(x) for x in zz_qt)
+    out += b"\xff\xc0" + (11).to_bytes(2, "big")
+    out += bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+    out += bytes([1, 1, 0x11, 0])
+    for tc_th, (bits, vals) in ((0x00, jpeg.DC_LUM_SPEC), (0x10, jpeg.AC_LUM_SPEC)):
+        out += b"\xff\xc4" + (19 + len(vals)).to_bytes(2, "big")
+        out += bytes([tc_th]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0x00, 0, 63, 0])
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_golden_dc_only_stream():
+    # solid 130: DC coef 8*(130-128)=16, /8 -> 2; diff 2 = category 2.
+    # Spec codes: DC-luma cat2 = '011', value bits '10', EOB = '1010'.
+    # 011 10 1010 + 1111111 pad = 0x75 0x7F.
+    w, h, planes = jpeg.decode_baseline_jpeg(_golden_jpeg(bytes([0x75, 0x7F])))
+    assert (w, h) == (8, 8)
+    assert np.array_equal(planes[0], np.full((8, 8), 130, dtype=np.uint8))
+
+
+def test_golden_single_ac_coefficient():
+    # DC diff 0 = DC-luma cat0 '00'; one AC at ZIGZAG k=1 (raster row 0,
+    # col 1) value 3: (run 0, size 2) = '01', bits '11'; EOB '1010'.
+    # 00 01 11 1010 + 111111 pad = 0x1E 0xBF. Dequant: 3*16 = 48.
+    w, h, planes = jpeg.decode_baseline_jpeg(_golden_jpeg(bytes([0x1E, 0xBF])))
+    # independent IDCT: pixel[m,n] = A[0,m]*48*A[1,n] + 128 with the
+    # orthonormal DCT-II basis, written out with math.cos (no reuse of
+    # the module's matrix)
+    import math
+
+    exp = np.empty((8, 8), dtype=np.uint8)
+    for m in range(8):
+        for n in range(8):
+            v = (
+                math.sqrt(1.0 / 8.0)
+                * 48.0
+                * 0.5
+                * math.cos((2 * n + 1) * math.pi / 16.0)
+            ) + 128.0
+            exp[m, n] = int(min(max(round(v), 0), 255))
+    assert np.array_equal(planes[0], exp)
+
+
 # --- still-image path ------------------------------------------------------
 
 
