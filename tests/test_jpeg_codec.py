@@ -254,6 +254,28 @@ def test_decode_images_jpeg_fixture(spark):
         assert r.mean_b == exp_b
 
 
+def test_truncation_quarantine_never_raises():
+    # quarantine contract: no truncation point of a real stream may leak
+    # an exception out of the stats/means entry points (they run inside
+    # Python workers; an escape fails the whole task)
+    plane = np.repeat(
+        np.repeat(RNG.integers(0, 256, (2, 3), dtype=np.uint8), 8, 0), 8, 1
+    )
+    still = jpeg.encode_baseline_jpeg([plane], 24, 16, restart_interval=2)
+    avi = jpeg.build_mjpeg_avi([still, still], 24, 16)
+    for cut in range(0, len(still), 7):
+        _jpeg_channel_means(still[:cut])
+        fmt, _, _, _, _ = _parse_image_header(still[:cut])
+        assert fmt in ("jpeg", "unknown")
+    for cut in range(0, len(avi), 13):
+        list(jpeg.parse_mjpeg_avi_stats(avi[:cut]))
+    # flipped bytes inside the entropy segment must also quarantine
+    for off in range(len(still) - 20, len(still) - 2):
+        mutated = bytearray(still)
+        mutated[off] ^= 0x5A
+        _jpeg_channel_means(bytes(mutated))
+
+
 def test_avi_metadata_parse():
     from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
         _parse_avi_metadata,

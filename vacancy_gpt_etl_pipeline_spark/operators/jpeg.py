@@ -499,9 +499,13 @@ def decode_baseline_jpeg(b: bytes) -> tuple[int, int, list[np.ndarray]]:
             scan: list[dict] = []
             for si in range(ns):
                 cs, tdta = seg[1 + 2 * si : 3 + 2 * si]
-                comp = next(c for c in comps if c["id"] == cs)
+                matches = [c for c in comps if c["id"] == cs]
+                if not matches:
+                    raise ValueError(
+                        f"scan references undeclared component {cs}"
+                    )
                 scan.append(
-                    {**comp, "dc": tdta >> 4, "ac": tdta & 15}
+                    {**matches[0], "dc": tdta >> 4, "ac": tdta & 15}
                 )
             pos += seglen
             return _decode_scan(
@@ -679,11 +683,13 @@ def parse_mjpeg_avi_stats(
     decode_video_frames can route on container magic. Component means
     are exact int64 sums over the cropped full-resolution planes; a
     grayscale frame reports NaN chroma. A frame that fails JPEG decode
-    is skipped (quarantine), not fatal to earlier frames."""
+    is skipped (quarantine), not fatal to earlier frames — including
+    truncated headers, whose struct/slice errors must not escape the
+    Python worker."""
     for idx, jpeg in iter_avi_mjpeg_frames(b):
         try:
             w, h, planes = decode_baseline_jpeg(jpeg)
-        except ValueError:
+        except (ValueError, struct.error, IndexError):
             continue
         means = [
             int(p.astype(np.int64).sum()) / (w * h) for p in planes[:3]
