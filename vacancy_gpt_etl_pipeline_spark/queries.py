@@ -4210,8 +4210,11 @@ def multimodal_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     dequant, IDCT and plane crop are ALL exact. Arbitrary-content
     (lossy-path) conformance is asserted separately in
     tests/test_jpeg_codec.py. Means are BIGINT sums divided once in
-    IEEE double — bit-identical across engines."""
-    docs = _t(spark, sf_dir, "documents")
+    IEEE double — bit-identical across engines. The scan is widened:
+    JPEG entropy coding is CPU-dense Python per payload and a
+    single-split local file would serialize it on one core (measured
+    9.0 s → 1.3 s at sf0.1; no-op on a multi-split cluster scan)."""
+    docs = _t(spark, sf_dir, "documents", widen=True)
     assets = synthesize_mjpeg_avi_payload(docs, "doc_id")
     return decode_video_frames(assets).select(
         "asset_id", "frame_idx", "width", "height", "mean_y", "mean_u", "mean_v"
@@ -4265,8 +4268,11 @@ def multimodal_jpeg_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     color-space arithmetic are all exact. mean_luma/n_bytes are
     entropy-stream statistics (not SQL-recomputable) and are projected
     away; width/height also flow through _jpeg_header_dims, the
-    SOF-walking header parser."""
-    docs = _t(spark, sf_dir, "documents")
+    SOF-walking header parser. The scan is widened: per-payload
+    entropy coding is CPU-dense Python and a single-split local file
+    would serialize it on one core (measured 4.5 s → 1.1 s at sf0.1;
+    no-op on a real multi-split cluster scan)."""
+    docs = _t(spark, sf_dir, "documents", widen=True)
     assets = synthesize_jpeg_payload(docs, "doc_id")
     return decode_images(assets).select(
         "asset_id", "fmt", "width", "height", "bit_depth",
@@ -4894,6 +4900,10 @@ def video_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # only the AVI branch does CPU-dense Python (JPEG entropy coding)
+    # — widen ITS scan; the y4m/mp4 branches are cheap JVM synthesis
+    # and would pay the exchange for nothing (widen_scan docstring)
+    docs_avi = _t(spark, sf_dir, "documents", widen=True)
     m = F.col("doc_id") % 3
     assets = (
         synthesize_y4m_payload(docs.where(m == 0), "doc_id")
@@ -4904,9 +4914,9 @@ def video_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionByName(
-            synthesize_mjpeg_avi_payload(docs.where(m == 2), "doc_id").select(
-                "asset_id", "content"
-            )
+            synthesize_mjpeg_avi_payload(
+                docs_avi.where(m == 2), "doc_id"
+            ).select("asset_id", "content")
         )
     )
     return video_metadata(assets)
