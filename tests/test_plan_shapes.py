@@ -388,3 +388,30 @@ def test_session4_queries_avoid_cartesian_and_smj(spark, sf_dir):
     ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_codec_entries_widen_their_scan(spark, sf_dir):
+    """The JPEG codec registry entries do CPU-dense per-payload Python;
+    their documents scan must carry the widening Repartition or a
+    single-split local file serializes all entropy coding on one core
+    (measured 9.0 s -> 1.3 s at sf0.1). Plan-budget does not gate
+    round-robin exchanges, so this is the regression guard."""
+    import contextlib
+    import io
+
+    from vacancy_gpt_etl_pipeline_spark.queries import REGISTRY
+
+    for name in ("mjpeg_video_decode", "jpeg_image_decode"):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            REGISTRY[name].spark(spark, sf_dir).explain(mode="formatted")
+        assert "RoundRobinPartitioning" in buf.getvalue(), name
+    # the 3-way metadata entry widens ONLY its AVI branch: exactly one
+    # round-robin exchange in the whole union plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        REGISTRY["video_container_metadata"].spark(spark, sf_dir).explain(
+            mode="formatted"
+        )
+    plan = buf.getvalue()
+    assert plan.count("RoundRobinPartitioning(") == 1
