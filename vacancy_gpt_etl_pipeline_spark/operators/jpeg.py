@@ -16,8 +16,9 @@ remain out of scope (they genuinely need ffmpeg; see
 Decoder scope (the real constraint set, stated loudly):
   * baseline sequential DCT (SOF0), 8-bit samples, Huffman entropy
     coding — what digital cameras and MJPEG hardware emit;
-  * 1..4 components, arbitrary integer sampling factors (4:4:4, 4:2:2,
-    4:2:0, ...), replicated-pixel upsampling;
+  * 1..4 components, integer sampling factors that DIVIDE the scan's
+    maxima (4:4:4, 4:2:2, 4:2:0, ...), replicated-pixel upsampling;
+    non-divisor factor sets (e.g. 3:2) raise ``ValueError``;
   * restart markers (DRI / RSTn) with DC-predictor reset;
   * APPn/COM segments skipped; progressive (SOF2), arithmetic coding,
     12-bit precision and hierarchical modes raise ``ValueError``.
@@ -527,6 +528,16 @@ def _decode_scan(
 ) -> tuple[int, int, list[np.ndarray]]:
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
+    # the upsampler replicates by the INTEGER ratio vmax//v, hmax//h;
+    # non-divisor factors (e.g. h=2 with hmax=3) would silently produce
+    # undersized planes and wrong means after the crop — reject them
+    # loudly here so the failure is a quarantined ValueError, not bad data
+    for c in scan:
+        if vmax % c["v"] or hmax % c["h"]:
+            raise ValueError(
+                "non-divisor sampling factors "
+                f"(h={c['h']}/{hmax}, v={c['v']}/{vmax}) unsupported"
+            )
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
     planes = [
@@ -688,8 +699,15 @@ def parse_mjpeg_avi_stats(
     Python worker."""
     for idx, jpeg in iter_avi_mjpeg_frames(b):
         try:
+            # KeyError: a scan referencing an undefined Huffman/quant
+            # table id — malformed, quarantine like any other decode
+            # failure instead of failing the whole Spark task
             w, h, planes = decode_baseline_jpeg(jpeg)
-        except (ValueError, struct.error, IndexError):
+        except (ValueError, struct.error, IndexError, KeyError):
+            continue
+        if w == 0 or h == 0:
+            # a SOF declaring a zero dimension has no pixels to average;
+            # skipping mirrors the cnt==0 guard in _jpeg_channel_means
             continue
         means = [
             int(p.astype(np.int64).sum()) / (w * h) for p in planes[:3]

@@ -508,7 +508,8 @@ def _jpeg_channel_means(
     channels. Non-baseline / malformed payloads yield nulls."""
     try:
         w, h, planes = jpeg.decode_baseline_jpeg(b)
-    except (ValueError, IndexError, struct.error):
+    except (ValueError, IndexError, struct.error, KeyError):
+        # KeyError: scan references an undefined Huffman/quant table id
         return (None, None, None)
     cnt = w * h
     if cnt == 0:

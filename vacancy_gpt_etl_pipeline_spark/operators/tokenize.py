@@ -132,16 +132,25 @@ def bpe_merge_sql(merges: Sequence[Merge] = DEFAULT_BPE_MERGES) -> str:
     each recursion step performs one merge — the leftmost occurrence of
     the lowest-rank applicable rule, picked by a rank-ordered CASE
     chain — and a word stops recursing when no rule applies. Symbol
-    sequences are '|'-delimited strings ('|t|a|b|'), so a rule (x, y)
-    is the literal substring '|x|y|' and token count is
-    separator-count − 1. Emits CTEs ``enc`` and ``tok(word,
-    word_tokens)`` for the caller to join."""
+    sequences are strings delimited by the U+001F unit separator
+    (chosen over '|' so a corpus word containing a literal pipe cannot
+    corrupt the delimiting — r9 ADVICE), so a rule (x, y) is the
+    literal substring SEP+x+SEP+y+SEP and token count is
+    separator-count − 1. Precondition (asserted): no merge symbol
+    contains U+001F; a corpus word containing U+001F would still
+    diverge — acceptable, it is a control character no tokenizer
+    vocabulary emits. Emits CTEs ``enc`` and ``tok(word, word_tokens)``
+    for the caller to join."""
+    SEP = "\x1f"
+    assert all(
+        SEP not in x and SEP not in y for x, y in merges
+    ), "merge symbols must not contain the U+001F delimiter"
 
     def pat(x: str, y: str) -> str:
-        return f"|{x}|{y}|"
+        return f"{SEP}{x}{SEP}{y}{SEP}"
 
     def rep(x: str, y: str) -> str:
-        return f"|{x}{y}|"
+        return f"{SEP}{x}{y}{SEP}"
 
     cases = "\n      ".join(
         f"WHEN strpos(seq, '{pat(x, y)}') > 0 THEN "
@@ -153,7 +162,8 @@ def bpe_merge_sql(merges: Sequence[Merge] = DEFAULT_BPE_MERGES) -> str:
         f"strpos(seq, '{pat(x, y)}') > 0" for x, y in merges
     )
     return f"""enc AS (
-  SELECT word, '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS seq,
+  SELECT word,
+    '{SEP}' || regexp_replace(word, '(.)', '\\1{SEP}', 'g') AS seq,
     0 AS step
   FROM vocab
   UNION ALL
@@ -168,7 +178,7 @@ def bpe_merge_sql(merges: Sequence[Merge] = DEFAULT_BPE_MERGES) -> str:
 tok AS (
   SELECT word,
     CAST(length(arg_max(seq, step))
-      - length(replace(arg_max(seq, step), '|', '')) - 1 AS BIGINT)
+      - length(replace(arg_max(seq, step), '{SEP}', '')) - 1 AS BIGINT)
       AS word_tokens
   FROM enc GROUP BY word
 )"""
