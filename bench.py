@@ -139,26 +139,33 @@ def main() -> None:
     # profile_columns at 8.96 s driver vs 2.58 s self with zero code
     # change. The min of two runs is the plan's cost; the max and the
     # per-run GC attribution stay in BENCH_SELF for diagnosis.
+    #
+    # The N runs are INTERLEAVED across the registry (full pass A over
+    # every query, then pass B, min per query) rather than back-to-back
+    # per query — r9 lesson: a multi-second machine-contention window
+    # hit BOTH adjacent runs of cms_frequency/scd2_history, so even
+    # min-of-2 recorded 4.7 s for 0.5 s plans. With passes ~190 s apart
+    # a single contention window can only poison one sample of a query.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
-    timings: dict[str, float] = {}
-    runs: dict[str, list[float]] = {}
-    gc_ms: dict[str, list[int]] = {}
-    total = 0.0
-    for name, fn in queries().items():
-        per_run: list[float] = []
-        per_gc: list[int] = []
-        for _ in range(n_runs):
+    registry = queries()
+    runs: dict[str, list[float]] = {name: [] for name in registry}
+    gc_ms: dict[str, list[int]] = {name: [] for name in registry}
+    for pass_idx in range(n_runs):
+        print(f"[bench] --- pass {pass_idx + 1}/{n_runs} ---", file=sys.stderr)
+        for name, fn in registry.items():
+            if runs[name] and runs[name][-1] < 0:
+                continue  # a failed query stays failed; don't re-run it
             t0 = time.perf_counter()
             g0 = _jvm_gc_ms()
             try:
                 df = fn(spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
-                per_run.append(round(time.perf_counter() - t0, 3))
-                per_gc.append(_jvm_gc_ms() - g0)
+                runs[name].append(round(time.perf_counter() - t0, 3))
+                gc_ms[name].append(_jvm_gc_ms() - g0)
             except Exception:
                 print(f"[bench] {name}: FAILED", file=sys.stderr)
                 traceback.print_exc(file=sys.stderr)
-                per_run.append(-1.0)
+                runs[name].append(-1.0)
             # drop persists leaked by the previous run (the near-dup
             # operators persist candidate frames internally) so each
             # measurement is independent — without this, accumulated
@@ -170,17 +177,16 @@ def main() -> None:
             # the ContextCleaner reclaim those blocks before the next run
             df = None
             gc.collect()
-            if per_run[-1] < 0:
-                break  # a failed query stays failed; don't re-run it
-        runs[name] = per_run
-        gc_ms[name] = per_gc
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, per_run in runs.items():
         ok = [t for t in per_run if t >= 0]
         if ok and len(ok) == len(per_run):
             timings[name] = min(ok)
             total += timings[name]
             print(
                 f"[bench] {name}: {timings[name]:.3f}s "
-                f"(runs {per_run}, gc {per_gc}ms)",
+                f"(runs {per_run}, gc {gc_ms[name]}ms)",
                 file=sys.stderr,
             )
         else:
