@@ -161,3 +161,194 @@ def test_bpe_pack_docs_integration(spark, tmp_path):
     for src in per_src:
         ids = sorted(p for s, p in got if s == src)
         assert ids == list(range(len(ids)))
+
+
+# --- Byte-level tier (GPT-2 family) -----------------------------------------
+
+from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (  # noqa: E402
+    DEFAULT_BYTE_MERGES,
+    PRETOKEN_PATTERN_JAVA,
+    byte_bpe_merge_sql,
+    byte_bpe_segment,
+    byte_pretokenize,
+    byte_pretokenize_sql,
+    bpe_bytelevel_counts,
+)
+
+TRICKY_TEXTS = [
+    "he said  привет 42!",
+    "a\n b",
+    "a \nb",
+    "  lead",
+    "trail  ",
+    "",
+    "it's a test",
+    "x\t\ty",
+    "a \n b",
+    " ",
+    "\n",
+    "a  \n",
+    "the theatre and in 1999",
+    "многа букф 123",
+    "a|b || c",
+    "\n\n\nx",
+    "  双语 mixed 中文 ",
+    "eéиx",
+]
+
+
+def _gpt2_bpe_reference(token: str, merges) -> list[str]:
+    """Independent reference: the PUBLISHED GPT-2 bpe() formulation
+    (Radford et al. 2019 release, encoder.py) — compute the set of
+    adjacent pairs, merge ALL occurrences of the minimum-rank pair in
+    one rebuild pass, repeat until no ranked pair remains. Deliberately
+    a different formulation from operators/tokenize._merge_loop."""
+    ranks = {}
+    for i, pair in enumerate(merges):
+        ranks.setdefault(pair, i)
+    word = [f"{b:02x}" for b in token.encode("utf-8")]
+    while len(word) > 1:
+        pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+        candidate = min(
+            pairs, key=lambda p: ranks.get(p, float("inf"))
+        )
+        if candidate not in ranks:
+            break
+        first, second = candidate
+        new_word, i = [], 0
+        while i < len(word):
+            if (
+                i < len(word) - 1
+                and word[i] == first
+                and word[i + 1] == second
+            ):
+                new_word.append(first + second)
+                i += 2
+            else:
+                new_word.append(word[i])
+                i += 1
+        word = new_word
+    return word
+
+
+def test_byte_pretokenize_closed_forms():
+    cases = {
+        "he said  привет 42!": ["he", " said", " ", " привет", " 42", "!"],
+        "a\n b": ["a", "\n", " b"],
+        "a \nb": ["a", " ", "\n", "b"],  # run ends non-space: no attach
+        "  lead": [" ", " lead"],
+        "trail  ": ["trail", "  "],
+        "": [],
+        " ": [" "],
+        "it's": ["it", "'", "s"],  # contraction alternatives omitted
+    }
+    for text, want in cases.items():
+        assert byte_pretokenize(text) == want, repr(text)
+
+
+def test_byte_pretokenize_matches_spark_java_regex(spark):
+    """The Python scanner (spec implemented by hand) and Spark's Java
+    regex (lookahead form) must agree token-for-token."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRICKY_TEXTS)],
+        "doc_id int, text string",
+    )
+    rows = df.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.coalesce("text", F.lit("")),
+            F.lit(PRETOKEN_PATTERN_JAVA),
+            0,
+        ).alias("a"),
+    ).collect()
+    got = {r.doc_id: r.a for r in rows}
+    for i, t in enumerate(TRICKY_TEXTS):
+        assert got[i] == byte_pretokenize(t), repr(t)
+
+
+def test_byte_pretokenize_sql_two_step_matches_python():
+    """The RE2 two-step (no lookahead) replays the Java semantics —
+    the lookahead-elimination argument, checked empirically."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id INT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(TRICKY_TEXTS))
+    )
+    sql = (
+        "WITH "
+        + byte_pretokenize_sql()
+        + " SELECT doc_id, list(pre) FROM pretok GROUP BY doc_id"
+    )
+    got = dict(con.execute(sql).fetchall())
+    for i, t in enumerate(TRICKY_TEXTS):
+        assert sorted(got.get(i, [])) == sorted(byte_pretokenize(t)), repr(t)
+
+
+def test_byte_bpe_segment_matches_published_gpt2_formulation():
+    """Fixture corpus + random strings encode identically under the
+    one-merge-per-step loop and the published all-occurrences-of-min-
+    rank GPT-2 formulation."""
+    import random
+
+    pres = {p for t in TRICKY_TEXTS for p in byte_pretokenize(t)}
+    rng = random.Random(42)
+    alphabet = "abdehinorst 19и双"
+    for _ in range(200):
+        pres.add(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        )
+    for p in sorted(pres):
+        assert byte_bpe_segment(p, DEFAULT_BYTE_MERGES) == _gpt2_bpe_reference(
+            p, DEFAULT_BYTE_MERGES
+        ), repr(p)
+
+
+def test_byte_bpe_cross_codepoint_merge():
+    """The d0+b8 rule merges INSIDE the two-byte UTF-8 encoding of 'и'
+    — the case a word/char-level tier cannot express."""
+    seg = byte_bpe_segment("и", DEFAULT_BYTE_MERGES)
+    assert seg == ["d0b8"]
+    assert byte_bpe_segment(" the", DEFAULT_BYTE_MERGES) == ["20746865"]
+
+
+def test_byte_bpe_oracle_cte_matches_segment():
+    import duckdb
+
+    pres = sorted(
+        {p for t in TRICKY_TEXTS for p in byte_pretokenize(t)}
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE vocab AS SELECT unnest(?) AS pre", [pres])
+    sql = (
+        "WITH RECURSIVE "
+        + byte_bpe_merge_sql()
+        + " SELECT pre, pre_tokens FROM tok"
+    )
+    got = dict(con.execute(sql).fetchall())
+    for p in pres:
+        assert got[p] == len(byte_bpe_segment(p, DEFAULT_BYTE_MERGES)), repr(p)
+
+
+def test_bpe_bytelevel_counts_operator(spark):
+    texts = TRICKY_TEXTS + [None]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: (r.n_pretokens, r.n_tokens)
+        for r in bpe_bytelevel_counts(df).collect()
+    }
+    assert len(got) == len(texts)  # every doc keeps a row, incl null/empty
+    for i, t in enumerate(texts):
+        pres = byte_pretokenize(t or "")
+        want = (
+            len(pres),
+            sum(len(byte_bpe_segment(p, DEFAULT_BYTE_MERGES)) for p in pres),
+        )
+        assert got[i] == want, repr(t)
+    assert got[5] == (0, 0)  # "" keeps a zero row
+    assert got[len(texts) - 1] == (0, 0)  # NULL text keeps a zero row

@@ -8804,6 +8804,57 @@ def _bpe_sqls() -> tuple[str, str]:
 BPE_TOKEN_SQL, BPE_PACK_SQL = _bpe_sqls()
 
 
+def bpe_bytelevel_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-level tokenizer-exact budgeting (the r9-verdict ask): the
+    GPT-2-family algorithm — regex pre-tokenization with GPT-2's
+    single-space attachment (Ġ), UTF-8 byte alphabet, ranked merges
+    over hex-named byte symbols — so any Unicode input tokenizes
+    without an <unk> and merges can cross a codepoint's byte boundary
+    (the list includes d0+b8 = Cyrillic 'и'). Pre-tokenization runs
+    JVM-side in codegen (regexp_extract_all with the Java-regex form;
+    the O(corpus) pass never leaves the JVM); the merge loop runs once
+    per DISTINCT pre-token (O(vocabulary)) in an Arrow mapInPandas.
+    The oracle replays pre-tokenization lookahead-free in RE2 (two-step
+    equivalence proved in operators/tokenize.byte_pretokenize) and the
+    encode loop as a recursive CTE over hex(encode(pre)). Exact bigint
+    counts; pre-token-free documents keep a zero row."""
+    from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
+        bpe_bytelevel_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_bytelevel_counts(docs).orderBy("doc_id")
+
+
+def _bpe_bytelevel_sql() -> str:
+    from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
+        byte_bpe_merge_sql,
+        byte_pretokenize_sql,
+    )
+
+    return f"""
+WITH RECURSIVE
+{byte_pretokenize_sql()},
+vocab AS (SELECT DISTINCT pre FROM pretok),
+{byte_bpe_merge_sql()},
+per_doc AS (
+  SELECT p.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+    CAST(SUM(t.pre_tokens) AS BIGINT) AS n_tokens
+  FROM pretok p JOIN tok t USING (pre)
+  GROUP BY p.doc_id
+)
+SELECT a.doc_id,
+  COALESCE(p.n_pretokens, 0) AS n_pretokens,
+  COALESCE(p.n_tokens, 0) AS n_tokens
+FROM documents a LEFT JOIN per_doc p USING (doc_id)
+ORDER BY a.doc_id
+"""
+
+
+BPE_BYTELEVEL_SQL = _bpe_bytelevel_sql()
+
+
 _QC_BUCKETS = 1024
 
 
@@ -10214,6 +10265,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "bpe_pair_counts": QuerySpec(bpe_pair_counts, BPE_PAIR_SQL),
     "bpe_token_counts": QuerySpec(bpe_token_counts_docs, BPE_TOKEN_SQL),
     "bpe_pack_docs": QuerySpec(bpe_pack_docs, BPE_PACK_SQL),
+    "bpe_bytelevel_counts": QuerySpec(
+        bpe_bytelevel_counts_docs, BPE_BYTELEVEL_SQL
+    ),
     "quality_classifier_scores": QuerySpec(
         quality_classifier_scores, QUALITY_CLASSIFIER_SQL
     ),
