@@ -1,0 +1,243 @@
+"""Scaling attestation: flagship text/dedup/ANN/BPE/curation entries at
+1x / 10x / 50x the sf0.1 corpus (r9 verdict item 1).
+
+The sandbox's largest fixture is sf0.1 (5,000 docs / 2,000 vectors), so
+the 100 TB story rested on plan shapes alone. This harness synthesizes a
+generator-consistent corpus at three scales — SAME distributions as the
+sf0.1 fixtures (31-word vocabulary, uniform 10-100 words/doc, 20
+round-robin sources, fixture language mix, unit-normalized 64-dim
+gaussian embeddings with weak label structure), plus REALISTIC
+duplicate planting the fixtures lack (3% exact duplicates + 5%
+near-duplicates with ~10% word substitutions; affine paraphrase copies
+on the vector side) — runs the flagship registry entries at each scale
+on the same local[32] session bench.py uses, and writes the wall-time
+curve to BENCH_SCALE.json.
+
+Reading the curve: per_row_ratio = (t_50x / t_1x) / 50 — 1.0 is perfect
+linearity, < 1 is sublinear (fixed overhead amortizing or a
+vocabulary-bounded stage), and anything >> 1 is a scale-killer the plan
+gate missed. Fixed-work stages (the 5-query ANN probe set, the
+16-codeword PQ codebook, the 8 IVF cells) and per-session overhead
+(~0.3-0.5 s of job scheduling per query) make sublinear ratios the
+EXPECTED shape at these sizes.
+
+Run: python bench_scale.py            (~15-25 min, writes BENCH_SCALE.json)
+     SPARK_GRAFT_SCALE_FACTORS=1,10 python bench_scale.py   (subset)
+
+Data lands in .scale_data/ (gitignored, regenerated on demand,
+deterministic seed per scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+DATA_ROOT = os.path.join(REPO, ".scale_data")
+FIXTURE_SF01 = "/root/testdata/sf0.1"
+
+# sf0.1 fixture shape (TESTDATA.md; verified empirically in round 10)
+BASE_DOCS = 5_000
+BASE_VECS = 2_000
+EMB_DIM = 64
+N_SOURCES = 20
+LANGS = ("en", "zh", "es", "fr", "de")
+LANG_P = (0.41, 0.15, 0.15, 0.15, 0.14)
+EXACT_DUP_FRAC = 0.03
+NEAR_DUP_FRAC = 0.05
+NEAR_DUP_EDIT = 0.10
+
+#: The flagship entries the r9 verdict names, plus the two round-10
+#: additions that complete the families (int8 ANN tier, byte-level BPE).
+FLAGSHIPS = (
+    "dedup_minhash_lsh",
+    "exact_substr_dedup",
+    "semdedup",
+    "ann_ivf_pq",
+    "ann_ivf_int8",
+    "bpe_token_counts",
+    "bpe_bytelevel_counts",
+    "curation_e2e",
+    "training_mix_e2e",
+)
+
+
+def _fixture_vocab() -> list[str]:
+    """The 31-word vocabulary of the sf0.1 documents fixture — derived
+    from the fixture itself so generated text is distribution-matched."""
+    tbl = pq.read_table(
+        os.path.join(FIXTURE_SF01, "documents.parquet"), columns=["text"]
+    )
+    vocab = set()
+    for chunk in tbl.column("text").to_pylist():
+        vocab.update(chunk.split())
+    return sorted(vocab)
+
+
+def gen_documents(n_docs: int, seed: int, path: str) -> None:
+    """Deterministic word-salad corpus in the fixture's style, with
+    planted exact and near duplicates (the fixtures have only 8
+    accidental exact dups in 5,000 docs — real corpora are 10-30%
+    duplicated, and the dedup operators need realistic hit rates for
+    their fan-out to be measured honestly)."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array(_fixture_vocab())
+    texts: list[str] = []
+    for i in range(n_docs):
+        r = rng.random()
+        if i > 10 and r < EXACT_DUP_FRAC:
+            texts.append(texts[rng.integers(0, i)])
+        elif i > 10 and r < EXACT_DUP_FRAC + NEAR_DUP_FRAC:
+            words = texts[rng.integers(0, i)].split()
+            n_edit = max(1, int(len(words) * NEAR_DUP_EDIT))
+            for j in rng.integers(0, len(words), n_edit):
+                words[j] = vocab[rng.integers(0, len(vocab))]
+            texts.append(" ".join(words))
+        else:
+            n_words = rng.integers(10, 101)
+            texts.append(
+                " ".join(vocab[rng.integers(0, len(vocab), n_words)])
+            )
+    langs = rng.choice(LANGS, size=n_docs, p=LANG_P)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(
+                [f"src{i % N_SOURCES}" for i in range(n_docs)], pa.string()
+            ),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def gen_embeddings(n_vecs: int, seed: int, path: str) -> None:
+    """Unit-normalized 64-dim gaussians with weak label structure
+    (fixture shape: component std 0.125, centroid norm ~0.07), plus
+    affine paraphrase copies (0.97*v + noise, re-normalized) of 2% of
+    earlier vectors so semantic dedup has realistic positives."""
+    rng = np.random.default_rng(seed + 1)
+    labels = rng.integers(0, 10, n_vecs).astype(np.int32)
+    cents = rng.normal(0, 0.009, (10, EMB_DIM))
+    v = rng.normal(0, 0.125, (n_vecs, EMB_DIM)) + cents[labels]
+    n_copy = n_vecs // 50
+    src = rng.integers(0, n_vecs - n_copy, n_copy)
+    dst = np.arange(n_vecs - n_copy, n_vecs)
+    v[dst] = 0.97 * v[src] + rng.normal(0, 0.01, (n_copy, EMB_DIM))
+    labels[dst] = labels[src]
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    v = v.astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n_vecs), pa.int64()),
+            "embedding": pa.array(
+                list(v), pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def ensure_corpus(scale: int) -> str:
+    d = os.path.join(DATA_ROOT, f"x{scale}")
+    docs, embs = (
+        os.path.join(d, "documents.parquet"),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    if not (os.path.exists(docs) and os.path.exists(embs)):
+        os.makedirs(d, exist_ok=True)
+        t0 = time.perf_counter()
+        gen_documents(BASE_DOCS * scale, seed=1000 + scale, path=docs)
+        gen_embeddings(BASE_VECS * scale, seed=2000 + scale, path=embs)
+        print(
+            f"[scale] generated x{scale} "
+            f"({BASE_DOCS * scale} docs / {BASE_VECS * scale} vecs) "
+            f"in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+    return d
+
+
+def main() -> None:
+    scales = [
+        int(s)
+        for s in os.environ.get("SPARK_GRAFT_SCALE_FACTORS", "1,10,50").split(
+            ","
+        )
+    ]
+    from vacancy_gpt_etl_pipeline_spark.queries import queries
+    from vacancy_gpt_etl_pipeline_spark.session import get_spark
+
+    registry = queries()
+    spark = get_spark(app_name="bench-scale")
+    # warm the same paths bench.py warms
+    for scale in scales:
+        ensure_corpus(scale)
+    warm = spark.read.parquet(os.path.join(ensure_corpus(scales[0]), "documents.parquet"))
+    warm.groupBy("source").count().write.mode("overwrite").format("noop").save()
+
+    results: dict[str, dict] = {}
+    for scale in scales:
+        sf_dir = ensure_corpus(scale)
+        # min-of-2 for the cheap scales; single pass at 50x bounds the
+        # harness to ~15 min (the 50x numbers are the headline, and a
+        # one-off GC pause there shows against the 1x/10x curve anyway)
+        n_runs = 2 if scale < 50 else 1
+        per_scale: dict[str, float] = {}
+        rows: dict[str, int] = {}
+        for _ in range(n_runs):
+            for name in FLAGSHIPS:
+                t0 = time.perf_counter()
+                df = registry[name](spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                dt = time.perf_counter() - t0
+                per_scale[name] = min(per_scale.get(name, dt), dt)
+                spark.catalog.clearCache()
+        # row counts once (documents the planted-duplicate hit rates)
+        for name in FLAGSHIPS:
+            rows[name] = registry[name](spark, sf_dir).count()
+            spark.catalog.clearCache()
+        results[f"x{scale}"] = {
+            "sec": {k: round(v, 3) for k, v in per_scale.items()},
+            "rows": rows,
+            "n_docs": BASE_DOCS * scale,
+            "n_vecs": BASE_VECS * scale,
+            "n_runs": n_runs,
+        }
+        print(f"[scale] x{scale}: {results[f'x{scale}']['sec']}", file=sys.stderr)
+
+    out = {
+        "metric": "scaling_attestation",
+        "unit": "sec",
+        "base": {"n_docs": BASE_DOCS, "n_vecs": BASE_VECS,
+                 "fixture_style": "sf0.1-matched + planted dups"},
+        "scales": results,
+    }
+    if "x1" in results and "x50" in results:
+        out["per_row_ratio_50x"] = {
+            name: round(
+                results["x50"]["sec"][name]
+                / max(results["x1"]["sec"][name], 1e-9)
+                / 50,
+                3,
+            )
+            for name in FLAGSHIPS
+        }
+    with open(os.path.join(REPO, "BENCH_SCALE.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps({k: v for k, v in out.items() if k != "scales"}))
+
+
+if __name__ == "__main__":
+    main()

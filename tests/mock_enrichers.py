@@ -59,3 +59,41 @@ class BatchSizeEcho(Enricher):
         return json.dumps(
             [{"original": k, "normalized_title": str(len(keys))} for k in keys]
         )
+
+
+class TaskCrashEnricher(Enricher):
+    """Fails the whole Spark TASK — not just the respond() call, which
+    the retry-residue loop would swallow — on every task's FIRST
+    attempt: the ``output_cols`` property is read executor-side in
+    ``_process_chunk`` OUTSIDE the try/except, so raising there kills
+    the task like a transient executor crash or a speculative-execution
+    sibling would. Driver-side reads (TaskContext is None) pass
+    through. Drops a marker file per injected failure so the test can
+    assert the failure path actually ran."""
+
+    retry_values = frozenset()
+
+    def __init__(self, marker_dir):
+        self.marker_dir = marker_dir
+
+    @property
+    def output_cols(self):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if ctx is not None and ctx.attemptNumber() == 0:
+            import os
+            import uuid
+
+            with open(
+                os.path.join(self.marker_dir, f"{uuid.uuid4().hex}.crash"),
+                "w",
+            ) as f:
+                f.write(str(ctx.partitionId()))
+            raise RuntimeError("injected task failure (attempt 0)")
+        return ("normalized_title",)
+
+    def respond(self, keys, attempt):
+        return json.dumps(
+            [{"original": k, "normalized_title": f"T:{k}"} for k in keys]
+        )

@@ -25,7 +25,11 @@ Why this shape at 100 TB:
   residue of one batch and never re-plans the job.
 - The UDF is a pure function of its input batch (idempotent under Spark task
   retries); keep-first dedup + the final keys⟕mapping outer join make the
-  output total and exactly-once per key.
+  output total and exactly-once per key. Precisely: enricher CALLS are
+  at-least-once (a failed task attempt may already have reached the LLM),
+  but Spark discards a failed attempt's output wholesale, so the mapping
+  rows are exactly-once per key — proven under injected first-attempt task
+  crashes in tests/test_enrichment_retry_idempotence.py (local[4,2]).
 - The mapping table is bounded by key cardinality → broadcast join back, no
   shuffle of the big side. For unbounded key spaces pass
   ``broadcast_mapping=False`` to fall back to a shuffle hash join.
