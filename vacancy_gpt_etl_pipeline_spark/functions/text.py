@@ -302,3 +302,68 @@ def sentiment_counts(c: Column | str) -> tuple[Column, Column]:
     pos = F.size(F.filter(toks, lambda t: _in_set(t, SENTIMENT_LEXICON["pos"])))
     neg = F.size(F.filter(toks, lambda t: _in_set(t, SENTIMENT_LEXICON["neg"])))
     return pos, neg
+
+
+# --- Mojibake (encoding-damage) repair -------------------------------------
+#
+# The dominant real-corpus text defect class: UTF-8 bytes decoded as
+# Latin-1/cp1252 once ("é" -> "Ã©", "и" -> "Ð¸") by some upstream
+# system, then re-encoded as UTF-8 — so the damage is VISIBLE in the
+# string value and repairable string-side. The general repair is
+# s.encode('latin-1').decode('utf-8'), which SQL cannot express; over a
+# CLOSED alphabet of damaged codepoints, though, the repair is a chain
+# of literal replace() calls both Spark codegen and DuckDB evaluate
+# identically — so the operator stays JVM-side with zero Python in the
+# hot path AND stays oracle-verifiable.
+#
+# The table is generated, not hand-typed: for each codepoint c in the
+# repair alphabet, the damaged form IS c.encode('utf-8')
+# .decode('latin-1') — two Latin-1 chars for U+0080..U+07FF. Every
+# damaged form is length 2 and starts with a distinct lead byte char
+# (Ã, Ð, Ñ, Â, ...) no OTHER entry's tail can begin with (tails are in
+# U+00A0..U+00BF; leads in U+00C2..U+00D1), so the replace chain is
+# order-independent and never cascades.
+
+#: Closed repair alphabet: Latin-1 supplement accents (western-European
+#: text) + the Cyrillic letters of the fixture's Russian taxonomy
+#: labels. Extend by adding codepoints — the damaged forms derive.
+MOJIBAKE_ALPHABET = (
+    "áàâäãéèêëíìîïóòôöõúùûüñçÁÉÍÓÚÑÄÖÜß"
+    "абвгдежзиклмнопрстуфхцчшщыьэюя"
+)
+
+MOJIBAKE_REPAIRS: tuple[tuple[str, str], ...] = tuple(
+    (c.encode("utf-8").decode("latin-1"), c) for c in MOJIBAKE_ALPHABET
+)
+# the derivation above is only order-independent if no damaged form is
+# a prefix/substring of another — guaranteed by the lead/tail range
+# split documented above, asserted here against future extensions
+assert all(len(bad) == 2 for bad, _ in MOJIBAKE_REPAIRS)
+assert len({bad for bad, _ in MOJIBAKE_REPAIRS}) == len(MOJIBAKE_REPAIRS)
+_LEADS = {bad[0] for bad, _ in MOJIBAKE_REPAIRS}
+_TAILS = {bad[1] for bad, _ in MOJIBAKE_REPAIRS}
+assert _LEADS.isdisjoint(_TAILS), "replace chain would cascade"
+
+
+def fix_mojibake(c: Column | str) -> Column:
+    """Repair UTF-8-decoded-as-Latin-1 damage over the closed alphabet:
+    one chained ``replace`` per table entry, all inside whole-stage
+    codegen. Each repair maps 2 chars -> 1 char, so callers can count
+    repairs as ``length(original) - length(repaired)`` with no second
+    pass."""
+    col = F.col(c) if isinstance(c, str) else c
+    for bad, good in MOJIBAKE_REPAIRS:
+        col = F.replace(col, F.lit(bad), F.lit(good))
+    return col
+
+
+def mojibake_repair_sql(expr: str) -> str:
+    """The same closed repair chain as DuckDB SQL over ``expr`` —
+    generated from the SAME table, so operator and oracle cannot
+    drift."""
+    out = expr
+    for bad, good in MOJIBAKE_REPAIRS:
+        b = bad.replace("'", "''")
+        g = good.replace("'", "''")
+        out = f"replace({out}, '{b}', '{g}')"
+    return out

@@ -8855,6 +8855,84 @@ ORDER BY a.doc_id
 BPE_BYTELEVEL_SQL = _bpe_bytelevel_sql()
 
 
+#: Deterministic mojibake planting: on every third document, these
+#: fixture-vocabulary words appear as their UTF-8-decoded-as-Latin-1
+#: damaged forms (accented variants, one Cyrillic) — the fixtures
+#: themselves are clean ASCII, so the query plants the defect class it
+#: repairs, like semdedup plants its paraphrase copies.
+_MOJIBAKE_PLANT: tuple[tuple[str, str], ...] = tuple(
+    (word, damaged.encode("utf-8").decode("latin-1"))
+    for word, damaged in (
+        ("value", "válue"),
+        ("table", "täble"),
+        ("sort", "sört"),
+        ("line", "líne"),
+        ("merge", "mиrge"),
+    )
+)
+
+
+def fix_mojibake_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage repair (r9 verdict item 8): detect and repair
+    UTF-8-decoded-as-Latin-1 mojibake — the dominant real-corpus text
+    defect class — over a CLOSED repair alphabet
+    (functions/text.MOJIBAKE_REPAIRS, 64 derived entries). The whole
+    operator is a chain of literal ``replace`` calls inside whole-stage
+    codegen: zero Python, zero shuffles before the final sort, and the
+    repair count is ``length(damaged) − length(repaired)`` (every
+    repair maps 2 chars → 1) so detection needs no second pass. The
+    oracle plants the same defects and runs the same chain, both
+    generated from the same Python tables, so operator and oracle
+    cannot drift."""
+    from vacancy_gpt_etl_pipeline_spark.functions.text import fix_mojibake
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = F.col("text")
+    for word, bad in _MOJIBAKE_PLANT:
+        planted = F.replace(planted, F.lit(word), F.lit(bad))
+    damaged = (
+        F.when(F.col("doc_id") % 3 == 0, planted)
+        .otherwise(F.col("text"))
+        .alias("text_damaged")
+    )
+    staged = docs.select("doc_id", damaged)
+    fixed = fix_mojibake(F.col("text_damaged"))
+    return staged.select(
+        "doc_id",
+        (F.length("text_damaged") - F.length(fixed))
+        .cast("bigint")
+        .alias("n_repairs"),
+        fixed.alias("text_fixed"),
+    ).orderBy("doc_id")
+
+
+def _mojibake_sql() -> str:
+    from vacancy_gpt_etl_pipeline_spark.functions.text import (
+        mojibake_repair_sql,
+    )
+
+    plant = "text"
+    for word, bad in _MOJIBAKE_PLANT:
+        b = bad.replace("'", "''")
+        plant = f"replace({plant}, '{word}', '{b}')"
+    repair = mojibake_repair_sql("text_damaged")
+    return f"""
+WITH damaged AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN {plant} ELSE text END AS text_damaged
+  FROM documents
+)
+SELECT doc_id,
+  CAST(length(text_damaged) - length({repair}) AS BIGINT) AS n_repairs,
+  {repair} AS text_fixed
+FROM damaged
+ORDER BY doc_id
+"""
+
+
+MOJIBAKE_SQL = _mojibake_sql()
+
+
 _QC_BUCKETS = 1024
 
 
@@ -10268,6 +10346,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "bpe_bytelevel_counts": QuerySpec(
         bpe_bytelevel_counts_docs, BPE_BYTELEVEL_SQL
     ),
+    "fix_mojibake_docs": QuerySpec(fix_mojibake_docs, MOJIBAKE_SQL),
     "quality_classifier_scores": QuerySpec(
         quality_classifier_scores, QUALITY_CLASSIFIER_SQL
     ),
