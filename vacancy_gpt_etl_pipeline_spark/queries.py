@@ -10581,6 +10581,79 @@ REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in frozenset(_R9_FRONT)},
 }
 
+# ROUND-10 ROTATION (same standing mechanism): (a) the 2 entries added
+# this round (byte-level BPE, mojibake repair) — never driver-checked;
+# (b) entries whose code changed this round — the BPE oracle delimiter
+# switch (all three BPE consumers), the JPEG quarantine hardening (all
+# three codec entries), the enrichment docstring/idempotence work, and
+# the two r9 `weak` bench outliers (cms_frequency, scd2_history —
+# re-measure with the interleaved bench) plus semdedup (scale notes);
+# then (c) the r5/r6 driver-row cohort, oldest first, to keep
+# cumulative freshness. 8 r6 entries did not fit the 50-slot front and
+# roll to round 11: incr_rollup, cohort_retention, pmi_collocations,
+# training_prep_pipeline, q5_local_supplier_volume,
+# snapshot_diff_orders, triangle_count_parts, char_diversity_docs.
+_R10_FRONT: tuple[str, ...] = (
+    # (a) never driver-checked (added in round 10)
+    "bpe_bytelevel_counts",
+    "fix_mojibake_docs",
+    # (b) code or measurement changed in round 10
+    "bpe_token_counts",
+    "bpe_pair_counts",
+    "bpe_pack_docs",
+    "mjpeg_video_decode",
+    "jpeg_image_decode",
+    "video_container_metadata",
+    "enrich_documents",
+    "cms_frequency",
+    "scd2_history",
+    "semdedup",
+    # (c) stale driver rows (r5 cohort, then r6), oldest first
+    "weighted_sample_docs",
+    "train_test_split",
+    "u4_except_all",
+    "w1_ratio_of_total",
+    "window_rank_lag",
+    "a3_distinct_values",
+    "dedup_survivor_selection",
+    "embedding_near_dup",
+    "ann_brute_force",
+    "ann_lsh",
+    "ann_ivf",
+    "bm25_search",
+    "stratified_sample_docs",
+    "pack_sequences_by_source",
+    "asof_attribution",
+    "sketch_quantiles",
+    "text_analysis_profile",
+    "t3_order_by_limit",
+    "t4_truncated_sample",
+    "u1_union_all",
+    "a8_inverted_index",
+    "tumbling_window_hourly",
+    "sliding_window_half_hour",
+    "session_windows_per_user",
+    "fuzzy_match_parts",
+    "moving_average_events",
+    "image_decode",
+    "salted_agg",
+    "boilerplate_rm",
+    "quality_floor",
+    "neardup_incr",
+    "shard_manifest",
+    "nfc_normalize",
+    "audio_decode",
+    "salted_join",
+    "q3_shipping_priority",
+    "q18_large_orders",
+    "expectations",
+)
+assert len(_R10_FRONT) == len(set(_R10_FRONT)) == 50
+REGISTRY = {
+    **{name: REGISTRY[name] for name in _R10_FRONT},
+    **{k: v for k, v in REGISTRY.items() if k not in frozenset(_R10_FRONT)},
+}
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark for name, spec in REGISTRY.items()}
