@@ -60,6 +60,8 @@ FLAGSHIPS = (
     "dedup_minhash_lsh",
     "exact_substr_dedup",
     "semdedup",
+    "semdedup_scaled",
+    "semdedup_2level",
     "ann_ivf_pq",
     "ann_ivf_int8",
     "bpe_token_counts",
@@ -67,6 +69,73 @@ FLAGSHIPS = (
     "curation_e2e",
     "training_mix_e2e",
 )
+
+
+def _semdedup_scaled(spark, sf_dir):
+    """The registry `semdedup` entry pins n_centroids=8 (fixture-tuned,
+    oracle-replayable). The x50 run demonstrates WHY that knob must
+    scale: 100k vectors / 8 cells = 12.5k per cell > max_cell=10,000,
+    so every cell trips the conservative oversized-cell guard and
+    nothing is deduplicated (rows == corpus, runtime collapses). This
+    variant applies the production sizing rule — n_centroids ∝ corpus,
+    targeting ~250 vectors/cell — and the attestation shows drops
+    happen at every scale with near-linear cost."""
+    from pyspark.sql import functions as F
+
+    from vacancy_gpt_etl_pipeline_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = emb.count()
+    n_cells = max(8, n // 250)
+    return semdedup(
+        emb.withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        ),
+        n_centroids=n_cells,
+        stride=37,
+        threshold=0.9,
+        dim=EMB_DIM,
+    )
+
+
+def _semdedup_2level(spark, sf_dir):
+    """semdedup_scaled measured its brute-force n×C assignment going
+    superlinear once C ∝ n (2.2 per-row at 50x). This variant keeps the
+    same corpus-proportional cell count but routes assignment through
+    ivf_assign_two_level (coarse √C quantizer → score one group's
+    centroids): ~2n√C dots, n^1.25 when C ∝ n. Drop-set parity with
+    exact assignment is the pair-co-assignment argument in the
+    operator's docstring (±1% measured)."""
+    from pyspark.sql import functions as F
+
+    from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
+        ivf_assign_two_level,
+        sampled_centroids,
+        semdedup,
+    )
+
+    emb = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    n = emb.count()
+    n_cells = max(8, n // 250)
+    cents = sampled_centroids(emb, n_cells, 37)
+    assigned = ivf_assign_two_level(emb, cents, dim=EMB_DIM)
+    return semdedup(
+        emb, n_centroids=n_cells, stride=37, threshold=0.9,
+        dim=EMB_DIM, assigned=assigned,
+    )
+
+
+EXTRA_QUERIES = {
+    "semdedup_scaled": _semdedup_scaled,
+    "semdedup_2level": _semdedup_2level,
+}
 
 
 def _fixture_vocab() -> list[str]:
@@ -197,15 +266,17 @@ def main() -> None:
         rows: dict[str, int] = {}
         for _ in range(n_runs):
             for name in FLAGSHIPS:
+                fn = EXTRA_QUERIES.get(name) or registry[name]
                 t0 = time.perf_counter()
-                df = registry[name](spark, sf_dir)
+                df = fn(spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
                 dt = time.perf_counter() - t0
                 per_scale[name] = min(per_scale.get(name, dt), dt)
                 spark.catalog.clearCache()
         # row counts once (documents the planted-duplicate hit rates)
         for name in FLAGSHIPS:
-            rows[name] = registry[name](spark, sf_dir).count()
+            fn = EXTRA_QUERIES.get(name) or registry[name]
+            rows[name] = fn(spark, sf_dir).count()
             spark.catalog.clearCache()
         results[f"x{scale}"] = {
             "sec": {k: round(v, 3) for k, v in per_scale.items()},
@@ -222,6 +293,39 @@ def main() -> None:
         "base": {"n_docs": BASE_DOCS, "n_vecs": BASE_VECS,
                  "fixture_style": "sf0.1-matched + planted dups"},
         "scales": results,
+        "notes": {
+            "semdedup": (
+                "registry entry pins n_centroids=8 (fixture-tuned, "
+                "oracle-replayable); at x50 that puts 12.5k vectors in "
+                "every cell, ALL cells trip the conservative "
+                "max_cell=10k oversized-cell guard, and nothing dedups "
+                "(rows == corpus+planted, runtime collapses). The "
+                "production sizing rule is n_centroids proportional to "
+                "corpus — semdedup_scaled applies it (~250 vecs/cell)."
+            ),
+            "semdedup_scaled": (
+                "DOCUMENTED SUPERLINEAR: with cells C proportional to "
+                "n, brute-force assignment is n*C dot products = "
+                "quadratic (measured 2.2 per-row at 50x). The pair "
+                "join itself is linear (C cells * 250^2). The fix is "
+                "hierarchical assignment — see semdedup_2level."
+            ),
+            "semdedup_2level": (
+                "the scale path: ivf_assign_two_level routes through a "
+                "coarse sqrt(C) quantizer (~2n*sqrt(C) dots, n^1.25 "
+                "when C grows with n) and the drop set matches exact "
+                "assignment to ~1% (pair co-assignment argument, "
+                "tests/test_semdedup.py)."
+            ),
+            "last_segment_superlinearity": (
+                "dedup_minhash_lsh / exact_substr_dedup run ~1.1x "
+                "per-row on the x10->x50 segment: shuffle partition "
+                "count is fixed at 32 in this local session, so "
+                "per-partition state (band buckets / block-hash "
+                "groups) grows with corpus. On a cluster the partition "
+                "count scales with input and this term stays flat."
+            ),
+        },
     }
     if "x1" in results and "x50" in results:
         out["per_row_ratio_50x"] = {

@@ -110,3 +110,78 @@ def test_semdedup_oversized_cells_are_kept_conservatively(spark):
     ).collect()
     # with every cell over the cap no pair is ever generated: total keep
     assert len(out) == len(rows)
+
+
+def test_two_level_assignment_dedup_parity(spark):
+    """ivf_assign_two_level's pair-co-assignment claim: on a gaussian
+    corpus with planted paraphrase copies, semdedup over the two-level
+    assignment drops (almost exactly) the same set as over exact
+    assignment — even though per-vector Voronoi agreement is low on
+    structure-free data."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
+        ivf_assign_two_level,
+        sampled_centroids,
+        semdedup,
+    )
+
+    rng = np.random.default_rng(17)
+    n, dim, n_copy = 600, 16, 60
+    v = rng.normal(0, 1, (n, dim))
+    src = rng.integers(0, n - n_copy, n_copy)
+    v[n - n_copy :] = 0.97 * v[src] + rng.normal(0, 0.01, (n_copy, dim))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(v)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = sampled_centroids(df, 24, 7)
+    exact = {
+        r.vec_id
+        for r in semdedup(df, 24, 7, threshold=0.9, dim=dim).collect()
+    }
+    assigned = ivf_assign_two_level(df, cents, dim=dim)
+    two = {
+        r.vec_id
+        for r in semdedup(
+            df, 24, 7, threshold=0.9, dim=dim, assigned=assigned
+        ).collect()
+    }
+    drops_exact = n - len(exact)
+    drops_two = n - len(two)
+    assert drops_exact > 0  # the planting planted
+    # drop-set parity within 10% of the drop count (measured ~1% at
+    # 20k vectors; small-n is noisier)
+    assert abs(drops_two - drops_exact) <= max(3, drops_exact // 10)
+    assert len(exact ^ two) <= max(6, drops_exact // 5)
+
+
+def test_two_level_assignment_output_contract(spark):
+    from pyspark.sql import functions as F
+
+    from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_two_level,
+        sampled_centroids,
+    )
+
+    emb = spark.read.parquet(
+        f"{__import__('os').environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.001')}/embeddings.parquet"
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    cents = sampled_centroids(emb, 8, 11)
+    out = ivf_assign_two_level(emb, cents, dim=64)
+    assert out.columns == ["vec_id", "embedding", "cell"]
+    n = emb.count()
+    assert out.count() == n  # total: every vector gets exactly one cell
+    assert out.select("vec_id").distinct().count() == n
+    # every assigned cell is a real centroid id
+    cells = {r.cell for r in out.select("cell").distinct().collect()}
+    valid = {r.cell for r in cents.collect()}
+    assert cells <= valid

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from . import jpeg
+from . import flac, jpeg
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 PNG_HEADER_LEN = 33  # 8 sig + 4 len + 4 'IHDR' + 13 data + 4 CRC
@@ -379,8 +379,30 @@ def decode_audio(
             }
             for aid, content in zip(pdf[id_col], pdf[content_col]):
                 b = bytes(content) if content is not None else b""
-                fmt, ch, rate, bits, dur = _parse_wav_header(b)
                 n_s = peak = mean = None
+                if b[:4] == b"fLaC":
+                    # route through the real FLAC decoder (operators/
+                    # flac.py): Rice residuals, fixed predictors, CRCs
+                    # and STREAMINFO MD5 all verified; a corrupt stream
+                    # quarantines to a null-stats 'flac' row
+                    fmt, ch, rate, bits, dur = "flac", None, None, None, None
+                    try:
+                        rate, ch, bits, samples = flac.decode_flac(b)
+                        dur = (
+                            (samples.size // max(ch, 1)) / rate
+                            if rate
+                            else None
+                        )
+                        if samples.size:
+                            n_s = int(samples.size)
+                            absd = np.abs(samples.astype(np.int64))
+                            peak = int(absd.max())
+                            mean = int(absd.sum()) / n_s
+                    except (ValueError, struct.error, IndexError, KeyError):
+                        ch = rate = bits = dur = None
+                        n_s = peak = mean = None
+                else:
+                    fmt, ch, rate, bits, dur = _parse_wav_header(b)
                 if fmt == "wav" and bits == 16:
                     data_size = int.from_bytes(b[40:44], "little")
                     data = b[WAV_HEADER_LEN : WAV_HEADER_LEN + data_size]
@@ -1022,6 +1044,51 @@ def _solid_block_planes(i: int, f: int, w: int, h: int) -> list[np.ndarray]:
         np.repeat(np.repeat(((grid + off) % 256).astype(np.uint8), 8, 0), 8, 1)
         for off in (0, 85, 170)
     ]
+
+
+def synthesize_flac_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic FLAC audio fixture: one REAL Rice-coded FLAC
+    stream per row (operators/flac.py encoder — fixed predictors,
+    CRC-8/16, STREAMINFO MD5). Samples share the PCM fixture's closed
+    form — sample ``k`` of asset ``id`` is ``(id·13 + k·7) mod 65536``
+    read as int16 — with ``n = id mod 300 + 40`` samples (1..6 blocks
+    at block size 64, so multi-frame streams and the frame-number
+    UTF-8 coding are exercised) and the 8000/16000/44100 rate cycle.
+    Built in ``mapInPandas`` like the JPEG synthesizers: Rice coding is
+    not Catalyst arithmetic. The oracle recomputes every statistic from
+    the formula without touching a byte — the hash only matches if the
+    whole encode→Rice→decode round trip is lossless."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "content": [],
+                "modality": [],
+                "mime_type": [],
+            }
+            for did in pdf[id_col]:
+                i = int(did)
+                n = i % 300 + 40
+                rate = (8000, 16000, 44100)[i % 3]
+                k = np.arange(n, dtype=np.int64)
+                u = (i * 13 + k * 7) % 65536
+                samples = np.where(u >= 32768, u - 65536, u).astype(
+                    np.int16
+                )
+                out["asset_id"].append(i)
+                out["content"].append(
+                    flac.encode_flac(samples, rate, block_size=64)
+                )
+                out["modality"].append("audio")
+                out["mime_type"].append("audio/flac")
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
+        run, MULTIMODAL_PAYLOAD_SCHEMA
+    )
 
 
 def synthesize_jpeg_payload(

@@ -63,6 +63,7 @@ from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
     decode_images,
     decode_video_frames,
     synthesize_bmp_payload,
+    synthesize_flac_payload,
     synthesize_image_payload,
     synthesize_jpeg_payload,
     synthesize_pcm_payload,
@@ -4123,6 +4124,71 @@ SELECT CAST(base.doc_id AS BIGINT) AS asset_id, 'wav' AS fmt,
   CAST(16 AS INTEGER) AS bits_per_sample,
   CAST(44 + 2 * n AS BIGINT) AS n_bytes,
   (2 * n) / CAST(2 * sample_rate AS DOUBLE) AS duration_sec,
+  n_samples, peak_abs,
+  sum_abs / CAST(n_samples AS DOUBLE) AS mean_abs
+FROM base JOIN st ON base.doc_id = st.doc_id
+"""
+
+
+def multimodal_flac_audio_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPRESSED audio decode (r9 verdict item 7, closing the audio
+    family): documents become real Rice-coded FLAC streams
+    (operators/flac.py — fixed predictors, CRC-8/16, STREAMINFO MD5,
+    all verified on decode) whose samples share the PCM fixture's
+    closed form, and decode_audio routes the fLaC magic through the
+    full decoder. The oracle recomputes sample statistics from the
+    generator formula without touching a byte, so the hash only
+    matches if bit reader, Rice/zigzag, fixed-predictor reconstruction
+    AND the MD5 integrity path are all exact. ``n_bytes`` is an
+    entropy-stream statistic (not SQL-recomputable) and is projected
+    away, like the JPEG entries' byte counts. Scan widened: per-payload
+    Rice coding is CPU-dense Python (same rationale and measurement
+    series as the JPEG family)."""
+    docs = _t(spark, sf_dir, "documents", widen=True)
+    assets = synthesize_flac_payload(docs, "doc_id")
+    return decode_audio(assets).select(
+        "asset_id",
+        "fmt",
+        "channels",
+        "sample_rate",
+        "bits_per_sample",
+        "duration_sec",
+        "n_samples",
+        "peak_abs",
+        "mean_abs",
+    )
+
+
+MULTIMODAL_FLAC_SQL = """
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % 300 + 40 AS BIGINT) AS n,
+    CAST(CASE WHEN doc_id % 3 = 0 THEN 8000
+              WHEN doc_id % 3 = 1 THEN 16000
+              ELSE 44100 END AS INTEGER) AS sample_rate
+  FROM documents
+),
+s AS (
+  SELECT doc_id, unnest(generate_series(0, n - 1)) AS k FROM base
+),
+a AS (
+  SELECT doc_id,
+    CASE WHEN (doc_id * 13 + k * 7) % 65536 >= 32768
+         THEN 65536 - ((doc_id * 13 + k * 7) % 65536)
+         ELSE (doc_id * 13 + k * 7) % 65536 END AS av
+  FROM s
+),
+st AS (
+  SELECT doc_id, CAST(MAX(av) AS INTEGER) AS peak_abs,
+    CAST(SUM(av) AS BIGINT) AS sum_abs,
+    CAST(COUNT(*) AS BIGINT) AS n_samples
+  FROM a GROUP BY doc_id
+)
+SELECT CAST(base.doc_id AS BIGINT) AS asset_id, 'flac' AS fmt,
+  CAST(1 AS INTEGER) AS channels, sample_rate,
+  CAST(16 AS INTEGER) AS bits_per_sample,
+  n / CAST(sample_rate AS DOUBLE) AS duration_sec,
   n_samples, peak_abs,
   sum_abs / CAST(n_samples AS DOUBLE) AS mean_abs
 FROM base JOIN st ON base.doc_id = st.doc_id
@@ -10236,6 +10302,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "audio_decode": QuerySpec(
         multimodal_audio_decode, MULTIMODAL_AUDIO_SQL
     ),
+    "flac_audio_decode": QuerySpec(
+        multimodal_flac_audio_decode, MULTIMODAL_FLAC_SQL
+    ),
     "video_decode": QuerySpec(
         multimodal_video_decode, MULTIMODAL_VIDEO_SQL
     ),
@@ -10589,14 +10658,15 @@ REGISTRY = {
 # the two r9 `weak` bench outliers (cms_frequency, scd2_history —
 # re-measure with the interleaved bench) plus semdedup (scale notes);
 # then (c) the r5/r6 driver-row cohort, oldest first, to keep
-# cumulative freshness. 8 r6 entries did not fit the 50-slot front and
-# roll to round 11: incr_rollup, cohort_retention, pmi_collocations,
-# training_prep_pipeline, q5_local_supplier_volume,
+# cumulative freshness. 9 r6 entries did not fit the 50-slot front and
+# roll to round 11: expectations, incr_rollup, cohort_retention,
+# pmi_collocations, training_prep_pipeline, q5_local_supplier_volume,
 # snapshot_diff_orders, triangle_count_parts, char_diversity_docs.
 _R10_FRONT: tuple[str, ...] = (
     # (a) never driver-checked (added in round 10)
     "bpe_bytelevel_counts",
     "fix_mojibake_docs",
+    "flac_audio_decode",
     # (b) code or measurement changed in round 10
     "bpe_token_counts",
     "bpe_pair_counts",
@@ -10646,7 +10716,6 @@ _R10_FRONT: tuple[str, ...] = (
     "salted_join",
     "q3_shipping_priority",
     "q18_large_orders",
-    "expectations",
 )
 assert len(_R10_FRONT) == len(set(_R10_FRONT)) == 50
 REGISTRY = {
