@@ -26,6 +26,7 @@ arithmetic replayed as unrolled/recursive CTEs.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import Callable
 
@@ -5070,6 +5071,113 @@ ca AS (
         ORDER BY ROUND(list_cosine_similarity(b.e, c.ce), 6) DESC, c.cell
       ) AS rnk
     FROM u b, cents c
+  ) WHERE rnk = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM ca a JOIN ca b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.9
+)
+SELECT ca.vec_id, CAST(ca.cell AS BIGINT) AS cell
+FROM ca LEFT JOIN dropped ON ca.vec_id = dropped.vec_id
+WHERE dropped.vec_id IS NULL
+"""
+
+
+def semdedup_2level_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup over HIERARCHICAL cell assignment
+    (operators/similarity.ivf_assign_two_level — the r10 scaling
+    attestation's fix for the brute-force n×C assignment term that
+    goes quadratic once cells scale with the corpus): route each
+    vector through a coarse √C quantizer (stride-sampled from the
+    ranked centroid table), then score only the routed group's
+    centroids — ~2n√C dot products. Every stage is deterministic
+    (rounded cosine, lowest-id tie-breaks, stride coarse selection),
+    so the ENTIRE two-level routing — coarse pick, per-centroid group
+    assignment, per-vector routing, final in-group argmax, and the
+    greedy drop — is replayed in SQL and hash-verified, upgrading the
+    operator from pytest-parity to oracle-gated. Same planted
+    paraphrase frame as the `semdedup` entry."""
+    from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
+        ivf_assign_two_level,
+        sampled_centroids,
+        semdedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = base.where(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0) + F.lit(0.02)).alias(
+            "embedding"
+        ),
+    )
+    u = base.unionByName(planted)
+    cents = sampled_centroids(u, _IVF_CELLS, _IVF_STRIDE)
+    assigned = ivf_assign_two_level(u, cents, dim=_EMB_DIM)
+    return semdedup(
+        u,
+        n_centroids=_IVF_CELLS,
+        stride=_IVF_STRIDE,
+        threshold=0.9,
+        dim=_EMB_DIM,
+        assigned=assigned,
+    ).select("vec_id", F.col("cell").cast("long").alias("cell"))
+
+
+SEMDEDUP_2LEVEL_SQL = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+u AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, list_transform(e, x -> x * 2.0 + 0.02) AS e
+  FROM base WHERE vec_id < 25
+),
+cents AS (
+  SELECT vec_id AS cell, e AS ce FROM u
+  WHERE vec_id % {_IVF_STRIDE} = 0 ORDER BY vec_id LIMIT {_IVF_CELLS}
+),
+ranked AS (
+  SELECT cell, ce, row_number() OVER (ORDER BY cell) - 1 AS rk FROM cents
+),
+coarse AS (
+  SELECT cell AS gid, ce AS gv FROM ranked
+  WHERE rk % {max(1, _IVF_CELLS // max(1, math.isqrt(_IVF_CELLS)))} = 0
+  ORDER BY rk LIMIT {max(1, math.isqrt(_IVF_CELLS))}
+),
+cg AS (
+  SELECT cell, ce, gid FROM (
+    SELECT r.cell, r.ce, c.gid,
+      row_number() OVER (
+        PARTITION BY r.cell
+        ORDER BY ROUND(list_cosine_similarity(r.ce, c.gv), 6) DESC, c.gid
+      ) AS rnk
+    FROM ranked r, coarse c
+  ) WHERE rnk = 1
+),
+routed AS (
+  SELECT vec_id, e, gid FROM (
+    SELECT b.vec_id, b.e, c.gid,
+      row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY ROUND(list_cosine_similarity(b.e, c.gv), 6) DESC, c.gid
+      ) AS rnk
+    FROM u b, coarse c
+  ) WHERE rnk = 1
+),
+ca AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT r.vec_id, r.e, g.cell,
+      row_number() OVER (
+        PARTITION BY r.vec_id
+        ORDER BY ROUND(list_cosine_similarity(r.e, g.ce), 6) DESC, g.cell
+      ) AS rnk
+    FROM routed r JOIN cg g USING (gid)
   ) WHERE rnk = 1
 ),
 dropped AS (
@@ -10315,6 +10423,9 @@ REGISTRY: dict[str, QuerySpec] = {
         multimodal_jpeg_image_decode, JPEG_IMAGE_SQL
     ),
     "semdedup": QuerySpec(semdedup_survivors, SEMDEDUP_SQL),
+    "semdedup_2level": QuerySpec(
+        semdedup_2level_survivors, SEMDEDUP_2LEVEL_SQL
+    ),
     "scd2_history": QuerySpec(scd2_user_state, SCD2_SQL),
     "cms_frequency": QuerySpec(cms_frequency, CMS_SQL),
     "pagerank": QuerySpec(pagerank_supplier_parts, _pagerank_sql()),
@@ -10658,8 +10769,8 @@ REGISTRY = {
 # the two r9 `weak` bench outliers (cms_frequency, scd2_history —
 # re-measure with the interleaved bench) plus semdedup (scale notes);
 # then (c) the r5/r6 driver-row cohort, oldest first, to keep
-# cumulative freshness. 9 r6 entries did not fit the 50-slot front and
-# roll to round 11: expectations, incr_rollup, cohort_retention,
+# cumulative freshness. 10 r6 entries did not fit the 50-slot front and
+# roll to round 11: q18_large_orders, expectations, incr_rollup, cohort_retention,
 # pmi_collocations, training_prep_pipeline, q5_local_supplier_volume,
 # snapshot_diff_orders, triangle_count_parts, char_diversity_docs.
 _R10_FRONT: tuple[str, ...] = (
@@ -10667,6 +10778,7 @@ _R10_FRONT: tuple[str, ...] = (
     "bpe_bytelevel_counts",
     "fix_mojibake_docs",
     "flac_audio_decode",
+    "semdedup_2level",
     # (b) code or measurement changed in round 10
     "bpe_token_counts",
     "bpe_pair_counts",
@@ -10715,7 +10827,6 @@ _R10_FRONT: tuple[str, ...] = (
     "audio_decode",
     "salted_join",
     "q3_shipping_priority",
-    "q18_large_orders",
 )
 assert len(_R10_FRONT) == len(set(_R10_FRONT)) == 50
 REGISTRY = {
