@@ -247,3 +247,42 @@ def test_decode_audio_routes_flac_wav_and_garbage(spark):
     )
     rows = decode_audio(corrupted).collect()
     assert all(r.n_samples is None for r in rows)
+
+
+def test_stereo_independent_channels_decode():
+    """2-channel INDEPENDENT decode (in scope; the encoder never emits
+    it, so the stream is hand-built): two CONSTANT subframes -> the
+    output interleaves L,R per the MD5/sample contract."""
+    n, l_val, r_val = 4, 11, -7
+    samples = np.array([l_val, r_val] * n, dtype=np.int16)  # interleaved
+    body = struct.pack(">HH", 8, 8) + b"\x00" * 6
+    body += struct.pack(">Q", (8000 << 44) | (1 << 41) | (15 << 36) | n)
+    body += hashlib.md5(samples.astype("<i2").tobytes()).digest()
+    stream = flac.FLAC_MAGIC + bytes([0x80, 0, 0, 34]) + body
+    bb = _Bits()
+    bb.put(0x3FFE, 14).put(0, 1).put(0, 1)
+    bb.put(0b0111, 4).put(0, 4).put(0b0001, 4).put(0b100, 3).put(0, 1)
+    hdr = bb.bytes() + bytes([0]) + struct.pack(">H", n - 1)
+    hdr += bytes([_crc8_table(hdr)])
+    fb = _Bits()
+    for v in (l_val, r_val):
+        fb.put(0, 1).put(0, 6).put(0, 1).put(v, 16)
+    frame = hdr + fb.bytes()
+    frame += struct.pack(">H", _crc16_table(frame))
+    sr, ch, bps, out = flac.decode_flac(stream + frame)
+    assert (sr, ch, bps) == (8000, 2, 16)
+    assert np.array_equal(out, samples.astype(np.int64))
+
+
+def test_stereo_decorrelation_is_documented_boundary():
+    bb = _Bits()
+    bb.put(0x3FFE, 14).put(0, 1).put(0, 1)
+    bb.put(0b0111, 4).put(0, 4).put(0b1000, 4).put(0b100, 3).put(0, 1)
+    hdr = bb.bytes() + bytes([0]) + struct.pack(">H", 1)
+    hdr += bytes([_crc8_table(hdr)])
+    body = struct.pack(">HH", 8, 8) + b"\x00" * 6
+    body += struct.pack(">Q", (8000 << 44) | (1 << 41) | (15 << 36) | 2)
+    body += b"\x00" * 16
+    stream = flac.FLAC_MAGIC + bytes([0x80, 0, 0, 34]) + body
+    with pytest.raises(ValueError, match="decorrelation"):
+        flac.decode_flac(stream + hdr)
