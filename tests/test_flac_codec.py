@@ -286,3 +286,24 @@ def test_stereo_decorrelation_is_documented_boundary():
     stream = flac.FLAC_MAGIC + bytes([0x80, 0, 0, 34]) + body
     with pytest.raises(ValueError, match="decorrelation"):
         flac.decode_flac(stream + hdr)
+
+
+def test_utf8_coded_frame_number_boundaries():
+    """The extended-UTF-8 frame-number coding round-trips at every
+    byte-length boundary up to the 36-bit spec maximum (fixtures only
+    exercise small frame numbers)."""
+    from vacancy_gpt_etl_pipeline_spark.operators.flac import (
+        _BitReader,
+        _read_utf8_coded,
+        _utf8_coded,
+    )
+
+    for n in (0, 127, 128, 2047, 2048, 65535, 65536,
+              (1 << 31), (1 << 36) - 1):
+        b = _utf8_coded(n)
+        assert _read_utf8_coded(_BitReader(b, 0)) == n, n
+    with pytest.raises(ValueError):
+        _utf8_coded(1 << 36)
+    # a bare continuation byte is not a valid start
+    with pytest.raises(ValueError):
+        _read_utf8_coded(_BitReader(b"\x80\x80", 0))
