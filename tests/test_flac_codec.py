@@ -196,16 +196,56 @@ def test_corruption_quarantined():
         flac.decode_flac(b"not flac at all")
 
 
-def test_lpc_subframe_is_documented_boundary():
-    samples = [1, 2]
+def test_lpc_subframe_decodes_per_spec():
+    """Hand-built order-2 LPC subframe (quantized coefficients,
+    arithmetic sum-shift): the TEST derives the residuals from the
+    published prediction formula, builds the bit stream with the
+    independent assembler, and requires decode_flac to reconstruct the
+    target samples."""
+    samples = [100, 110, 118, 123, 125, 124]
+    order, prec, shift = 2, 7, 5
+    coefs = [60, -28]  # ~[1.875, -0.875] at shift 5
+    res = []
+    for i in range(order, len(samples)):
+        acc = sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+        res.append(samples[i] - (acc >> shift))
     bb = _Bits()
-    bb.put(0, 1).put(0b100000, 6).put(0, 1)  # LPC order 1
+    bb.put(0, 1).put(0b100000 | (order - 1), 6).put(0, 1)
+    for v in samples[:order]:
+        bb.put(v, 16)
+    bb.put(prec - 1, 4).put(shift, 5)
+    for c in coefs:
+        bb.put(c, prec)
+    param = 4
+    bb.put(0b00, 2).put(0, 4).put(param, 4)
+    for r in res:
+        u = (r << 1) if r >= 0 else ((-r << 1) - 1)
+        bb.unary(u >> param).put(u, param)
     body = bb.bytes()
-    frame = _frame_header(0, 2) + body
+    frame = _frame_header(0, len(samples)) + body
     frame += struct.pack(">H", _crc16_table(frame))
-    stream = _streaminfo(2, 8000, 2, samples) + frame
-    with pytest.raises(ValueError, match="LPC"):
-        flac.decode_flac(stream)
+    stream = _streaminfo(len(samples), 8000, len(samples), samples) + frame
+    assert list(flac.decode_flac(stream)[3]) == samples
+
+
+def test_lpc_invalid_precision_and_negative_shift_rejected():
+    def build(prec_bits, shift_bits):
+        bb = _Bits()
+        bb.put(0, 1).put(0b100000, 6).put(0, 1)  # LPC order 1
+        bb.put(7, 16)  # warmup
+        bb.put(prec_bits, 4).put(shift_bits, 5)
+        bb.put(1, 4 if prec_bits == 0b1111 else prec_bits + 1)
+        bb.put(0b00, 2).put(0, 4).put(0, 4)
+        bb.unary(0)  # one zero residual
+        body = bb.bytes()
+        frame = _frame_header(0, 2) + body
+        frame += struct.pack(">H", _crc16_table(frame))
+        return _streaminfo(2, 8000, 2, [7, 7]) + frame
+
+    with pytest.raises(ValueError, match="precision"):
+        flac.decode_flac(build(0b1111, 0))
+    with pytest.raises(ValueError, match="negative LPC shift"):
+        flac.decode_flac(build(6, 0b11111))  # -1 as signed 5-bit
 
 
 # --- Spark routing ---------------------------------------------------------

@@ -11,9 +11,11 @@ Decoder scope (the real constraint set, stated loudly):
   * fixed-blocking-strategy frames; 1..2 INDEPENDENT channels (no
     stereo decorrelation — the encoder here emits mono; L/S, R/S, M/S
     channel assignments raise ``ValueError``);
-  * subframes: CONSTANT, VERBATIM, FIXED predictor orders 0..4;
-    LPC subframes (the other half of the format) raise ``ValueError``
-    — a documented boundary, like progressive JPEG in operators/jpeg;
+  * subframes: CONSTANT, VERBATIM, FIXED predictor orders 0..4, and
+    LPC orders 1..32 (quantized coefficients, arithmetic sum-shift) —
+    the full subframe taxonomy decodes; only the ENCODER stays
+    fixed-predictor (LPC analysis is a quality knob, not a
+    conformance one — any spec-valid stream decodes);
   * residuals: 4-bit (method 0) and 5-bit (method 1) Rice partitions,
     incl. the escape-to-raw-bits case; any partition order;
   * integrity: frame-header CRC-8 (poly 0x07) and whole-frame CRC-16
@@ -439,8 +441,26 @@ def _decode_subframe(rd: _BitReader, blocksize: int, ss: int) -> np.ndarray:
         for i in range(order, blocksize):
             pred = sum(c * out[i - 1 - j] for j, c in enumerate(coefs))
             out[i] = res[i - order] + pred
-    elif stype >= 0b100000:
-        raise ValueError("LPC subframes not supported")
+    elif stype >= 0b100000:  # LPC, order 1..32
+        order = (stype & 0x1F) + 1
+        warm = [rd.signed(ss) for _ in range(order)]
+        prec = rd.bits(4)
+        if prec == 0b1111:
+            raise ValueError("invalid LPC coefficient precision")
+        prec += 1
+        shift = rd.signed(5)
+        if shift < 0:
+            # RFC 9639 §9.2.3: negative shift is forbidden
+            raise ValueError("negative LPC shift")
+        coefs = [rd.signed(prec) for _ in range(order)]
+        res = _decode_residual(rd, blocksize, order)
+        out = np.empty(blocksize, dtype=np.int64)
+        out[:order] = warm
+        for i in range(order, blocksize):
+            # c[0] weights the most recent sample; the SUM is shifted
+            # (arithmetic), per spec — not the individual products
+            acc = sum(c * out[i - 1 - j] for j, c in enumerate(coefs))
+            out[i] = res[i - order] + (acc >> shift)
     else:
         raise ValueError("reserved subframe type")
     return out << wasted

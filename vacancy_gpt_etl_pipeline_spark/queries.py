@@ -4144,9 +4144,12 @@ def multimodal_flac_audio_decode(
     matches if bit reader, Rice/zigzag, fixed-predictor reconstruction
     AND the MD5 integrity path are all exact. ``n_bytes`` is an
     entropy-stream statistic (not SQL-recomputable) and is projected
-    away, like the JPEG entries' byte counts. Scan widened: per-payload
-    Rice coding is CPU-dense Python (same rationale and measurement
-    series as the JPEG family)."""
+    away, like the JPEG entries' byte counts. LPC subframes DECODE
+    (full subframe taxonomy); the fixture encoder emits fixed
+    predictors, so LPC is exercised by hand-built spec streams in
+    tests/test_flac_codec.py. Scan widened: per-payload Rice coding is
+    CPU-dense Python (same rationale and measurement series as the
+    JPEG family)."""
     docs = _t(spark, sf_dir, "documents", widen=True)
     assets = synthesize_flac_payload(docs, "doc_id")
     return decode_audio(assets).select(
