@@ -48,9 +48,13 @@ def get_spark(
         # session (the 47-entry bench registry) evicts the big unrolled
         # minhash/simhash classes and re-pays ~15-20 s of janino compile on
         # re-encounter (measured: dedup_minhash_lsh 26.7 s late in the
-        # bench vs 6.4 s in a short session). Classes are small; 1000
-        # entries is noise next to a 32 g heap.
-        .config("spark.sql.codegen.cache.maxEntries", "1000")
+        # bench vs 6.4 s in a short session). Classes are small; raised
+        # 1000 -> 4000 in r10: the 188-entry INTERLEAVED bench (a full
+        # registry pass between the two runs of any query) generates
+        # more than 1000 classes per pass, so pass 2 re-compiled the
+        # expression-heavy ANN entries (bench min 1.1-2.1 s vs 0.7-1.5 s
+        # standalone warm). 4000 covers two full passes.
+        .config("spark.sql.codegen.cache.maxEntries", "4000")
         # Spark's default hugeMethodLimit (65535) accepts generated methods
         # far beyond the JVM JIT's 8000-bytecode compile ceiling, so wide-
         # aggregate stages (the 64-accumulator minhash/simhash signatures)
