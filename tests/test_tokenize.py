@@ -352,3 +352,45 @@ def test_bpe_bytelevel_counts_operator(spark):
         assert got[i] == want, repr(t)
     assert got[5] == (0, 0)  # "" keeps a zero row
     assert got[len(texts) - 1] == (0, 0)  # NULL text keeps a zero row
+
+
+def test_bpe_bytelevel_pack_conservation(spark, sf_dir):
+    """Byte-level packing twin: every token lands in exactly one pack,
+    pack ids are contiguous per source, counts replay the pure-Python
+    encode."""
+    from vacancy_gpt_etl_pipeline_spark.queries import (
+        _BPE_PACK_TARGET,
+        bpe_bytelevel_pack,
+    )
+
+    got = {
+        (r.source, r.pack_id): (r.n_docs, r.pack_tokens)
+        for r in bpe_bytelevel_pack(spark, sf_dir).collect()
+    }
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+
+    def tok_count(text):
+        return sum(
+            len(byte_bpe_segment(p, DEFAULT_BYTE_MERGES))
+            for p in byte_pretokenize(text or "")
+        )
+
+    per_src: dict[str, list[tuple[int, int]]] = {}
+    for r in docs:
+        c = tok_count(r.text)
+        if c > 0:
+            per_src.setdefault(r.source, []).append((r.doc_id, c))
+    want: dict[tuple[str, int], list[int]] = {}
+    for src, dd in per_src.items():
+        cum = 0
+        for doc_id, c in sorted(dd):
+            want.setdefault((src, cum // _BPE_PACK_TARGET), []).append(c)
+            cum += c
+    assert got == {k: (len(v), sum(v)) for k, v in want.items()}
+    assert sum(t for _, t in got.values()) == sum(
+        c for dd in per_src.values() for _, c in dd
+    )

@@ -9032,6 +9032,85 @@ ORDER BY a.doc_id
 BPE_BYTELEVEL_SQL = _bpe_bytelevel_sql()
 
 
+def bpe_bytelevel_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing budgeted in BYTE-level tokenizer-exact tokens — the
+    byte-level twin of `bpe_pack_docs`, closing the loop from the
+    GPT-2-family tier to context-window budgeting: per-source
+    offset-bin packing where the running cumsum is over exact
+    byte-level BPE counts (`bpe_bytelevel_counts`). pack_id =
+    floor(start_offset / target), pure integer arithmetic over exact
+    bigints. Same plan shape as the word-level packer: one
+    vocabulary-sized encode + one window shuffle partitioned by
+    source; summary rows only."""
+    from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
+        bpe_bytelevel_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    counts = bpe_bytelevel_counts(docs).where(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        docs.select("doc_id", "source")
+        .join(counts, "doc_id")
+        .withColumn(
+            "pack_id",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / F.lit(_BPE_PACK_TARGET)
+            ).cast("bigint"),
+        )
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+def _bpe_bytelevel_pack_sql() -> str:
+    from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
+        byte_bpe_merge_sql,
+        byte_pretokenize_sql,
+    )
+
+    return f"""
+WITH RECURSIVE
+{byte_pretokenize_sql()},
+vocab AS (SELECT DISTINCT pre FROM pretok),
+{byte_bpe_merge_sql()},
+per_doc AS (
+  SELECT p.doc_id,
+    CAST(SUM(t.pre_tokens) AS BIGINT) AS n_tokens
+  FROM pretok p JOIN tok t USING (pre)
+  GROUP BY p.doc_id
+),
+packed AS (
+  SELECT a.source, p.doc_id, p.n_tokens,
+    CAST(FLOOR((SUM(p.n_tokens) OVER (PARTITION BY a.source
+        ORDER BY p.doc_id) - p.n_tokens) / {_BPE_PACK_TARGET}) AS BIGINT)
+      AS pack_id
+  FROM per_doc p JOIN documents a USING (doc_id)
+  WHERE p.n_tokens > 0
+)
+SELECT source, pack_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM packed
+GROUP BY source, pack_id
+ORDER BY source, pack_id
+"""
+
+
+BPE_BYTELEVEL_PACK_SQL = _bpe_bytelevel_pack_sql()
+
+
 #: Deterministic mojibake planting: on every third document, these
 #: fixture-vocabulary words appear as their UTF-8-decoded-as-Latin-1
 #: damaged forms (accented variants, one Cyrillic) — the fixtures
@@ -10530,6 +10609,9 @@ REGISTRY: dict[str, QuerySpec] = {
         bpe_bytelevel_counts_docs, BPE_BYTELEVEL_SQL
     ),
     "fix_mojibake_docs": QuerySpec(fix_mojibake_docs, MOJIBAKE_SQL),
+    "bpe_bytelevel_pack": QuerySpec(
+        bpe_bytelevel_pack, BPE_BYTELEVEL_PACK_SQL
+    ),
     "quality_classifier_scores": QuerySpec(
         quality_classifier_scores, QUALITY_CLASSIFIER_SQL
     ),
@@ -10772,8 +10854,9 @@ REGISTRY = {
 # the two r9 `weak` bench outliers (cms_frequency, scd2_history —
 # re-measure with the interleaved bench) plus semdedup (scale notes);
 # then (c) the r5/r6 driver-row cohort, oldest first, to keep
-# cumulative freshness. 10 r6 entries did not fit the 50-slot front and
-# roll to round 11: q18_large_orders, expectations, incr_rollup, cohort_retention,
+# cumulative freshness. 11 r6 entries did not fit the 50-slot front and
+# roll to round 11: q3_shipping_priority, q18_large_orders, expectations,
+# incr_rollup, cohort_retention,
 # pmi_collocations, training_prep_pipeline, q5_local_supplier_volume,
 # snapshot_diff_orders, triangle_count_parts, char_diversity_docs.
 _R10_FRONT: tuple[str, ...] = (
@@ -10782,6 +10865,7 @@ _R10_FRONT: tuple[str, ...] = (
     "fix_mojibake_docs",
     "flac_audio_decode",
     "semdedup_2level",
+    "bpe_bytelevel_pack",
     # (b) code or measurement changed in round 10
     "bpe_token_counts",
     "bpe_pair_counts",
@@ -10829,7 +10913,6 @@ _R10_FRONT: tuple[str, ...] = (
     "nfc_normalize",
     "audio_decode",
     "salted_join",
-    "q3_shipping_priority",
 )
 assert len(_R10_FRONT) == len(set(_R10_FRONT)) == 50
 REGISTRY = {
