@@ -33,6 +33,11 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from vacancy_gpt_etl_pipeline_spark.functions.html import (
+    HTML_LINK_PATTERN,
+    strip_html_sql,
+    strip_html_text,
+)
 from vacancy_gpt_etl_pipeline_spark.functions.scalars import truncate_with_ellipsis
 from vacancy_gpt_etl_pipeline_spark.functions.text import (
     LANG_STOPWORDS,
@@ -72,6 +77,10 @@ from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
     synthesize_y4m_payload,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.relational import ratio_of_total
+from vacancy_gpt_etl_pipeline_spark.operators.warc import (
+    read_warc_records,
+    synthesize_warc_payload,
+)
 from vacancy_gpt_etl_pipeline_spark.operators.skew import (
     salted_agg,
     salted_collect_set,
@@ -10438,6 +10447,276 @@ ORDER BY source, rank_in_source
 """
 
 
+def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-container ingestion, end to end: the documents
+    fixture becomes 32 real multi-member-gzip WARC shards (warcinfo +
+    request/response record pairs, operators/warc.py), and
+    read_warc_records parses them back — gzip member splitting, WARC
+    header framing, embedded HTTP response parse — emitting one row per
+    record.  The query keeps the response records and projects fields
+    the DuckDB oracle reconstructs closed-form from (doc_id, source,
+    lang, text): the target URI, the WARC block length (HTTP headers +
+    HTML body bytes) and the HTML payload size — so the hash only
+    matches if the member split, the header parse, the Content-Length
+    framing AND the HTTP payload extraction are all byte-exact.  Scale:
+    the shard is the parallelism granule exactly as on Common Crawl
+    (one ~1 GB warc.gz per task); parsing is Arrow ``mapInPandas``;
+    malformed members quarantine without failing the task."""
+    docs = _t(spark, sf_dir, "documents")
+    recs = read_warc_records(synthesize_warc_payload(docs))
+    return (
+        recs.where(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract("target_uri", "/([0-9]+)$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "target_uri",
+            "warc_type",
+            "http_status",
+            "content_length",
+            F.octet_length("payload").cast("bigint").alias("body_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+WARC_INGEST_SQL = """
+WITH body AS (
+  SELECT doc_id, source, lang,
+    '<!DOCTYPE html><html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+      || '</title></head><body><p>' || text || '</p></body></html>' AS b
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  'https://' || source || '.example.org/' || lang || '/'
+    || CAST(doc_id AS VARCHAR) AS target_uri,
+  'response' AS warc_type,
+  CAST(200 AS INTEGER) AS http_status,
+  CAST(strlen('HTTP/1.1 200 OK' || chr(13) || chr(10)
+    || 'Content-Type: text/html; charset=utf-8' || chr(13) || chr(10)
+    || 'Content-Length: ' || CAST(strlen(b) AS VARCHAR)
+    || chr(13) || chr(10) || chr(13) || chr(10))
+    + strlen(b) AS BIGINT) AS content_length,
+  CAST(strlen(b) AS BIGINT) AS body_bytes
+FROM body
+ORDER BY doc_id
+"""
+
+
+def _doc_html_col() -> F.Column:
+    """The deterministic HTML page the extraction entries wrap around
+    each document: head with style + script (both must vanish), a
+    comment, two links, and an entity-bearing trailer paragraph.  Kept
+    in one place so warc/html entries and their tests agree."""
+    return F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            '</title><style>p { color: #333; }</style>'
+            '<script type="text/javascript">'
+            'if (1 < 2 && x) { s = "a&b"; }</script>'
+            "</head><body><!-- fixture comment --><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit('</p><a href="https://'),
+        F.col("source"),
+        F.lit(".example.org/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            '">first&nbsp;link</a> <a href="/next">next &amp; last</a>'
+            "<p>&lt;tag&gt; &quot;q&quot; &#39;s&#39;</p></body></html>"
+        ),
+    )
+
+
+_DOC_HTML_SQL = (
+    "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)"
+    " || '</title><style>p { color: #333; }</style>"
+    '<script type="text/javascript">'
+    'if (1 < 2 && x) { s = "a&b"; }</script>'
+    "</head><body><!-- fixture comment --><h1>Doc '"
+    " || CAST(doc_id AS VARCHAR) || '</h1><p>' || text"
+    " || '</p><a href=\"https://' || source || '.example.org/'"
+    " || lang || '/' || CAST(doc_id AS VARCHAR)"
+    " || '\">first&nbsp;link</a> <a href=\"/next\">next &amp; last</a>"
+    "<p>&lt;tag&gt; &quot;q&quot; &#39;s&#39;</p></body></html>'"
+)
+
+
+def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup removal — the first stage of every published web-corpus
+    pipeline (CCNet / RefinedWeb / Dolma): documents are wrapped in a
+    deterministic HTML page (style + script blocks, a comment, two
+    anchors, literal entities) built by pure ``concat`` codegen, then
+    functions/html.strip_html_text strips blocks/tags, decodes the
+    entity alphabet and collapses whitespace — ALL in WholeStageCodegen
+    string expressions, zero Python in the hot path, which is what
+    makes this stage viable at crawl scale.  n_links counts href
+    attributes via regexp_extract_all.  The oracle renders the SAME
+    strip chain from the same pattern tables (strip_html_sql), so the
+    two engines cannot drift."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "lang"
+    )
+    html = docs.select("doc_id", _doc_html_col().alias("html"))
+    return (
+        html.select(
+            "doc_id",
+            strip_html_text(F.col("html")).alias("extracted"),
+            F.size(
+                F.regexp_extract_all(
+                    "html", F.lit(HTML_LINK_PATTERN), F.lit(1)
+                )
+            )
+            .cast("bigint")
+            .alias("n_links"),
+            F.octet_length("html").cast("bigint").alias("html_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+HTML_EXTRACT_SQL = f"""
+WITH pages AS (
+  SELECT doc_id, {_DOC_HTML_SQL} AS html
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  {strip_html_sql("html")} AS extracted,
+  CAST(len(regexp_extract_all(html, '{HTML_LINK_PATTERN}', 1)) AS BIGINT)
+    AS n_links,
+  CAST(strlen(html) AS BIGINT) AS html_bytes
+FROM pages
+ORDER BY doc_id
+"""
+
+
+_DSIR_BUCKETS = 1024
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    NeurIPS'23) — the standard pretraining-data targeting move: score
+    every raw document by how much more likely its hashed-feature
+    profile is under a target distribution than under the raw corpus.
+    Features are the portable 28-bit-md5 word buckets the quality
+    classifier uses (D=1024); the target bag is the ``lang='en'``
+    subset, the raw bag is the whole corpus; bucket log-ratios use
+    add-1 smoothing.  Determinism follows source_kl_divergence's rule:
+    each bucket weight is ONE double ``ln`` of exact-integer ratios
+    quantized to decimal(28,12), per-doc sums are exact decimal
+    (order-free), and the final score is one IEEE division.  Plan
+    shape at 100 TB: one corpus word pass, a 1024-row bucket table
+    that rides a broadcast join, one map-side-combinable per-doc
+    aggregate — no data-sized shuffle beyond the doc_id groupBy."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.col("text"), " ")).alias("word"),
+    ).where(F.col("word") != "")
+    feats = words.select(
+        "doc_id",
+        "lang",
+        (
+            F.expr(
+                "CAST(conv(substring(md5(word), 1, 7), 16, 10) AS BIGINT)"
+            )
+            % _DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    cr = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_r"),
+        F.sum((F.col("lang") == "en").cast("long"))
+        .cast("bigint")
+        .alias("c_t"),
+    )
+    tot = cr.agg(
+        F.sum("c_r").cast("bigint").alias("n_r"),
+        F.sum("c_t").cast("bigint").alias("n_t"),
+    )
+    term = F.log(
+        (
+            (F.col("c_t") + 1).cast("double")
+            * (F.col("n_r") + F.lit(_DSIR_BUCKETS)).cast("double")
+        )
+        / (
+            (F.col("c_r") + 1).cast("double")
+            * (F.col("n_t") + F.lit(_DSIR_BUCKETS)).cast("double")
+        )
+    ).cast("decimal(28,12)")
+    bw = cr.crossJoin(F.broadcast(tot)).select(
+        "bucket", term.alias("w_q")
+    )
+    per_doc = (
+        feats.join(F.broadcast(bw), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.round(F.sum("w_q"), 9).cast("double").alias("log_weight"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_words",
+            "log_weight",
+            (
+                F.col("log_weight") / F.col("n_words").cast("double")
+            ).alias("avg_log_weight"),
+            (F.col("log_weight") > 0).alias("target_like"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DSIR_SQL = f"""
+WITH words AS (
+  SELECT doc_id, lang, u.w AS word
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+  WHERE u.w != ''
+),
+feats AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5(word), 1, 7))::BIGINT % {_DSIR_BUCKETS} AS bucket
+  FROM words
+),
+cr AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_r,
+    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+  FROM feats GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
+    CAST(SUM(c_t) AS BIGINT) AS n_t
+  FROM cr
+),
+bw AS (
+  SELECT bucket,
+    CAST(ln(
+      (CAST(c_t + 1 AS DOUBLE) * CAST(n_r + {_DSIR_BUCKETS} AS DOUBLE))
+      / (CAST(c_r + 1 AS DOUBLE) * CAST(n_t + {_DSIR_BUCKETS} AS DOUBLE))
+    ) AS DECIMAL(28,12)) AS w_q
+  FROM cr CROSS JOIN tot
+),
+pd AS (
+  SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+    CAST(ROUND(SUM(w_q), 9) AS DOUBLE) AS log_weight
+  FROM feats f JOIN bw USING (bucket)
+  GROUP BY f.doc_id
+)
+SELECT doc_id, n_words, log_weight,
+  log_weight / CAST(n_words AS DOUBLE) AS avg_log_weight,
+  log_weight > 0 AS target_like
+FROM pd
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10491,6 +10770,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "nfc_normalize": QuerySpec(unicode_nfc_normalize, UNICODE_NFC_SQL),
     "audio_decode": QuerySpec(
         multimodal_audio_decode, MULTIMODAL_AUDIO_SQL
+    ),
+    "warc_ingest": QuerySpec(warc_ingest, WARC_INGEST_SQL),
+    "html_text_extract": QuerySpec(html_text_extract, HTML_EXTRACT_SQL),
+    "dsir_importance_weights": QuerySpec(
+        dsir_importance_weights, DSIR_SQL
     ),
     "flac_audio_decode": QuerySpec(
         multimodal_flac_audio_decode, MULTIMODAL_FLAC_SQL
@@ -10854,13 +11138,18 @@ REGISTRY = {
 # the two r9 `weak` bench outliers (cms_frequency, scd2_history —
 # re-measure with the interleaved bench) plus semdedup (scale notes);
 # then (c) the r5/r6 driver-row cohort, oldest first, to keep
-# cumulative freshness. 11 r6 entries did not fit the 50-slot front and
+# cumulative freshness. 14 entries did not fit the 50-slot front and
 # roll to round 11: q3_shipping_priority, q18_large_orders, expectations,
 # incr_rollup, cohort_retention,
 # pmi_collocations, training_prep_pipeline, q5_local_supplier_volume,
-# snapshot_diff_orders, triangle_count_parts, char_diversity_docs.
+# snapshot_diff_orders, triangle_count_parts, char_diversity_docs,
+# nfc_normalize, audio_decode, salted_join (displaced by the three
+# web-ingestion entries added later in round 10).
 _R10_FRONT: tuple[str, ...] = (
     # (a) never driver-checked (added in round 10)
+    "warc_ingest",
+    "html_text_extract",
+    "dsir_importance_weights",
     "bpe_bytelevel_counts",
     "fix_mojibake_docs",
     "flac_audio_decode",
@@ -10910,9 +11199,6 @@ _R10_FRONT: tuple[str, ...] = (
     "quality_floor",
     "neardup_incr",
     "shard_manifest",
-    "nfc_normalize",
-    "audio_decode",
-    "salted_join",
 )
 assert len(_R10_FRONT) == len(set(_R10_FRONT)) == 50
 REGISTRY = {
