@@ -249,3 +249,33 @@ def test_dsir_plan_shape(spark, sf001_dir):
     )
     assert plan.count("BroadcastHashJoin") >= 1
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------- WEB E2E
+
+
+def test_web_pipeline_e2e_gates_and_totals(spark):
+    """Short/garbage pages drop at the rule gate; kept rows carry exact
+    token totals of the extracted (not raw-HTML) text."""
+    import os
+    import tempfile
+
+    from vacancy_gpt_etl_pipeline_spark.queries import web_pipeline_e2e
+
+    rows = [
+        # 12 en-stopword-bearing words -> passes n_tokens >= 10
+        (1, "the and is of to in this that was for it on", "sA", "en"),
+        (2, "tiny", "sA", "en"),  # 3 tokens after title -> gated out
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, source string, lang string"
+        ).withColumn(
+            "n_chars", F.length("text").cast("bigint")
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        out = web_pipeline_e2e(spark, td).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["source"] == "sA" and r["lang_pred"] == "en"
+    # extracted text is "doc 1 <12 words>" -> 14 whitespace tokens
+    assert r["n_docs"] == 1 and r["total_tokens"] == 14

@@ -10717,6 +10717,100 @@ ORDER BY doc_id
 """
 
 
+def web_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-to-clean-text, end to end — the WET-generation pipeline
+    every web corpus starts from: WARC shards (synthesized from the
+    documents fixture) -> gzip-member split + WARC/HTTP parse
+    (operators/warc.py) -> HTML->text extraction in pure codegen
+    (functions/html.py) -> language-ID + quality scoring + rule gate
+    (functions/text.py) -> per-(source, predicted-language) manifest
+    with exact token totals.  One lineage, five stages; the only
+    Python is the byte-stream WARC parse (Arrow mapInPandas over
+    shard-sized tasks); everything downstream of the parse is
+    WholeStageCodegen string expressions.  avg_quality follows the
+    engine's order-free aggregation rule: per-doc quality is already
+    rounded to 6 digits, summed as exact decimal(18,6), and divided
+    once in IEEE double.  The oracle replays all five stages from the
+    same shared SQL fragments (strip_html_sql, _LANG_CASE,
+    _SQL_QUALITY), so the hash only matches if WARC framing, payload
+    extraction, markup stripping, language voting and the quality
+    arithmetic are all exact."""
+    docs = _t(spark, sf_dir, "documents")
+    recs = read_warc_records(synthesize_warc_payload(docs))
+    pages = recs.where(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    ).select(
+        F.regexp_extract(
+            "target_uri", "^https://([^.]+)\\.example\\.org/", 1
+        ).alias("source"),
+        F.col("payload").cast("string").alias("html"),
+    )
+    texted = pages.select(
+        "source", strip_html_text(F.col("html")).alias("text")
+    )
+    profiled = texted.select(
+        "source",
+        language_id("text").alias("lang_pred"),
+        token_count("text").cast("bigint").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+    )
+    kept = profiled.where(
+        (F.col("n_tokens") >= 10) & (F.col("quality") >= 0.4)
+    )
+    return (
+        kept.groupBy("source", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_quality"),
+        )
+        .orderBy("source", "lang_pred")
+    )
+
+
+def _web_e2e_sql() -> str:
+    scores = ", ".join(
+        f"{expr} AS s_{lang}" for lang, expr in _LANG_SCORES.items()
+    )
+    return f"""
+WITH body AS (
+  SELECT doc_id, source,
+    '<!DOCTYPE html><html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+      || '</title></head><body><p>' || text || '</p></body></html>'
+      AS html
+  FROM documents
+),
+extracted AS (
+  SELECT doc_id, source, {strip_html_sql("html")} AS text FROM body
+),
+scored AS (
+  SELECT doc_id, source, text, {scores} FROM extracted
+),
+profiled AS (
+  SELECT source,
+    {_LANG_CASE} AS lang_pred,
+    CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+    {_SQL_QUALITY} AS quality
+  FROM scored
+)
+SELECT source, lang_pred,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE), 6) AS avg_quality
+FROM profiled
+WHERE n_tokens >= 10 AND quality >= 0.4
+GROUP BY source, lang_pred
+ORDER BY source, lang_pred
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10772,6 +10866,7 @@ REGISTRY: dict[str, QuerySpec] = {
         multimodal_audio_decode, MULTIMODAL_AUDIO_SQL
     ),
     "warc_ingest": QuerySpec(warc_ingest, WARC_INGEST_SQL),
+    "web_pipeline_e2e": QuerySpec(web_pipeline_e2e, _web_e2e_sql()),
     "html_text_extract": QuerySpec(html_text_extract, HTML_EXTRACT_SQL),
     "dsir_importance_weights": QuerySpec(
         dsir_importance_weights, DSIR_SQL
@@ -11143,11 +11238,12 @@ REGISTRY = {
 # incr_rollup, cohort_retention,
 # pmi_collocations, training_prep_pipeline, q5_local_supplier_volume,
 # snapshot_diff_orders, triangle_count_parts, char_diversity_docs,
-# nfc_normalize, audio_decode, salted_join (displaced by the three
-# web-ingestion entries added later in round 10).
+# nfc_normalize, audio_decode, salted_join, shard_manifest (displaced
+# by the four web-ingestion entries added later in round 10).
 _R10_FRONT: tuple[str, ...] = (
     # (a) never driver-checked (added in round 10)
     "warc_ingest",
+    "web_pipeline_e2e",
     "html_text_extract",
     "dsir_importance_weights",
     "bpe_bytelevel_counts",
@@ -11198,7 +11294,6 @@ _R10_FRONT: tuple[str, ...] = (
     "boilerplate_rm",
     "quality_floor",
     "neardup_incr",
-    "shard_manifest",
 )
 assert len(_R10_FRONT) == len(set(_R10_FRONT)) == 50
 REGISTRY = {
