@@ -119,9 +119,11 @@ def _warc_record(
 
 
 def _gzip_member(raw: bytes) -> bytes:
-    """One deterministic gzip member (mtime=0, no filename) so shard
-    bytes are reproducible across runs and workers."""
-    co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    """One deterministic gzip member (fixed level, mtime=0, no
+    filename) so shard bytes are reproducible across runs and workers.
+    Level 1: fixture records are small and the synthesizer's CPU cost
+    is all deflate — decode correctness never depends on the level."""
+    co = zlib.compressobj(1, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
     return co.compress(raw) + co.flush()
 
 
@@ -170,11 +172,13 @@ def synthesize_warc_payload(
             )
         ]
         n = 1
-        for _, row in pdf.iterrows():
-            did = int(row[id_col])
-            uri = _doc_uri(str(row[source_col]), str(row[lang_col]), did)
+        for did, text, src, lang in zip(
+            pdf[id_col], pdf[text_col], pdf[source_col], pdf[lang_col]
+        ):
+            did = int(did)
+            uri = _doc_uri(str(src), str(lang), did)
             date = _rec_date(did)
-            body = _html_body(did, str(row[text_col])).encode("utf-8")
+            body = _html_body(did, str(text)).encode("utf-8")
             parts.append(
                 _gzip_member(
                     _warc_record(
