@@ -68,6 +68,12 @@ FLAGSHIPS = (
     "bpe_bytelevel_counts",
     "curation_e2e",
     "training_mix_e2e",
+    # round-10 web-ingestion family: WARC container parse, codegen
+    # HTML->text, DSIR weighting, and the crawl-to-clean-text e2e
+    "warc_ingest",
+    "html_text_extract",
+    "dsir_importance_weights",
+    "web_pipeline_e2e",
 )
 
 
@@ -316,6 +322,14 @@ def main() -> None:
                 "when C grows with n) and the drop set matches exact "
                 "assignment to ~1% (pair co-assignment argument, "
                 "tests/test_semdedup.py)."
+            ),
+            "web_family": (
+                "warc_ingest/web_pipeline_e2e synthesize AND parse the "
+                "WARC shards per run, so their attested time is ~2x a "
+                "pure ingest; both sides are per-record Python over "
+                "shard tasks (linear, shard count = parallelism "
+                "granule exactly as on Common Crawl). html/dsir are "
+                "codegen + one broadcast join — linear by plan."
             ),
             "last_segment_superlinearity": (
                 "dedup_minhash_lsh / exact_substr_dedup run ~1.1x "
