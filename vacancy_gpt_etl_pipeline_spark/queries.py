@@ -77,6 +77,10 @@ from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
     synthesize_y4m_payload,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.relational import ratio_of_total
+from vacancy_gpt_etl_pipeline_spark.operators.pdf import (
+    extract_pdf_text,
+    synthesize_pdf_payload,
+)
 from vacancy_gpt_etl_pipeline_spark.operators.warc import (
     read_warc_records,
     synthesize_warc_payload,
@@ -10811,6 +10815,56 @@ ORDER BY source, lang_pred
 """
 
 
+def pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction, dependency-free (operators/pdf.py): each
+    document becomes a REAL multi-page PDF 1.4 — offset-correct xref,
+    FlateDecode content streams, Tj/TJ text operators with literal
+    escapes exercised by the marker line and the kerned every-third-line
+    TJ arrays — and the extractor inflates the streams (stdlib zlib,
+    bomb-capped), tokenizes the content language, and reassembles the
+    shown text.  The fixture layout (8 words/line, 8 lines/page) makes
+    page and stream counts closed-form, and the extracted text equals
+    the marker line + the document's words — so the oracle replays the
+    result without parsing a byte, and the hash only matches if stream
+    framing, Flate inflation, string-escape decoding AND operator
+    ordering are all exact.  Scan widened: per-payload deflate/inflate
+    is CPU-dense Python (same rationale as the JPEG entries)."""
+    docs = _t(spark, sf_dir, "documents", widen=True)
+    out = extract_pdf_text(synthesize_pdf_payload(docs))
+    return out.select(
+        "asset_id",
+        "n_pages",
+        "n_streams",
+        F.length("text").cast("bigint").alias("n_text_chars"),
+        "text",
+    ).orderBy("asset_id")
+
+
+PDF_TEXT_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split(text, ' '), x -> x != '') AS words
+  FROM documents
+),
+built AS (
+  SELECT doc_id,
+    'doc (' || CAST(doc_id AS VARCHAR) || ') \mark'
+      || CASE WHEN len(words) > 0
+              THEN ' ' || array_to_string(words, ' ')
+              ELSE '' END AS text,
+    1 + CAST(CEIL(len(words) / 8.0) AS BIGINT) AS n_lines
+  FROM w
+)
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+  CAST(CEIL(n_lines / 8.0) AS INTEGER) AS n_pages,
+  CAST(CEIL(n_lines / 8.0) AS INTEGER) AS n_streams,
+  CAST(length(text) AS BIGINT) AS n_text_chars,
+  text
+FROM built
+ORDER BY asset_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10867,6 +10921,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "warc_ingest": QuerySpec(warc_ingest, WARC_INGEST_SQL),
     "web_pipeline_e2e": QuerySpec(web_pipeline_e2e, _web_e2e_sql()),
+    "pdf_text_extract": QuerySpec(pdf_text_extract, PDF_TEXT_SQL),
     "html_text_extract": QuerySpec(html_text_extract, HTML_EXTRACT_SQL),
     "dsir_importance_weights": QuerySpec(
         dsir_importance_weights, DSIR_SQL
@@ -11238,12 +11293,14 @@ REGISTRY = {
 # incr_rollup, cohort_retention,
 # pmi_collocations, training_prep_pipeline, q5_local_supplier_volume,
 # snapshot_diff_orders, triangle_count_parts, char_diversity_docs,
-# nfc_normalize, audio_decode, salted_join, shard_manifest (displaced
-# by the four web-ingestion entries added later in round 10).
+# nfc_normalize, audio_decode, salted_join, shard_manifest,
+# neardup_incr (displaced by the five document-ingestion entries
+# added later in round 10).
 _R10_FRONT: tuple[str, ...] = (
     # (a) never driver-checked (added in round 10)
     "warc_ingest",
     "web_pipeline_e2e",
+    "pdf_text_extract",
     "html_text_extract",
     "dsir_importance_weights",
     "bpe_bytelevel_counts",
@@ -11293,7 +11350,6 @@ _R10_FRONT: tuple[str, ...] = (
     "salted_agg",
     "boilerplate_rm",
     "quality_floor",
-    "neardup_incr",
 )
 assert len(_R10_FRONT) == len(set(_R10_FRONT)) == 50
 REGISTRY = {
