@@ -74,6 +74,7 @@ FLAGSHIPS = (
     "html_text_extract",
     "dsir_importance_weights",
     "web_pipeline_e2e",
+    "pdf_text_extract",
 )
 
 
