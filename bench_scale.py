@@ -75,6 +75,7 @@ FLAGSHIPS = (
     "dsir_importance_weights",
     "web_pipeline_e2e",
     "pdf_text_extract",
+    "epub_chapter_extract",
 )
 
 

@@ -77,6 +77,10 @@ from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
     synthesize_y4m_payload,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.relational import ratio_of_total
+from vacancy_gpt_etl_pipeline_spark.operators.epub import (
+    extract_epub_chapters,
+    synthesize_epub_payload,
+)
 from vacancy_gpt_etl_pipeline_spark.operators.pdf import (
     extract_pdf_text,
     synthesize_pdf_payload,
@@ -10865,6 +10869,48 @@ ORDER BY asset_id
 """
 
 
+def epub_chapter_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB (ISO/IEC 23736) chapter extraction: each document becomes a
+    real conformant EPUB — stored-first mimetype, container.xml, OPF
+    manifest+spine, deflated XHTML chapters — and the extractor walks
+    the full discovery chain with stdlib zipfile (operators/epub.py),
+    stripping chapter markup with the SAME pattern tables the codegen
+    HTML extractor uses.  One output row per spine chapter; the
+    40-words-per-chapter layout makes chapter slicing closed-form, so
+    the oracle reconstructs index/href/text without opening a zip.
+    Scan widened: per-payload deflate/inflate is CPU-dense Python."""
+    docs = _t(spark, sf_dir, "documents", widen=True)
+    return extract_epub_chapters(synthesize_epub_payload(docs)).orderBy(
+        "asset_id", "chapter_idx"
+    )
+
+
+EPUB_CHAPTER_SQL = """
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split(text, ' '), x -> x != '') AS words
+  FROM documents
+),
+chs AS (
+  SELECT doc_id, words,
+    unnest(generate_series(
+      0, CAST(greatest(ceil(len(words) / 40.0), 1) AS BIGINT) - 1
+    )) AS k
+  FROM w
+)
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+  CAST(k AS INTEGER) AS chapter_idx,
+  'ch' || CAST(k AS VARCHAR) || '.xhtml' AS href,
+  'Chapter ' || CAST(k AS VARCHAR) ||
+    CASE WHEN len(list_slice(words, k * 40 + 1, (k + 1) * 40)) > 0
+         THEN ' ' || array_to_string(
+                list_slice(words, k * 40 + 1, (k + 1) * 40), ' ')
+         ELSE '' END AS text
+FROM chs
+ORDER BY asset_id, chapter_idx
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10922,6 +10968,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "warc_ingest": QuerySpec(warc_ingest, WARC_INGEST_SQL),
     "web_pipeline_e2e": QuerySpec(web_pipeline_e2e, _web_e2e_sql()),
     "pdf_text_extract": QuerySpec(pdf_text_extract, PDF_TEXT_SQL),
+    "epub_chapter_extract": QuerySpec(
+        epub_chapter_extract, EPUB_CHAPTER_SQL
+    ),
     "html_text_extract": QuerySpec(html_text_extract, HTML_EXTRACT_SQL),
     "dsir_importance_weights": QuerySpec(
         dsir_importance_weights, DSIR_SQL
@@ -11294,13 +11343,14 @@ REGISTRY = {
 # pmi_collocations, training_prep_pipeline, q5_local_supplier_volume,
 # snapshot_diff_orders, triangle_count_parts, char_diversity_docs,
 # nfc_normalize, audio_decode, salted_join, shard_manifest,
-# neardup_incr (displaced by the five document-ingestion entries
-# added later in round 10).
+# neardup_incr, quality_floor (displaced by the six document-
+# ingestion entries added later in round 10).
 _R10_FRONT: tuple[str, ...] = (
     # (a) never driver-checked (added in round 10)
     "warc_ingest",
     "web_pipeline_e2e",
     "pdf_text_extract",
+    "epub_chapter_extract",
     "html_text_extract",
     "dsir_importance_weights",
     "bpe_bytelevel_counts",
@@ -11349,7 +11399,6 @@ _R10_FRONT: tuple[str, ...] = (
     "image_decode",
     "salted_agg",
     "boilerplate_rm",
-    "quality_floor",
 )
 assert len(_R10_FRONT) == len(set(_R10_FRONT)) == 50
 REGISTRY = {
