@@ -59,15 +59,23 @@ def test_roundtrip_text_pages_and_counts():
 
 
 def test_escape_decoding():
-    assert _unescape_pdf_string(rb"(a\(b\)c\\d)") == "a(b)c\\d"
-    assert _unescape_pdf_string(rb"(x\ny)") == "x\ny"
-    assert _unescape_pdf_string(rb"(\101\102)") == "AB"  # octal
-    assert _unescape_pdf_string(b"(plain)") == "plain"
+    assert _unescape_pdf_string(rb"a\(b\)c\\d") == "a(b)c\\d"
+    assert _unescape_pdf_string(rb"x\ny") == "x\ny"
+    assert _unescape_pdf_string(rb"\101\102") == "AB"  # octal
+    assert _unescape_pdf_string(b"plain") == "plain"
 
 
 def test_tj_array_concatenates_without_kerning_gaps():
     raw = b"BT ( He ) Tj T* [(llo) -120 ( wo)] TJ T* (rld) Tj ET"
     assert _extract_stream_text(raw) == [" He ", "llo wo", "rld"]
+
+
+def test_balanced_unescaped_parens_nest():
+    """7.3.4.3: balanced parens inside a literal need no escaping."""
+    raw = b"BT (a (nested (deep)) tail) Tj ET"
+    assert _extract_stream_text(raw) == ["a (nested (deep)) tail"]
+    # unterminated literal: trailing text drops, no exception
+    assert _extract_stream_text(b"BT (open Tj ET") == []
 
 
 def test_quarantine_paths():

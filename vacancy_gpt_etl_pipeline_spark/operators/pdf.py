@@ -201,22 +201,61 @@ _STREAM_RE = re.compile(
 )
 _PAGE_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
 
-# content-stream tokens we interpret: string literals (with escapes
-# consumed) followed by the operator that shows them
-_TOKEN_RE = re.compile(
-    rb"\((?:[^()\\]|\\.)*\)|\[|\]|TJ|Tj|'|T\*|[^\s]+", re.DOTALL
-)
-
 _ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
     b"(": b"(", b")": b")", b"\\": b"\\",
 }
 
 
-def _unescape_pdf_string(tok: bytes) -> str:
-    """Decode one ``( … )`` literal: two-char escapes, octal escapes,
-    and line continuations per 7.3.4.2."""
-    body = tok[1:-1]
+def _tokenize_content(raw: bytes) -> Iterator[tuple[str, bytes]]:
+    """Content-stream tokens as ``('str', body)`` / ``('tok', op)``
+    pairs.  String literals are scanned with a depth counter so
+    BALANCED UNESCAPED parentheses — legal per 7.3.4.3 — nest
+    correctly (a regex tokenizer cannot express this).  An unterminated
+    literal consumes to end-of-stream, which on a malformed stream
+    degrades to dropped trailing text, never an exception."""
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i : i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"(":
+            j = i + 1
+            depth = 1
+            buf = bytearray()
+            while j < n:
+                ch = raw[j : j + 1]
+                if ch == b"\\":
+                    buf += raw[j : j + 2]
+                    j += 2
+                    continue
+                if ch == b"(":
+                    depth += 1
+                elif ch == b")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                buf += ch
+                j += 1
+            yield ("str", bytes(buf))
+            i = j + 1
+        elif c in (b"[", b"]"):
+            yield ("tok", c)
+            i += 1
+        else:
+            j = i
+            while j < n and not raw[j : j + 1].isspace() and raw[
+                j : j + 1
+            ] not in (b"(", b"[", b"]"):
+                j += 1
+            yield ("tok", raw[i:j])
+            i = j
+
+
+def _unescape_pdf_string(body: bytes) -> str:
+    """Decode one literal's body (parens already stripped by the
+    tokenizer): two-char escapes, octal escapes, and line continuations
+    per 7.3.4.2."""
     out = bytearray()
     i = 0
     while i < len(body):
@@ -251,9 +290,8 @@ def _extract_stream_text(raw: bytes) -> list[str]:
     pending: list[str] = []  # literals seen since the last operator
     in_array = False
     array_parts: list[str] = []
-    for tok in _TOKEN_RE.finditer(raw):
-        t = tok.group(0)
-        if t.startswith(b"("):
+    for kind, t in _tokenize_content(raw):
+        if kind == "str":
             (array_parts if in_array else pending).append(
                 _unescape_pdf_string(t)
             )
@@ -263,11 +301,7 @@ def _extract_stream_text(raw: bytes) -> list[str]:
         elif t == b"]":
             in_array = False
             pending.append("".join(array_parts))
-        elif t in (b"Tj", b"'"):
-            if pending:
-                lines.append(pending[-1])
-            pending = []
-        elif t == b"TJ":
+        elif t in (b"Tj", b"'", b"TJ"):
             if pending:
                 lines.append(pending[-1])
             pending = []

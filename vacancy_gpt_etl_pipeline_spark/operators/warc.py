@@ -278,9 +278,12 @@ def _parse_warc_member(raw: bytes) -> dict | None:
         return None
     headers: dict[str, str] = {}
     for line in head.split(_CRLF)[1:]:
-        if ": " in line:
-            k, v = line.split(": ", 1)
-            headers[k.lower()] = v
+        # spec grammar is `name ":" value` with OPTIONAL surrounding
+        # whitespace — split on the bare colon and strip, so headers
+        # written without a space after ':' still parse
+        if ":" in line:
+            k, v = line.split(":", 1)
+            headers[k.strip().lower()] = v.strip()
     try:
         clen = int(headers.get("content-length", ""))
     except ValueError:
