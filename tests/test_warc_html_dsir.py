@@ -279,3 +279,34 @@ def test_web_pipeline_e2e_gates_and_totals(spark):
     assert r["source"] == "sA" and r["lang_pred"] == "en"
     # extracted text is "doc 1 <12 words>" -> 14 whitespace tokens
     assert r["n_docs"] == 1 and r["total_tokens"] == 14
+
+
+def test_multiformat_routing_token_accounting(spark):
+    """Each format branch contributes its closed-form token overhead:
+    pdf +3 (marker line), epub +2/chapter, warc-html +2 (title)."""
+    import os
+    import tempfile
+
+    from vacancy_gpt_etl_pipeline_spark.queries import (
+        multiformat_ingest_e2e,
+    )
+
+    text41 = " ".join(f"w{i}" for i in range(41))  # 2 epub chapters
+    rows = [
+        (0, text41, "s", "en"),  # pdf
+        (1, text41, "s", "en"),  # epub
+        (2, text41, "s", "en"),  # warc-html
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, source string, lang string"
+        ).withColumn(
+            "n_chars", F.length("text").cast("bigint")
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            (r["doc_id"]): (r["fmt"], r["n_tokens"])
+            for r in multiformat_ingest_e2e(spark, td).collect()
+        }
+    assert out[0] == ("pdf", 41 + 3)
+    assert out[1] == ("epub", 41 + 2 * 2)
+    assert out[2] == ("warc-html", 41 + 2)

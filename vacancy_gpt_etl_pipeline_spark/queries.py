@@ -10911,6 +10911,92 @@ ORDER BY asset_id, chapter_idx
 """
 
 
+def multiformat_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-corpus ingestion routing — what a real document
+    lake looks like: one third of the documents arrive as multi-page
+    PDFs, one third as EPUBs, one third as WARC-archived HTML, and the
+    pipeline routes each format through its own dependency-free
+    extractor (operators/pdf.py / epub.py / warc.py + the codegen HTML
+    strip), reunifying into one (doc_id, fmt, n_tokens) accounting
+    frame.  EPUB chapters reassemble in spine order via a sorted
+    struct-array fold (no window).  The oracle never parses a byte:
+    each branch's token count is closed-form from the fixture layout
+    (PDF marker line = +3 tokens, EPUB = +2 per chapter, HTML title =
+    +2), so the hash only matches if all three extraction stacks are
+    exact.  All three branches are Arrow mapInPandas over
+    payload-sized tasks; the union is three scans of the same pruned
+    parquet (doc_id/text/source/lang), each filter pushed down."""
+    docs = _t(spark, sf_dir, "documents", widen=True)
+    rid = F.col("doc_id") % 3
+    pdf_txt = extract_pdf_text(
+        synthesize_pdf_payload(docs.where(rid == 0))
+    ).select(
+        F.col("asset_id").alias("doc_id"),
+        F.lit("pdf").alias("fmt"),
+        token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    epub_txt = (
+        extract_epub_chapters(
+            synthesize_epub_payload(docs.where(rid == 1))
+        )
+        .groupBy("asset_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chapter_idx", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("text")
+        )
+        .select(
+            F.col("asset_id").alias("doc_id"),
+            F.lit("epub").alias("fmt"),
+            token_count("text").cast("bigint").alias("n_tokens"),
+        )
+    )
+    warc_txt = (
+        read_warc_records(synthesize_warc_payload(docs.where(rid == 2)))
+        .where(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract("target_uri", "/([0-9]+)$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.lit("warc-html").alias("fmt"),
+            token_count(
+                strip_html_text(F.col("payload").cast("string"))
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+    return (
+        pdf_txt.unionByName(epub_txt)
+        .unionByName(warc_txt)
+        .orderBy("doc_id")
+    )
+
+
+MULTIFORMAT_E2E_SQL = """
+WITH w AS (
+  SELECT doc_id,
+    len(list_filter(string_split(text, ' '), x -> x != '')) AS nw
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CASE CAST(doc_id % 3 AS INTEGER)
+    WHEN 0 THEN 'pdf' WHEN 1 THEN 'epub' ELSE 'warc-html' END AS fmt,
+  CAST(CASE CAST(doc_id % 3 AS INTEGER)
+    WHEN 0 THEN nw + 3
+    WHEN 1 THEN nw + 2 * CAST(greatest(ceil(nw / 40.0), 1) AS BIGINT)
+    ELSE nw + 2 END AS BIGINT) AS n_tokens
+FROM w
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10970,6 +11056,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "pdf_text_extract": QuerySpec(pdf_text_extract, PDF_TEXT_SQL),
     "epub_chapter_extract": QuerySpec(
         epub_chapter_extract, EPUB_CHAPTER_SQL
+    ),
+    "multiformat_ingest_e2e": QuerySpec(
+        multiformat_ingest_e2e, MULTIFORMAT_E2E_SQL
     ),
     "html_text_extract": QuerySpec(html_text_extract, HTML_EXTRACT_SQL),
     "dsir_importance_weights": QuerySpec(
@@ -11343,14 +11432,15 @@ REGISTRY = {
 # pmi_collocations, training_prep_pipeline, q5_local_supplier_volume,
 # snapshot_diff_orders, triangle_count_parts, char_diversity_docs,
 # nfc_normalize, audio_decode, salted_join, shard_manifest,
-# neardup_incr, quality_floor (displaced by the six document-
-# ingestion entries added later in round 10).
+# neardup_incr, quality_floor, boilerplate_rm (displaced by the
+# seven document-ingestion entries added later in round 10).
 _R10_FRONT: tuple[str, ...] = (
     # (a) never driver-checked (added in round 10)
     "warc_ingest",
     "web_pipeline_e2e",
     "pdf_text_extract",
     "epub_chapter_extract",
+    "multiformat_ingest_e2e",
     "html_text_extract",
     "dsir_importance_weights",
     "bpe_bytelevel_counts",
@@ -11398,7 +11488,6 @@ _R10_FRONT: tuple[str, ...] = (
     "moving_average_events",
     "image_decode",
     "salted_agg",
-    "boilerplate_rm",
 )
 assert len(_R10_FRONT) == len(set(_R10_FRONT)) == 50
 REGISTRY = {
