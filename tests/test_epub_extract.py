@@ -116,3 +116,50 @@ def test_spark_operator_roundtrip(spark):
         f"t{i}" for i in range(WORDS_PER_CHAPTER, 45)
     )
     assert got[(2, 0)] == "Chapter 0"
+
+
+def test_corrupt_deflate_data_quarantines_not_raises():
+    """A valid central directory with corrupt deflate bytes must
+    quarantine (chain file) or skip (chapter), never raise."""
+    b = bytearray(build_epub(4, "a b c d"))
+    # corrupt container.xml's compressed payload: find its local header
+    off = b.find(b"container.xml")
+    # flip bytes shortly after the name (inside the deflate stream)
+    b[off + 20] ^= 0xFF
+    b[off + 21] ^= 0xFF
+    assert parse_epub(bytes(b)) is None  # chain file unreadable
+    # corrupt a CHAPTER's deflate bytes: only that chapter drops
+    b2 = bytearray(build_epub(5, "w " * 90))  # 3 chapters
+    off2 = b2.find(b"ch1.xhtml")
+    b2[off2 + 15] ^= 0xFF
+    b2[off2 + 16] ^= 0xFF
+    ch = parse_epub(bytes(b2))
+    assert ch is not None
+    assert "ch1.xhtml" not in [c[1] for c in ch]
+    assert "ch0.xhtml" in [c[1] for c in ch]
+
+
+def test_manifest_attribute_order_is_free():
+    """OPFs commonly write href before id — resolution must not depend
+    on attribute order."""
+    import io
+    import zipfile
+
+    from vacancy_gpt_etl_pipeline_spark.operators.epub import (
+        _CONTAINER_XML,
+        _chapter_xhtml,
+    )
+
+    opf = (
+        '<package><manifest>'
+        '<item href="ch0.xhtml" media-type="application/xhtml+xml" '
+        'id="c0"/></manifest>'
+        '<spine><itemref idref="c0"/></spine></package>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        zf.writestr("META-INF/container.xml", _CONTAINER_XML)
+        zf.writestr("OEBPS/content.opf", opf)
+        zf.writestr("OEBPS/ch0.xhtml", _chapter_xhtml(0, ["hi"]))
+    assert parse_epub(buf.getvalue()) == [(0, "ch0.xhtml", "Chapter 0 hi")]

@@ -119,3 +119,11 @@ def test_spark_operator_roundtrip(spark):
     assert out[3]["n_pages"] == math.ceil(
         (1 + math.ceil(100 / WORDS_PER_LINE)) / LINES_PER_PAGE
     )
+
+
+def test_non_octal_backslash_digit_is_ignored_backslash():
+    """7.3.4.2: a backslash before a non-octal digit drops the
+    backslash — it must never reach int(..., 8) and raise."""
+    assert _unescape_pdf_string(rb"\8hello") == "8hello"
+    assert _unescape_pdf_string(rb"\9\77x") == "9?x"
+    assert _extract_stream_text(rb"BT (\8ok) Tj ET") == ["8ok"]

@@ -107,7 +107,7 @@ def test_warc_parse_quarantines_bad_framing():
     )
 
 
-def test_warc_decompression_bomb_guard():
+def test_warc_decompression_bomb_guard_skips_not_stops():
     from vacancy_gpt_etl_pipeline_spark.operators import warc as W
 
     old = W._MAX_MEMBER_BYTES
@@ -117,8 +117,32 @@ def test_warc_decompression_bomb_guard():
         assert list(_iter_gzip_members(bomb)) == []
         ok = _gzip_member(b"\x00" * 100)
         assert len(list(_iter_gzip_members(ok))) == 1
+        # an oversized member mid-shard loses ONLY itself: its gzip
+        # framing is intact, so later records still parse
+        both = ok + bomb + _gzip_member(b"\x01" * 50) + ok
+        got = list(_iter_gzip_members(both))
+        assert got == [b"\x00" * 100, b"\x01" * 50, b"\x00" * 100]
     finally:
         W._MAX_MEMBER_BYTES = old
+
+
+def test_warc_http_parse_tolerance():
+    """Unicode-digit status must quarantine (None), not raise; RFC 7230
+    allows no space after the header colon."""
+    rec = _warc_record(
+        "response",
+        "x",
+        "2026-01-01T00:00:00Z",
+        "HTTP/1.1 ² OK\r\nContent-Type:text/html\r\n\r\nbody".encode(
+            "utf-8"
+        ),
+        [("Content-Type", "application/http; msgtype=response")],
+    )
+    parsed = _parse_warc_member(rec)
+    assert parsed is not None
+    assert parsed["http_status"] is None
+    assert parsed["http_content_type"] == "text/html"
+    assert parsed["payload"] == b"body"
 
 
 def test_warc_shard_determinism(spark):

@@ -24,6 +24,7 @@ from __future__ import annotations
 import io
 import re
 import zipfile
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -171,16 +172,23 @@ def _strip_markup(html: str) -> str:
 
 
 def _read_entry(zf: zipfile.ZipFile, name: str) -> bytes | None:
-    """One entry, with the declared-size bomb guard: a zip entry whose
-    header promises more than the cap is never inflated."""
+    """One entry, with the declared-size bomb guard (a zip entry whose
+    header promises more than the cap is never inflated) and read-time
+    quarantine: a valid central directory does not guarantee valid
+    deflate data or CRC, so corruption surfacing mid-read (zlib error,
+    CRC BadZipFile, truncation) returns None instead of escaping the
+    Python worker."""
     try:
         info = zf.getinfo(name)
     except KeyError:
         return None
     if info.file_size > _MAX_ENTRY_BYTES:
         return None
-    with zf.open(info) as fh:
-        return fh.read(_MAX_ENTRY_BYTES + 1)
+    try:
+        with zf.open(info) as fh:
+            return fh.read(_MAX_ENTRY_BYTES + 1)
+    except (zipfile.BadZipFile, zlib.error, EOFError, OSError):
+        return None
 
 
 def parse_epub(b: bytes) -> list[tuple[int, str, str]] | None:
@@ -208,12 +216,16 @@ def parse_epub(b: bytes) -> list[tuple[int, str, str]] | None:
         if opf is None:
             return None
         base = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
-        hrefs = {
-            im.group(1).decode(): im.group(2).decode()
-            for im in re.finditer(
-                rb'<item id="([^"]+)" href="([^"]+)"', opf
-            )
-        }
+        # attribute order inside <item> is free in real OPFs (many
+        # tools emit href before id) — scan each tag, then pull id and
+        # href independently
+        hrefs: dict[str, str] = {}
+        for im in re.finditer(rb"<item\b[^>]*>", opf):
+            tag = im.group(0)
+            mid = re.search(rb'\bid="([^"]+)"', tag)
+            mhref = re.search(rb'\bhref="([^"]+)"', tag)
+            if mid and mhref:
+                hrefs[mid.group(1).decode()] = mhref.group(1).decode()
         out: list[tuple[int, str, str]] = []
         idx = 0
         for sm in re.finditer(rb'<itemref idref="([^"]+)"', opf):

@@ -268,9 +268,15 @@ def _unescape_pdf_string(body: bytes) -> str:
         if nxt in _ESCAPES:
             out += _ESCAPES[nxt]
             i += 2
-        elif nxt.isdigit():
+        elif nxt and nxt in b"01234567":
+            # octal escape: ONLY the digits 0-7 start one (a '\8' is the
+            # ignored-backslash case below, per 7.3.4.2 — int(...,8)
+            # on it would raise out of the Spark task)
             j = i + 1
-            while j < min(i + 4, len(body)) and body[j : j + 1].isdigit():
+            while (
+                j < min(i + 4, len(body))
+                and body[j : j + 1] in b"01234567"
+            ):
                 j += 1
             out.append(int(body[i + 1 : j], 8) & 0xFF)
             i = j

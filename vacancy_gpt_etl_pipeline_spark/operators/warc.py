@@ -252,11 +252,21 @@ def _iter_gzip_members(b: bytes) -> Iterator[bytes]:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         try:
             raw = d.decompress(b[pos:], _MAX_MEMBER_BYTES)
+            oversized = False
+            while not d.eof and d.unconsumed_tail:
+                # member legitimately inflates past the cap: its gzip
+                # framing is still intact, so finish inflating with
+                # DISCARDED output and skip only this member — later
+                # records in the shard survive (skip-not-stop; only
+                # true corruption below loses the tail)
+                oversized = True
+                d.decompress(d.unconsumed_tail, _MAX_MEMBER_BYTES)
         except zlib.error:
             return
-        if not d.eof or d.unconsumed_tail:
+        if not d.eof:
             return
-        yield raw
+        if not oversized:
+            yield raw
         consumed = len(b) - pos - len(d.unused_data)
         if consumed <= 0:
             return
@@ -308,11 +318,20 @@ def _parse_warc_member(raw: bytes) -> dict | None:
             hlines = hhead.split(_CRLF)
             if hlines and hlines[0].startswith("HTTP/"):
                 bits = hlines[0].split(" ")
-                if len(bits) >= 2 and bits[1].isdigit():
-                    status = int(bits[1])
+                if len(bits) >= 2:
+                    try:
+                        # NOT str.isdigit(): it accepts Unicode digits
+                        # ('²') that int() rejects — a malformed status
+                        # must quarantine, not raise out of the task
+                        status = int(bits[1])
+                    except ValueError:
+                        status = None
                 for line in hlines[1:]:
-                    if line.lower().startswith("content-type: "):
-                        ctype = line[len("content-type: "):]
+                    # bare-colon split, same tolerance as the WARC
+                    # header loop (RFC 7230 allows no space)
+                    k, _, v = line.partition(":")
+                    if k.strip().lower() == "content-type":
+                        ctype = v.strip()
                 payload = block[hsplit + 4 :]
     return {
         "warc_type": headers.get("warc-type", ""),
