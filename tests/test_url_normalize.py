@@ -1,0 +1,92 @@
+"""URL normalization: canonicalization cases run through BOTH engines
+from the same constants, plus gate semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vacancy_gpt_etl_pipeline_spark.functions.url import (
+    BLOCKED_HOSTS,
+    normalize_url,
+    normalize_url_sql,
+    url_host,
+    url_host_sql,
+)
+
+CASES = [
+    # (raw, expected_norm, expected_host)
+    ("HTTPS://EXAMPLE.ORG/Path/X", "https://example.org/Path/X",
+     "example.org"),  # host folds, path case PRESERVED
+    ("https://example.org:443/a", "https://example.org/a", "example.org"),
+    ("http://example.org:80/a", "http://example.org/a", "example.org"),
+    ("https://example.org:8443/a", "https://example.org:8443/a",
+     "example.org"),  # non-default port kept
+    ("https://example.org/a#frag", "https://example.org/a", "example.org"),
+    ("https://example.org/a?utm_source=x", "https://example.org/a",
+     "example.org"),
+    ("https://example.org/a?q=1", "https://example.org/a?q=1",
+     "example.org"),  # real query kept
+    ("https://example.org", "https://example.org/", "example.org"),
+    ("ftp://example.org/a", None, ""),  # non-http scheme unparseable
+    ("garbage", None, ""),
+]
+
+
+def test_normalize_spark(spark):
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(CASES)], "i int, raw string"
+    )
+    got = {
+        r["i"]: (r["n"], r["h"])
+        for r in df.select(
+            "i",
+            normalize_url("raw").alias("n"),
+            url_host("raw").alias("h"),
+        ).collect()
+    }
+    for i, (raw, norm, host) in enumerate(CASES):
+        assert got[i] == (norm, host), raw
+
+
+def test_normalize_duckdb_matches():
+    import duckdb
+
+    con = duckdb.connect()
+    nexpr = normalize_url_sql("raw")
+    hexpr = url_host_sql("raw")
+    for raw, norm, host in CASES:
+        got = con.execute(
+            f"SELECT {nexpr}, {hexpr} FROM (SELECT ? AS raw)", [raw]
+        ).fetchone()
+        assert got == (norm, host), raw
+
+
+def test_gate_semantics(spark, sf001_dir):
+    from vacancy_gpt_etl_pipeline_spark.queries import url_normalize_filter
+
+    rows = url_normalize_filter(spark, sf001_dir).collect()
+    assert rows  # non-empty
+    for r in rows:
+        # normalization is idempotent over the fixture's messiness
+        assert r["norm_url"].startswith("https://")
+        assert "#" not in r["norm_url"] and "utm_" not in r["norm_url"]
+        assert ":443" not in r["norm_url"]
+        want_block = r["host"] in BLOCKED_HOSTS or "/ads/" in r["norm_url"]
+        assert r["blocked"] == want_block, r
+    # the /ads/ plant fires for every 7th doc
+    assert any("/ads/" in r["norm_url"] for r in rows)
+
+
+def test_codegen_only(spark):
+    df = spark.range(3).select(
+        F.concat(F.lit("https://h.org/"), F.col("id").cast("string")).alias(
+            "raw"
+        )
+    )
+    plan = (
+        df.select(normalize_url("raw").alias("n"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan

@@ -10997,6 +10997,93 @@ ORDER BY doc_id
 """
 
 
+def url_normalize_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + blocklist gate — the stage every crawl
+    pipeline runs before fetching anything: documents get
+    deterministically MESSY urls (uppercased scheme/host, explicit
+    default :443 port, #fragment, trailing utm tracking group, and an
+    /ads/ path for every 7th doc), functions/url.normalize_url
+    canonicalizes them in pure codegen, and the gate drops blocklisted
+    hosts and ad paths.  The oracle renders the identical
+    normalization from the same regex constants (normalize_url_sql),
+    so the hash certifies case-folding, port/fragment/tracking
+    stripping and the block rules bit-for-bit.  Plan: scan → project →
+    sort; nothing but string expressions — runs inside the scan stage
+    at 100 TB."""
+    from vacancy_gpt_etl_pipeline_spark.functions.url import (
+        AD_PATH_PATTERN,
+        BLOCKED_HOSTS,
+        normalize_url,
+        url_host,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    sid = F.col("doc_id").cast("string")
+    host = F.concat("source", F.lit(".example.org"))
+    path = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.lit("/ads/"), sid)
+    ).otherwise(F.concat(F.lit("/"), F.col("lang"), F.lit("/"), sid))
+    canonical = F.concat(F.lit("https://"), host, path)
+    m = F.col("doc_id") % 4
+    raw = (
+        F.when(m == 0, F.concat(F.lit("HTTPS://"), F.upper(host), path))
+        .when(m == 1, F.concat(F.lit("https://"), host, F.lit(":443"), path))
+        .when(m == 2, F.concat(canonical, F.lit("#sec2")))
+        .otherwise(F.concat(canonical, F.lit("?utm_source=track")))
+    )
+    urls = docs.select("doc_id", raw.alias("raw_url"))
+    return urls.select(
+        "doc_id",
+        "raw_url",
+        normalize_url("raw_url").alias("norm_url"),
+        url_host("raw_url").alias("host"),
+        (
+            url_host("raw_url").isin(*BLOCKED_HOSTS)
+            | normalize_url("raw_url").rlike(AD_PATH_PATTERN)
+        ).alias("blocked"),
+    ).orderBy("doc_id")
+
+
+def _url_filter_sql() -> str:
+    from vacancy_gpt_etl_pipeline_spark.functions.url import (
+        AD_PATH_PATTERN,
+        BLOCKED_HOSTS,
+        normalize_url_sql,
+        url_host_sql,
+    )
+
+    hosts = ", ".join(f"'{h}'" for h in BLOCKED_HOSTS)
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+    source || '.example.org' AS host,
+    CASE WHEN doc_id % 7 = 0 THEN '/ads/' || CAST(doc_id AS VARCHAR)
+         ELSE '/' || lang || '/' || CAST(doc_id AS VARCHAR) END AS path
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 4 AS INTEGER)
+      WHEN 0 THEN 'HTTPS://' || upper(host) || path
+      WHEN 1 THEN 'https://' || host || ':443' || path
+      WHEN 2 THEN 'https://' || host || path || '#sec2'
+      ELSE 'https://' || host || path || '?utm_source=track' END
+      AS raw_url
+  FROM b
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, raw_url,
+  {normalize_url_sql('raw_url')} AS norm_url,
+  {url_host_sql('raw_url')} AS host,
+  ({url_host_sql('raw_url')} IN ({hosts})
+   OR regexp_matches({normalize_url_sql('raw_url')},
+                     '{AD_PATH_PATTERN}')) AS blocked
+FROM r
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -11059,6 +11146,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "multiformat_ingest_e2e": QuerySpec(
         multiformat_ingest_e2e, MULTIFORMAT_E2E_SQL
+    ),
+    "url_normalize_filter": QuerySpec(
+        url_normalize_filter, _url_filter_sql()
     ),
     "html_text_extract": QuerySpec(html_text_extract, HTML_EXTRACT_SQL),
     "dsir_importance_weights": QuerySpec(
@@ -11432,8 +11522,8 @@ REGISTRY = {
 # pmi_collocations, training_prep_pipeline, q5_local_supplier_volume,
 # snapshot_diff_orders, triangle_count_parts, char_diversity_docs,
 # nfc_normalize, audio_decode, salted_join, shard_manifest,
-# neardup_incr, quality_floor, boilerplate_rm (displaced by the
-# seven document-ingestion entries added later in round 10).
+# neardup_incr, quality_floor, boilerplate_rm, salted_agg (displaced
+# by the eight web/document-ingestion entries added later in round 10).
 _R10_FRONT: tuple[str, ...] = (
     # (a) never driver-checked (added in round 10)
     "warc_ingest",
@@ -11441,6 +11531,7 @@ _R10_FRONT: tuple[str, ...] = (
     "pdf_text_extract",
     "epub_chapter_extract",
     "multiformat_ingest_e2e",
+    "url_normalize_filter",
     "html_text_extract",
     "dsir_importance_weights",
     "bpe_bytelevel_counts",
@@ -11487,7 +11578,6 @@ _R10_FRONT: tuple[str, ...] = (
     "fuzzy_match_parts",
     "moving_average_events",
     "image_decode",
-    "salted_agg",
 )
 assert len(_R10_FRONT) == len(set(_R10_FRONT)) == 50
 REGISTRY = {
