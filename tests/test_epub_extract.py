@@ -163,3 +163,29 @@ def test_manifest_attribute_order_is_free():
         zf.writestr("OEBPS/content.opf", opf)
         zf.writestr("OEBPS/ch0.xhtml", _chapter_xhtml(0, ["hi"]))
     assert parse_epub(buf.getvalue()) == [(0, "ch0.xhtml", "Chapter 0 hi")]
+
+
+def test_itemref_attribute_order_and_xml_id():
+    """<itemref linear="yes" idref=.../> and xml:id before id must both
+    resolve correctly."""
+    import io
+    import zipfile
+
+    from vacancy_gpt_etl_pipeline_spark.operators.epub import (
+        _CONTAINER_XML,
+        _chapter_xhtml,
+    )
+
+    opf = (
+        '<package><manifest>'
+        '<item xml:id="n1" id="c0" href="ch0.xhtml" '
+        'media-type="application/xhtml+xml"/></manifest>'
+        '<spine><itemref linear="yes" idref="c0"/></spine></package>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        zf.writestr("META-INF/container.xml", _CONTAINER_XML)
+        zf.writestr("OEBPS/content.opf", opf)
+        zf.writestr("OEBPS/ch0.xhtml", _chapter_xhtml(0, ["ok"]))
+    assert parse_epub(buf.getvalue()) == [(0, "ch0.xhtml", "Chapter 0 ok")]

@@ -334,3 +334,34 @@ def test_multiformat_routing_token_accounting(spark):
     assert out[0] == ("pdf", 41 + 3)
     assert out[1] == ("epub", 41 + 2 * 2)
     assert out[2] == ("warc-html", 41 + 2)
+
+
+def test_warc_status_rejects_int_coercible_nondigits():
+    """'+200' / '2_00' parse via int() but are not valid status tokens
+    — they must quarantine to None, not coerce to 200."""
+    for bad in ("+200", "2_00", "٢٠٠"):
+        rec = _warc_record(
+            "response",
+            "x",
+            "2026-01-01T00:00:00Z",
+            f"HTTP/1.1 {bad} OK\r\n\r\nb".encode("utf-8"),
+            [("Content-Type", "application/http; msgtype=response")],
+        )
+        assert _parse_warc_member(rec)["http_status"] is None, bad
+
+
+def test_warc_shard_inflated_ceiling_bounds_discard_cpu():
+    from vacancy_gpt_etl_pipeline_spark.operators import warc as W
+
+    old_m, old_s = W._MAX_MEMBER_BYTES, W._MAX_SHARD_INFLATED_BYTES
+    W._MAX_MEMBER_BYTES = 1024
+    W._MAX_SHARD_INFLATED_BYTES = 4096
+    try:
+        ok = _gzip_member(b"\x00" * 100)
+        bomb = _gzip_member(b"\x00" * 100_000)
+        # ceiling trips mid-discard of the bomb: iteration stops, the
+        # good members BEFORE it already yielded
+        got = list(_iter_gzip_members(ok + bomb + ok))
+        assert got == [b"\x00" * 100]
+    finally:
+        W._MAX_MEMBER_BYTES, W._MAX_SHARD_INFLATED_BYTES = old_m, old_s

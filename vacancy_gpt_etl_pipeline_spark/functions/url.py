@@ -32,8 +32,12 @@ __all__ = [
 
 # one parts-regex shared verbatim by both engines; (?i) because the
 # scheme arrives in the wild in any case (the host fold is explicit,
-# and capture groups return the ORIGINAL text so path case survives)
-_PARTS = "(?i)^(https?)://([^/:#?]+)(:[0-9]+)?([^#]*).*$"
+# and capture groups return the ORIGINAL text so path case survives).
+# Userinfo ('user:pass@') is skipped by the optional non-capturing
+# group so a blocklisted host cannot hide behind 'x@host' — without
+# it, url_host would report the userinfo as the host and the gate
+# would silently pass the URL.
+_PARTS = "(?i)^(https?)://(?:[^/@#?]*@)?([^/:#?]+)(:[0-9]+)?([^#]*).*$"
 #: default-port suffixes stripped per scheme
 _DEFAULT_PORTS = (("https", ":443"), ("http", ":80"))
 #: single trailing tracking group (see module docstring)

@@ -216,20 +216,26 @@ def parse_epub(b: bytes) -> list[tuple[int, str, str]] | None:
         if opf is None:
             return None
         base = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
-        # attribute order inside <item> is free in real OPFs (many
-        # tools emit href before id) — scan each tag, then pull id and
-        # href independently
+        # attribute order inside <item>/<itemref> is free in real OPFs
+        # (many tools emit href or linear first) — scan each tag, then
+        # pull attributes independently; the id pattern must not match
+        # the tail of xml:id / unique-id (negative lookbehind)
         hrefs: dict[str, str] = {}
         for im in re.finditer(rb"<item\b[^>]*>", opf):
             tag = im.group(0)
-            mid = re.search(rb'\bid="([^"]+)"', tag)
-            mhref = re.search(rb'\bhref="([^"]+)"', tag)
+            mid = re.search(rb'(?<![-:\w])id="([^"]+)"', tag)
+            mhref = re.search(rb'(?<![-:\w])href="([^"]+)"', tag)
             if mid and mhref:
                 hrefs[mid.group(1).decode()] = mhref.group(1).decode()
+        refs: list[str] = []
+        for sm in re.finditer(rb"<itemref\b[^>]*>", opf):
+            mref = re.search(rb'(?<![-:\w])idref="([^"]+)"', sm.group(0))
+            if mref:
+                refs.append(mref.group(1).decode())
         out: list[tuple[int, str, str]] = []
         idx = 0
-        for sm in re.finditer(rb'<itemref idref="([^"]+)"', opf):
-            href = hrefs.get(sm.group(1).decode())
+        for ref in refs:
+            href = hrefs.get(ref)
             if href is None:
                 continue
             data = _read_entry(zf, base + href)

@@ -236,6 +236,11 @@ def synthesize_warc_payload(
 
 
 _MAX_MEMBER_BYTES = 64 * 1024 * 1024
+#: total inflated bytes (kept + discarded) one shard may produce — the
+#: CPU/time twin of the per-member memory cap: without it, a shard of
+#: many near-max-ratio deflate members could force minutes of
+#: inflate-and-discard work per task before every member is skipped
+_MAX_SHARD_INFLATED_BYTES = 4 * 1024 * 1024 * 1024
 
 
 def _iter_gzip_members(b: bytes) -> Iterator[bytes]:
@@ -244,14 +249,19 @@ def _iter_gzip_members(b: bytes) -> Iterator[bytes]:
     recoverable framing); prior members are already yielded.  Each
     member inflates with a hard output cap so a decompression-bomb
     record cannot exhaust executor memory (same guard rationale as
-    multimodal._png_pixels)."""
+    multimodal._png_pixels); an over-cap member whose framing is
+    intact is finished with DISCARDED output and skipped alone, and
+    the shard-total inflated ceiling bounds the CPU that discarding
+    can consume."""
     pos = 0
+    total = 0
     while pos < len(b):
         if b[pos : pos + 2] != b"\x1f\x8b":
             return
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         try:
             raw = d.decompress(b[pos:], _MAX_MEMBER_BYTES)
+            total += len(raw)
             oversized = False
             while not d.eof and d.unconsumed_tail:
                 # member legitimately inflates past the cap: its gzip
@@ -260,10 +270,16 @@ def _iter_gzip_members(b: bytes) -> Iterator[bytes]:
                 # records in the shard survive (skip-not-stop; only
                 # true corruption below loses the tail)
                 oversized = True
-                d.decompress(d.unconsumed_tail, _MAX_MEMBER_BYTES)
+                total += len(
+                    d.decompress(d.unconsumed_tail, _MAX_MEMBER_BYTES)
+                )
+                if total > _MAX_SHARD_INFLATED_BYTES:
+                    return
         except zlib.error:
             return
         if not d.eof:
+            return
+        if total > _MAX_SHARD_INFLATED_BYTES:
             return
         if not oversized:
             yield raw
@@ -318,14 +334,17 @@ def _parse_warc_member(raw: bytes) -> dict | None:
             hlines = hhead.split(_CRLF)
             if hlines and hlines[0].startswith("HTTP/"):
                 bits = hlines[0].split(" ")
-                if len(bits) >= 2:
-                    try:
-                        # NOT str.isdigit(): it accepts Unicode digits
-                        # ('²') that int() rejects — a malformed status
-                        # must quarantine, not raise out of the task
-                        status = int(bits[1])
-                    except ValueError:
-                        status = None
+                if (
+                    len(bits) >= 2
+                    and bits[1].isascii()
+                    and bits[1].isdecimal()
+                ):
+                    # the ASCII-decimal gate both prevents int() raising
+                    # on Unicode digits ('²') AND rejects tokens int()
+                    # would silently normalize ('+200', '2_00', Arabic-
+                    # Indic digits) — malformed statuses quarantine to
+                    # None, never coerce
+                    status = int(bits[1])
                 for line in hlines[1:]:
                     # bare-colon split, same tolerance as the WARC
                     # header loop (RFC 7230 allows no space)
