@@ -116,3 +116,39 @@ def test_userinfo_spark_parity(spark):
     ).collect()[0]
     assert r["h"] == "example.org"
     assert r["n"] == "https://example.org/p"
+
+
+def test_robots_gate_semantics(spark, sf001_dir):
+    """/ads/ is disallowed everywhere; /zh/ only on src{0,5,10,15};
+    rule-free paths stay fetchable; n_rules counts the host's rules."""
+    from vacancy_gpt_etl_pipeline_spark.queries import (
+        robots_disallow_filter,
+    )
+
+    rows = robots_disallow_filter(spark, sf001_dir).collect()
+    assert rows
+    for r in rows:
+        num = int(r["host"].split(".")[0][3:])
+        want_rules = 1 + (num % 5 == 0) + (num % 3 == 0)
+        assert r["n_rules"] == want_rules, r
+        blocked = r["path"].startswith("/ads/") or (
+            num % 5 == 0 and r["path"].startswith("/zh/")
+        )
+        assert r["fetch_allowed"] == (not blocked), r
+    assert any(not r["fetch_allowed"] for r in rows)
+    assert any(r["fetch_allowed"] for r in rows)
+
+
+def test_langid_confusion_shape(spark, sf001_dir):
+    from vacancy_gpt_etl_pipeline_spark.queries import langid_confusion
+
+    rows = langid_confusion(spark, sf001_dir).collect()
+    # fractions per true language sum to 1 (exact counts, one division)
+    from collections import defaultdict
+
+    tot = defaultdict(float)
+    for r in rows:
+        tot[r["lang"]] += r["frac_of_lang"]
+        assert r["correct"] == (r["lang"] == r["lang_pred"])
+    for lang, s in tot.items():
+        assert abs(s - 1.0) < 1e-12, lang

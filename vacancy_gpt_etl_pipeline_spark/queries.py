@@ -11084,6 +11084,147 @@ ORDER BY doc_id
 """
 
 
+def robots_disallow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-politeness gate — the other half of stage zero next to
+    url_normalize_filter: every host publishes a deterministic
+    robots.txt rule set (``/ads/`` everywhere, plus ``/zh/`` on hosts
+    whose source number is divisible by 5 and ``/private/`` on
+    multiples of 3), and a URL is fetchable only if NO disallow prefix
+    matches its path.  The host-rules frame is host-cardinality (tiny)
+    and BROADCASTS into the URL frame; the all-prefixes-clear test is
+    one ``bool_and`` aggregate after the explode-join — at crawl scale
+    the per-URL work is a broadcast hash probe plus a startswith per
+    rule, no data-sized shuffle beyond the final sort.  The oracle
+    replays rule synthesis and prefix matching in SQL, so the hash
+    certifies the matching semantics (prefix anchored at path start,
+    multiple rules per host, rule-free hosts allowed)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    sid = F.col("doc_id").cast("string")
+    path = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.lit("/ads/"), sid)
+    ).otherwise(F.concat(F.lit("/"), F.col("lang"), F.lit("/"), sid))
+    urls = docs.select(
+        "doc_id",
+        F.concat("source", F.lit(".example.org")).alias("host"),
+        path.alias("path"),
+    )
+    src_num = F.regexp_extract("source", "([0-9]+)$", 1).cast("int")
+    rules = (
+        docs.select("source").distinct()
+        .select(
+            F.concat("source", F.lit(".example.org")).alias("host"),
+            F.array_compact(
+                F.array(
+                    F.lit("/ads/"),
+                    F.when(src_num % 5 == 0, F.lit("/zh/")),
+                    F.when(src_num % 3 == 0, F.lit("/private/")),
+                )
+            ).alias("prefixes"),
+        )
+        .select("host", F.explode("prefixes").alias("prefix"))
+    )
+    joined = urls.join(F.broadcast(rules), "host", "left")
+    return (
+        joined.groupBy("doc_id", "host", "path")
+        .agg(
+            F.count("prefix").cast("bigint").alias("n_rules"),
+            F.coalesce(
+                F.bool_and(
+                    ~F.col("path").startswith(F.col("prefix"))
+                ),
+                F.lit(True),
+            ).alias("fetch_allowed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ROBOTS_SQL = """
+WITH u AS (
+  SELECT doc_id,
+    source || '.example.org' AS host,
+    CASE WHEN doc_id % 7 = 0 THEN '/ads/' || CAST(doc_id AS VARCHAR)
+         ELSE '/' || lang || '/' || CAST(doc_id AS VARCHAR) END AS path
+  FROM documents
+),
+rules AS (
+  SELECT source || '.example.org' AS host, u.p AS prefix
+  FROM (SELECT DISTINCT source FROM documents),
+  UNNEST(list_filter([
+    '/ads/',
+    CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER)
+              % 5 = 0 THEN '/zh/' END,
+    CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER)
+              % 3 = 0 THEN '/private/' END
+  ], x -> x IS NOT NULL)) AS u(p)
+)
+SELECT CAST(u.doc_id AS BIGINT) AS doc_id, u.host, u.path,
+  CAST(COUNT(r.prefix) AS BIGINT) AS n_rules,
+  COALESCE(bool_and(NOT starts_with(u.path, r.prefix)), TRUE)
+    AS fetch_allowed
+FROM u LEFT JOIN rules r ON u.host = r.host
+GROUP BY u.doc_id, u.host, u.path
+ORDER BY u.doc_id
+"""
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation — the confusion matrix of the stopword-
+    vote heuristic against the fixture's ground-truth ``lang`` labels,
+    plus per-true-language accuracy.  The eval an operator like
+    language_id needs before it gates a corpus: one scan, one
+    (lang, lang_pred)-cardinality aggregate (25 cells max), exact
+    integer counts and one IEEE division per row."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    cells = (
+        docs.select("lang", language_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    tot = cells.groupBy("lang").agg(
+        F.sum("n_docs").cast("bigint").alias("n_lang")
+    )
+    return (
+        cells.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            "n_docs",
+            (
+                F.col("n_docs").cast("double")
+                / F.col("n_lang").cast("double")
+            ).alias("frac_of_lang"),
+            (F.col("lang") == F.col("lang_pred")).alias("correct"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+LANGID_CONFUSION_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+    {", ".join(f"{expr} AS s_{lang}" for lang, expr in _LANG_SCORES.items())}
+  FROM documents
+),
+cells AS (
+  SELECT lang, {_LANG_CASE} AS lang_pred,
+    CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM scored GROUP BY 1, 2
+),
+tot AS (
+  SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang
+  FROM cells GROUP BY lang
+)
+SELECT c.lang, c.lang_pred, c.n_docs,
+  CAST(c.n_docs AS DOUBLE) / CAST(t.n_lang AS DOUBLE) AS frac_of_lang,
+  c.lang = c.lang_pred AS correct
+FROM cells c JOIN tot t USING (lang)
+ORDER BY c.lang, c.lang_pred
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -11150,6 +11291,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "url_normalize_filter": QuerySpec(
         url_normalize_filter, _url_filter_sql()
     ),
+    "robots_disallow_filter": QuerySpec(
+        robots_disallow_filter, ROBOTS_SQL
+    ),
+    "langid_confusion": QuerySpec(langid_confusion, LANGID_CONFUSION_SQL),
     "html_text_extract": QuerySpec(html_text_extract, HTML_EXTRACT_SQL),
     "dsir_importance_weights": QuerySpec(
         dsir_importance_weights, DSIR_SQL
@@ -11522,8 +11667,9 @@ REGISTRY = {
 # pmi_collocations, training_prep_pipeline, q5_local_supplier_volume,
 # snapshot_diff_orders, triangle_count_parts, char_diversity_docs,
 # nfc_normalize, audio_decode, salted_join, shard_manifest,
-# neardup_incr, quality_floor, boilerplate_rm, salted_agg (displaced
-# by the eight web/document-ingestion entries added later in round 10).
+# neardup_incr, quality_floor, boilerplate_rm, salted_agg,
+# moving_average_events, image_decode (displaced by the ten
+# web/document-ingestion + eval entries added later in round 10).
 _R10_FRONT: tuple[str, ...] = (
     # (a) never driver-checked (added in round 10)
     "warc_ingest",
@@ -11532,6 +11678,8 @@ _R10_FRONT: tuple[str, ...] = (
     "epub_chapter_extract",
     "multiformat_ingest_e2e",
     "url_normalize_filter",
+    "robots_disallow_filter",
+    "langid_confusion",
     "html_text_extract",
     "dsir_importance_weights",
     "bpe_bytelevel_counts",
@@ -11576,8 +11724,6 @@ _R10_FRONT: tuple[str, ...] = (
     "sliding_window_half_hour",
     "session_windows_per_user",
     "fuzzy_match_parts",
-    "moving_average_events",
-    "image_decode",
 )
 assert len(_R10_FRONT) == len(set(_R10_FRONT)) == 50
 REGISTRY = {
