@@ -129,6 +129,11 @@ def test_robots_gate_semantics(spark, sf001_dir):
     assert rows
     for r in rows:
         num = int(r["host"].split(".")[0][3:])
+        if num % 4 == 1:
+            # rule-free host: no robots.txt published — always
+            # fetchable through the left-join/COALESCE branch
+            assert r["n_rules"] == 0 and r["fetch_allowed"], r
+            continue
         want_rules = 1 + (num % 5 == 0) + (num % 3 == 0)
         assert r["n_rules"] == want_rules, r
         blocked = r["path"].startswith("/ads/") or (
@@ -137,18 +142,5 @@ def test_robots_gate_semantics(spark, sf001_dir):
         assert r["fetch_allowed"] == (not blocked), r
     assert any(not r["fetch_allowed"] for r in rows)
     assert any(r["fetch_allowed"] for r in rows)
-
-
-def test_langid_confusion_shape(spark, sf001_dir):
-    from vacancy_gpt_etl_pipeline_spark.queries import langid_confusion
-
-    rows = langid_confusion(spark, sf001_dir).collect()
-    # fractions per true language sum to 1 (exact counts, one division)
-    from collections import defaultdict
-
-    tot = defaultdict(float)
-    for r in rows:
-        tot[r["lang"]] += r["frac_of_lang"]
-        assert r["correct"] == (r["lang"] == r["lang_pred"])
-    for lang, s in tot.items():
-        assert abs(s - 1.0) < 1e-12, lang
+    # the rule-free population is non-empty in the fixture universe
+    assert any(r["n_rules"] == 0 for r in rows)

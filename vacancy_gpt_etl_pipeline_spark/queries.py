@@ -11111,8 +11111,13 @@ def robots_disallow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         path.alias("path"),
     )
     src_num = F.regexp_extract("source", "([0-9]+)$", 1).cast("int")
+    # hosts with src_num % 4 == 1 publish NO robots.txt at all — the
+    # rule-free branch (left-join null -> COALESCE TRUE, n_rules=0)
+    # must be a real population in the certified universe, not dead
+    # code a refactor could silently break
     rules = (
         docs.select("source").distinct()
+        .where(src_num % 4 != 1)
         .select(
             F.concat("source", F.lit(".example.org")).alias("host"),
             F.array_compact(
@@ -11151,7 +11156,9 @@ WITH u AS (
 ),
 rules AS (
   SELECT source || '.example.org' AS host, u.p AS prefix
-  FROM (SELECT DISTINCT source FROM documents),
+  FROM (SELECT DISTINCT source FROM documents
+        WHERE CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER)
+              % 4 != 1),
   UNNEST(list_filter([
     '/ads/',
     CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER)
@@ -11175,7 +11182,8 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote heuristic against the fixture's ground-truth ``lang`` labels,
     plus per-true-language accuracy.  The eval an operator like
     language_id needs before it gates a corpus: one scan, one
-    (lang, lang_pred)-cardinality aggregate (25 cells max), exact
+    (lang, lang_pred)-cardinality aggregate (30 cells max: 5 true
+    languages x 6 predictions incl. 'und'), exact
     integer counts and one IEEE division per row."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     cells = (
