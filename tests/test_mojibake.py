@@ -127,3 +127,26 @@ def test_fix_mojibake_docs_planted_defects(spark, sf_dir):
             if r.n_repairs:
                 n_repaired_docs += 1
     assert n_repaired_docs > 0  # the planting actually planted
+
+
+def test_repair_output_cannot_cascade_into_later_rule():
+    """r10 ADVICE: 'Ñ' is both a repair OUTPUT (Latin Ñ) and the LEAD
+    of the Cyrillic U+0440..U+044F damaged forms. With Cyrillic rules
+    ordered first, the pathological input Ã+U+0091+U+008F (damaged Ñ
+    followed by a stray tail byte) must repair to Ñ+U+008F — NOT
+    cascade into 'я'."""
+    pathological = "Ã\x91\x8f"
+    assert _py_repair(pathological) == "Ñ\x8f"
+    # and the ordering invariant itself: no repair output equals the
+    # lead of any LATER rule
+    for k, (_, good) in enumerate(MOJIBAKE_REPAIRS):
+        assert all(
+            bad2[0] != good for bad2, _ in MOJIBAKE_REPAIRS[k + 1 :]
+        ), good
+
+
+def test_cyrillic_and_latin_repairs_both_roundtrip():
+    """Reordering must not regress either family's repair."""
+    for clean in ("Ñандарин", "Español Ñ", "привет Ñ мир", "яяя ÑÑÑ"):
+        damaged = clean.encode("utf-8").decode("latin-1")
+        assert _py_repair(damaged) == clean, repr(clean)

@@ -127,3 +127,16 @@ def test_non_octal_backslash_digit_is_ignored_backslash():
     assert _unescape_pdf_string(rb"\8hello") == "8hello"
     assert _unescape_pdf_string(rb"\9\77x") == "9?x"
     assert _extract_stream_text(rb"BT (\8ok) Tj ET") == ["8ok"]
+
+
+def test_line_continuation_all_eol_forms():
+    """7.3.4.2: backslash + ANY EOL (LF, CR, CRLF) is a continuation —
+    a \\<CR><LF> must not leak a stray carriage return (r10 ADVICE)."""
+    assert _unescape_pdf_string(b"a\\\nb") == "ab"
+    assert _unescape_pdf_string(b"a\\\rb") == "ab"
+    assert _unescape_pdf_string(b"a\\\r\nb") == "ab"
+    # trailing continuation at end of body
+    assert _unescape_pdf_string(b"a\\\r") == "a"
+    # an UNESCAPED CR/LF inside a literal is real content (the
+    # tokenizer passes it through; only backslash-EOL is elided)
+    assert _unescape_pdf_string(b"a\rb") == "a\rb"

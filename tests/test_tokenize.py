@@ -194,6 +194,13 @@ TRICKY_TEXTS = [
     "\n\n\nx",
     "  双语 mixed 中文 ",
     "eéиx",
+    # non-ASCII whitespace: NBSP / U+2028 are NOT \s to Java or RE2 —
+    # they classify as punctuation and EXTEND a [^\s\p{L}\p{N}]+ run
+    # (the r10 ADVICE divergence; the Python reference now follows)
+    "a b",
+    "x  !y",
+    "  z",
+    "p q  ",
 ]
 
 

@@ -319,30 +319,50 @@ def sentiment_counts(c: Column | str) -> tuple[Column, Column]:
 # The table is generated, not hand-typed: for each codepoint c in the
 # repair alphabet, the damaged form IS c.encode('utf-8')
 # .decode('latin-1') — two Latin-1 chars for U+0080..U+07FF. Every
-# damaged form is length 2 and starts with a distinct lead byte char
-# (Ã, Ð, Ñ, Â, ...) no OTHER entry's tail can begin with (tails are in
-# U+00A0..U+00BF; leads in U+00C2..U+00D1), so the replace chain is
-# order-independent and never cascades.
+# damaged form is length 2 and starts with a lead byte char
+# (Ã, Ð, Ñ, Â, ...) no entry's tail can begin with (tails are in
+# U+0080..U+00BF; leads in U+00C2..U+00D1), so no damaged form
+# overlaps another INSIDE one pass. A repair OUTPUT can still equal a
+# lead, though: 'Ñ' (U+00D1) is both a repaired Latin letter and the
+# lead of the Cyrillic U+0440..U+044F damaged forms — so the chain is
+# NOT order-independent. Cyrillic entries therefore run FIRST: every
+# rule whose lead a later rule's output could forge precedes that
+# rule, asserted below against future extensions.
 
-#: Closed repair alphabet: Latin-1 supplement accents (western-European
-#: text) + the Cyrillic letters of the fixture's Russian taxonomy
-#: labels. Extend by adding codepoints — the damaged forms derive.
+#: Closed repair alphabet: the Cyrillic letters of the fixture's
+#: Russian taxonomy labels FIRST (their 'Ñ'-lead damaged forms must be
+#: consumed before the Latin 'Ñ' repair can mint new 'Ñ' chars), then
+#: Latin-1 supplement accents. Extend by adding codepoints — the
+#: damaged forms derive; the order assertion below rejects any
+#: extension that would cascade.
 MOJIBAKE_ALPHABET = (
-    "áàâäãéèêëíìîïóòôöõúùûüñçÁÉÍÓÚÑÄÖÜß"
     "абвгдежзиклмнопрстуфхцчшщыьэюя"
+    "áàâäãéèêëíìîïóòôöõúùûüñçÁÉÍÓÚÑÄÖÜß"
 )
 
 MOJIBAKE_REPAIRS: tuple[tuple[str, str], ...] = tuple(
     (c.encode("utf-8").decode("latin-1"), c) for c in MOJIBAKE_ALPHABET
 )
-# the derivation above is only order-independent if no damaged form is
-# a prefix/substring of another — guaranteed by the lead/tail range
-# split documented above, asserted here against future extensions
+# cascade-freedom, asserted against future extensions:
+# (1) every damaged form is exactly 2 chars and unique;
+# (2) leads and tails are disjoint ranges, so no damaged form overlaps
+#     another within a single replace pass;
+# (3) no repair output is the LEAD of any LATER rule (a 2->1 repair
+#     can only forge a later pattern by becoming its lead — outputs
+#     are never tails, checked too), so later passes never match text
+#     an earlier pass produced.
 assert all(len(bad) == 2 for bad, _ in MOJIBAKE_REPAIRS)
 assert len({bad for bad, _ in MOJIBAKE_REPAIRS}) == len(MOJIBAKE_REPAIRS)
 _LEADS = {bad[0] for bad, _ in MOJIBAKE_REPAIRS}
 _TAILS = {bad[1] for bad, _ in MOJIBAKE_REPAIRS}
-assert _LEADS.isdisjoint(_TAILS), "replace chain would cascade"
+assert _LEADS.isdisjoint(_TAILS), "damaged forms would overlap"
+assert _TAILS.isdisjoint(
+    {good for _, good in MOJIBAKE_REPAIRS}
+), "a repair output could forge a later pattern's tail"
+assert all(
+    good not in {bad2[0] for bad2, _ in MOJIBAKE_REPAIRS[k + 1 :]}
+    for k, (_, good) in enumerate(MOJIBAKE_REPAIRS)
+), "a repair output would cascade into a later rule's lead"
 
 
 def fix_mojibake(c: Column | str) -> Column:

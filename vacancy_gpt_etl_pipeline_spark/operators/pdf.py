@@ -282,6 +282,11 @@ def _unescape_pdf_string(body: bytes) -> str:
             i = j
         elif nxt == b"\n":
             i += 2  # line continuation
+        elif nxt == b"\r":
+            # 7.3.4.2: backslash followed by ANY EOL marker (CR, LF, or
+            # CRLF) is a line continuation — consume the full marker so
+            # a \<CR><LF> does not leak a stray \r into the text
+            i += 3 if body[i + 2 : i + 3] == b"\n" else 2
         else:
             out += nxt
             i += 2

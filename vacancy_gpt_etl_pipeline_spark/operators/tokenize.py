@@ -317,21 +317,19 @@ def byte_pretokenize(text: str) -> list[str]:
     still backtracks to W[:-1] but the final (non-space) whitespace
     character fails ` ?`, so it is emitted alone and T is unprefixed.
     Those three cases are exactly what the oracle's window pass
-    replays over RE2's maximal-run extraction."""
-    import unicodedata
+    replays over RE2's maximal-run extraction.
+
+    Whitespace boundary: Java's default ``\\s`` and RE2's ``\\s`` are
+    ASCII-only — Unicode whitespace like U+00A0/U+2028 classifies as
+    punctuation via ``[^\\s\\p{L}\\p{N}]`` in BOTH production engines —
+    so this reference uses the same ASCII set, not str.isspace()
+    (which would diverge on NBSP while Spark and the oracle still
+    agree). U+000B is the one residual engine edge: Java's ``\\s``
+    includes it, RE2's excludes it; the corpus fixtures contain no
+    vertical tabs, and this reference follows Java."""
 
     def is_ws(c: str) -> bool:
-        return c.isspace()
-
-    def cls(c: str) -> str:
-        cat = unicodedata.category(c)
-        if cat.startswith("L"):
-            return "L"
-        if cat == "Nd" or cat.startswith("N"):
-            return "N"
-        if is_ws(c):
-            return "S"
-        return "P"
+        return c in " \t\n\x0b\f\r"
 
     out: list[str] = []
     i, n = 0, len(text)
@@ -362,7 +360,11 @@ def byte_pretokenize(text: str) -> list[str]:
 
 
 def _take_class_run(text: str, i: int) -> str:
-    """The maximal same-class (letter / number / other) run at i."""
+    """The maximal same-class (letter / number / other) run at i.
+    Run termination uses the same ASCII whitespace set as
+    :func:`byte_pretokenize` — Unicode whitespace (NBSP, U+2028) is
+    NOT ``\\s`` to Java/RE2, so it belongs to (and extends) the
+    punctuation class run."""
     import unicodedata
 
     def k(c: str) -> str:
@@ -375,7 +377,11 @@ def _take_class_run(text: str, i: int) -> str:
 
     kind = k(text[i])
     j = i + 1
-    while j < len(text) and not text[j].isspace() and k(text[j]) == kind:
+    while (
+        j < len(text)
+        and text[j] not in " \t\n\x0b\f\r"
+        and k(text[j]) == kind
+    ):
         j += 1
     return text[i:j]
 
