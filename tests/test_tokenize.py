@@ -401,3 +401,126 @@ def test_bpe_bytelevel_pack_conservation(spark, sf_dir):
     assert sum(t for _, t in got.values()) == sum(
         c for dd in per_src.values() for _, c in dd
     )
+
+
+# --- merge LEARNING (the full Sennrich loop) --------------------------------
+
+
+def _sennrich_learn(word_freqs: dict, n: int) -> list:
+    """Independent reference for the LEARN loop: the textbook
+    get_stats / merge_vocab formulation over symbol TUPLES (Sennrich
+    ACL'16 learn_bpe) with the engine's pinned tie-break (count DESC,
+    then lexicographically smallest pair). Deliberately a different
+    formulation from operators/tokenize.bpe_learn_merges' wrapped-
+    string replace recurrence."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    out = []
+    for _ in range(n):
+        stats: dict = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] = stats.get(p, 0) + f
+        if not stats:
+            break
+        x, y = min(stats, key=lambda p: (-stats[p], p[0], p[1]))
+        out.append((x, y, stats[(x, y)]))
+        nv: dict = {}
+        for syms, f in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == x and syms[i + 1] == y:
+                    merged.append(x + y)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            t = tuple(merged)
+            nv[t] = nv.get(t, 0) + f
+        vocab = nv
+    return out
+
+
+def _random_corpus(seed: int, n_docs: int = 40) -> list:
+    rng = random.Random(seed)
+    pool = (
+        "spark scan shuffle sort merge join agg table tablet stream "
+        "gg ggg aggregate row rows data dataset best bests sstt a ab"
+    ).split()
+    return [
+        " ".join(rng.choice(pool) for _ in range(rng.randint(0, 12)))
+        for _ in range(n_docs)
+    ]
+
+
+def test_bpe_learn_merges_matches_independent_sennrich(spark):
+    """The Spark learn loop reproduces the textbook reference merge
+    for merge on a random corpus — including doubled-letter (x == y)
+    pairs, where non-overlapping all-occurrences semantics bite."""
+    from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
+        bpe_learn_merges,
+    )
+
+    texts = _random_corpus(13)
+    wf: dict = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe_learn_merges(df, 14)
+    assert got == _sennrich_learn(wf, 14)
+
+
+def test_bpe_train_sql_matches_independent_sennrich():
+    """The unrolled DuckDB training recurrence reproduces the same
+    reference on the same random corpus — so Spark and oracle agree
+    via a THIRD independent formulation, not with each other only."""
+    import duckdb
+
+    from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
+        bpe_train_sql,
+    )
+
+    texts = _random_corpus(29)
+    wf: dict = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?)", [(t,) for t in texts])
+    sql = (
+        "WITH "
+        + bpe_train_sql(14)
+        + " SELECT left_sym, right_sym, pair_count FROM learned ORDER BY rank"
+    )
+    got = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert got == _sennrich_learn(wf, 14)
+
+
+def test_learned_merges_feed_encode(spark):
+    """Train → encode integration: token counts under the LEARNED
+    list equal an independent replay (segment each distinct word with
+    the published batch formulation, weight by frequency)."""
+    from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
+        bpe_learn_merges,
+        bpe_segment,
+        bpe_token_counts,
+    )
+
+    texts = _random_corpus(41, n_docs=25)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    learned = bpe_learn_merges(df, 10)
+    merges = [(x, y) for x, y, _ in learned]
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in bpe_token_counts(df, merges=merges).collect()
+    }
+    for i, t in enumerate(texts):
+        words = [w for w in t.split(" ") if w]
+        want = sum(len(_sennrich_apply(w, merges)) for w in words)
+        assert got[i] == (len(words), want), (i, t)

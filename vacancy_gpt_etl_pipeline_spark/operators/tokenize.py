@@ -513,3 +513,214 @@ pieces AS (
 pretok AS (
   SELECT doc_id, unnest(outs) AS pre FROM pieces
 )"""
+
+
+# --- BPE merge LEARNING (Sennrich ACL'16, the full loop) --------------------
+#
+# `bpe_pair_counts` (queries.py) is step 1 of the learn loop; this is
+# the whole loop: iterate (pair count over the segmented vocabulary →
+# arg-max pair with a deterministic tie-break → merge every left-to-
+# right non-overlapping occurrence → recount) for n_merges rounds,
+# emitting the ranked merge list that the encode tier
+# (`bpe_token_counts` / `bpe_bytelevel_counts`) then consumes — the
+# train → encode → pack chain end to end.
+#
+# Tie-break spec (both engines + the tests' independent reference):
+# highest pair_count, then lexicographically smallest (left, right) —
+# UTF-8 byte order, which equals code-point order, so Spark's UTF8
+# binary comparison, DuckDB's default VARCHAR collation, and Python
+# `str` ordering all agree. (Sennrich's reference leaves ties to dict
+# order; a distributed engine needs them pinned.)
+#
+# State representation: each word's segmentation is one string with
+# every symbol wrapped in its own U+001F pair ("ab" → ⟂a⟂⟂b⟂). A merge
+# of (x, y) is then the literal replace ⟂x⟂⟂y⟂ → ⟂xy⟂, and a plain
+# left-to-right replace() scan gives EXACTLY the non-overlapping
+# all-occurrences semantics of Sennrich's merge step — including the
+# x == y case ("⟂g⟂⟂g⟂⟂g⟂" merges once, the survivor stays single —
+# the case the ENCODE tier's single-separator form would get wrong,
+# because consecutive occurrences there share a separator char and the
+# scan pointer consumes it). Both engines' replace() are this scan, so
+# the Spark operator and the DuckDB oracle replay the identical
+# recurrence over the identical strings.
+#
+# Scale shape: the iteration state is the segmented DISTINCT-word
+# frequency frame, cached once — vocabulary-sized, never corpus-sized.
+# Each round is one map-side-combinable aggregate over that frame plus
+# a ONE-ROW collect (the arg-max pair — O(n_merges) driver state, the
+# same cluster-width-independent scalar pattern as pagerank's
+# convergence check). Round r's frame is the cached base plus r chained
+# codegen replaces — no growing cache chain, no lineage blowup.
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int = 16,
+    text_col: str = "text",
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges from the corpus (Sennrich ACL'16
+    learn loop over the distinct-word frequency table). Returns the
+    ranked merge list as ``(left, right, pair_count)`` tuples; stops
+    early only if the vocabulary is fully merged. Words containing the
+    U+001F state delimiter are excluded (same boundary as the encode
+    tier — no tokenizer corpus contains that control char)."""
+    SEP = _SQL_SEP
+    words = docs.select(
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("word")
+    ).where((F.col("word") != "") & ~F.col("word").contains(SEP))
+    wf = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    seg = wf.select(
+        F.expr(
+            "array_join(transform(sequence(1, length(word)), "
+            f"i -> concat('{SEP}', substring(word, i, 1), '{SEP}')), '')"
+        ).alias("seq"),
+        "freq",
+    ).cache()
+
+    merges: list[tuple[str, str, int]] = []
+    cur = seg
+    try:
+        for _ in range(n_merges):
+            syms = F.split(
+                F.col("seq").substr(F.lit(2), F.length("seq") - 2),
+                SEP + SEP,
+            )
+            best = (
+                cur.select("freq", syms.alias("s"))
+                .where(F.size("s") >= 2)
+                .select(
+                    "freq",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(s) - 1), "
+                            "i -> struct(s[i-1] AS x, s[i] AS y))"
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.x", "p.y")
+                .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+                .orderBy(F.desc("pair_count"), "x", "y")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break  # vocabulary fully merged
+            x, y, cnt = best[0][0], best[0][1], int(best[0][2])
+            merges.append((x, y, cnt))
+            cur = cur.withColumn(
+                "seq",
+                F.replace(
+                    "seq",
+                    F.lit(f"{SEP}{x}{SEP}{SEP}{y}{SEP}"),
+                    F.lit(f"{SEP}{x}{y}{SEP}"),
+                ),
+            )
+    finally:
+        seg.unpersist()
+    return merges
+
+
+def bpe_train_sql(
+    n_merges: int = 16, text_source: str = "documents"
+) -> str:
+    """DuckDB CTE fragment replaying the learn loop round for round:
+    the n_merges iterations unroll into a chain seg0 → b0 → seg1 → …
+    (the pagerank-style unrolled-recurrence oracle pattern). Each b{r}
+    is the round's arg-max pair under the pinned tie-break; each
+    seg{r+1} applies it with the same wrapped-symbol replace() the
+    Spark operator uses. Emits CTEs ending in
+    ``learned(rank, left_sym, right_sym, pair_count)``."""
+    SEP = _SQL_SEP
+    parts = [
+        f"""words AS (
+  SELECT u.w AS word FROM {text_source}, UNNEST(string_split(text, ' ')) AS u(w)
+  WHERE u.w != '' AND strpos(u.w, '{SEP}') = 0
+),
+wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM words GROUP BY word),
+seg0 AS MATERIALIZED (
+  SELECT regexp_replace(word, '(.)', '{SEP}\\1{SEP}', 'g') AS seq, freq
+  FROM wf
+)"""
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT freq,
+    list_extract(syms, CAST(u.i AS INT)) AS x,
+    list_extract(syms, CAST(u.i AS INT) + 1) AS y
+  FROM (
+    SELECT freq,
+      string_split(substr(seq, 2, length(seq) - 2), '{SEP}{SEP}') AS syms
+    FROM seg{r}
+  ), UNNEST(range(1, len(syms))) AS u(i)
+  WHERE len(syms) >= 2
+),
+b{r} AS MATERIALIZED (
+  SELECT {r} AS rank, x, y, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM p{r} GROUP BY x, y
+  ORDER BY pair_count DESC, x, y LIMIT 1
+),
+seg{r + 1} AS MATERIALIZED (
+  SELECT replace(s.seq,
+                 '{SEP}' || b.x || '{SEP}{SEP}' || b.y || '{SEP}',
+                 '{SEP}' || b.x || b.y || '{SEP}') AS seq,
+         s.freq
+  FROM seg{r} s CROSS JOIN b{r} b
+)"""
+        )
+    union = "\n  UNION ALL ".join(
+        f"SELECT rank, x AS left_sym, y AS right_sym, pair_count FROM b{r}"
+        for r in range(n_merges)
+    )
+    parts.append(f"learned AS (\n  {union}\n)")
+    return ",\n".join(parts)
+
+
+def learned_merge_encode_sql() -> str:
+    """DuckDB recursive-CTE fragment for the DATA-DRIVEN encode: the
+    same one-merge-per-step replay as :func:`bpe_merge_sql`, but the
+    rule table is the ``learned`` CTE (from :func:`bpe_train_sql`)
+    instead of a compile-time CASE chain. Each step picks the
+    lowest-rank applicable rule via join + anti-join (applicable m1
+    with NO lower-ranked applicable m2 — ranks are unique, so exactly
+    one m1 survives per word) and rewrites the leftmost occurrence; a
+    word with no applicable rule stops recursing. The join formulation
+    is deliberate: DuckDB 1.0 evaluates a CORRELATED subquery over a
+    CTE that is itself built from a materialized chain as empty inside
+    a recursive term (verified empirically), while plain joins
+    resolve correctly. Requires CTEs ``vocab(word)`` and
+    ``learned(rank, left_sym, right_sym, …)``; emits ``enc`` and
+    ``tok(word, word_tokens)``. Single-separator sequences are sound
+    here (unlike the learn step) because exactly one occurrence is
+    rewritten per recursion step."""
+    SEP = _SQL_SEP
+    pat = f"'{SEP}' || m1.left_sym || '{SEP}' || m1.right_sym || '{SEP}'"
+    pat2 = f"'{SEP}' || m2.left_sym || '{SEP}' || m2.right_sym || '{SEP}'"
+    return f"""enc AS (
+  SELECT word,
+    '{SEP}' || regexp_replace(word, '(.)', '\\1{SEP}', 'g') AS seq,
+    0 AS step
+  FROM vocab
+  UNION ALL
+  SELECT e.word,
+    substr(e.seq, 1, strpos(e.seq, {pat}) - 1)
+      || '{SEP}' || m1.left_sym || m1.right_sym || '{SEP}'
+      || substr(e.seq, strpos(e.seq, {pat}) + length({pat})) AS seq,
+    e.step + 1
+  FROM enc e
+  JOIN learned m1 ON strpos(e.seq, {pat}) > 0
+  LEFT JOIN learned m2
+    ON m2.rank < m1.rank AND strpos(e.seq, {pat2}) > 0
+  WHERE m2.rank IS NULL
+),
+tok AS (
+  SELECT word,
+    CAST(length(arg_max(seq, step))
+      - length(replace(arg_max(seq, step), '{SEP}', '')) - 1 AS BIGINT)
+      AS word_tokens
+  FROM enc GROUP BY word
+)"""
