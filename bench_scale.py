@@ -272,23 +272,36 @@ def main() -> None:
         n_runs = 2 if scale < 50 else 1
         per_scale: dict[str, float] = {}
         rows: dict[str, int] = {}
+        guarded: dict[str, str] = {}
         for _ in range(n_runs):
             for name in FLAGSHIPS:
                 fn = EXTRA_QUERIES.get(name) or registry[name]
                 t0 = time.perf_counter()
-                df = fn(spark, sf_dir)
-                df.write.mode("overwrite").format("noop").save()
+                try:
+                    df = fn(spark, sf_dir)
+                    df.write.mode("overwrite").format("noop").save()
+                except ValueError as e:
+                    # semdedup's degenerate-sizing guard: the pinned
+                    # n_centroids=8 entry is EXPECTED to refuse at x50
+                    # (12.5k vectors/cell > max_cell) instead of
+                    # silently no-opping as in earlier attestations.
+                    guarded[name] = str(e)
+                    spark.catalog.clearCache()
+                    continue
                 dt = time.perf_counter() - t0
                 per_scale[name] = min(per_scale.get(name, dt), dt)
                 spark.catalog.clearCache()
         # row counts once (documents the planted-duplicate hit rates)
         for name in FLAGSHIPS:
+            if name in guarded:
+                continue
             fn = EXTRA_QUERIES.get(name) or registry[name]
             rows[name] = fn(spark, sf_dir).count()
             spark.catalog.clearCache()
         results[f"x{scale}"] = {
             "sec": {k: round(v, 3) for k, v in per_scale.items()},
             "rows": rows,
+            "guard_fired": guarded,
             "n_docs": BASE_DOCS * scale,
             "n_vecs": BASE_VECS * scale,
             "n_runs": n_runs,
@@ -305,11 +318,12 @@ def main() -> None:
             "semdedup": (
                 "registry entry pins n_centroids=8 (fixture-tuned, "
                 "oracle-replayable); at x50 that puts 12.5k vectors in "
-                "every cell, ALL cells trip the conservative "
-                "max_cell=10k oversized-cell guard, and nothing dedups "
-                "(rows == corpus+planted, runtime collapses). The "
-                "production sizing rule is n_centroids proportional to "
-                "corpus — semdedup_scaled applies it (~250 vecs/cell)."
+                "every cell and ALL cells exceed max_cell=10k. The "
+                "operator now REFUSES this configuration (ValueError, "
+                "recorded under guard_fired) instead of silently "
+                "keeping everything. The production sizing rule is "
+                "n_centroids proportional to corpus — semdedup_scaled "
+                "applies it (~250 vecs/cell)."
             ),
             "semdedup_scaled": (
                 "DOCUMENTED SUPERLINEAR: with cells C proportional to "

@@ -137,6 +137,8 @@ def test_line_continuation_all_eol_forms():
     assert _unescape_pdf_string(b"a\\\r\nb") == "ab"
     # trailing continuation at end of body
     assert _unescape_pdf_string(b"a\\\r") == "a"
-    # an UNESCAPED CR/LF inside a literal is real content (the
-    # tokenizer passes it through; only backslash-EOL is elided)
-    assert _unescape_pdf_string(b"a\rb") == "a\rb"
+    # an UNESCAPED EOL inside a literal is a single 0x0A (7.3.4.2:
+    # CR, LF, and CRLF all normalize to one newline)
+    assert _unescape_pdf_string(b"a\rb") == "a\nb"
+    assert _unescape_pdf_string(b"a\r\nb") == "a\nb"
+    assert _unescape_pdf_string(b"a\nb") == "a\nb"

@@ -103,13 +103,59 @@ def test_semdedup_drop_precision(spark):
 
 
 def test_semdedup_oversized_cells_are_kept_conservatively(spark):
+    """PARTIAL cap: cells over max_cell keep all members (with a
+    warning); the remaining cells still dedup per the exact mirror."""
+    import warnings
+
+    rows = _fixture()
+    assign, _ = _expected(rows)
+    sizes: dict[int, int] = {}
+    for c in assign.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    cap = max(sizes.values()) - 1
+    assert min(sizes.values()) <= cap, "fixture must give uneven cells"
+    capped_cells = {c for c, s in sizes.items() if s > cap}
+    df = spark.createDataFrame([Row(vec_id=i, embedding=v) for i, v in rows])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = semdedup(
+            df, N_CENTROIDS, STRIDE, threshold=THRESHOLD, dim=DIM,
+            max_cell=cap,
+        ).collect()
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "max_cell" in str(w.message)
+        for w in caught
+    )
+    survivors = {r.vec_id for r in out}
+    by_id = dict(rows)
+    ids = sorted(by_id)
+    expect = set()
+    for j, b in enumerate(ids):
+        if assign[b] in capped_cells:
+            expect.add(b)  # conservative total keep in capped cells
+            continue
+        if not any(
+            assign[a] == assign[b]
+            and _cos(by_id[a], by_id[b]) >= THRESHOLD
+            for a in ids[:j]
+        ):
+            expect.add(b)
+    assert survivors == expect
+
+
+def test_semdedup_degenerate_sizing_raises(spark):
+    """EVERY cell over max_cell would make the operator a silent no-op
+    (the 50x misconfiguration BENCH_SCALE exposed) — it must refuse."""
+    import pytest
+
     rows = _fixture()
     df = spark.createDataFrame([Row(vec_id=i, embedding=v) for i, v in rows])
-    out = semdedup(
-        df, N_CENTROIDS, STRIDE, threshold=THRESHOLD, dim=DIM, max_cell=1
-    ).collect()
-    # with every cell over the cap no pair is ever generated: total keep
-    assert len(out) == len(rows)
+    with pytest.raises(ValueError, match="degenerate sizing"):
+        semdedup(
+            df, N_CENTROIDS, STRIDE, threshold=THRESHOLD, dim=DIM,
+            max_cell=1,
+        )
 
 
 def test_two_level_assignment_dedup_parity(spark):

@@ -261,8 +261,14 @@ def _unescape_pdf_string(body: bytes) -> str:
     while i < len(body):
         c = body[i : i + 1]
         if c != b"\\":
-            out += c
-            i += 1
+            if c == b"\r":
+                # 7.3.4.2: an UNESCAPED EOL marker (CR, LF, or CRLF)
+                # inside a literal shall be treated as a single 0x0A
+                out += b"\n"
+                i += 2 if body[i + 1 : i + 2] == b"\n" else 1
+            else:
+                out += c
+                i += 1
             continue
         nxt = body[i + 1 : i + 2]
         if nxt in _ESCAPES:

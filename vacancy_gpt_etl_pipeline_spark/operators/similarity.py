@@ -624,6 +624,42 @@ def semdedup(
         assigned = ivf_assign(corpus, centroids, id_col, vec_col, dim)
     assigned = persist_in(assigned, cache_scope)
     sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_csz"))
+    # Degenerate-sizing guard: the oversized-cell cap keeps members
+    # conservatively, so a configuration where EVERY cell exceeds
+    # ``max_cell`` (corpus/n_centroids > max_cell) makes the whole
+    # operator a silent no-op — measured exactly so at 50x scale with
+    # the fixture-tuned n_centroids=8. That is a sizing error, not a
+    # dedup result: raise, pointing at the production rule
+    # (n_centroids proportional to corpus, ~250 vectors/cell — see
+    # ``ivf_assign_two_level``/semdedup_2level for the scale path).
+    # Partial exclusion (some cells capped) stays a warning: those
+    # members are kept un-deduplicated by design. The check is one
+    # centroid-count-sized aggregate over the already-persisted
+    # assignment frame, so it warms the cache three downstream reads
+    # need anyway.
+    _stats = sizes.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum((F.col("_csz") > max_cell).cast("long")).alias("n_over"),
+    ).first()
+    if _stats.n_cells and _stats.n_over == _stats.n_cells:
+        raise ValueError(
+            f"semdedup degenerate sizing: all {_stats.n_cells} cells "
+            f"exceed max_cell={max_cell}, so no pair would be "
+            "generated and every vector would be kept. Scale "
+            "n_centroids with the corpus (~corpus_size/250) or raise "
+            "max_cell; for large cell counts route assignment through "
+            "ivf_assign_two_level (see semdedup_2level)."
+        )
+    if _stats.n_over:
+        import warnings
+
+        warnings.warn(
+            f"semdedup: {_stats.n_over}/{_stats.n_cells} cells exceed "
+            f"max_cell={max_cell}; their members are kept without "
+            "dedup (conservative cap). Consider more centroids.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     joinable = assigned.join(
         F.broadcast(sizes.where(F.col("_csz") <= max_cell)), "cell"
     )

@@ -206,7 +206,7 @@ def bpe_merge_sql(merges: Sequence[Merge] = DEFAULT_BPE_MERGES) -> str:
         merges,
         key_col="word",
         init_expr=(
-            f"'{SEP}' || regexp_replace(word, '(.)', '\\1{SEP}', 'g')"
+            f"'{SEP}' || regexp_replace(word, '(?s)(.)', '\\1{SEP}', 'g')"
         ),
         tokens_col="word_tokens",
     )
@@ -642,7 +642,7 @@ def bpe_train_sql(
 ),
 wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM words GROUP BY word),
 seg0 AS MATERIALIZED (
-  SELECT regexp_replace(word, '(.)', '{SEP}\\1{SEP}', 'g') AS seq, freq
+  SELECT regexp_replace(word, '(?s)(.)', '{SEP}\\1{SEP}', 'g') AS seq, freq
   FROM wf
 )"""
     ]
@@ -702,7 +702,7 @@ def learned_merge_encode_sql() -> str:
     pat2 = f"'{SEP}' || m2.left_sym || '{SEP}' || m2.right_sym || '{SEP}'"
     return f"""enc AS (
   SELECT word,
-    '{SEP}' || regexp_replace(word, '(.)', '\\1{SEP}', 'g') AS seq,
+    '{SEP}' || regexp_replace(word, '(?s)(.)', '\\1{SEP}', 'g') AS seq,
     0 AS step
   FROM vocab
   UNION ALL

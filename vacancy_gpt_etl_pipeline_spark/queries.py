@@ -9195,6 +9195,22 @@ def bpe_train_encode_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # Words containing the oracle's symbol separator (U+001F) are
+    # excluded from training (learn + wf filter them); exclude them
+    # from the ENCODE input too so both engines agree on the
+    # exclusion boundary instead of Spark counting tokens the SQL
+    # twin's vocab join silently drops (unreachable on the shipped
+    # fixtures — documents.text carries no control characters).
+    docs = docs.withColumn(
+        "text",
+        F.array_join(
+            F.filter(
+                F.split(F.col("text"), " "),
+                lambda w: ~w.contains("\x1f"),
+            ),
+            " ",
+        ),
+    )
     learned = bpe_learn_merges(docs, _BPE_TRAIN_E2E_N)
     merges = [(x, y) for x, y, _ in learned]
     counts = bpe_token_counts(docs, merges=merges).where(F.col("n_tokens") > 0)
@@ -9226,6 +9242,7 @@ def bpe_train_encode_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_train_encode_pack_sql() -> str:
     from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
+        _SQL_SEP,
         bpe_train_sql,
         learned_merge_encode_sql,
     )
@@ -9238,7 +9255,7 @@ vocab AS (SELECT word FROM wf),
 docs AS (
   SELECT doc_id, u.w AS word
   FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
-  WHERE u.w != ''
+  WHERE u.w != '' AND strpos(u.w, '{_SQL_SEP}') = 0
 ),
 per_doc AS (
   SELECT d.doc_id,
