@@ -1,0 +1,267 @@
+"""Published-GPT-2 merge-table fidelity (r11 verdict item 3).
+
+The byte-level BPE tier (operators/tokenize.byte_bpe_segment and the
+train loop) has so far been validated against the engine's OWN merge
+tables.  This module pins it to the PUBLISHED GPT-2 tokenizer
+(Radford et al. 2019, openai/gpt-2 ``vocab.bpe``): the opening of the
+published merge table is embedded as a fixture and the engine must
+segment a golden corpus identically to the published ``bpe()``
+algorithm running on that table.
+
+Fixture provenance: the container is offline, so the table is
+transcribed rather than downloaded.  It is limited to the first
+**50 merges** — the prefix whose every rank is independently
+verifiable through the public token-id arithmetic ``token_id =
+256 + rank`` (the GPT-2 vocabulary is the 256 byte symbols followed
+by one token per merge, in order): ``" the"`` = id 262 = rank 6,
+``" and"`` = 290 = rank 34, ``" to"`` = 284 = rank 28, ``"ing"`` =
+278 = rank 22, ``"ve"`` = 303 = rank 47, … — each line below is
+cross-checked against a known id, not recalled free-form.  A longer
+prefix without that check would risk fabricating a published
+artifact; 50 exactly-right merges beat 500 approximate ones.
+
+The table is written in the published bytes-to-unicode alphabet
+('Ġ' = the 0x20 space byte); the engine's byte tier names symbols by
+hex, so the fixture converts through the same byte bijection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from test_tokenize import _gpt2_bpe_reference, _sennrich_learn
+
+from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
+    bpe_learn_merges,
+    byte_bpe_segment,
+    byte_pretokenize,
+)
+
+#: First 50 lines of the published GPT-2 merge table (vocab.bpe,
+#: ``#version: 0.2`` header dropped).  rank = index; producing token
+#: id = 256 + rank.
+GPT2_MERGES_PREFIX: tuple[tuple[str, str], ...] = (
+    ("Ġ", "t"),      # 256  " t"
+    ("Ġ", "a"),      # 257  " a"
+    ("h", "e"),      # 258  "he"
+    ("i", "n"),      # 259  "in"
+    ("r", "e"),      # 260  "re"
+    ("o", "n"),      # 261  "on"
+    ("Ġt", "he"),    # 262  " the"
+    ("e", "r"),      # 263  "er"
+    ("Ġ", "s"),      # 264  " s"
+    ("a", "t"),      # 265  "at"
+    ("Ġ", "w"),      # 266  " w"
+    ("Ġ", "o"),      # 267  " o"
+    ("e", "n"),      # 268  "en"
+    ("Ġ", "c"),      # 269  " c"
+    ("i", "t"),      # 270  "it"
+    ("i", "s"),      # 271  "is"
+    ("a", "n"),      # 272  "an"
+    ("o", "r"),      # 273  "or"
+    ("e", "s"),      # 274  "es"
+    ("Ġ", "b"),      # 275  " b"
+    ("e", "d"),      # 276  "ed"
+    ("Ġ", "f"),      # 277  " f"
+    ("in", "g"),     # 278  "ing"
+    ("Ġ", "p"),      # 279  " p"
+    ("o", "u"),      # 280  "ou"
+    ("Ġa", "n"),     # 281  " an"
+    ("a", "l"),      # 282  "al"
+    ("a", "r"),      # 283  "ar"
+    ("Ġt", "o"),     # 284  " to"
+    ("Ġ", "m"),      # 285  " m"
+    ("Ġo", "f"),     # 286  " of"
+    ("Ġ", "in"),     # 287  " in"
+    ("Ġ", "d"),      # 288  " d"
+    ("Ġ", "h"),      # 289  " h"
+    ("Ġan", "d"),    # 290  " and"
+    ("i", "c"),      # 291  "ic"
+    ("a", "s"),      # 292  "as"
+    ("l", "e"),      # 293  "le"
+    ("Ġt", "h"),     # 294  " th"
+    ("i", "on"),     # 295  "ion"
+    ("o", "m"),      # 296  "om"
+    ("l", "l"),      # 297  "ll"
+    ("en", "t"),     # 298  "ent"
+    ("Ġ", "n"),      # 299  " n"
+    ("Ġ", "l"),      # 300  " l"
+    ("s", "t"),      # 301  "st"
+    ("Ġ", "re"),     # 302  " re"
+    ("v", "e"),      # 303  "ve"
+    ("Ġ", "e"),      # 304  " e"
+    ("r", "o"),      # 305  "ro"
+)
+
+
+def _gpt2_char_to_byte(c: str) -> int:
+    """Inverse of the published bytes_to_unicode bijection, restricted
+    to the alphabet this fixture uses (printable ASCII maps to itself;
+    the space byte 0x20 is displaced to 'Ġ' = chr(0x120))."""
+    if c == "Ġ":
+        return 0x20
+    b = ord(c)
+    assert 0x21 <= b <= 0x7E, f"fixture alphabet escape: {c!r}"
+    return b
+
+
+def _to_hex_symbol(component: str) -> str:
+    return "".join(f"{_gpt2_char_to_byte(c):02x}" for c in component)
+
+
+#: The same table in the engine's hex-symbol space.
+HEX_MERGES: tuple[tuple[str, str], ...] = tuple(
+    (_to_hex_symbol(x), _to_hex_symbol(y)) for x, y in GPT2_MERGES_PREFIX
+)
+
+
+def _from_hex_symbol(sym: str) -> str:
+    bs = bytes.fromhex(sym)
+    return "".join("Ġ" if b == 0x20 else chr(b) for b in bs)
+
+
+def test_component_before_compound_invariant():
+    """Every compound symbol in the table is produced by an EARLIER
+    merge — the structural invariant of any table learnable by BPE
+    (and the premise under which one-at-a-time leftmost merging is
+    equivalent to the published all-occurrences formulation)."""
+    produced = {"Ġ"} | {chr(c) for c in range(0x21, 0x7F)}
+    for x, y in GPT2_MERGES_PREFIX:
+        assert x in produced, x
+        assert y in produced, y
+        produced.add(x + y)
+
+
+GOLDEN = (
+    "the cat sat on the mat and the dog ate the rest",
+    "in the beginning there was a token and the token was good",
+    "to be or not to be that is the question",
+    "of all the things that matter testing and training data count",
+    "reading writing and arithmetic for everyone in the morning",
+    "this sentence contains doubled letters and running endings",
+)
+
+
+def test_engine_matches_published_algorithm_on_published_table():
+    """byte_bpe_segment must reproduce the published bpe() output for
+    every pre-token of the golden corpus under the published table."""
+    pretokens = {p for s in GOLDEN for p in byte_pretokenize(s)}
+    assert len(pretokens) > 40
+    for p in sorted(pretokens):
+        got = [
+            _from_hex_symbol(s) for s in byte_bpe_segment(p, HEX_MERGES)
+        ]
+        want = [
+            _from_hex_symbol(s) for s in _gpt2_bpe_reference(p, HEX_MERGES)
+        ]
+        assert got == want, (p, got, want)
+
+
+def test_known_published_tokens_form():
+    """Single-token results that are pinned by the public vocabulary
+    itself: these strings ARE tokens at ids 256+rank, so under the
+    prefix table they must collapse to exactly one symbol."""
+    known = {
+        " the": "Ġthe",    # id 262
+        " a": "Ġa",        # id 257
+        " an": "Ġan",      # id 281
+        " to": "Ġto",      # id 284
+        " of": "Ġof",      # id 286
+        " in": "Ġin",      # id 287
+        " and": "Ġand",    # id 290
+        " th": "Ġth",      # id 294
+        " re": "Ġre",      # id 302
+        "ing": "ing",      # id 278
+        "ion": "ion",      # id 295
+        "ent": "ent",      # id 298
+    }
+    for text, token in known.items():
+        out = [
+            _from_hex_symbol(s) for s in byte_bpe_segment(text, HEX_MERGES)
+        ]
+        assert out == [token], (text, out)
+
+
+def test_multi_token_segmentations_match_reference():
+    """Words beyond the 50-merge prefix split; the split points must
+    match the published algorithm (spot examples worked by hand)."""
+    cases = {
+        # Ġt+he -> Ġthe, then s/e unmergeable in the prefix
+        " these": ["Ġthe", "s", "e"],
+        # Ġ+t, h/e -> he, Ġt+he, (in,g) -> Ġthe + n? no: 'then' ->
+        # Ġt,h,e,n: (h,e) r2 -> Ġt,he,n; (Ġt,he) r6 -> Ġthe,n
+        " then": ["Ġthe", "n"],
+        # 'rest': r,e,s,t -> (r,e) r4 -> re,s,t; (s,t) r45 -> re,st
+        "rest": ["re", "st"],
+        # 'token': t,o,k,e,n -> (e,n) r12; no (t,o)/(o,k)/(k,en) rule
+        "token": ["t", "o", "k", "en"],
+    }
+    for text, want in cases.items():
+        got = [
+            _from_hex_symbol(s) for s in byte_bpe_segment(text, HEX_MERGES)
+        ]
+        assert got == want, (text, got)
+        ref = [
+            _from_hex_symbol(s)
+            for s in _gpt2_bpe_reference(text, HEX_MERGES)
+        ]
+        assert ref == want, (text, ref)
+
+
+#: Corpus engineered so BPE training must re-learn a 14-merge
+#: subsequence of the published table in the published relative
+#: order: pair frequencies strictly decrease along published rank
+#: (word-internal pairs only — the char-level trainer splits on
+#: spaces, so 'Ġ x' merges are out of its alphabet), and the one
+#: compound ("in"+"g" -> "ing", published rank 22) becomes available
+#: only after its component ("i"+"n", rank 3), exactly as published.
+_RELEARN_WORDS: tuple[tuple[str, int], ...] = (
+    ("he", 300),
+    ("in", 190),   # +70 from "ing" -> 260 at round 2
+    ("re", 180),
+    ("on", 170),
+    ("er", 160),
+    ("at", 150),
+    ("en", 140),
+    ("it", 130),
+    ("is", 120),
+    ("an", 110),
+    ("or", 100),
+    ("es", 90),
+    ("ed", 80),
+    ("ing", 70),
+)
+
+_RELEARN_TARGET: tuple[tuple[str, str], ...] = (
+    ("h", "e"), ("i", "n"), ("r", "e"), ("o", "n"), ("e", "r"),
+    ("a", "t"), ("e", "n"), ("i", "t"), ("i", "s"), ("a", "n"),
+    ("o", "r"), ("e", "s"), ("e", "d"), ("in", "g"),
+)
+
+
+def test_relearn_target_is_ordered_subsequence_of_published():
+    pub = [(x, y) for x, y in GPT2_MERGES_PREFIX]
+    idx = [pub.index(m) for m in _RELEARN_TARGET]
+    assert idx == sorted(idx)
+    assert len(set(idx)) == len(idx)
+    # published ranks for the record: he=2, in=3, re=4, on=5, er=7,
+    # at=9, en=12, it=14, is=15, an=16, or=17, es=18, ed=20, ing=22
+    assert idx == [2, 3, 4, 5, 7, 9, 12, 14, 15, 16, 17, 18, 20, 22]
+
+
+def test_trainer_relearns_published_prefix(spark):
+    """bpe_learn_merges on the engineered corpus yields EXACTLY the
+    published subsequence, in published order — and the independent
+    textbook reference agrees on every rank and count."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=" ".join([w] * n))
+            for i, (w, n) in enumerate(_RELEARN_WORDS)
+        ]
+    )
+    learned = bpe_learn_merges(docs, n_merges=len(_RELEARN_TARGET))
+    assert [(x, y) for x, y, _ in learned] == list(_RELEARN_TARGET)
+    ref = _sennrich_learn(
+        {w: n for w, n in _RELEARN_WORDS}, len(_RELEARN_TARGET)
+    )
+    assert [(x, y, c) for x, y, c in learned] == ref
