@@ -11331,6 +11331,197 @@ GROUP BY u.doc_id, u.host, u.path
 ORDER BY u.doc_id
 """
 
+#: per-host politeness budget of the crawl frontier (fetches per host
+#: per cycle) — small enough to BIND at the sf0.01 correctness scale
+_FRONTIER_HOST_BUDGET = 6
+
+
+def crawl_frontier_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier composition flagship — the full stage-zero
+    lineage a crawler runs each cycle, as ONE DataFrame chain:
+    canonicalize (messy raw URLs → functions/url.normalize_url) →
+    URL dedup (multiple discoveries of the same canonical URL keep the
+    lowest doc_id — crawl frontiers see every popular URL from many
+    referrers) → ad-path gate → robots gate (host-level disallow
+    prefixes, broadcast, array-exists probe — no explode, no extra
+    aggregate) → per-host politeness budget (top-K per host by quality,
+    the WindowGroupLimit shape of source_cap_docs) → fetch manifest.
+
+    URL synthesis: every 3 consecutive doc_ids share one canonical URL
+    (cid = doc_id - doc_id % 3) across 16 hosts, with the same four
+    messy raw variants url_normalize_filter certifies (upper-cased
+    scheme/host, explicit :443, #fragment, trailing utm group) chosen
+    per doc — so a dup group arrives as DIFFERENT raw strings and only
+    collapses if normalization is exact. Hosts h0/h5/h10/h15 disallow
+    '/s0/', multiples of 3 disallow '/s3/', and hosts ≡1 (mod 4)
+    publish no robots.txt (rule-free branch stays a live population).
+
+    Scale: normalization and gating are scan-stage codegen; the dedup
+    window partitions by norm_url (hash-distributed, no skew — URL
+    cardinality ~ corpus); rules are host-cardinality and broadcast;
+    the budget filter pushes into the window operator (each map task
+    keeps ≤ K rows per host BEFORE the exchange), so the final shuffle
+    carries at most hosts × K rows."""
+    from vacancy_gpt_etl_pipeline_spark.functions.url import (
+        AD_PATH_PATTERN,
+        normalize_url,
+        url_host,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cid = F.col("doc_id") - F.col("doc_id") % 3
+    cs = cid.cast("string")
+    host = F.concat(F.lit("h"), (cid % 16).cast("string"),
+                    F.lit(".example.org"))
+    path = F.when(
+        cid % 7 == 0, F.concat(F.lit("/ads/"), cs)
+    ).otherwise(
+        F.concat(F.lit("/s"), (cid % 5).cast("string"), F.lit("/"), cs)
+    )
+    canonical = F.concat(F.lit("https://"), host, path)
+    m = F.col("doc_id") % 4
+    raw = (
+        F.when(m == 0, F.concat(F.lit("HTTPS://"), F.upper(host), path))
+        .when(m == 1, F.concat(F.lit("https://"), host, F.lit(":443"), path))
+        .when(m == 2, F.concat(canonical, F.lit("#sec2")))
+        .otherwise(F.concat(canonical, F.lit("?utm_source=track")))
+    )
+    cand = docs.select(
+        "doc_id",
+        "text",
+        path.alias("path"),
+        normalize_url(raw).alias("norm_url"),
+        url_host(raw).alias("host"),
+    )
+    w_dup = Window.partitionBy("norm_url").orderBy("doc_id")
+    uniq = (
+        cand.withColumn("_rn", F.row_number().over(w_dup))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    gated = uniq.where(~F.col("norm_url").rlike(AD_PATH_PATTERN))
+    hn = F.regexp_extract("host", "^h([0-9]+)\\.", 1).cast("int")
+    rules = (
+        gated.select("host").distinct()
+        .where(hn % 4 != 1)
+        .select(
+            "host",
+            F.array_compact(
+                F.array(
+                    F.lit("/ads/"),
+                    F.when(hn % 5 == 0, F.lit("/s0/")),
+                    F.when(hn % 3 == 0, F.lit("/s3/")),
+                )
+            ).alias("prefixes"),
+        )
+    )
+    allowed = (
+        gated.join(F.broadcast(rules), "host", "left")
+        .where(
+            F.coalesce(
+                ~F.exists(
+                    "prefixes",
+                    lambda p: F.col("path").startswith(p),
+                ),
+                F.lit(True),
+            )
+        )
+    )
+    scored = allowed.select(
+        "host", "doc_id", "norm_url", quality_score("text").alias("quality")
+    )
+    w_budget = Window.partitionBy("host").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank_in_host", F.row_number().over(w_budget))
+        .where(F.col("rank_in_host") <= _FRONTIER_HOST_BUDGET)
+        .select("host", "rank_in_host", "doc_id", "norm_url", "quality")
+        .orderBy("host", "rank_in_host")
+    )
+
+
+def _crawl_frontier_sql() -> str:
+    from vacancy_gpt_etl_pipeline_spark.functions.url import (
+        AD_PATH_PATTERN,
+        normalize_url_sql,
+        url_host_sql,
+    )
+
+    return f"""
+WITH b AS (
+  SELECT doc_id, text,
+    'h' || CAST((doc_id - doc_id % 3) % 16 AS VARCHAR)
+      || '.example.org' AS host,
+    CASE WHEN (doc_id - doc_id % 3) % 7 = 0
+         THEN '/ads/' || CAST(doc_id - doc_id % 3 AS VARCHAR)
+         ELSE '/s' || CAST((doc_id - doc_id % 3) % 5 AS VARCHAR)
+              || '/' || CAST(doc_id - doc_id % 3 AS VARCHAR) END AS path
+  FROM documents
+),
+r AS (
+  SELECT doc_id, text, path,
+    CASE CAST(doc_id % 4 AS INTEGER)
+      WHEN 0 THEN 'HTTPS://' || upper(host) || path
+      WHEN 1 THEN 'https://' || host || ':443' || path
+      WHEN 2 THEN 'https://' || host || path || '#sec2'
+      ELSE 'https://' || host || path || '?utm_source=track' END
+      AS raw_url
+  FROM b
+),
+n AS (
+  SELECT doc_id, text, path,
+    {normalize_url_sql('raw_url')} AS norm_url,
+    {url_host_sql('raw_url')} AS host
+  FROM r
+),
+uniq AS (
+  SELECT doc_id, text, path, norm_url, host FROM (
+    SELECT n.*, ROW_NUMBER() OVER (
+      PARTITION BY norm_url ORDER BY doc_id) AS rn
+    FROM n
+  ) WHERE rn = 1
+),
+gated AS (
+  SELECT * FROM uniq WHERE NOT regexp_matches(norm_url, '{AD_PATH_PATTERN}')
+),
+rules AS (
+  SELECT host, list_filter([
+      '/ads/',
+      CASE WHEN CAST(regexp_extract(host, '^h([0-9]+)\\.', 1) AS INTEGER)
+                % 5 = 0 THEN '/s0/' END,
+      CASE WHEN CAST(regexp_extract(host, '^h([0-9]+)\\.', 1) AS INTEGER)
+                % 3 = 0 THEN '/s3/' END
+    ], x -> x IS NOT NULL) AS prefixes
+  FROM (SELECT DISTINCT host FROM gated)
+  WHERE CAST(regexp_extract(host, '^h([0-9]+)\\.', 1) AS INTEGER) % 4 != 1
+),
+allowed AS (
+  SELECT g.host, g.doc_id, g.norm_url, g.text
+  FROM gated g LEFT JOIN rules u ON g.host = u.host
+  WHERE COALESCE(
+    len(list_filter(u.prefixes, p -> starts_with(g.path, p))) = 0, TRUE)
+),
+scored AS (
+  SELECT host, doc_id, norm_url, {{_SQL_QUALITY_PLACEHOLDER}} AS quality
+  FROM allowed
+)
+SELECT host, rank_in_host, CAST(doc_id AS BIGINT) AS doc_id,
+       norm_url, quality
+FROM (
+  SELECT host, doc_id, norm_url, quality,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY host ORDER BY quality DESC, doc_id) AS INT)
+      AS rank_in_host
+  FROM scored
+)
+WHERE rank_in_host <= {_FRONTIER_HOST_BUDGET}
+ORDER BY host, rank_in_host
+""".replace("{_SQL_QUALITY_PLACEHOLDER}", _SQL_QUALITY)
+
+
+CRAWL_FRONTIER_SQL = _crawl_frontier_sql()
+
 
 def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID evaluation — the confusion matrix of the stopword-
@@ -11456,6 +11647,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "robots_disallow_filter": QuerySpec(
         robots_disallow_filter, ROBOTS_SQL
+    ),
+    "crawl_frontier_e2e": QuerySpec(
+        crawl_frontier_e2e, CRAWL_FRONTIER_SQL
     ),
     "langid_confusion": QuerySpec(langid_confusion, LANGID_CONFUSION_SQL),
     "html_text_extract": QuerySpec(html_text_extract, HTML_EXTRACT_SQL),
