@@ -308,12 +308,50 @@ def main() -> None:
         }
         print(f"[scale] x{scale}: {results[f'x{scale}']['sec']}", file=sys.stderr)
 
+    # BPE-trainer per-round flatness: time n = 8 / 16 / 32 learned
+    # merges for the full-recount baseline and the incremental-delta
+    # variant. Flat per-round cost shows as marginal_16_32 ≈
+    # marginal_8_16; the baseline's unchckpointed replace-chain makes
+    # later rounds progressively costlier (plan analysis grows with
+    # lineage), which is the scale boundary the delta variant closes.
+    trainer_rounds: dict[str, dict] = {}
+    if 1 in scales:
+        from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
+            bpe_learn_merges,
+            bpe_learn_merges_incremental,
+        )
+
+        tdocs = spark.read.parquet(
+            os.path.join(ensure_corpus(1), "documents.parquet")
+        )
+        for label, trainer in (
+            ("baseline_recount", bpe_learn_merges),
+            ("incremental_delta", bpe_learn_merges_incremental),
+        ):
+            ts: dict[int, float] = {}
+            for n in (8, 16, 32):
+                t0 = time.perf_counter()
+                learned = trainer(tdocs, n)
+                ts[n] = time.perf_counter() - t0
+                assert len(learned) == n
+            trainer_rounds[label] = {
+                "sec_n8": round(ts[8], 3),
+                "sec_n16": round(ts[16], 3),
+                "sec_n32": round(ts[32], 3),
+                "marginal_sec_per_round_8_16": round((ts[16] - ts[8]) / 8, 3),
+                "marginal_sec_per_round_16_32": round(
+                    (ts[32] - ts[16]) / 16, 3
+                ),
+            }
+        print(f"[scale] trainer rounds: {trainer_rounds}", file=sys.stderr)
+
     out = {
         "metric": "scaling_attestation",
         "unit": "sec",
         "base": {"n_docs": BASE_DOCS, "n_vecs": BASE_VECS,
                  "fixture_style": "sf0.1-matched + planted dups"},
         "scales": results,
+        "bpe_trainer_rounds": trainer_rounds,
         "notes": {
             "semdedup": (
                 "registry entry pins n_centroids=8 (fixture-tuned, "

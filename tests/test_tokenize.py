@@ -472,6 +472,30 @@ def test_bpe_learn_merges_matches_independent_sennrich(spark):
     assert got == _sennrich_learn(wf, 14)
 
 
+def test_bpe_learn_merges_incremental_parity(spark):
+    """The incremental-delta trainer returns IDENTICAL merge lists
+    (pairs AND counts) to the full-recount baseline and the textbook
+    reference on random corpora — including doubled-letter pairs and a
+    checkpoint interval small enough to exercise mid-loop lineage
+    truncation."""
+    from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
+        bpe_learn_merges,
+        bpe_learn_merges_incremental,
+    )
+
+    for seed in (13, 47):
+        texts = _random_corpus(seed)
+        wf: dict = {}
+        for t in texts:
+            for w in t.split(" "):
+                if w:
+                    wf[w] = wf.get(w, 0) + 1
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        inc = bpe_learn_merges_incremental(df, 14, checkpoint_every=3)
+        assert inc == _sennrich_learn(wf, 14), seed
+        assert inc == bpe_learn_merges(df, 14), seed
+
+
 def test_bpe_train_sql_matches_independent_sennrich():
     """The unrolled DuckDB training recurrence reproduces the same
     reference on the same random corpus — so Spark and oracle agree

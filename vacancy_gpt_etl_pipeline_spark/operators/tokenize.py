@@ -624,6 +624,116 @@ def bpe_learn_merges(
     return merges
 
 
+def _pair_frame(frame: DataFrame, sign: int = 1) -> DataFrame:
+    """Adjacent-pair multiset of a wrapped-symbol ``(seq, freq)`` frame
+    as ``(x, y, freq)`` rows, with ``freq`` multiplied by ``sign`` (the
+    delta trainer subtracts a rewritten word's old pairs by emitting
+    them at ``sign=-1``)."""
+    SEP = _SQL_SEP
+    syms = F.split(
+        F.col("seq").substr(F.lit(2), F.length("seq") - 2), SEP + SEP
+    )
+    return (
+        frame.select((F.col("freq") * sign).alias("freq"), syms.alias("s"))
+        .where(F.size("s") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s) - 1), "
+                    "i -> struct(s[i-1] AS x, s[i] AS y))"
+                )
+            ).alias("p"),
+        )
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"), "freq")
+    )
+
+
+def bpe_learn_merges_incremental(
+    docs: DataFrame,
+    n_merges: int = 16,
+    text_col: str = "text",
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str, int]]:
+    """:func:`bpe_learn_merges` with INCREMENTAL pair-count
+    maintenance — the shape that reaches a production 50k-merge
+    vocabulary. The baseline trainer recomputes the full pair count
+    from the vocabulary frame every round (O(n_merges × vocab ×
+    avg_len) total) and chains one ``replace()`` projection per merge
+    with no checkpoint (O(n_merges²) lineage growth). This variant
+    keeps a persistent ``pairs(x, y, pair_count)`` table and applies
+    each merge's DELTA instead of recounting: only words containing
+    the merged pair contribute, their pair multiset is diffed
+    before/after the rewrite (exact under any overlap/adjacency — the
+    diff is of actual sequences, not a formula), and the table is
+    folded with one bounded union-aggregate. ``localCheckpoint``
+    truncates lineage: eagerly on the (vocabulary-pair-sized) table
+    every round, on the segment frame every ``checkpoint_every``
+    rounds — per-round cost is flat in rounds-so-far (attested in
+    BENCH_SCALE.json).
+
+    Same contract, tie-break (count desc, then lexicographic pair) and
+    U+001F exclusion boundary as :func:`bpe_learn_merges`; pytest
+    asserts identical merge lists on random corpora."""
+    SEP = _SQL_SEP
+    words = docs.select(
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("word")
+    ).where((F.col("word") != "") & ~F.col("word").contains(SEP))
+    wf = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    seg = wf.select(
+        F.expr(
+            "array_join(transform(sequence(1, length(word)), "
+            f"i -> concat('{SEP}', substring(word, i, 1), '{SEP}')), '')"
+        ).alias("seq"),
+        "freq",
+    ).localCheckpoint()
+    pairs = (
+        _pair_frame(seg)
+        .groupBy("x", "y")
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        .localCheckpoint()
+    )
+
+    merges: list[tuple[str, str, int]] = []
+    for r in range(n_merges):
+        best = (
+            pairs.orderBy(F.desc("pair_count"), "x", "y")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # vocabulary fully merged
+        x, y, cnt = best[0][0], best[0][1], int(best[0][2])
+        merges.append((x, y, cnt))
+        pat = f"{SEP}{x}{SEP}{SEP}{y}{SEP}"
+        rep = f"{SEP}{x}{y}{SEP}"
+        affected = seg.where(F.col("seq").contains(pat))
+        rewritten = affected.withColumn(
+            "seq", F.replace("seq", F.lit(pat), F.lit(rep))
+        )
+        delta = _pair_frame(rewritten).unionByName(
+            _pair_frame(affected, sign=-1)
+        )
+        pairs = (
+            pairs.select("x", "y", F.col("pair_count").alias("freq"))
+            .unionByName(delta)
+            .groupBy("x", "y")
+            .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+            .where(F.col("pair_count") > 0)
+            .localCheckpoint()
+        )
+        seg = seg.withColumn(
+            "seq", F.replace("seq", F.lit(pat), F.lit(rep))
+        )
+        if (r + 1) % checkpoint_every == 0:
+            seg = seg.localCheckpoint()
+    return merges
+
+
 def bpe_train_sql(
     n_merges: int = 16, text_source: str = "documents"
 ) -> str:
