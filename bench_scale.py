@@ -308,6 +308,32 @@ def main() -> None:
         }
         print(f"[scale] x{scale}: {results[f'x{scale}']['sec']}", file=sys.stderr)
 
+        # Partition-scaled column (r10 verdict item 8): the x10→x50
+        # last-segment superlinearity of the two shuffle-heavy dedup
+        # flagships is a FIXED-PARTITION artifact (32 partitions carry
+        # 50x the per-partition state). A real cluster scales
+        # shuffle.partitions with input; replaying x50 at 32·(50/10) =
+        # 160 partitions demonstrates the "flat on a cluster" claim.
+        # shuffle.partitions is a runtime conf — same session, set and
+        # restore around the measurement.
+        if scale == 50:
+            scaled: dict[str, float] = {}
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "160")
+            try:
+                for name in ("dedup_minhash_lsh", "exact_substr_dedup"):
+                    fn = EXTRA_QUERIES.get(name) or registry[name]
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+                    scaled[name] = round(time.perf_counter() - t0, 3)
+                    spark.catalog.clearCache()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            results["x50_partitions_160"] = {"sec": scaled}
+            print(f"[scale] x50 @160 partitions: {scaled}", file=sys.stderr)
+
     # BPE-trainer per-round flatness: time n = 8 / 16 / 32 learned
     # merges for the full-recount baseline and the incremental-delta
     # variant. Flat per-round cost shows as marginal_16_32 ≈

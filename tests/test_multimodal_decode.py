@@ -792,6 +792,99 @@ def test_video_metadata_operator_routes_y4m_mp4_and_unknown(spark):
     assert r.container is None and r.duration_sec is None
 
 
+def _visual_entry(fourcc: bytes, child: bytes) -> bytes:
+    """SampleEntry(8) + VisualSampleEntry fixed fields(70) + child box."""
+    fields = (
+        b"\x00" * 6 + b"\x00\x01" + b"\x00" * 16 + b"\x00" * 4
+        + b"\x00\x48\x00\x00" * 2 + b"\x00" * 4 + b"\x00\x01"
+        + b"\x00" * 32 + b"\x00\x18\xff\xff"
+    )
+    return _box(fourcc, fields + child)
+
+
+def _trak_with_codec(handler: bytes, entry: bytes) -> bytes:
+    hdlr = _box(
+        b"hdlr", b"\x00\x00\x00\x00" + b"\x00" * 4 + handler + b"\x00" * 13
+    )
+    stsd = _box(b"stsd", b"\x00\x00\x00\x00" + (1).to_bytes(4, "big") + entry)
+    minf = _box(b"minf", _box(b"stbl", stsd))
+    return _box(b"trak", hdlr + _box(b"mdia", hdlr + minf))
+
+
+def test_mp4_codec_census_golden_literals():
+    """Hand-built avcC/vpcC/esds records parse to the RFC-6381 strings
+    the public conventions pin: H.264 High@4.1 is the canonical
+    'avc1.640029'; a 10-bit VP9 profile-2 stream is 'vp09.02.30.10';
+    AAC-LC in mp4 is 'mp4a.40.2'."""
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        _parse_mp4_codecs,
+    )
+
+    avcc = _box(b"avcC", bytes([1, 0x64, 0x00, 0x29]) + b"\xff\xe0\x00")
+    vide = _trak_with_codec(b"vide", _visual_entry(b"avc1", avcc))
+    esds = _box(
+        b"esds",
+        b"\x00" * 4
+        + bytes.fromhex(
+            "031900000004114015000000000000000000000005021210060102"
+        ),
+    )
+    audio_fields = (
+        b"\x00" * 6 + b"\x00\x01" + b"\x00" * 8 + b"\x00\x02\x00\x10"
+        + b"\x00" * 4 + b"\xac\x44\x00\x00"
+    )
+    soun = _trak_with_codec(b"soun", _box(b"mp4a", audio_fields + esds))
+    b = _box(b"ftyp", b"isom") + _box(
+        b"moov", _mvhd_v0(1000, 1000) + vide + soun
+    )
+    assert _parse_mp4_codecs(b) == ("avc1.640029", "mp4a.40.2")
+
+    vpcc = _box(
+        b"vpcC",
+        b"\x01\x00\x00\x00" + bytes([2, 30, 0xA2, 1, 1, 1]) + b"\x00\x00",
+    )
+    vide_vp9 = _trak_with_codec(b"vide", _visual_entry(b"vp09", vpcc))
+    b2 = _box(b"ftyp", b"isom") + _box(b"moov", _mvhd_v0(1000, 1000) + vide_vp9)
+    assert _parse_mp4_codecs(b2) == ("vp09.02.30.10", None)
+
+    # unknown fourcc reports itself; no stsd anywhere reports nothing
+    vide_hvc = _trak_with_codec(b"vide", _visual_entry(b"hvc1", b""))
+    b3 = _box(b"ftyp", b"isom") + _box(b"moov", _mvhd_v0(1000, 1000) + vide_hvc)
+    assert _parse_mp4_codecs(b3) == ("hvc1", None)
+    assert _parse_mp4_codecs(_golden_mp4()) == (None, None)
+
+
+def test_mp4_synthesis_codec_roundtrip(spark):
+    """synthesize_mp4_payload's stsd chains re-read through the census:
+    family alternates with the per-branch ordinal, profiles/levels
+    cycle, audio is always AAC-LC."""
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        synthesize_mp4_payload,
+        video_metadata,
+    )
+
+    ids = [1, 4, 7, 10, 13, 16]
+    df = synthesize_mp4_payload(
+        spark.createDataFrame([(i,) for i in ids], "doc_id: long"), "doc_id"
+    )
+    got = {r.asset_id: r for r in video_metadata(df).collect()}
+    want = {
+        1: "avc1.42001e",
+        4: "vp09.00.10.08",
+        7: "avc1.4d001f",
+        10: "vp09.01.11.08",
+        13: "avc1.640028",
+        16: "vp09.02.20.08",
+    }
+    for i in ids:
+        assert got[i].video_codec == want[i], i
+        assert got[i].audio_codec == "mp4a.40.2"
+        # the metadata walk still reads dims/duration through the
+        # larger moov — the census did not disturb the box framing
+        assert got[i].n_tracks == 2 and got[i].handlers == "vide,soun"
+        assert got[i].duration_sec == (i % 50 + 1) * 100 / 1000.0
+
+
 def test_mp4_truncated_mvhd_v1_quarantines_duration():
     """A v1 mvhd shorter than its 32-byte fixed layout must yield no
     duration (quarantine), never a garbage value read off the end."""

@@ -1341,6 +1341,8 @@ VIDEO_META_SCHEMA = T.StructType(
         T.StructField("timescale", T.LongType()),
         T.StructField("n_tracks", T.IntegerType()),
         T.StructField("handlers", T.StringType()),
+        T.StructField("video_codec", T.StringType()),
+        T.StructField("audio_codec", T.StringType()),
     ]
 )
 
@@ -1454,6 +1456,118 @@ def _parse_mp4_metadata(
     return duration_sec, timescale, n_tracks, ",".join(handlers), width, height
 
 
+def _read_desc_size(b: bytes, i: int) -> tuple[int, int]:
+    """MPEG-4 descriptor 'expandable' size (ISO/IEC 14496-1 §8.3.3):
+    up to four 7-bit groups, high bit = continuation. Returns
+    (size, next_offset)."""
+    size = 0
+    for _ in range(4):
+        if i >= len(b):
+            break
+        byte = b[i]
+        i += 1
+        size = (size << 7) | (byte & 0x7F)
+        if not byte & 0x80:
+            break
+    return size, i
+
+
+def _parse_mp4_codecs(b: bytes) -> tuple[str | None, str | None]:
+    """(video_codec, audio_codec) of an ISO-BMFF payload as
+    RFC-6381-style strings, from the first vide/soun tracks' stsd
+    sample entries — the codec CENSUS for the tier that refuses to
+    decode inter-predicted video (sample_video_frames docstring): the
+    metadata must NAME what it refuses.
+
+    Reads: the sample-entry fourcc always; for ``avc1`` the avcC
+    AVCDecoderConfigurationRecord (ISO/IEC 14496-15 §5.3.3:
+    profile_idc / profile_compatibility / level_idc at bytes 1-3) →
+    ``avc1.PPCCLL`` (hex); for ``vp09`` the vpcC VPCodecConfigurationBox
+    (VP9-in-ISOBMFF spec: FullBox, then profile / level / bitDepth)
+    → ``vp09.PP.LL.DD`` (decimal); for ``mp4a`` the esds ES_Descriptor
+    chain (14496-1 §7.2.6: objectTypeIndication in the
+    DecoderConfigDescriptor, AudioObjectType = first 5 bits of the
+    DecoderSpecificInfo) → ``mp4a.OO.A``. Unknown entries report their
+    bare fourcc; payloads without a moov/stsd report (None, None)."""
+    moov = _find_box(b, 0, len(b), b"moov")
+    if moov is None:
+        return None, None
+    vcodec = acodec = None
+    for t, s, e in _iter_mp4_boxes(b, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        mdia = _find_box(b, s, e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find_box(b, mdia[0], mdia[1], b"hdlr")
+        handler = (
+            b[hdlr[0] + 8 : hdlr[0] + 12]
+            if hdlr is not None and hdlr[1] - hdlr[0] >= 12
+            else b""
+        )
+        minf = _find_box(b, mdia[0], mdia[1], b"minf")
+        if minf is None:
+            continue
+        stbl = _find_box(b, minf[0], minf[1], b"stbl")
+        if stbl is None:
+            continue
+        stsd = _find_box(b, stbl[0], stbl[1], b"stsd")
+        if stsd is None or stsd[1] - stsd[0] < 16:
+            continue
+        # stsd is a FullBox: ver/flags(4) + entry_count(4), then the
+        # sample entries are box-shaped
+        entries = list(_iter_mp4_boxes(b, stsd[0] + 8, stsd[1]))
+        if not entries:
+            continue
+        fourcc, es, ee = entries[0]
+        name = fourcc.decode("ascii", "replace").strip()
+        if handler == b"vide" and vcodec is None:
+            vcodec = name
+            if fourcc == b"avc1":
+                # children follow SampleEntry(8) + VisualSampleEntry(70)
+                c = _find_box(b, es + 78, ee, b"avcC")
+                if c is not None and c[1] - c[0] >= 4:
+                    vcodec = (
+                        f"avc1.{b[c[0] + 1]:02x}"
+                        f"{b[c[0] + 2]:02x}{b[c[0] + 3]:02x}"
+                    )
+            elif fourcc == b"vp09":
+                c = _find_box(b, es + 78, ee, b"vpcC")
+                if c is not None and c[1] - c[0] >= 7:
+                    vcodec = (
+                        f"vp09.{b[c[0] + 4]:02d}.{b[c[0] + 5]:02d}"
+                        f".{b[c[0] + 6] >> 4:02d}"
+                    )
+        elif handler == b"soun" and acodec is None:
+            acodec = name
+            if fourcc == b"mp4a":
+                # children follow SampleEntry(8) + AudioSampleEntry(20)
+                c = _find_box(b, es + 28, ee, b"esds")
+                if c is not None and c[1] - c[0] >= 5:
+                    i, end = c[0] + 4, c[1]  # skip FullBox ver/flags
+                    oti = aot = None
+                    while i < end:
+                        tag = b[i]
+                        size, i = _read_desc_size(b, i + 1)
+                        if tag == 0x03:
+                            i += 3  # ES_ID(2) + streamDependence flags(1)
+                        elif tag == 0x04:
+                            if i < end:
+                                oti = b[i]
+                            i += 13  # through avgBitrate; descend to DSI
+                        elif tag == 0x05:
+                            if size >= 1 and i < end:
+                                aot = b[i] >> 3
+                            i += size
+                        else:
+                            i += size
+                    if oti is not None:
+                        acodec = f"mp4a.{oti:02x}" + (
+                            f".{aot}" if aot is not None else ""
+                        )
+    return vcodec, acodec
+
+
 def _parse_y4m_metadata(
     b: bytes,
 ) -> tuple[int, int, int, float | None] | None:
@@ -1532,7 +1646,8 @@ def video_metadata(
             rows: dict[str, list] = {f.name: [] for f in VIDEO_META_SCHEMA}
 
             def emit(aid, container=None, w=None, h=None, nf=None,
-                     dur=None, tscale=None, ntr=None, hnd=None):
+                     dur=None, tscale=None, ntr=None, hnd=None,
+                     vcodec=None, acodec=None):
                 rows["asset_id"].append(int(aid))
                 rows["container"].append(container)
                 rows["width"].append(w)
@@ -1542,23 +1657,32 @@ def video_metadata(
                 rows["timescale"].append(tscale)
                 rows["n_tracks"].append(ntr)
                 rows["handlers"].append(hnd)
+                rows["video_codec"].append(vcodec)
+                rows["audio_codec"].append(acodec)
 
             for aid, content in zip(pdf[id_col], pdf[content_col]):
                 b = bytes(content) if content is not None else b""
                 y4m = _parse_y4m_metadata(b)
                 if y4m is not None:
                     w, h, nf, dur = y4m
-                    emit(aid, "y4m", w, h, nf, dur)
+                    emit(aid, "y4m", w, h, nf, dur, vcodec="rawvideo")
                     continue
                 mp4 = _parse_mp4_metadata(b)
                 if mp4 is not None:
                     dur, tscale, ntr, hnd, w, h = mp4
-                    emit(aid, "isobmff", w, h, None, dur, tscale, ntr, hnd)
+                    vc, ac = _parse_mp4_codecs(b)
+                    emit(aid, "isobmff", w, h, None, dur, tscale, ntr,
+                         hnd, vc, ac)
                     continue
                 avi = _parse_avi_metadata(b)
                 if avi is not None:
                     w, h, nf, dur, ntr, hnd = avi
-                    emit(aid, "riff-avi", w, h, nf, dur, None, ntr, hnd)
+                    # the strh fourcc already parsed into handlers
+                    # names the codec; MJPG is the one this engine
+                    # actually decodes (operators/jpeg.py)
+                    vc = "mjpeg" if "MJPG" in (hnd or "") else None
+                    emit(aid, "riff-avi", w, h, nf, dur, None, ntr,
+                         hnd, vc)
                     continue
                 emit(aid)
             out = pd.DataFrame(rows)
@@ -1601,13 +1725,89 @@ def _mp4_tkhd_pre_hex(track_id: int) -> str:
 _MP4_TKHD_MID_HEX = bytes(52).hex().upper()
 
 
-def _mp4_mdia_hex(handler: bytes) -> str:
-    hdlr = _mp4_box_hdr(b"hdlr", 33) + bytes(8) + handler + bytes(13)
-    return (_mp4_box_hdr(b"mdia", 41) + hdlr).hex().upper()
+def _mp4_hdlr_hex(handler: bytes) -> str:
+    return (
+        _mp4_box_hdr(b"hdlr", 33) + bytes(8) + handler + bytes(13)
+    ).hex().upper()
 
 
-_MP4_TRAK_HDR_HEX = _mp4_box_hdr(b"trak", 141).hex().upper()
-_MP4_MOOV_HDR_HEX = _mp4_box_hdr(b"moov", 318).hex().upper()
+def _visual_sample_fields() -> bytes:
+    """SampleEntry(8) + VisualSampleEntry fixed fields(70) per
+    ISO/IEC 14496-12 §12.1.3 — dims stay zero here (the fixture's dims
+    live in tkhd, which the metadata walk reads); 72 dpi resolutions,
+    frame_count 1, depth 24, pre_defined -1 are the spec constants."""
+    return (
+        bytes(6) + b"\x00\x01"        # reserved + data_reference_index
+        + bytes(16)                   # pre_defined/reserved/pre_defined
+        + bytes(4)                    # width/height
+        + b"\x00\x48\x00\x00" * 2     # horiz/vert resolution 72 dpi
+        + bytes(4) + b"\x00\x01"      # reserved + frame_count
+        + bytes(32)                   # compressorname
+        + b"\x00\x18\xff\xff"         # depth 24, pre_defined -1
+    )
+
+
+# vide minf chains: minf{stbl{stsd{<entry>{<codec config>}}}} with the
+# codec-identifying bytes (profile/level) spliced at runtime.
+# avc1 sizes: avcC 15, entry 101, stsd 117, stbl 125, minf 133
+_MP4_MINF_AVC_PRE_HEX = (
+    _mp4_box_hdr(b"minf", 133)
+    + _mp4_box_hdr(b"stbl", 125)
+    + _mp4_box_hdr(b"stsd", 117) + bytes(4) + (1).to_bytes(4, "big")
+    + _mp4_box_hdr(b"avc1", 101) + _visual_sample_fields()
+    # AVCDecoderConfigurationRecord (14496-15 §5.3.3):
+    # configurationVersion=1, then profile/compat/level spliced
+    + _mp4_box_hdr(b"avcC", 15) + b"\x01"
+).hex().upper()
+#: lengthSizeMinusOne=3 (reserved bits set), 0 SPS, 0 PPS
+_MP4_AVCC_TAIL_HEX = b"\xff\xe0\x00".hex().upper()
+
+# vp09 sizes: vpcC 20, entry 106, stsd 122, stbl 130, minf 138
+_MP4_MINF_VP9_PRE_HEX = (
+    _mp4_box_hdr(b"minf", 138)
+    + _mp4_box_hdr(b"stbl", 130)
+    + _mp4_box_hdr(b"stsd", 122) + bytes(4) + (1).to_bytes(4, "big")
+    + _mp4_box_hdr(b"vp09", 106) + _visual_sample_fields()
+    # VPCodecConfigurationBox: FullBox v1, then profile/level spliced
+    + _mp4_box_hdr(b"vpcC", 20) + b"\x01\x00\x00\x00"
+).hex().upper()
+#: bitDepth 8 / chroma 4:2:0 colocated (0x82), BT.709 colour triple,
+#: codecInitializationDataSize 0
+_MP4_VPCC_TAIL_HEX = b"\x82\x01\x01\x01\x00\x00".hex().upper()
+
+#: ES_Descriptor chain (14496-1 §7.2.6): ES_ID 0 →
+#: DecoderConfigDescriptor (objectTypeIndication 0x40 = MPEG-4 Audio,
+#: streamType 0x05<<2|1) → DecoderSpecificInfo 0x12,0x10 (AAC-LC,
+#: 44.1 kHz, stereo) → SLConfigDescriptor(2)
+_ESDS_DESCRIPTORS = bytes.fromhex(
+    "0319" + "0000" + "00"
+    + "0411" + "40" + "15" + "000000" + "00000000" + "00000000"
+    + "0502" + "1210"
+    + "0601" + "02"
+)
+# soun minf chain, fully constant: esds 39, mp4a entry 75, stsd 91,
+# stbl 99, minf 107
+_MP4_SOUN_MINF_HEX = (
+    _mp4_box_hdr(b"minf", 107)
+    + _mp4_box_hdr(b"stbl", 99)
+    + _mp4_box_hdr(b"stsd", 91) + bytes(4) + (1).to_bytes(4, "big")
+    + _mp4_box_hdr(b"mp4a", 75)
+    + bytes(6) + b"\x00\x01"                 # SampleEntry
+    + bytes(8) + b"\x00\x02\x00\x10"         # stereo, 16-bit
+    + bytes(4) + b"\xac\x44\x00\x00"         # 44100 Hz, 16.16
+    + _mp4_box_hdr(b"esds", 39) + bytes(4) + _ESDS_DESCRIPTORS
+).hex().upper()
+
+# enclosing sizes per branch: vide mdia = 8 + hdlr 33 + minf;
+# trak = 8 + tkhd 92 + mdia; moov = 8 + mvhd 28 + trak_v + trak_s
+_MP4_VIDE_MDIA_AVC = 8 + 33 + 133    # 174
+_MP4_VIDE_MDIA_VP9 = 8 + 33 + 138    # 179
+_MP4_SOUN_MDIA = 8 + 33 + 107        # 148
+_MP4_VIDE_TRAK_AVC = 8 + 92 + _MP4_VIDE_MDIA_AVC   # 274
+_MP4_VIDE_TRAK_VP9 = 8 + 92 + _MP4_VIDE_MDIA_VP9   # 279
+_MP4_SOUN_TRAK = 8 + 92 + _MP4_SOUN_MDIA           # 248
+_MP4_MOOV_AVC = 36 + _MP4_VIDE_TRAK_AVC + _MP4_SOUN_TRAK  # 558
+_MP4_MOOV_VP9 = 36 + _MP4_VIDE_TRAK_VP9 + _MP4_SOUN_TRAK  # 563
 _MP4_MDAT_HEX = (_mp4_box_hdr(b"mdat", 24) + bytes(16)).hex().upper()
 
 
@@ -1622,31 +1822,106 @@ def synthesize_mp4_payload(
     a ``soun`` track — then an empty mdat. Every field the moov box
     walk (:func:`_parse_mp4_metadata`) reads is synthesized for real,
     so container metadata round-trips: duration_sec = dur/1000,
-    n_tracks = 2, handlers 'vide,soun'. No codec data — the mdat is
-    empty by construction, exactly the boundary where real decode needs
-    ffmpeg."""
+    n_tracks = 2, handlers 'vide,soun'. The vide track's stsd carries a
+    REAL codec configuration record — avc1+avcC for even per-branch
+    ordinals p = (id-1)//6 (profile 66/77/100 by p%3, level
+    30/31/40/41 by p%4), vp09+vpcC for odd (profile p%4, level
+    10/11/20/21/30 by p%5, 8-bit) — and the soun track an mp4a+esds
+    (AAC-LC), so the codec CENSUS names exactly what the decode tier
+    refuses (no coded samples anywhere: the mdat is empty by
+    construction, the boundary where real decode needs ffmpeg)."""
     i = F.col(id_col).cast("bigint")
     dur = (i % 50 + 1) * 100
     w = ((i % 8 + 2) * 16).cast("bigint")
     h = ((i % 4 + 2) * 16).cast("bigint")
+    # per-branch ordinal: ids on the mp4 residue class (≡1 mod 3) have
+    # q = (id-1)/3 consecutive, so q's parity picks the codec family
+    # and p = q/2 counts WITHIN the family — every profile/level arm
+    # below cycles fully (a modulus on the raw id would alias against
+    # the residue class and leave arms dead)
+    q = F.floor((i - 1) / 3).cast("bigint")
+    p = F.floor(q / 2).cast("bigint")
+    is_avc = q % 2 == 0
+    prof_avc = (
+        F.when(p % 3 == 0, F.lit("42"))
+        .when(p % 3 == 1, F.lit("4D"))
+        .otherwise(F.lit("64"))
+    )
+    lvl_avc = (
+        F.when(p % 4 == 0, F.lit("1E"))
+        .when(p % 4 == 1, F.lit("1F"))
+        .when(p % 4 == 2, F.lit("28"))
+        .otherwise(F.lit("29"))
+    )
+    prof_vp9 = F.lpad((p % 4).cast("string"), 2, "0")
+    lvl_vp9 = (
+        F.when(p % 5 == 0, F.lit("0A"))
+        .when(p % 5 == 1, F.lit("0B"))
+        .when(p % 5 == 2, F.lit("14"))
+        .when(p % 5 == 3, F.lit("15"))
+        .otherwise(F.lit("1E"))
+    )
+    vide_minf_hex = F.when(
+        is_avc,
+        F.concat(
+            F.lit(_MP4_MINF_AVC_PRE_HEX),
+            prof_avc,
+            F.lit("00"),
+            lvl_avc,
+            F.lit(_MP4_AVCC_TAIL_HEX),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit(_MP4_MINF_VP9_PRE_HEX),
+            prof_vp9,
+            lvl_vp9,
+            F.lit(_MP4_VPCC_TAIL_HEX),
+        )
+    )
     trak_vide_hex = F.concat(
-        F.lit(_MP4_TRAK_HDR_HEX + _mp4_tkhd_pre_hex(1)),
+        F.when(
+            is_avc,
+            F.lit(_mp4_box_hdr(b"trak", _MP4_VIDE_TRAK_AVC).hex().upper()),
+        ).otherwise(
+            F.lit(_mp4_box_hdr(b"trak", _MP4_VIDE_TRAK_VP9).hex().upper())
+        ),
+        F.lit(_mp4_tkhd_pre_hex(1)),
         _be32_hex(dur),
         F.lit(_MP4_TKHD_MID_HEX),
         _be32_hex(w * 65536),
         _be32_hex(h * 65536),
-        F.lit(_mp4_mdia_hex(b"vide")),
+        F.when(
+            is_avc,
+            F.lit(_mp4_box_hdr(b"mdia", _MP4_VIDE_MDIA_AVC).hex().upper()),
+        ).otherwise(
+            F.lit(_mp4_box_hdr(b"mdia", _MP4_VIDE_MDIA_VP9).hex().upper())
+        ),
+        F.lit(_mp4_hdlr_hex(b"vide")),
+        vide_minf_hex,
     )
     trak_soun_hex = F.concat(
-        F.lit(_MP4_TRAK_HDR_HEX + _mp4_tkhd_pre_hex(2)),
+        F.lit(
+            _mp4_box_hdr(b"trak", _MP4_SOUN_TRAK).hex().upper()
+            + _mp4_tkhd_pre_hex(2)
+        ),
         _be32_hex(dur),
         F.lit(_MP4_TKHD_MID_HEX),
         _be32_hex(F.lit(0)),
         _be32_hex(F.lit(0)),
-        F.lit(_mp4_mdia_hex(b"soun")),
+        F.lit(
+            _mp4_box_hdr(b"mdia", _MP4_SOUN_MDIA).hex().upper()
+            + _mp4_hdlr_hex(b"soun")
+            + _MP4_SOUN_MINF_HEX
+        ),
     )
     full_hex = F.concat(
-        F.lit(_MP4_FTYP_HEX + _MP4_MOOV_HDR_HEX + _MP4_MVHD_PRE_HEX),
+        F.lit(_MP4_FTYP_HEX),
+        F.when(
+            is_avc, F.lit(_mp4_box_hdr(b"moov", _MP4_MOOV_AVC).hex().upper())
+        ).otherwise(
+            F.lit(_mp4_box_hdr(b"moov", _MP4_MOOV_VP9).hex().upper())
+        ),
+        F.lit(_MP4_MVHD_PRE_HEX),
         _be32_hex(dur),
         trak_vide_hex,
         trak_soun_hex,

@@ -4976,11 +4976,18 @@ def video_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     become MJPEG AVIs (real entropy-coded frames) whose avih/strh
     headers yield dims, total frames (3 for this residue class),
     duration 3·40000 µs-per-frame ticks, and the 'vids:MJPG' stream
-    handler. The oracle recomputes every field closed-form from doc_id
-    (never parsing a byte), so the hash only matches if each
+    handler. The mp4 branch additionally carries a REAL stsd codec
+    chain — avc1+avcC / vp09+vpcC alternating by per-branch ordinal
+    with cycling profile/level bytes, mp4a+esds (AAC-LC) on the sound
+    track — and the census columns (video_codec/audio_codec,
+    RFC-6381-style) name exactly what the decode tier refuses to
+    decode (y4m → 'rawvideo', avi → 'mjpeg': the two it decodes). The
+    oracle recomputes every field closed-form from doc_id (never
+    parsing a byte), so the hash only matches if each
     synth→header-walk round trip (sizes, offsets, fixed-point shifts,
-    fourcc/handler strings) is exact. Golden-literal conformance in
-    tests/test_multimodal_decode.py and tests/test_jpeg_codec.py."""
+    fourcc/handler strings, configuration-record bytes) is exact.
+    Golden-literal conformance in tests/test_multimodal_decode.py and
+    tests/test_jpeg_codec.py."""
     from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
         synthesize_mp4_payload,
         video_metadata,
@@ -5033,7 +5040,25 @@ SELECT CAST(doc_id AS BIGINT) AS asset_id,
             ELSE 1 END AS INTEGER) AS n_tracks,
   CASE WHEN doc_id % 3 = 0 THEN NULL
        WHEN doc_id % 3 = 1 THEN 'vide,soun'
-       ELSE 'vids:MJPG' END AS handlers
+       ELSE 'vids:MJPG' END AS handlers,
+  CASE WHEN doc_id % 3 = 0 THEN 'rawvideo'
+       WHEN doc_id % 3 = 2 THEN 'mjpeg'
+       WHEN ((doc_id - 1) // 3) % 2 = 0 THEN
+         'avc1.'
+         || CASE ((doc_id - 1) // 6) % 3
+              WHEN 0 THEN '42' WHEN 1 THEN '4d' ELSE '64' END
+         || '00'
+         || CASE ((doc_id - 1) // 6) % 4
+              WHEN 0 THEN '1e' WHEN 1 THEN '1f'
+              WHEN 2 THEN '28' ELSE '29' END
+       ELSE
+         'vp09.0' || CAST(((doc_id - 1) // 6) % 4 AS VARCHAR) || '.'
+         || CASE ((doc_id - 1) // 6) % 5
+              WHEN 0 THEN '10' WHEN 1 THEN '11' WHEN 2 THEN '20'
+              WHEN 3 THEN '21' ELSE '30' END
+         || '.08'
+       END AS video_codec,
+  CASE WHEN doc_id % 3 = 1 THEN 'mp4a.40.2' END AS audio_codec
 FROM documents
 """
 
@@ -12091,6 +12116,75 @@ assert len(_R10_FRONT) == len(set(_R10_FRONT)) == 50
 REGISTRY = {
     **{name: REGISTRY[name] for name in _R10_FRONT},
     **{k: v for k, v in REGISTRY.items() if k not in frozenset(_R10_FRONT)},
+}
+
+# Round-12 rotation: (a) the two entries that have never had a driver
+# row (added in round 11) plus this round's new flagship, (b) entries
+# whose code, oracle, or plan changed this round, (c) the 21-entry
+# cohort whose last driver-green row is round 6 (five rounds stale),
+# then (d) the oldest of the round-7 cohort to fill 50.
+_R12_FRONT: tuple[str, ...] = (
+    # (a) never driver-checked
+    "bpe_train_merges",
+    "bpe_train_encode_pack",
+    "crawl_frontier_e2e",
+    # (b) code/oracle touched in round 12 (SEP-boundary symmetry,
+    # (?s) dot-matches-newline oracles, degenerate-sizing guard,
+    # unescaped-EOL normalization, stsd codec census)
+    "video_container_metadata",
+    "semdedup",
+    "semdedup_2level",
+    "pdf_text_extract",
+    "bpe_token_counts",
+    "bpe_bytelevel_counts",
+    "bpe_bytelevel_pack",
+    "fix_mojibake_docs",
+    # (c) last driver-green in round 6
+    "audio_decode",
+    "boilerplate_rm",
+    "char_diversity_docs",
+    "cohort_retention",
+    "expectations",
+    "image_decode",
+    "incr_rollup",
+    "moving_average_events",
+    "neardup_incr",
+    "nfc_normalize",
+    "pmi_collocations",
+    "q18_large_orders",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "quality_floor",
+    "salted_agg",
+    "salted_join",
+    "shard_manifest",
+    "snapshot_diff_orders",
+    "training_prep_pipeline",
+    "triangle_count_parts",
+    # (d) oldest round-7 cohort entries
+    "ab_test_conversion",
+    "ann_incremental_topk",
+    "ann_ivf_adaptive",
+    "association_rules_brands",
+    "benford_price_digits",
+    "cohort_ltv_curve",
+    "curation_e2e",
+    "dau_wau_stickiness",
+    "diff_in_diff_conversion",
+    "embedding_normalize",
+    "event_transition_matrix",
+    "ewma_daily_events",
+    "feature_scale_balances",
+    "gapfill_daily_events",
+    "golden_user_profile",
+    "grouping_sets_revenue",
+    "growth_accounting_weekly",
+    "histogram_order_prices",
+)
+assert len(_R12_FRONT) == len(set(_R12_FRONT)) == 50
+REGISTRY = {
+    **{name: REGISTRY[name] for name in _R12_FRONT},
+    **{k: v for k, v in REGISTRY.items() if k not in frozenset(_R12_FRONT)},
 }
 
 
