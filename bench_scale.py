@@ -285,6 +285,11 @@ def main() -> None:
                     # n_centroids=8 entry is EXPECTED to refuse at x50
                     # (12.5k vectors/cell > max_cell) instead of
                     # silently no-opping as in earlier attestations.
+                    # ONLY that refusal is benign — any other
+                    # ValueError is a broken flagship and must fail
+                    # the attestation, not vanish into guard_fired.
+                    if "degenerate sizing" not in str(e):
+                        raise
                     guarded[name] = str(e)
                     spark.catalog.clearCache()
                     continue

@@ -642,6 +642,12 @@ def semdedup(
         F.sum((F.col("_csz") > max_cell).cast("long")).alias("n_over"),
     ).first()
     if _stats.n_cells and _stats.n_over == _stats.n_cells:
+        if cache_scope is None:
+            # the guard just materialized the corpus-sized assignment
+            # cache; on the error path nobody downstream will read or
+            # free it — a caller that catches and retries with fixed
+            # sizing would otherwise leak one cached frame per attempt
+            assigned.unpersist()
         raise ValueError(
             f"semdedup degenerate sizing: all {_stats.n_cells} cells "
             f"exceed max_cell={max_cell}, so no pair would be "

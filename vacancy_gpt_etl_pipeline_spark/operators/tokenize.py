@@ -585,23 +585,9 @@ def bpe_learn_merges(
     cur = seg
     try:
         for _ in range(n_merges):
-            syms = F.split(
-                F.col("seq").substr(F.lit(2), F.length("seq") - 2),
-                SEP + SEP,
-            )
             best = (
-                cur.select("freq", syms.alias("s"))
-                .where(F.size("s") >= 2)
-                .select(
-                    "freq",
-                    F.explode(
-                        F.expr(
-                            "transform(sequence(1, size(s) - 1), "
-                            "i -> struct(s[i-1] AS x, s[i] AS y))"
-                        )
-                    ).alias("p"),
-                )
-                .groupBy("p.x", "p.y")
+                _pair_frame(cur)
+                .groupBy("x", "y")
                 .agg(F.sum("freq").cast("bigint").alias("pair_count"))
                 .orderBy(F.desc("pair_count"), "x", "y")
                 .limit(1)

@@ -11426,8 +11426,14 @@ def crawl_frontier_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gated = uniq.where(~F.col("norm_url").rlike(AD_PATH_PATTERN))
     hn = F.regexp_extract("host", "^h([0-9]+)\\.", 1).cast("int")
+    # rules derive from the PRE-window candidate frame: the prefixes
+    # are closed-form in the host name, so building them downstream of
+    # `gated` would re-execute the canonicalize+dedup window subtree a
+    # second time just to list 16 hosts (Spark shares no unpersisted
+    # subtree); a rule row for a host the dedup later empties simply
+    # never matches the left join — identical result, half the cost
     rules = (
-        gated.select("host").distinct()
+        cand.select("host").distinct()
         .where(hn % 4 != 1)
         .select(
             "host",
@@ -11518,7 +11524,7 @@ rules AS (
       CASE WHEN CAST(regexp_extract(host, '^h([0-9]+)\\.', 1) AS INTEGER)
                 % 3 = 0 THEN '/s3/' END
     ], x -> x IS NOT NULL) AS prefixes
-  FROM (SELECT DISTINCT host FROM gated)
+  FROM (SELECT DISTINCT host FROM n)
   WHERE CAST(regexp_extract(host, '^h([0-9]+)\\.', 1) AS INTEGER) % 4 != 1
 ),
 allowed AS (
