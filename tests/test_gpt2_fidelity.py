@@ -32,6 +32,7 @@ from pyspark.sql import Row
 from test_tokenize import _gpt2_bpe_reference, _sennrich_learn
 
 from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
+    GPT2_BYTE_MERGES_PREFIX,
     bpe_learn_merges,
     byte_bpe_segment,
     byte_pretokenize,
@@ -39,7 +40,10 @@ from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
 
 #: First 50 lines of the published GPT-2 merge table (vocab.bpe,
 #: ``#version: 0.2`` header dropped).  rank = index; producing token
-#: id = 256 + rank.
+#: id = 256 + rank.  Deliberately a SECOND transcription: the package
+#: ships the same table (operators/tokenize.GPT2_MERGES_PREFIX) and a
+#: test below pins the two byte-space renderings equal through an
+#: independent conversion.
 GPT2_MERGES_PREFIX: tuple[tuple[str, str], ...] = (
     ("Ġ", "t"),      # 256  " t"
     ("Ġ", "a"),      # 257  " a"
@@ -118,6 +122,12 @@ HEX_MERGES: tuple[tuple[str, str], ...] = tuple(
 def _from_hex_symbol(sym: str) -> str:
     bs = bytes.fromhex(sym)
     return "".join("Ġ" if b == 0x20 else chr(b) for b in bs)
+
+
+def test_package_table_matches_independent_transcription():
+    """The package's GPT2_BYTE_MERGES_PREFIX equals this module's
+    independently transcribed + independently converted rendering."""
+    assert HEX_MERGES == GPT2_BYTE_MERGES_PREFIX
 
 
 def test_component_before_compound_invariant():

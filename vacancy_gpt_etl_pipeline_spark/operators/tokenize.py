@@ -288,6 +288,50 @@ DEFAULT_BYTE_MERGES: Sequence[Merge] = tuple(
 )
 
 
+#: Opening of the PUBLISHED GPT-2 merge table (Radford et al. 2019,
+#: openai/gpt-2 ``vocab.bpe``), in the published bytes-to-unicode
+#: alphabet ('Ġ' = the 0x20 space byte). Transcribed offline and
+#: limited to the first 50 merges — the prefix whose every rank is
+#: independently verifiable through the public token-id arithmetic
+#: ``token_id = 256 + rank`` (" the" = 262 = rank 6, " and" = 290 =
+#: rank 34, "ing" = 278 = rank 22, …); tests/test_gpt2_fidelity.py
+#: pins the engine's segmentation to the published bpe() algorithm on
+#: this table and re-learns an ordered subsequence of it.
+GPT2_MERGES_PREFIX: tuple[tuple[str, str], ...] = (
+    ("Ġ", "t"), ("Ġ", "a"), ("h", "e"), ("i", "n"), ("r", "e"),
+    ("o", "n"), ("Ġt", "he"), ("e", "r"), ("Ġ", "s"), ("a", "t"),
+    ("Ġ", "w"), ("Ġ", "o"), ("e", "n"), ("Ġ", "c"), ("i", "t"),
+    ("i", "s"), ("a", "n"), ("o", "r"), ("e", "s"), ("Ġ", "b"),
+    ("e", "d"), ("Ġ", "f"), ("in", "g"), ("Ġ", "p"), ("o", "u"),
+    ("Ġa", "n"), ("a", "l"), ("a", "r"), ("Ġt", "o"), ("Ġ", "m"),
+    ("Ġo", "f"), ("Ġ", "in"), ("Ġ", "d"), ("Ġ", "h"), ("Ġan", "d"),
+    ("i", "c"), ("a", "s"), ("l", "e"), ("Ġt", "h"), ("i", "on"),
+    ("o", "m"), ("l", "l"), ("en", "t"), ("Ġ", "n"), ("Ġ", "l"),
+    ("s", "t"), ("Ġ", "re"), ("v", "e"), ("Ġ", "e"), ("r", "o"),
+)
+
+
+def _gpt2_component_to_hex(component: str) -> str:
+    """Inverse of the published bytes_to_unicode bijection, restricted
+    to this prefix's alphabet (printable ASCII identity; 'Ġ' ↔ 0x20),
+    rendered as the byte tier's hex-symbol name."""
+    out = []
+    for c in component:
+        b = 0x20 if c == "Ġ" else ord(c)
+        assert c == "Ġ" or 0x21 <= b <= 0x7E, component
+        out.append(f"{b:02x}")
+    return "".join(out)
+
+
+#: The same published prefix in the byte tier's hex-symbol space —
+#: directly consumable by :func:`byte_bpe_segment` /
+#: :func:`bpe_bytelevel_counts` / :func:`byte_bpe_merge_sql`.
+GPT2_BYTE_MERGES_PREFIX: tuple[tuple[str, str], ...] = tuple(
+    (_gpt2_component_to_hex(x), _gpt2_component_to_hex(y))
+    for x, y in GPT2_MERGES_PREFIX
+)
+
+
 def byte_bpe_segment(
     pretoken: str, merges: Sequence[Merge] = DEFAULT_BYTE_MERGES
 ) -> list[str]:

@@ -9184,6 +9184,82 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def bpe_train_merges_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME 16-merge learn loop as `bpe_train_merges`, through the
+    INCREMENTAL-DELTA trainer (operators/tokenize.
+    bpe_learn_merges_incremental — persistent pair-count table updated
+    by each merge's before/after diff on affected words only, eager
+    localCheckpoint per round with block freeing, the shape that
+    reaches a 50k-merge production vocabulary). Oracle: the identical
+    unrolled-recurrence SQL as `bpe_train_merges` — the two trainers'
+    outputs are defined to be equal, so the driver hash certifies the
+    delta maintenance exactly, not just pytest's random corpora."""
+    from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
+        bpe_learn_merges_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    learned = bpe_learn_merges_incremental(docs, _BPE_TRAIN_N)
+    rows = [(r, x, y, c) for r, (x, y, c) in enumerate(learned)]
+    return spark.createDataFrame(
+        rows,
+        "rank bigint, left_sym string, right_sym string, pair_count bigint",
+    ).orderBy("rank")
+
+
+def bpe_gpt2_prefix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level tokenizer-exact counts under the PUBLISHED GPT-2
+    merge-table prefix (operators/tokenize.GPT2_BYTE_MERGES_PREFIX —
+    the first 50 published merges, each rank verified via the public
+    token_id = 256 + rank arithmetic). This is the driver-checked
+    published-tokenizer fidelity claim: `bpe_bytelevel_counts` ran the
+    engine's OWN merge tables until now; here the exact same
+    pre-tokenize → per-distinct-pre-token Arrow encode → join-back
+    plan runs the published rules, and the oracle replays all 50 in
+    the recursive-CTE encode — the hash only matches if the engine
+    segments every pre-token of the corpus exactly as the published
+    algorithm does on the published table."""
+    from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
+        GPT2_BYTE_MERGES_PREFIX,
+        bpe_bytelevel_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_bytelevel_counts(
+        docs, merges=GPT2_BYTE_MERGES_PREFIX
+    ).orderBy("doc_id")
+
+
+def _bpe_gpt2_prefix_sql() -> str:
+    from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
+        GPT2_BYTE_MERGES_PREFIX,
+        byte_bpe_merge_sql,
+        byte_pretokenize_sql,
+    )
+
+    return f"""
+WITH RECURSIVE
+{byte_pretokenize_sql()},
+vocab AS (SELECT DISTINCT pre FROM pretok),
+{byte_bpe_merge_sql(GPT2_BYTE_MERGES_PREFIX)},
+per_doc AS (
+  SELECT p.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+    CAST(SUM(t.pre_tokens) AS BIGINT) AS n_tokens
+  FROM pretok p JOIN tok t USING (pre)
+  GROUP BY p.doc_id
+)
+SELECT a.doc_id,
+  COALESCE(p.n_pretokens, 0) AS n_pretokens,
+  COALESCE(p.n_tokens, 0) AS n_tokens
+FROM documents a LEFT JOIN per_doc p USING (doc_id)
+ORDER BY a.doc_id
+"""
+
+
+BPE_GPT2_PREFIX_SQL = _bpe_gpt2_prefix_sql()
+
+
 def _bpe_train_merges_sql() -> str:
     from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
         bpe_train_sql,
@@ -11900,6 +11976,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "shortest_paths_parts": QuerySpec(shortest_paths_parts, SHORTEST_PATHS_SQL),
     # -- new in round 11 --------------------------------------------------
     "bpe_train_merges": QuerySpec(bpe_train_merges, BPE_TRAIN_SQL),
+    "bpe_train_merges_incr": QuerySpec(bpe_train_merges_incr, BPE_TRAIN_SQL),
+    "bpe_gpt2_prefix_counts": QuerySpec(
+        bpe_gpt2_prefix_counts, BPE_GPT2_PREFIX_SQL
+    ),
     "bpe_train_encode_pack": QuerySpec(
         bpe_train_encode_pack, BPE_TRAIN_E2E_SQL
     ),
@@ -12134,6 +12214,8 @@ _R12_FRONT: tuple[str, ...] = (
     "bpe_train_merges",
     "bpe_train_encode_pack",
     "crawl_frontier_e2e",
+    "bpe_train_merges_incr",
+    "bpe_gpt2_prefix_counts",
     # (b) code/oracle touched in round 12 (SEP-boundary symmetry,
     # (?s) dot-matches-newline oracles, degenerate-sizing guard,
     # unescaped-EOL normalization, stsd codec census)
@@ -12184,8 +12266,6 @@ _R12_FRONT: tuple[str, ...] = (
     "gapfill_daily_events",
     "golden_user_profile",
     "grouping_sets_revenue",
-    "growth_accounting_weekly",
-    "histogram_order_prices",
 )
 assert len(_R12_FRONT) == len(set(_R12_FRONT)) == 50
 REGISTRY = {
