@@ -264,7 +264,7 @@ def main() -> None:
     warm.groupBy("source").count().write.mode("overwrite").format("noop").save()
 
     results: dict[str, dict] = {}
-    for scale in scales:
+    for scale in scales if not os.environ.get("SPARK_GRAFT_TRAINER_ONLY") else []:
         sf_dir = ensure_corpus(scale)
         # min-of-2 for the cheap scales; single pass at 50x bounds the
         # harness to ~15 min (the 50x numbers are the headline, and a
@@ -339,12 +339,21 @@ def main() -> None:
             results["x50_partitions_160"] = {"sec": scaled}
             print(f"[scale] x50 @160 partitions: {scaled}", file=sys.stderr)
 
-    # BPE-trainer per-round flatness: per-round wall time at n = 16 /
-    # 32 / 48 learned merges (after a discarded n=8 warmup — JIT and
-    # first-plan costs otherwise land on the first measurement and
-    # masquerade as growth), plus a REPEAT of n=32 at the end: flat
-    # per-round cost shows as sec_per_round stable across n AND the
-    # repeat matching the first n=32 (no per-call session aging).
+    # BPE-trainer per-round flatness. Methodology matters here:
+    # raw dt/n CONFLATES the per-call setup (word explode, initial
+    # segmentation + pair count) with per-round cost — for flat
+    # per-round cost c and setup s, dt/n = c + s/n DECREASES with n,
+    # so "dt/n stable" would actually indicate growth. The isolating
+    # metric is the MARGINAL cost of the extra rounds,
+    # (t_96 − t_32) / 64, which cancels s exactly; and JIT warmup must
+    # be fully drained first (a short warmup bleeds compilation into
+    # the first measurement and masquerades as growth — measured
+    # 0.52 → 0.26 s/round for two IDENTICAL n=32 calls when the
+    # warmup was only n=8). Protocol: one discarded n=32 warmup, then
+    # n=32 / n=80 / n=32-repeat (the 31-word fixture vocabulary
+    # exhausts at 89 merges, so 80 is the deep point). Flat per-round cost in
+    # rounds-so-far shows as marginal_32_80 ≤ the warm n=32 per-round
+    # value and the repeat matching the first n=32.
     trainer_rounds: dict[str, dict] = {}
     if 1 in scales:
         from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
@@ -359,19 +368,36 @@ def main() -> None:
             ("baseline_recount", bpe_learn_merges),
             ("incremental_delta", bpe_learn_merges_incremental),
         ):
-            trainer(tdocs, 8)  # warmup, discarded
+            trainer(tdocs, 32)  # warmup, discarded
             row: dict[str, float] = {}
-            for key, n in (
-                ("n16", 16), ("n32", 32), ("n48", 48), ("n32_repeat", 32)
-            ):
+            ts: dict[str, float] = {}
+            for key, n in (("n32", 32), ("n80", 80), ("n32_repeat", 32)):
                 t0 = time.perf_counter()
                 learned = trainer(tdocs, n)
                 dt = time.perf_counter() - t0
                 assert len(learned) == n
+                ts[key] = dt
                 row[f"sec_{key}"] = round(dt, 3)
                 row[f"sec_per_round_{key}"] = round(dt / n, 3)
+            row["marginal_sec_per_round_32_80"] = round(
+                (ts["n80"] - (ts["n32"] + ts["n32_repeat"]) / 2) / 48, 3
+            )
             trainer_rounds[label] = row
         print(f"[scale] trainer rounds: {trainer_rounds}", file=sys.stderr)
+
+    if os.environ.get("SPARK_GRAFT_TRAINER_ONLY"):
+        # refresh ONLY the trainer attestation inside the committed
+        # BENCH_SCALE.json (the full 1x/10x/50x sweep is ~25 min; the
+        # trainer block alone is ~3)
+        path = os.path.join(REPO, "BENCH_SCALE.json")
+        with open(path) as f:
+            existing = json.load(f)
+        existing["bpe_trainer_rounds"] = trainer_rounds
+        with open(path, "w") as f:
+            json.dump(existing, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(json.dumps({"bpe_trainer_rounds": trainer_rounds}))
+        return
 
     out = {
         "metric": "scaling_attestation",

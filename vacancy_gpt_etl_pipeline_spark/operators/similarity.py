@@ -617,7 +617,8 @@ def semdedup(
     # ``assigned`` injection: pass a precomputed (id, vector, cell)
     # frame — e.g. :func:`ivf_assign_two_level` when the cell count
     # scales with the corpus — and (n_centroids, stride) are ignored.
-    if assigned is None:
+    operator_built = assigned is None
+    if operator_built:
         centroids = sampled_centroids(
             corpus, n_centroids, stride, id_col, vec_col
         )
@@ -642,11 +643,13 @@ def semdedup(
         F.sum((F.col("_csz") > max_cell).cast("long")).alias("n_over"),
     ).first()
     if _stats.n_cells and _stats.n_over == _stats.n_cells:
-        if cache_scope is None:
+        if cache_scope is None and operator_built:
             # the guard just materialized the corpus-sized assignment
             # cache; on the error path nobody downstream will read or
             # free it — a caller that catches and retries with fixed
-            # sizing would otherwise leak one cached frame per attempt
+            # sizing would otherwise leak one cached frame per attempt.
+            # A caller-INJECTED frame is the caller's cache to manage
+            # (it may feed several semdedup calls) — never drop it.
             assigned.unpersist()
         raise ValueError(
             f"semdedup degenerate sizing: all {_stats.n_cells} cells "

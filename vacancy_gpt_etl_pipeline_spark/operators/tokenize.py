@@ -758,42 +758,46 @@ def bpe_learn_merges_incremental(
     )
 
     merges: list[tuple[str, str, int]] = []
-    for r in range(n_merges):
-        best = (
-            pairs.orderBy(F.desc("pair_count"), "x", "y")
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break  # vocabulary fully merged
-        x, y, cnt = best[0][0], best[0][1], int(best[0][2])
-        merges.append((x, y, cnt))
-        pat = f"{SEP}{x}{SEP}{SEP}{y}{SEP}"
-        rep = f"{SEP}{x}{y}{SEP}"
-        affected = seg.where(F.col("seq").contains(pat))
-        rewritten = affected.withColumn(
-            "seq", F.replace("seq", F.lit(pat), F.lit(rep))
-        )
-        delta = _pair_frame(rewritten).unionByName(
-            _pair_frame(affected, sign=-1)
-        )
-        pairs, new_ids = _checkpoint(
-            pairs.select("x", "y", F.col("pair_count").alias("freq"))
-            .unionByName(delta)
-            .groupBy("x", "y")
-            .agg(F.sum("freq").cast("bigint").alias("pair_count"))
-            .where(F.col("pair_count") > 0)
-        )
-        _free(pair_ids)
-        pair_ids = new_ids
-        seg = seg.withColumn(
-            "seq", F.replace("seq", F.lit(pat), F.lit(rep))
-        )
-        if (r + 1) % checkpoint_every == 0:
-            seg, new_seg_ids = _checkpoint(seg)
-            _free(seg_ids)
-            seg_ids = new_seg_ids
-    _free(pair_ids | seg_ids)
+    try:
+        for r in range(n_merges):
+            best = (
+                pairs.orderBy(F.desc("pair_count"), "x", "y")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break  # vocabulary fully merged
+            x, y, cnt = best[0][0], best[0][1], int(best[0][2])
+            merges.append((x, y, cnt))
+            pat = f"{SEP}{x}{SEP}{SEP}{y}{SEP}"
+            rep = f"{SEP}{x}{y}{SEP}"
+            affected = seg.where(F.col("seq").contains(pat))
+            rewritten = affected.withColumn(
+                "seq", F.replace("seq", F.lit(pat), F.lit(rep))
+            )
+            delta = _pair_frame(rewritten).unionByName(
+                _pair_frame(affected, sign=-1)
+            )
+            pairs, new_ids = _checkpoint(
+                pairs.select("x", "y", F.col("pair_count").alias("freq"))
+                .unionByName(delta)
+                .groupBy("x", "y")
+                .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+                .where(F.col("pair_count") > 0)
+            )
+            _free(pair_ids)
+            pair_ids = new_ids
+            seg = seg.withColumn(
+                "seq", F.replace("seq", F.lit(pat), F.lit(rep))
+            )
+            if (r + 1) % checkpoint_every == 0:
+                seg, new_seg_ids = _checkpoint(seg)
+                _free(seg_ids)
+                seg_ids = new_seg_ids
+    finally:
+        # a failed job or interrupt must not strand the live blocks —
+        # the exact leak class the id-diff freeing exists to prevent
+        _free(pair_ids | seg_ids)
     return merges
 
 

@@ -9045,17 +9045,23 @@ def bpe_bytelevel_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_bytelevel_counts(docs).orderBy("doc_id")
 
 
-def _bpe_bytelevel_sql() -> str:
+def _bpe_bytelevel_sql(merges=None) -> str:
+    """Byte-level count oracle over ``merges`` (None → the engine's
+    DEFAULT_BYTE_MERGES) — shared by the default-table and
+    published-GPT-2-prefix entries so the oracle SHAPE has one home."""
     from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
+        DEFAULT_BYTE_MERGES,
         byte_bpe_merge_sql,
         byte_pretokenize_sql,
     )
 
+    if merges is None:
+        merges = DEFAULT_BYTE_MERGES
     return f"""
 WITH RECURSIVE
 {byte_pretokenize_sql()},
 vocab AS (SELECT DISTINCT pre FROM pretok),
-{byte_bpe_merge_sql()},
+{byte_bpe_merge_sql(merges)},
 per_doc AS (
   SELECT p.doc_id,
     CAST(COUNT(*) AS BIGINT) AS n_pretokens,
@@ -9175,8 +9181,14 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_learn_merges,
     )
 
+    return _learned_merges_df(spark, sf_dir, bpe_learn_merges)
+
+
+def _learned_merges_df(spark: SparkSession, sf_dir: str, trainer) -> DataFrame:
+    """Shared body of the two trainer entries: run ``trainer`` on the
+    documents text and surface the ranked merge list as a frame."""
     docs = _t(spark, sf_dir, "documents").select("text")
-    learned = bpe_learn_merges(docs, _BPE_TRAIN_N)
+    learned = trainer(docs, _BPE_TRAIN_N)
     rows = [(r, x, y, c) for r, (x, y, c) in enumerate(learned)]
     return spark.createDataFrame(
         rows,
@@ -9198,13 +9210,7 @@ def bpe_train_merges_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_learn_merges_incremental,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("text")
-    learned = bpe_learn_merges_incremental(docs, _BPE_TRAIN_N)
-    rows = [(r, x, y, c) for r, (x, y, c) in enumerate(learned)]
-    return spark.createDataFrame(
-        rows,
-        "rank bigint, left_sym string, right_sym string, pair_count bigint",
-    ).orderBy("rank")
+    return _learned_merges_df(spark, sf_dir, bpe_learn_merges_incremental)
 
 
 def bpe_gpt2_prefix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9233,28 +9239,9 @@ def bpe_gpt2_prefix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_gpt2_prefix_sql() -> str:
     from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
         GPT2_BYTE_MERGES_PREFIX,
-        byte_bpe_merge_sql,
-        byte_pretokenize_sql,
     )
 
-    return f"""
-WITH RECURSIVE
-{byte_pretokenize_sql()},
-vocab AS (SELECT DISTINCT pre FROM pretok),
-{byte_bpe_merge_sql(GPT2_BYTE_MERGES_PREFIX)},
-per_doc AS (
-  SELECT p.doc_id,
-    CAST(COUNT(*) AS BIGINT) AS n_pretokens,
-    CAST(SUM(t.pre_tokens) AS BIGINT) AS n_tokens
-  FROM pretok p JOIN tok t USING (pre)
-  GROUP BY p.doc_id
-)
-SELECT a.doc_id,
-  COALESCE(p.n_pretokens, 0) AS n_pretokens,
-  COALESCE(p.n_tokens, 0) AS n_tokens
-FROM documents a LEFT JOIN per_doc p USING (doc_id)
-ORDER BY a.doc_id
-"""
+    return _bpe_bytelevel_sql(GPT2_BYTE_MERGES_PREFIX)
 
 
 BPE_GPT2_PREFIX_SQL = _bpe_gpt2_prefix_sql()
