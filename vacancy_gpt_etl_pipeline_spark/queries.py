@@ -76,6 +76,10 @@ from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
     synthesize_mjpeg_avi_payload,
     synthesize_y4m_payload,
 )
+from vacancy_gpt_etl_pipeline_spark.operators.mp3 import (
+    census_mp3,
+    synthesize_mp3_payload,
+)
 from vacancy_gpt_etl_pipeline_spark.operators.relational import ratio_of_total
 from vacancy_gpt_etl_pipeline_spark.operators.epub import (
     extract_epub_chapters,
@@ -4213,6 +4217,86 @@ SELECT CAST(base.doc_id AS BIGINT) AS asset_id, 'flac' AS fmt,
   n_samples, peak_abs,
   sum_abs / CAST(n_samples AS DOUBLE) AS mean_abs
 FROM base JOIN st ON base.doc_id = st.doc_id
+"""
+
+
+def multimodal_mp3_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-audio metadata census (operators/mp3.py): documents
+    become MPEG-1 Layer III streams with REAL ID3v2.3 tags (syncsafe
+    size, TIT2 latin-1 frame) and real frame headers — CBR for most
+    ids, VBR (per-frame bitrate index) when ``id % 7 == 0`` — and
+    census_mp3 walks the actual bytes: tag skip via syncsafe size,
+    TIT2 title extraction, per-frame sync validation, bitrate/rate
+    table lookup, the Layer III slot-length formula, CBR detection
+    across frames, and sample-exact duration. The oracle recomputes
+    every column from the synthesizer's closed forms (never parsing a
+    byte), so the hash only matches if the ID3 syncsafe round trip,
+    the bitrate table, and the ``144000·kbps // rate + pad`` frame hop
+    are all exact — a wrong hop desynchronizes the walk and changes
+    ``n_frames``. Spec conformance against hand-written tag/frame
+    literals (v2.2/v2.4 tags, MPEG-2, Layers I/II, truncated tails) is
+    asserted in tests/test_mp3_census.py. MDCT sample decode is a
+    documented boundary, like inter-predicted video."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = synthesize_mp3_payload(docs, "doc_id")
+    return census_mp3(assets).select(
+        "asset_id",
+        "fmt",
+        "title",
+        "version",
+        "layer",
+        "channel_mode",
+        "sample_rate",
+        "bitrate_kbps",
+        "is_cbr",
+        "n_frames",
+        "id3_bytes",
+        "n_bytes",
+        "duration_sec",
+    )
+
+
+MULTIMODAL_MP3_SQL = """
+WITH base AS (
+  SELECT doc_id,
+    CAST(doc_id % 8 + 3 AS BIGINT) AS n_frames,
+    CASE WHEN doc_id % 3 = 0 THEN 44100
+         WHEN doc_id % 3 = 1 THEN 48000 ELSE 32000 END AS sample_rate,
+    CAST(22 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS id3_bytes
+  FROM documents
+),
+f AS (
+  SELECT doc_id, n_frames, sample_rate,
+    unnest(generate_series(0, n_frames - 1)) AS fr
+  FROM base
+),
+fb AS (
+  SELECT doc_id, sample_rate,
+    CASE (CASE WHEN doc_id % 7 = 0 THEN (doc_id + fr) % 5
+               ELSE doc_id % 5 END)
+      WHEN 0 THEN 128 WHEN 1 THEN 160 WHEN 2 THEN 192
+      WHEN 3 THEN 224 ELSE 256 END AS kbps,
+    (doc_id + fr) % 2 AS pad
+  FROM f
+),
+fl AS (
+  SELECT doc_id,
+    CAST(SUM(144000 * kbps // sample_rate + pad) AS BIGINT) AS frames_bytes
+  FROM fb GROUP BY doc_id
+)
+SELECT CAST(b.doc_id AS BIGINT) AS asset_id, 'mp3' AS fmt,
+  't' || CAST(b.doc_id AS VARCHAR) AS title,
+  'MPEG1' AS version, CAST(3 AS INTEGER) AS layer,
+  CASE WHEN b.doc_id % 2 = 0 THEN 'stereo' ELSE 'mono' END AS channel_mode,
+  CAST(b.sample_rate AS INTEGER) AS sample_rate,
+  CAST(CASE b.doc_id % 5 WHEN 0 THEN 128 WHEN 1 THEN 160 WHEN 2 THEN 192
+            WHEN 3 THEN 224 ELSE 256 END AS INTEGER) AS bitrate_kbps,
+  b.doc_id % 7 <> 0 AS is_cbr,
+  b.n_frames AS n_frames,
+  b.id3_bytes AS id3_bytes,
+  CAST(b.id3_bytes + fl.frames_bytes AS BIGINT) AS n_bytes,
+  (b.n_frames * 1152) / CAST(b.sample_rate AS DOUBLE) AS duration_sec
+FROM base b JOIN fl ON b.doc_id = fl.doc_id
 """
 
 
@@ -11752,6 +11836,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "flac_audio_decode": QuerySpec(
         multimodal_flac_audio_decode, MULTIMODAL_FLAC_SQL
+    ),
+    "mp3_frame_census": QuerySpec(
+        multimodal_mp3_census, MULTIMODAL_MP3_SQL
     ),
     "video_decode": QuerySpec(
         multimodal_video_decode, MULTIMODAL_VIDEO_SQL
