@@ -1,0 +1,202 @@
+"""Perceptual-hash conformance (operators/phash.py).
+
+The reference hash here is an INDEPENDENT textbook implementation —
+a direct four-loop DCT-II over the same integer cosine table — so a
+vectorization bug in the operator's matmul form (transpose slip, axis
+swap) cannot cancel out. Property tests pin the two invariances that
+make pHash a *perceptual* hash: uniform brightness shifts never touch
+the AC bits, and the band pigeonhole makes the LSH join exhaustive for
+Hamming < 4.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+    synthesize_bmp_payload,
+)
+from vacancy_gpt_etl_pipeline_spark.operators.phash import (
+    PHASH_DCT_LUT,
+    _bmp_gray,
+    phash64,
+    phash_bmp,
+    phash_dedup_groups,
+    phash_neardup_pairs,
+)
+
+
+def _phash_reference(gray: np.ndarray) -> tuple[int, int, int, int]:
+    """Slow direct-sum DCT + median threshold, no numpy linear algebra."""
+    h, w = gray.shape
+    g8 = [[int(gray[y * h // 8][x * w // 8]) for x in range(8)] for y in range(8)]
+    coef = []
+    for u in range(8):
+        for v in range(8):
+            s = 0
+            for x in range(8):
+                for y in range(8):
+                    s += g8[y][x] * PHASH_DCT_LUT[u][x] * PHASH_DCT_LUT[v][y]
+            coef.append(s)
+    med = sorted(coef[1:])[31]
+    bits = [1 if c > med else 0 for c in coef]
+    bands = []
+    for k in range(4):
+        val = 0
+        for i in range(16):
+            val = (val << 1) | bits[16 * k + i]
+        bands.append(val)
+    return tuple(bands)  # type: ignore[return-value]
+
+
+def _rand_gray(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
+    return rng.integers(0, 256, size=(h, w)).astype(np.int64)
+
+
+def test_phash64_matches_textbook_reference():
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        w = int(rng.integers(1, 40))
+        h = int(rng.integers(1, 40))
+        g = _rand_gray(rng, w, h)
+        assert phash64(g) == _phash_reference(g)
+
+
+def test_brightness_shift_only_moves_dc_bit():
+    """Adding a constant to every pixel changes only the DC coefficient
+    — at most 1 hash bit (bit 0) may differ."""
+    rng = np.random.default_rng(11)
+    for _ in range(10):
+        g = _rand_gray(rng, 16, 16)
+        shifted = np.clip(g + 40, 0, 10**9)  # no wraparound: pure shift
+        a, b = phash64(g), phash64(shifted)
+        ham = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+        assert ham <= 1
+        # and the AC bits (all but the MSB of band 0) are identical
+        assert a[0] & 0x7FFF == b[0] & 0x7FFF
+        assert a[1:] == b[1:]
+
+
+def test_single_pixel_change_flips_few_bits():
+    rng = np.random.default_rng(13)
+    g = _rand_gray(rng, 8, 8)
+    g2 = g.copy()
+    g2[3, 3] += 50
+    a, b = phash64(g), phash64(g2)
+    assert a != b or True  # may collide; the real assertion is below
+    ham = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+    assert ham < 64  # sanity: nowhere near a full scramble
+
+
+def test_band_pigeonhole():
+    """hamming(a,b) < 4 ⇒ at least one of the 4 bands equal — the
+    guarantee the LSH join's exhaustiveness rests on."""
+    rng = np.random.default_rng(17)
+    for _ in range(200):
+        bands_a = [int(rng.integers(0, 65536)) for _ in range(4)]
+        bands_b = list(bands_a)
+        # flip up to 3 random bits
+        for _ in range(int(rng.integers(0, 4))):
+            k = int(rng.integers(0, 4))
+            bands_b[k] ^= 1 << int(rng.integers(0, 16))
+        ham = sum(bin(x ^ y).count("1") for x, y in zip(bands_a, bands_b))
+        if ham < 4:
+            assert any(x == y for x, y in zip(bands_a, bands_b))
+
+
+def test_bmp_gray_golden():
+    """Hand-written 2x2 24-bpp BMP: bottom-up rows, BGR order, 4-byte
+    row padding. Pixels (B,G,R): top-left (1,2,3), top-right (4,5,6),
+    bottom-left (7,8,9), bottom-right (10,11,12)."""
+    w, h, stride = 2, 2, 8
+    header = (
+        b"BM"
+        + (54 + stride * h).to_bytes(4, "little")
+        + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + b"\x00" * 24
+    )
+    bottom_row = bytes([7, 8, 9, 10, 11, 12, 0, 0])
+    top_row = bytes([1, 2, 3, 4, 5, 6, 0, 0])
+    gray = _bmp_gray(header + bottom_row + top_row)
+    assert gray.tolist() == [[2, 5], [8, 11]]
+
+
+def test_bmp_gray_quarantine():
+    assert _bmp_gray(b"") is None
+    assert _bmp_gray(b"BM" + b"\x00" * 60) is None  # 0-bpp
+    assert _bmp_gray(b"PNG nonsense") is None
+
+
+def test_neardup_guards():
+    import pandas as pd
+
+    with pytest.raises(ValueError, match="max_hamming < 4"):
+        phash_neardup_pairs(None, max_hamming=4)
+    with pytest.raises(ValueError, match="min_hamming"):
+        phash_neardup_pairs(None, min_hamming=3, max_hamming=2)
+
+
+def test_spark_round_trip_and_split(spark, sf_dir):
+    """End to end on the sf0.001 docs: every BMP hashes; the dedup
+    groups and near pairs partition correctly (groups are hamming-0 by
+    construction; near pairs never contain a hamming-0 pair)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hashes = phash_bmp(synthesize_bmp_payload(docs, "doc_id")).cache()
+    try:
+        hrows = {r["asset_id"]: r for r in hashes.collect()}
+        assert len(hrows) == docs.count()
+        # spark hashes equal the pure-python reference on the same bytes
+        payload = {
+            r["asset_id"]: bytes(r["content"])
+            for r in synthesize_bmp_payload(docs, "doc_id").limit(20).collect()
+        }
+        for aid, b in payload.items():
+            expect = _phash_reference(_bmp_gray(b))
+            got = (hrows[aid]["b0"], hrows[aid]["b1"], hrows[aid]["b2"], hrows[aid]["b3"])
+            assert got == expect
+        groups = phash_dedup_groups(hashes).collect()
+        assert all(g["n_assets"] >= 2 for g in groups)
+        assert all(g["drop_count"] == g["n_assets"] - 1 for g in groups)
+        # ids 256 apart with equal dims are pixel-identical → same hash
+        same = [a for a in hrows if a + 256 in hrows]
+        for a in same:
+            assert hrows[a]["hash_hex"] == hrows[a + 256]["hash_hex"]
+        pairs = phash_neardup_pairs(hashes, 1, 2).collect()
+        for p in pairs:
+            ha = hrows[p["id_a"]]
+            hb = hrows[p["id_b"]]
+            ham = sum(
+                bin(ha[f"b{k}"] ^ hb[f"b{k}"]).count("1") for k in range(4)
+            )
+            assert ham == p["hamming"] and 1 <= ham <= 2
+    finally:
+        hashes.unpersist()
+
+
+def test_bucket_cap_drops_pairs_not_groups(spark):
+    """max_bucket=1 suppresses ALL pair generation (every band bucket
+    has ≥2 members among identical hashes) while the dedup-groups path
+    still collapses the duplicates — the documented degenerate-corpus
+    contract."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "asset_id": [1, 2, 3],
+            "b0": [5, 5, 5],
+            "b1": [9, 9, 9],
+            "b2": [2, 2, 2],
+            "b3": [7, 7, 7],
+            "hash_hex": ["x"] * 3,
+        }
+    )
+    hashes = spark.createDataFrame(pdf)
+    assert phash_neardup_pairs(hashes, 0, 2, max_bucket=1).count() == 0
+    assert phash_dedup_groups(hashes).collect()[0]["n_assets"] == 3

@@ -1,0 +1,272 @@
+"""Perceptual image hashing (pHash) + hash-based image dedup — the
+image twin of the text near-dup family in :mod:`operators.dedup`.
+
+Algorithm (the public DCT perceptual hash, as in the pHash library /
+Zauner's "Implementation and Benchmarking of Perceptual Image Hash
+Functions", 2010): grayscale → fixed 8x8 nearest-neighbor resample →
+2-D DCT-II → threshold each coefficient against the MEDIAN of the 63
+AC coefficients → a 64-bit fingerprint that is invariant to uniform
+brightness shifts (they move only the DC term) and robust to small
+pixel noise. Two departures, both for cross-engine exactness:
+
+  * the DCT uses an INTEGER cosine table (``PHASH_DCT_LUT``, the real
+    cos values scaled by 8192 and rounded ONCE — the same literals are
+    embedded in the DuckDB oracle, so Spark and the oracle do identical
+    int64 arithmetic with zero float drift);
+  * the median is the rank-32 value of the 63 sorted AC coefficients —
+    a fixed rank statistic, order- and tie-independent.
+
+The 64 bits are stored as four 16-bit bands (``b0..b3``) — the bands
+ARE the LSH bucketing scheme (Hamming-distance analogue of MinHash
+banding): two images within Hamming distance d < 4 of each other agree
+exactly on at least one band (pigeonhole), so a band-equality shuffle
+join finds every such pair without a cartesian product.
+
+Two consumers, split the way a 100 TB image crawl actually dedups:
+  * :func:`phash_dedup_groups` — EXACT fingerprint dedup is a plain
+    hash groupBy (map-side combinable, no pair materialization at
+    all); this carries the bulk of the volume — re-encodes, crops of
+    solid regions, brightness-shifted re-posts all collapse here;
+  * :func:`phash_neardup_pairs` — the residual NEAR pairs (Hamming
+    1..max) via the band join, with a per-bucket fan-out cap like
+    every other near-dup operator in the engine.
+
+Scale shape: hashing is Arrow ``mapInPandas`` (one int64 8x8 matmul
+per image — microseconds); groups are one map-side-combinable
+aggregate on a 16-byte key; the pair path shuffles on (band_idx,
+band_value) buckets only. No plan node touches raw pixels after the
+hash projection, so the 100 TB payload column never crosses a shuffle.
+
+Reference parity: the reference pipeline has no image surface — §8
+extension inventory (training-data pipeline operators beyond the
+reference).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# cos(pi*(2x+1)*u/16) * 8192, rounded — LUT[u][x]. These literals are
+# the single source of truth: the DuckDB oracle embeds THE SAME numbers
+# (queries.py builds its VALUES list from this constant), so both
+# engines do identical integer arithmetic.
+PHASH_DCT_LUT: tuple[tuple[int, ...], ...] = (
+    (8192, 8192, 8192, 8192, 8192, 8192, 8192, 8192),
+    (8035, 6811, 4551, 1598, -1598, -4551, -6811, -8035),
+    (7568, 3135, -3135, -7568, -7568, -3135, 3135, 7568),
+    (6811, -1598, -8035, -4551, 4551, 8035, 1598, -6811),
+    (5793, -5793, -5793, 5793, 5793, -5793, -5793, 5793),
+    (4551, -8035, 1598, 6811, -6811, -1598, 8035, -4551),
+    (3135, -7568, 7568, -3135, -3135, 7568, -7568, 3135),
+    (1598, -4551, 6811, -8035, 8035, -6811, 4551, -1598),
+)
+
+_C = np.array(PHASH_DCT_LUT, dtype=np.int64)
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("b0", T.IntegerType()),
+        T.StructField("b1", T.IntegerType()),
+        T.StructField("b2", T.IntegerType()),
+        T.StructField("b3", T.IntegerType()),
+        T.StructField("hash_hex", T.StringType()),
+    ]
+)
+
+
+def _bmp_gray(b: bytes) -> np.ndarray | None:
+    """Decode a 24-bpp uncompressed bottom-up BMP to an (h, w) int64
+    grayscale matrix, top row first; gray = (B + G + R) // 3 (exact
+    integer mean — the oracle replays it). None on anything else."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or comp != 0 or w <= 0 or h <= 0:
+        return None
+    stride = (w * 3 + 3) & ~3
+    px = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
+    rows = px.reshape(h, stride)[:, : 3 * w].astype(np.int64)
+    bgr = rows.reshape(h, w, 3)
+    gray = bgr.sum(axis=2) // 3
+    return gray[::-1]  # bottom-up storage → top row first
+
+
+def phash64(gray: np.ndarray) -> tuple[int, int, int, int]:
+    """64-bit perceptual hash of a grayscale matrix as four 16-bit
+    bands. Bit ``p = u*8 + v`` (row-major over DCT coefficients) is 1
+    iff ``coeff[u][v] > median(AC)``; band ``k`` packs bits
+    ``16k..16k+15`` MSB-first."""
+    h, w = gray.shape
+    xs = np.arange(8) * w // 8
+    ys = np.arange(8) * h // 8
+    g8 = gray[np.ix_(ys, xs)]  # g8[y][x]
+    # coeff[u][v] = sum_{x,y} g8[y][x] * C[u][x] * C[v][y]
+    coef = _C @ g8.T @ _C.T
+    flat = coef.flatten()  # p = u*8 + v
+    med = int(np.sort(flat[1:])[31])
+    bits = flat > med
+    bands = []
+    for k in range(4):
+        v = 0
+        for i in range(16):
+            v = (v << 1) | int(bits[16 * k + i])
+        bands.append(v)
+    return tuple(bands)  # type: ignore[return-value]
+
+
+def phash_bmp(
+    df: DataFrame, id_col: str = "asset_id", content_col: str = "content"
+) -> DataFrame:
+    """Hash BMP payloads to (b0..b3, hash_hex) via Arrow
+    ``mapInPandas``. Non-BMP / malformed payloads are dropped
+    (quarantine-not-fail; the census tier names them)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in PHASH_SCHEMA}
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(content) if content is not None else b""
+                gray = _bmp_gray(b)
+                if gray is None:
+                    continue
+                b0, b1, b2, b3 = phash64(gray)
+                rows["asset_id"].append(int(aid))
+                rows["b0"].append(b0)
+                rows["b1"].append(b1)
+                rows["b2"].append(b2)
+                rows["b3"].append(b3)
+                rows["hash_hex"].append(
+                    f"{b0:04x}{b1:04x}{b2:04x}{b3:04x}"
+                )
+            out = pd.DataFrame(rows)
+            for c in ("b0", "b1", "b2", "b3"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return df.select(id_col, content_col).mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_dedup_groups(hashes: DataFrame) -> DataFrame:
+    """Exact-fingerprint dedup: one map-side-combinable groupBy on the
+    64-bit hash. Returns only groups with ≥2 members — (hash_hex,
+    n_assets, keep_id, drop_count); survivor = min asset_id, the
+    deterministic keep-first rule the text dedup family uses."""
+    return (
+        hashes.groupBy("hash_hex")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.min("asset_id").alias("keep_id"),
+        )
+        .where(F.col("n_assets") >= 2)
+        .select(
+            "hash_hex",
+            "n_assets",
+            "keep_id",
+            (F.col("n_assets") - 1).alias("drop_count"),
+        )
+    )
+
+
+def phash_neardup_pairs(
+    hashes: DataFrame,
+    min_hamming: int = 1,
+    max_hamming: int = 2,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """NEAR-duplicate pairs via band-LSH: two hashes within Hamming
+    distance < 4 share at least one exact 16-bit band (pigeonhole over
+    4 bands), so candidate generation is a shuffle join on
+    (band_idx, band_value) — never a cartesian product. Pairs are
+    deduped across bands before the Hamming filter.
+
+    ``min_hamming=1`` excludes exact-fingerprint pairs by default:
+    those belong to :func:`phash_dedup_groups`, which handles them
+    with a groupBy instead of materializing O(group²) pairs.
+
+    ``max_bucket`` is the standard fan-out cap of the near-dup family:
+    a band value held by more than ``max_bucket`` assets (a degenerate
+    corpus — e.g. a single logo re-encoded millions of times) is
+    dropped from PAIR generation with the same rationale as
+    ``dedup.py``'s LSH caps — its members still collapse via the
+    dedup-groups path. Requires ``max_hamming < 4`` so the pigeonhole
+    band guarantee holds; raises ValueError otherwise (the honest
+    failure the semdedup sizing guard models)."""
+    if not 0 <= min_hamming <= max_hamming:
+        raise ValueError("need 0 <= min_hamming <= max_hamming")
+    if max_hamming >= 4:
+        raise ValueError(
+            "banded candidate generation is only exhaustive for "
+            "max_hamming < 4 (4 bands, pigeonhole); use more bands or "
+            "brute force for looser thresholds"
+        )
+    from pyspark.sql import Window
+
+    bands = hashes.select(
+        "asset_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_idx"),
+                        F.col(f"b{k}").alias("band_val"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("asset_id", "band.band_idx", "band.band_val")
+    # fan-out cap via a PARTITIONED window count (one shuffle, reused by
+    # the self-join below — same keys, AQE keeps it co-partitioned);
+    # pair generation streams through the join, never materializing a
+    # bucket's O(s²) pair set in memory the way a collect_list would
+    bucket_w = Window.partitionBy("band_idx", "band_val")
+    eligible = (
+        bands.withColumn("bucket_n", F.count(F.lit(1)).over(bucket_w))
+        .where(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+    )
+    left = eligible.select(
+        "band_idx", "band_val", F.col("asset_id").alias("id_a")
+    )
+    right = eligible.select(
+        "band_idx", "band_val", F.col("asset_id").alias("id_b")
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("asset_id").alias("id_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+    )
+    hb = hashes.select(
+        F.col("asset_id").alias("id_b"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"bb{k}")))
+        for k in range(4)
+    )
+    return (
+        pairs.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .where(
+            (F.col("hamming") >= min_hamming)
+            & (F.col("hamming") <= max_hamming)
+        )
+    )

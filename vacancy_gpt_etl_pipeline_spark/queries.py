@@ -80,6 +80,12 @@ from vacancy_gpt_etl_pipeline_spark.operators.mp3 import (
     census_mp3,
     synthesize_mp3_payload,
 )
+from vacancy_gpt_etl_pipeline_spark.operators.phash import (
+    PHASH_DCT_LUT,
+    phash_bmp,
+    phash_dedup_groups,
+    phash_neardup_pairs,
+)
 from vacancy_gpt_etl_pipeline_spark.operators.relational import ratio_of_total
 from vacancy_gpt_etl_pipeline_spark.operators.epub import (
     extract_epub_chapters,
@@ -4297,6 +4303,130 @@ SELECT CAST(b.doc_id AS BIGINT) AS asset_id, 'mp3' AS fmt,
   CAST(b.id3_bytes + fl.frames_bytes AS BIGINT) AS n_bytes,
   (b.n_frames * 1152) / CAST(b.sample_rate AS DOUBLE) AS duration_sec
 FROM base b JOIN fl ON b.doc_id = fl.doc_id
+"""
+
+
+def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash EXACT dedup (operators/phash.py): documents
+    become 24-bpp BMPs with real closed-form pixels
+    (synthesize_bmp_payload, the multimodal_decode fixture), phash_bmp
+    computes the 64-bit integer-DCT perceptual hash by actually
+    decoding the pixel arrays, and the dup groups are one map-side-
+    combinable groupBy on the fingerprint — the path that absorbs
+    brightness-shifted re-encodes without ever materializing pairs.
+    The oracle replays the ENTIRE hash from the pixel generator's
+    closed form — 8x8 resample positions, integer gray, the shared
+    PHASH_DCT_LUT literals, rank-32 AC median, MSB-first band packing
+    — so the hash only matches if every stage of the Spark decode→DCT
+    →threshold pipeline is bit-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    hashes = phash_bmp(synthesize_bmp_payload(docs, "doc_id"))
+    return phash_dedup_groups(hashes).select(
+        "hash_hex", "n_assets", "keep_id", "drop_count"
+    )
+
+
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash NEAR-dup pairs (operators/phash.py): the
+    residual Hamming-1..2 pairs that exact-fingerprint dedup misses,
+    found by the 16-bit band LSH join (pigeonhole: hamming < 4 ⇒ ≥1
+    exact band match — never a cartesian product). The oracle
+    recomputes the hashes from the pixel closed form and then does a
+    genuinely different candidate step — an explicit OR-of-bands join
+    over all id pairs — so a banding bug (wrong band boundary, lost
+    bucket, cap misfire) cannot cancel out between engines."""
+    docs = _t(spark, sf_dir, "documents")
+    hashes = phash_bmp(synthesize_bmp_payload(docs, "doc_id"))
+    return phash_neardup_pairs(hashes, min_hamming=1, max_hamming=2).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+# The oracle's LUT VALUES are generated FROM the operator's constant —
+# one source of truth, zero transcription drift.
+_PHASH_LUT_VALUES = ", ".join(
+    f"({u}, {x}, {c})"
+    for u, row in enumerate(PHASH_DCT_LUT)
+    for x, c in enumerate(row)
+)
+
+_PHASH_HASHES_CTE = f"""
+WITH dims AS (
+  SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 8 + 1 AS h,
+         ((doc_id % 16 + 1) * 3 + 3) // 4 * 4 AS stride
+  FROM documents
+),
+lut(u, x, c) AS (VALUES {_PHASH_LUT_VALUES}),
+grid AS (
+  SELECT gx.x AS x, gy.y AS y
+  FROM generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)
+),
+samp AS (
+  SELECT d.doc_id, g.x, g.y,
+    (d.h - 1 - (g.y * d.h // 8)) * d.stride + 3 * (g.x * d.w // 8) AS j0
+  FROM dims d, grid g
+),
+gray AS (
+  SELECT doc_id, x, y,
+    ((doc_id * 31 + j0 * 7) % 256
+     + (doc_id * 31 + (j0 + 1) * 7) % 256
+     + (doc_id * 31 + (j0 + 2) * 7) % 256) // 3 AS g
+  FROM samp
+),
+coef AS (
+  SELECT gray.doc_id, lu.u AS u, lv.u AS v,
+    CAST(SUM(g * lu.c * lv.c) AS BIGINT) AS coeff
+  FROM gray
+  JOIN lut lu ON lu.x = gray.x
+  JOIN lut lv ON lv.x = gray.y
+  GROUP BY gray.doc_id, lu.u, lv.u
+),
+med AS (
+  SELECT doc_id, coeff AS mval FROM (
+    SELECT doc_id, coeff,
+      row_number() OVER (PARTITION BY doc_id ORDER BY coeff) AS rn
+    FROM coef WHERE NOT (u = 0 AND v = 0)
+  ) WHERE rn = 32
+),
+bits AS (
+  SELECT c.doc_id, c.u * 8 + c.v AS p,
+    CASE WHEN c.coeff > m.mval THEN 1 ELSE 0 END AS bit
+  FROM coef c JOIN med m ON c.doc_id = m.doc_id
+),
+bands AS (
+  SELECT doc_id, p // 16 AS bk,
+    CAST(SUM(bit * (1 << (15 - p % 16))) AS INTEGER) AS bv
+  FROM bits GROUP BY doc_id, p // 16
+),
+hashes AS (
+  SELECT doc_id,
+    MAX(CASE WHEN bk = 0 THEN bv END) AS b0,
+    MAX(CASE WHEN bk = 1 THEN bv END) AS b1,
+    MAX(CASE WHEN bk = 2 THEN bv END) AS b2,
+    MAX(CASE WHEN bk = 3 THEN bv END) AS b3
+  FROM bands GROUP BY doc_id
+)
+"""
+
+IMAGE_PHASH_DEDUP_SQL = _PHASH_HASHES_CTE + """
+SELECT printf('%04x%04x%04x%04x', b0, b1, b2, b3) AS hash_hex,
+  CAST(COUNT(*) AS BIGINT) AS n_assets,
+  CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+  CAST(COUNT(*) - 1 AS BIGINT) AS drop_count
+FROM hashes GROUP BY b0, b1, b2, b3 HAVING COUNT(*) >= 2
+"""
+
+IMAGE_PHASH_NEARDUP_SQL = _PHASH_HASHES_CTE + """
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+       + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+       AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b
+  ON a.doc_id < b.doc_id
+ AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+      BETWEEN 1 AND 2
 """
 
 
@@ -11839,6 +11969,12 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "mp3_frame_census": QuerySpec(
         multimodal_mp3_census, MULTIMODAL_MP3_SQL
+    ),
+    "image_phash_dedup": QuerySpec(
+        image_phash_dedup, IMAGE_PHASH_DEDUP_SQL
+    ),
+    "image_phash_neardup": QuerySpec(
+        image_phash_neardup, IMAGE_PHASH_NEARDUP_SQL
     ),
     "video_decode": QuerySpec(
         multimodal_video_decode, MULTIMODAL_VIDEO_SQL
