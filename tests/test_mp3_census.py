@@ -196,3 +196,84 @@ def test_garbage_payload_quarantines(spark):
     rows = {r["asset_id"]: r for r in census_mp3(df).collect()}
     assert rows[1]["fmt"] == "mp3?" and rows[1]["n_frames"] is None
     assert rows[2]["fmt"] == "mp3?" and rows[2]["n_bytes"] == 0
+
+
+# --- ADTS (AAC) -----------------------------------------------------------
+
+from vacancy_gpt_etl_pipeline_spark.operators.mp3 import (  # noqa: E402
+    _adts_frame_info,
+    census_adts,
+    synthesize_adts_payload,
+)
+
+
+def _adts_header(
+    *,
+    mpeg2: bool = False,
+    crc: bool = False,
+    profile: int = 1,
+    sf_i: int = 4,
+    ch: int = 2,
+    flen: int,
+    n_blocks: int = 1,
+) -> bytes:
+    b1 = 0xF0 | (0x08 if mpeg2 else 0) | (0 if crc else 1)
+    b2 = (profile << 6) | (sf_i << 2) | ((ch >> 2) & 1)
+    b3 = ((ch & 3) << 6) | ((flen >> 11) & 3)
+    b4 = (flen >> 3) & 0xFF
+    b5 = ((flen & 7) << 5) | 0x1F
+    b6 = 0xFC | (n_blocks - 1)
+    return bytes([0xFF, b1, b2, b3, b4, b5, b6])
+
+
+def test_adts_golden_header():
+    # 44100 Hz (idx 4), AAC LC, stereo, 768-byte frame: 768 = 0b0_1100000_000
+    # → b3 low bits 0, b4 = 0x60, b5 high 3 bits 0
+    h = _adts_header(flen=768) + b"\x00" * 761
+    flen, mpeg_id, profile, sr, ch, nb = _adts_frame_info(h, 0)
+    assert (flen, mpeg_id, profile, sr, ch, nb) == (
+        768, "MPEG-4", "AAC LC", 44100, 2, 1,
+    )
+
+
+def test_adts_13bit_length_straddles_all_three_bytes():
+    # flen = 0x1FFF (max): bits land in b3(2) + b4(8) + b5(3)
+    h = _adts_header(flen=0x1FFF)
+    assert _adts_frame_info(h + b"\x00" * 0x2000, 0)[0] == 0x1FFF
+    # flen = 7 (header only, protection absent) is the legal minimum
+    assert _adts_frame_info(_adts_header(flen=7), 0)[0] == 7
+    # CRC present (protection_absent=0) needs ≥ 9 bytes
+    assert _adts_frame_info(_adts_header(flen=8, crc=True), 0) is None
+
+
+def test_adts_mpeg2_id_and_multi_block():
+    h = _adts_header(mpeg2=True, profile=0, sf_i=8, ch=1, flen=100, n_blocks=3)
+    flen, mpeg_id, profile, sr, ch, nb = _adts_frame_info(h + b"\x00" * 93, 0)
+    assert (mpeg_id, profile, sr, ch, nb) == ("MPEG-2", "AAC Main", 16000, 1, 3)
+
+
+def test_adts_quarantine():
+    assert _adts_frame_info(b"\xff\xf1\x00", 0) is None  # truncated
+    assert _adts_frame_info(b"\x00" * 7, 0) is None  # no sync
+    # layer bits must be 00: 0xFFF5 has layer=10
+    assert _adts_frame_info(bytes([0xFF, 0xF5, 0, 0, 0, 0, 0]), 0) is None
+    # reserved sampling-frequency index (13)
+    assert _adts_frame_info(_adts_header(sf_i=13, flen=100), 0) is None
+
+
+def test_adts_spark_round_trip(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = census_adts(synthesize_adts_payload(docs, "doc_id")).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        i = r["asset_id"]
+        assert r["fmt"] == "aac"
+        assert r["mpeg_id"] == "MPEG-4"
+        assert r["n_frames"] == i % 6 + 2
+        assert r["channels"] == 1 + i % 2
+        rate = (48000, 44100, 32000, 24000, 22050)[i % 5]
+        assert r["sample_rate"] == rate
+        assert abs(r["duration_sec"] - (i % 6 + 2) * 1024 / rate) < 1e-12
+        assert r["n_bytes"] == sum(
+            107 + (i + 13 * f) % 200 for f in range(i % 6 + 2)
+        )

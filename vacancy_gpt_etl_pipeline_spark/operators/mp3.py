@@ -1,6 +1,7 @@
-"""MP3 / ID3v2 metadata census — pure-stdlib frame walker, written
-against the PUBLIC bitstream layout (ISO/IEC 11172-3 audio frame
-headers; ID3v2.3 informal standard, id3.org). The perceptual-audio
+"""MP3 / ID3v2 and AAC-ADTS metadata census — pure-stdlib frame
+walkers, written against the PUBLIC bitstream layouts (ISO/IEC
+11172-3 audio frame headers; ID3v2.3 informal standard, id3.org;
+ISO/IEC 13818-7 §6.2 ADTS). The perceptual-audio
 sibling of the mp4/avi/y4m container walkers in
 :mod:`operators.multimodal`: MDCT+Huffman *sample* decode stays a
 documented boundary (the same boundary the video tier draws at
@@ -335,4 +336,144 @@ def synthesize_mp3_payload(
         F.unhex(F.concat(tag_hex, frames_hex)).alias("content"),
         F.lit("audio").alias("modality"),
         F.lit("audio/mpeg").alias("mime_type"),
+    )
+
+
+# --- ADTS (AAC) census ----------------------------------------------------
+# ISO/IEC 13818-7 §6.2 / 14496-3: the 7-byte (protection_absent) ADTS
+# fixed+variable header. Sample decode is the same documented boundary
+# as MP3 MDCT; the census walks real frame lengths.
+
+ADTS_SAMPLE_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000,
+)
+ADTS_PROFILES = ("AAC Main", "AAC LC", "AAC SSR", "AAC LTP")
+
+ADTS_CENSUS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("mpeg_id", T.StringType()),
+        T.StructField("profile", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+    ]
+)
+
+
+def _adts_frame_info(b: bytes, i: int):
+    """Parse one ADTS header at offset ``i``; None if not a sync word.
+    Returns ``(frame_len, mpeg_id, profile, sample_rate, channels,
+    n_blocks)``."""
+    if i + 7 > len(b) or b[i] != 0xFF or (b[i + 1] & 0xF6) != 0xF0:
+        return None  # sync 0xFFF + layer bits 00 required
+    mpeg_id = "MPEG-2" if b[i + 1] & 0x08 else "MPEG-4"
+    crc = not (b[i + 1] & 0x01)  # protection_absent = 0 → CRC present
+    profile = ADTS_PROFILES[(b[i + 2] >> 6) & 0x3]
+    sf_i = (b[i + 2] >> 2) & 0xF
+    if sf_i >= len(ADTS_SAMPLE_RATES):
+        return None  # reserved sampling-frequency index
+    sr = ADTS_SAMPLE_RATES[sf_i]
+    ch = ((b[i + 2] & 0x1) << 2) | ((b[i + 3] >> 6) & 0x3)
+    flen = ((b[i + 3] & 0x3) << 11) | (b[i + 4] << 3) | (b[i + 5] >> 5)
+    n_blocks = (b[i + 6] & 0x3) + 1
+    if flen < (9 if crc else 7):
+        return None
+    return flen, mpeg_id, profile, sr, ch, n_blocks
+
+
+def census_adts(
+    df: DataFrame, id_col: str = "asset_id", content_col: str = "content"
+) -> DataFrame:
+    """Walk every payload's ADTS frame chain and census it —
+    ``duration_sec`` is sample-exact (1024 samples per raw data block).
+    Invalid first frame quarantines as ``fmt='aac?'``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in ADTS_CENSUS_SCHEMA}
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(content) if content is not None else b""
+                first = _adts_frame_info(b, 0)
+                rows["asset_id"].append(int(aid))
+                rows["n_bytes"].append(len(b))
+                if first is None:
+                    rows["fmt"].append("aac?")
+                    for c in ("mpeg_id", "profile", "sample_rate",
+                              "channels", "n_frames", "duration_sec"):
+                        rows[c].append(None)
+                    continue
+                _, mpeg_id, profile, sr, ch, _ = first
+                i = 0
+                n_frames = 0
+                n_samples = 0
+                while True:
+                    info = _adts_frame_info(b, i)
+                    if info is None:
+                        break
+                    flen, _, _, _, _, n_blocks = info
+                    n_frames += 1
+                    n_samples += 1024 * n_blocks
+                    i += flen
+                rows["fmt"].append("aac")
+                rows["mpeg_id"].append(mpeg_id)
+                rows["profile"].append(profile)
+                rows["sample_rate"].append(sr)
+                rows["channels"].append(ch)
+                rows["n_frames"].append(n_frames)
+                rows["duration_sec"].append(n_samples / sr)
+            out = pd.DataFrame(rows)
+            out["sample_rate"] = out["sample_rate"].astype("Int32")
+            out["channels"] = out["channels"].astype("Int32")
+            out["n_frames"] = out["n_frames"].astype("Int64")
+            yield out
+
+    return df.select(id_col, content_col).mapInPandas(run, ADTS_CENSUS_SCHEMA)
+
+
+def synthesize_adts_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic MPEG-4 ADTS AAC fixture, hex-assembled JVM-side.
+    Closed forms for the oracle: ``id % 6 + 2`` frames; profile bits
+    ``id % 3`` (Main/LC/SSR); sampling-frequency index ``3 + id % 5``
+    (48000/44100/32000/24000/22050); ``1 + id % 2`` channels; frame
+    ``f`` carries a ``100 + (id + 13·f) % 200``-byte payload behind
+    the 7-byte header (protection absent, fullness 0x7FF, 1 raw
+    block); fill byte 0x42."""
+    i = F.col(id_col).cast("bigint")
+    n_frames = (i % 6 + 2).cast("int")
+    profile = (i % 3).cast("int")
+    sf_i = (3 + i % 5).cast("int")
+    ch = (1 + i % 2).cast("int")
+    # b2 = profile<<6 | sf_index<<2 | 0<<1 | channel_config>>2 (ch ≤ 2 → 0)
+    b2 = (profile * 64 + sf_i * 4).cast("int")
+
+    def frame_hex(f: F.Column) -> F.Column:
+        flen = (107 + (i + 13 * f) % 200).cast("int")  # 7 + payload
+        b3 = ((ch % 4) * 64 + F.shiftright(flen, 11)).cast("int")
+        b4 = (F.shiftright(flen, 3) % 256).cast("int")
+        b5 = ((flen % 8) * 32 + 31).cast("int")  # fullness 0x7FF >> 6
+        return F.concat(
+            F.lit("FFF1"),
+            F.lpad(F.hex(b2), 2, "0"),
+            F.lpad(F.hex(b3), 2, "0"),
+            F.lpad(F.hex(b4), 2, "0"),
+            F.lpad(F.hex(b5), 2, "0"),
+            F.lit("FC"),  # fullness low 6 bits << 2 | (1 block - 1)
+            F.repeat(F.lit("42"), flen - 7),
+        )
+
+    frames_hex = F.array_join(
+        F.transform(F.sequence(F.lit(0), n_frames - 1), frame_hex), ""
+    )
+    return df.select(
+        i.alias("asset_id"),
+        F.unhex(frames_hex).alias("content"),
+        F.lit("audio").alias("modality"),
+        F.lit("audio/aac").alias("mime_type"),
     )

@@ -77,7 +77,9 @@ from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
     synthesize_y4m_payload,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.mp3 import (
+    census_adts,
     census_mp3,
+    synthesize_adts_payload,
     synthesize_mp3_payload,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.phash import (
@@ -4302,6 +4304,60 @@ SELECT CAST(b.doc_id AS BIGINT) AS asset_id, 'mp3' AS fmt,
   b.id3_bytes AS id3_bytes,
   CAST(b.id3_bytes + fl.frames_bytes AS BIGINT) AS n_bytes,
   (b.n_frames * 1152) / CAST(b.sample_rate AS DOUBLE) AS duration_sec
+FROM base b JOIN fl ON b.doc_id = fl.doc_id
+"""
+
+
+def multimodal_aac_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AAC-ADTS census (operators/mp3.py): documents become MPEG-4
+    ADTS streams with real 7-byte headers — variable frame lengths
+    spanning the 13-bit field's byte boundaries (b3/b4/b5 splits) —
+    and census_adts walks the actual bytes: sync+layer validation,
+    profile/rate/channel extraction, the 13-bit length hop, raw-block
+    sample accounting. The oracle replays every column from the
+    synthesizer's closed forms; a wrong bit offset anywhere in the
+    header desynchronizes the walk and changes n_frames. Together with
+    mp3_frame_census this closes the MP3/AAC gap at the metadata tier
+    (sample decode = documented boundary, like inter-predicted video)."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = synthesize_adts_payload(docs, "doc_id")
+    return census_adts(assets).select(
+        "asset_id",
+        "fmt",
+        "mpeg_id",
+        "profile",
+        "sample_rate",
+        "channels",
+        "n_frames",
+        "n_bytes",
+        "duration_sec",
+    )
+
+
+MULTIMODAL_AAC_SQL = """
+WITH base AS (
+  SELECT doc_id,
+    CAST(doc_id % 6 + 2 AS BIGINT) AS n_frames,
+    CASE doc_id % 3 WHEN 0 THEN 'AAC Main' WHEN 1 THEN 'AAC LC'
+         ELSE 'AAC SSR' END AS profile,
+    CASE doc_id % 5 WHEN 0 THEN 48000 WHEN 1 THEN 44100 WHEN 2 THEN 32000
+         WHEN 3 THEN 24000 ELSE 22050 END AS sample_rate,
+    CAST(1 + doc_id % 2 AS INTEGER) AS channels
+  FROM documents
+),
+f AS (
+  SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS fr FROM base
+),
+fl AS (
+  SELECT doc_id,
+    CAST(SUM(107 + (doc_id + 13 * fr) % 200) AS BIGINT) AS total_bytes
+  FROM f GROUP BY doc_id
+)
+SELECT CAST(b.doc_id AS BIGINT) AS asset_id, 'aac' AS fmt,
+  'MPEG-4' AS mpeg_id, b.profile,
+  CAST(b.sample_rate AS INTEGER) AS sample_rate, b.channels,
+  b.n_frames, fl.total_bytes AS n_bytes,
+  (b.n_frames * 1024) / CAST(b.sample_rate AS DOUBLE) AS duration_sec
 FROM base b JOIN fl ON b.doc_id = fl.doc_id
 """
 
@@ -11969,6 +12025,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "mp3_frame_census": QuerySpec(
         multimodal_mp3_census, MULTIMODAL_MP3_SQL
+    ),
+    "aac_adts_census": QuerySpec(
+        multimodal_aac_census, MULTIMODAL_AAC_SQL
     ),
     "image_phash_dedup": QuerySpec(
         image_phash_dedup, IMAGE_PHASH_DEDUP_SQL
