@@ -88,6 +88,13 @@ from vacancy_gpt_etl_pipeline_spark.operators.phash import (
     phash_dedup_groups,
     phash_neardup_pairs,
 )
+from vacancy_gpt_etl_pipeline_spark.operators.audio_fp import (
+    FP_COS16,
+    FP_SIN16,
+    audio_fp_dup_groups,
+    fingerprint_wav,
+    synthesize_tone_payload,
+)
 from vacancy_gpt_etl_pipeline_spark.operators.relational import ratio_of_total
 from vacancy_gpt_etl_pipeline_spark.operators.epub import (
     extract_epub_chapters,
@@ -4359,6 +4366,109 @@ SELECT CAST(b.doc_id AS BIGINT) AS asset_id, 'aac' AS fmt,
   b.n_frames, fl.total_bytes AS n_bytes,
   (b.n_frames * 1024) / CAST(b.sample_rate AS DOUBLE) AS duration_sec
 FROM base b JOIN fl ON b.doc_id = fl.doc_id
+"""
+
+
+def audio_fingerprint_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic fingerprint (operators/audio_fp.py): documents become
+    real two-tone mono PCM WAVs (tones synthesized from the fingerprint
+    LUT itself, amplitude 1..3), and fingerprint_wav DECODES the PCM
+    frames and runs the integer-DFT peak-bin constellation per sliding
+    window. The oracle replays the whole chain — two's-complement
+    sample decode, window/hop geometry, the shared FP_COS16/FP_SIN16
+    literals, exact int64 re²+im², argmax with smallest-bin tie break,
+    ordered string_agg — from the generator's closed forms, never
+    parsing a byte."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = synthesize_tone_payload(docs, "doc_id")
+    return fingerprint_wav(assets).select(
+        "asset_id", "n_samples", "n_windows", "fingerprint"
+    )
+
+
+def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-invariant duplicate-recording groups: the same fixture at
+    three different amplitudes MUST collapse to one fingerprint (bin
+    energies scale by gain², argmax unmoved) — the audio analogue of
+    pHash's brightness invariance, asserted end-to-end by the oracle's
+    independent group reconstruction."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = fingerprint_wav(synthesize_tone_payload(docs, "doc_id"))
+    return audio_fp_dup_groups(fps).select(
+        "fingerprint", "n_assets", "keep_id", "drop_count"
+    )
+
+
+_FP_COS_VALUES = ", ".join(f"({j}, {c})" for j, c in enumerate(FP_COS16))
+_FP_SIN_VALUES = ", ".join(f"({j}, {s})" for j, s in enumerate(FP_SIN16))
+
+_AUDIO_FP_CTE = f"""
+WITH base AS (
+  SELECT doc_id, doc_id % 32 + 32 AS n, 1 + doc_id % 8 AS f1,
+         1 + (doc_id // 8) % 8 AS f2, 1 + doc_id % 3 AS amp
+  FROM documents
+),
+cosl(j, c) AS (VALUES {_FP_COS_VALUES}),
+sinl(j, s) AS (VALUES {_FP_SIN_VALUES}),
+bins(b) AS (VALUES (1), (2), (3), (4), (5), (6), (7), (8)),
+w AS (
+  SELECT doc_id, n, f1, f2, amp,
+    unnest(generate_series(0, (n - 16) // 8)) AS wi
+  FROM base
+),
+kk AS (
+  SELECT doc_id, n, f1, f2, amp, wi,
+    unnest(generate_series(0, 15)) AS k
+  FROM w
+),
+samp AS (
+  SELECT kk.doc_id, kk.wi, kk.k,
+    kk.amp * lc.c AS s
+  FROM kk
+  JOIN cosl lc ON lc.j =
+    ((CASE WHEN kk.wi * 8 + kk.k < kk.n // 2 THEN kk.f1 ELSE kk.f2 END)
+     * (kk.wi * 8 + kk.k)) % 16
+),
+e AS (
+  SELECT samp.doc_id, samp.wi, b.b,
+    CAST(SUM(samp.s * lc.c) AS BIGINT) AS re,
+    CAST(SUM(samp.s * ls.s) AS BIGINT) AS im
+  FROM samp
+  CROSS JOIN bins b
+  JOIN cosl lc ON lc.j = (b.b * samp.k) % 16
+  JOIN sinl ls ON ls.j = (b.b * samp.k) % 16
+  GROUP BY samp.doc_id, samp.wi, b.b
+),
+top AS (
+  SELECT doc_id, wi, b AS top_bin FROM (
+    SELECT doc_id, wi, b,
+      row_number() OVER (
+        PARTITION BY doc_id, wi ORDER BY re * re + im * im DESC, b ASC
+      ) AS rn
+    FROM e
+  ) WHERE rn = 1
+),
+fp AS (
+  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_windows,
+    string_agg(CAST(top_bin AS VARCHAR), '-' ORDER BY wi) AS fingerprint
+  FROM top GROUP BY doc_id
+)
+"""
+
+AUDIO_FP_CENSUS_SQL = _AUDIO_FP_CTE + """
+SELECT CAST(b.doc_id AS BIGINT) AS asset_id,
+  CAST(b.n AS BIGINT) AS n_samples,
+  fp.n_windows, fp.fingerprint
+FROM base b JOIN fp ON b.doc_id = fp.doc_id
+"""
+
+AUDIO_FP_DEDUP_SQL = _AUDIO_FP_CTE + """
+SELECT fingerprint,
+  CAST(COUNT(*) AS BIGINT) AS n_assets,
+  CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+  CAST(COUNT(*) - 1 AS BIGINT) AS drop_count
+FROM fp WHERE n_windows >= 1
+GROUP BY fingerprint HAVING COUNT(*) >= 2
 """
 
 
@@ -12028,6 +12138,12 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "aac_adts_census": QuerySpec(
         multimodal_aac_census, MULTIMODAL_AAC_SQL
+    ),
+    "audio_fingerprint_census": QuerySpec(
+        audio_fingerprint_census, AUDIO_FP_CENSUS_SQL
+    ),
+    "audio_fingerprint_dedup": QuerySpec(
+        audio_fingerprint_dedup, AUDIO_FP_DEDUP_SQL
     ),
     "image_phash_dedup": QuerySpec(
         image_phash_dedup, IMAGE_PHASH_DEDUP_SQL
