@@ -12601,6 +12601,12 @@ _R12_FRONT: tuple[str, ...] = (
     "crawl_frontier_e2e",
     "bpe_train_merges_incr",
     "bpe_gpt2_prefix_counts",
+    "mp3_frame_census",
+    "aac_adts_census",
+    "image_phash_dedup",
+    "image_phash_neardup",
+    "audio_fingerprint_census",
+    "audio_fingerprint_dedup",
     # (b) code/oracle touched in round 12 (SEP-boundary symmetry,
     # (?s) dot-matches-newline oracles, degenerate-sizing guard,
     # unescaped-EOL normalization, stsd codec census)
@@ -12645,12 +12651,6 @@ _R12_FRONT: tuple[str, ...] = (
     "dau_wau_stickiness",
     "diff_in_diff_conversion",
     "embedding_normalize",
-    "event_transition_matrix",
-    "ewma_daily_events",
-    "feature_scale_balances",
-    "gapfill_daily_events",
-    "golden_user_profile",
-    "grouping_sets_revenue",
 )
 assert len(_R12_FRONT) == len(set(_R12_FRONT)) == 50
 REGISTRY = {
