@@ -200,3 +200,77 @@ def test_bucket_cap_drops_pairs_not_groups(spark):
     hashes = spark.createDataFrame(pdf)
     assert phash_neardup_pairs(hashes, 0, 2, max_bucket=1).count() == 0
     assert phash_dedup_groups(hashes).collect()[0]["n_assets"] == 3
+
+
+# --- video (Y4M per-frame) --------------------------------------------------
+
+from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (  # noqa: E402
+    synthesize_y4m_payload,
+)
+from vacancy_gpt_etl_pipeline_spark.operators.phash import (  # noqa: E402
+    _y4m_y_planes,
+    phash_y4m,
+    video_phash_dup_groups,
+)
+
+
+def test_y4m_walker_golden():
+    """Hand-written 2x2 C444 Y4M, 2 frames: Y planes recovered in
+    order, top row first, U/V planes skipped by the frame stride."""
+    hdr = b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C444\n"
+    f0 = b"FRAME\n" + bytes([1, 2, 3, 4]) + bytes([9] * 4) + bytes([8] * 4)
+    f1 = b"FRAME\n" + bytes([5, 6, 7, 8]) + bytes([9] * 4) + bytes([8] * 4)
+    w, h, frames = _y4m_y_planes(hdr + f0 + f1)
+    assert (w, h, len(frames)) == (2, 2, 2)
+    assert frames[0].tolist() == [[1, 2], [3, 4]]
+    assert frames[1].tolist() == [[5, 6], [7, 8]]
+
+
+def test_y4m_walker_quarantine():
+    assert _y4m_y_planes(b"") is None
+    assert _y4m_y_planes(b"RIFF not y4m") is None
+    # C420 refused (only C444 has the 3*w*h stride this walker assumes)
+    assert _y4m_y_planes(b"YUV4MPEG2 W2 H2 C420\nFRAME\n" + b"\0" * 6) is None
+    # truncated frame terminates the walk instead of crashing
+    hdr = b"YUV4MPEG2 W2 H2 C444\n"
+    w, h, frames = _y4m_y_planes(hdr + b"FRAME\n" + b"\0" * 5)
+    assert frames == []
+
+
+def test_video_fp_brightness_invariance_per_frame():
+    """Two Y planes differing by a uniform shift (no wraparound) hash
+    identically except possibly the DC bit — the video fingerprint's
+    robustness claim at frame level."""
+    rng = np.random.default_rng(31)
+    g = rng.integers(0, 200, size=(4, 6)).astype(np.int64)
+    a, b = phash64(g), phash64(g + 30)
+    assert a[0] & 0x7FFF == b[0] & 0x7FFF and a[1:] == b[1:]
+
+
+def test_video_phash_spark_round_trip(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fps = phash_y4m(synthesize_y4m_payload(docs, "doc_id")).cache()
+    try:
+        rows = {r["asset_id"]: r for r in fps.collect()}
+        assert len(rows) == docs.count()
+        for i, r in rows.items():
+            assert r["width"] == i % 8 + 2
+            assert r["height"] == i % 4 + 2
+            assert r["n_frames"] == i % 5 + 1
+            assert len(r["video_fp"]) == 17 * r["n_frames"] - 1
+            # spark hash equals the pure-python pipeline on the same bytes
+        payloads = {
+            p["asset_id"]: bytes(p["content"])
+            for p in synthesize_y4m_payload(docs, "doc_id").limit(10).collect()
+        }
+        for aid, b in payloads.items():
+            w, h, frames = _y4m_y_planes(b)
+            expect = "-".join(
+                "{:04x}{:04x}{:04x}{:04x}".format(*_phash_reference(y))
+                for y in frames
+            )
+            assert rows[aid]["video_fp"] == expect
+        groups = video_phash_dup_groups(fps).collect()
+        assert all(g["n_assets"] >= 2 for g in groups)
+    finally:
+        fps.unpersist()

@@ -158,6 +158,110 @@ def phash_bmp(
     return df.select(id_col, content_col).mapInPandas(run, PHASH_SCHEMA)
 
 
+VIDEO_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("video_fp", T.StringType()),
+    ]
+)
+
+
+def _y4m_y_planes(b: bytes):
+    """Walk a C444 YUV4MPEG2 stream and return (w, h, [Y planes as
+    (h, w) int64 matrices, top row first]). None on anything else."""
+    nl = b.find(b"\n")
+    if nl < 0 or not b.startswith(b"YUV4MPEG2"):
+        return None
+    w = h = None
+    colorspace = "C420"
+    for tok in b[:nl].decode("ascii", "replace").split()[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("C"):
+            colorspace = tok
+    if not w or not h or not colorspace.startswith("C444"):
+        return None
+    frames = []
+    i = nl + 1
+    flen = w * h * 3
+    while b[i : i + 5] == b"FRAME":
+        j = b.find(b"\n", i)
+        if j < 0 or j + 1 + flen > len(b):
+            break
+        frames.append(
+            np.frombuffer(b, np.uint8, w * h, j + 1)
+            .astype(np.int64)
+            .reshape(h, w)
+        )
+        i = j + 1 + flen
+    return w, h, frames
+
+
+def phash_y4m(
+    df: DataFrame, id_col: str = "asset_id", content_col: str = "content"
+) -> DataFrame:
+    """Per-FRAME perceptual hashing for raw C444 Y4M video: the luma
+    plane of every frame is pHashed (:func:`phash64`) and the video's
+    fingerprint is the ordered per-frame hash sequence — so a re-
+    encoded / brightness-shifted copy of the same footage collapses to
+    the same fingerprint, frame count and all. Near-dup for the fourth
+    modality, on top of text (dedup.py), image (this module) and audio
+    (audio_fp.py). Non-Y4M payloads are dropped (quarantine-not-fail);
+    inter-predicted codecs remain the documented decode boundary
+    (multimodal.py:decode_video_frames)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in VIDEO_PHASH_SCHEMA}
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(content) if content is not None else b""
+                parsed = _y4m_y_planes(b)
+                if parsed is None:
+                    continue
+                w, h, frames = parsed
+                fps = [
+                    "{:04x}{:04x}{:04x}{:04x}".format(*phash64(y))
+                    for y in frames
+                ]
+                rows["asset_id"].append(int(aid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_frames"].append(len(frames))
+                rows["video_fp"].append("-".join(fps))
+            out = pd.DataFrame(rows)
+            for c in ("width", "height", "n_frames"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return df.select(id_col, content_col).mapInPandas(run, VIDEO_PHASH_SCHEMA)
+
+
+def video_phash_dup_groups(fps: DataFrame) -> DataFrame:
+    """Duplicate-footage groups: one map-side-combinable groupBy on the
+    frame-hash sequence; survivor = min asset_id (keep-first). Only
+    groups with ≥2 members are returned."""
+    return (
+        fps.where(F.col("n_frames") >= 1)
+        .groupBy("video_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.min("asset_id").alias("keep_id"),
+        )
+        .where(F.col("n_assets") >= 2)
+        .select(
+            "video_fp",
+            "n_assets",
+            "keep_id",
+            (F.col("n_assets") - 1).alias("drop_count"),
+        )
+    )
+
+
 def phash_dedup_groups(hashes: DataFrame) -> DataFrame:
     """Exact-fingerprint dedup: one map-side-combinable groupBy on the
     64-bit hash. Returns only groups with ≥2 members — (hash_hex,

@@ -87,6 +87,8 @@ from vacancy_gpt_etl_pipeline_spark.operators.phash import (
     phash_bmp,
     phash_dedup_groups,
     phash_neardup_pairs,
+    phash_y4m,
+    video_phash_dup_groups,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.audio_fp import (
     FP_COS16,
@@ -4581,6 +4583,113 @@ SELECT printf('%04x%04x%04x%04x', b0, b1, b2, b3) AS hash_hex,
   CAST(COUNT(*) - 1 AS BIGINT) AS drop_count
 FROM hashes GROUP BY b0, b1, b2, b3 HAVING COUNT(*) >= 2
 """
+
+def video_phash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame video perceptual hashing (operators/phash.py):
+    documents become real multi-frame C444 Y4M streams with closed-form
+    textured luma (synthesize_y4m_payload, the video_decode fixture),
+    and phash_y4m walks the FRAME markers, extracts every Y plane and
+    pHashes it — the fingerprint is the ordered frame-hash sequence.
+    The oracle recomputes every frame hash from the plane generator's
+    closed form through the shared PHASH_DCT_LUT (resample → integer
+    DCT → rank-32 median → band packing → printf hex → ordered
+    string_agg), so the hash only matches if the Y4M walk, the plane
+    geometry, and the whole pHash pipeline agree frame-by-frame."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = synthesize_y4m_payload(docs, "doc_id")
+    return phash_y4m(assets).select(
+        "asset_id", "width", "height", "n_frames", "video_fp"
+    )
+
+
+def video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-footage groups over the per-frame hash sequence — the
+    fourth modality's near-dup surface (text/image/audio/video all
+    first-class). One map-side-combinable groupBy; the oracle
+    reconstructs the groups independently from the closed forms."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = phash_y4m(synthesize_y4m_payload(docs, "doc_id"))
+    return video_phash_dup_groups(fps).select(
+        "video_fp", "n_assets", "keep_id", "drop_count"
+    )
+
+
+_VIDEO_PHASH_CTE = f"""
+WITH dims AS (
+  SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 4 + 2 AS h,
+         doc_id % 5 + 1 AS nf
+  FROM documents
+),
+lut(u, x, c) AS (VALUES {_PHASH_LUT_VALUES}),
+grid AS (
+  SELECT gx.x AS x, gy.y AS y
+  FROM generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)
+),
+fr AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS f FROM dims
+),
+gray AS (
+  SELECT fr.doc_id, fr.f, g.x, g.y,
+    (fr.doc_id * 37 + fr.f * 11
+     + ((g.y * fr.h // 8) * fr.w + (g.x * fr.w // 8)) * 5) % 256 AS g
+  FROM fr, grid g
+),
+coef AS (
+  SELECT gray.doc_id, gray.f, lu.u AS u, lv.u AS v,
+    CAST(SUM(g * lu.c * lv.c) AS BIGINT) AS coeff
+  FROM gray
+  JOIN lut lu ON lu.x = gray.x
+  JOIN lut lv ON lv.x = gray.y
+  GROUP BY gray.doc_id, gray.f, lu.u, lv.u
+),
+med AS (
+  SELECT doc_id, f, coeff AS mval FROM (
+    SELECT doc_id, f, coeff,
+      row_number() OVER (PARTITION BY doc_id, f ORDER BY coeff) AS rn
+    FROM coef WHERE NOT (u = 0 AND v = 0)
+  ) WHERE rn = 32
+),
+bits AS (
+  SELECT c.doc_id, c.f, c.u * 8 + c.v AS p,
+    CASE WHEN c.coeff > m.mval THEN 1 ELSE 0 END AS bit
+  FROM coef c JOIN med m ON c.doc_id = m.doc_id AND c.f = m.f
+),
+bands AS (
+  SELECT doc_id, f, p // 16 AS bk,
+    CAST(SUM(bit * (1 << (15 - p % 16))) AS INTEGER) AS bv
+  FROM bits GROUP BY doc_id, f, p // 16
+),
+fhash AS (
+  SELECT doc_id, f,
+    printf('%04x%04x%04x%04x',
+      MAX(CASE WHEN bk = 0 THEN bv END),
+      MAX(CASE WHEN bk = 1 THEN bv END),
+      MAX(CASE WHEN bk = 2 THEN bv END),
+      MAX(CASE WHEN bk = 3 THEN bv END)) AS fh
+  FROM bands GROUP BY doc_id, f
+),
+vfp AS (
+  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_frames,
+    string_agg(fh, '-' ORDER BY f) AS video_fp
+  FROM fhash GROUP BY doc_id
+)
+"""
+
+VIDEO_PHASH_CENSUS_SQL = _VIDEO_PHASH_CTE + """
+SELECT CAST(d.doc_id AS BIGINT) AS asset_id,
+  CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+  v.n_frames, v.video_fp
+FROM dims d JOIN vfp v ON d.doc_id = v.doc_id
+"""
+
+VIDEO_PHASH_DEDUP_SQL = _VIDEO_PHASH_CTE + """
+SELECT video_fp,
+  CAST(COUNT(*) AS BIGINT) AS n_assets,
+  CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+  CAST(COUNT(*) - 1 AS BIGINT) AS drop_count
+FROM vfp GROUP BY video_fp HAVING COUNT(*) >= 2
+"""
+
 
 IMAGE_PHASH_NEARDUP_SQL = _PHASH_HASHES_CTE + """
 SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
@@ -12151,6 +12260,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "image_phash_neardup": QuerySpec(
         image_phash_neardup, IMAGE_PHASH_NEARDUP_SQL
     ),
+    "video_phash_census": QuerySpec(
+        video_phash_census, VIDEO_PHASH_CENSUS_SQL
+    ),
+    "video_phash_dedup": QuerySpec(
+        video_phash_dedup, VIDEO_PHASH_DEDUP_SQL
+    ),
     "video_decode": QuerySpec(
         multimodal_video_decode, MULTIMODAL_VIDEO_SQL
     ),
@@ -12607,6 +12722,8 @@ _R12_FRONT: tuple[str, ...] = (
     "image_phash_neardup",
     "audio_fingerprint_census",
     "audio_fingerprint_dedup",
+    "video_phash_census",
+    "video_phash_dedup",
     # (b) code/oracle touched in round 12 (SEP-boundary symmetry,
     # (?s) dot-matches-newline oracles, degenerate-sizing guard,
     # unescaped-EOL normalization, stsd codec census)
@@ -12649,8 +12766,6 @@ _R12_FRONT: tuple[str, ...] = (
     "cohort_ltv_curve",
     "curation_e2e",
     "dau_wau_stickiness",
-    "diff_in_diff_conversion",
-    "embedding_normalize",
 )
 assert len(_R12_FRONT) == len(set(_R12_FRONT)) == 50
 REGISTRY = {
