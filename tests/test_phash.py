@@ -180,11 +180,10 @@ def test_spark_round_trip_and_split(spark, sf_dir):
         hashes.unpersist()
 
 
-def test_bucket_cap_drops_pairs_not_groups(spark):
-    """max_bucket=1 suppresses ALL pair generation (every band bucket
-    has ≥2 members among identical hashes) while the dedup-groups path
-    still collapses the duplicates — the documented degenerate-corpus
-    contract."""
+def test_identical_hashes_collapse_to_one_representative(spark):
+    """Identical fingerprints contribute ONE row to pair generation —
+    the load-bearing scale property — while the dedup-groups path
+    still collapses the duplicates."""
     import pandas as pd
 
     pdf = pd.DataFrame(
@@ -198,8 +197,30 @@ def test_bucket_cap_drops_pairs_not_groups(spark):
         }
     )
     hashes = spark.createDataFrame(pdf)
-    assert phash_neardup_pairs(hashes, 0, 2, max_bucket=1).count() == 0
+    assert phash_neardup_pairs(hashes, 0, 2).count() == 0
     assert phash_dedup_groups(hashes).collect()[0]["n_assets"] == 3
+
+
+def test_bucket_cap_drops_pairs(spark):
+    """max_bucket=1 suppresses pair generation from an over-full band
+    bucket — the documented degenerate-corpus contract. Three DISTINCT
+    hashes share band 0 (hamming 1..2 apart through bands 1-3), so
+    uncapped they pair; capped at 1 they don't."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "asset_id": [1, 2, 3],
+            "b0": [5, 5, 5],
+            "b1": [8, 9, 11],  # pairwise hamming 1..2 on this band
+            "b2": [2, 2, 2],
+            "b3": [7, 7, 7],
+            "hash_hex": ["a", "b", "c"],
+        }
+    )
+    hashes = spark.createDataFrame(pdf)
+    assert phash_neardup_pairs(hashes, 1, 2).count() == 3
+    assert phash_neardup_pairs(hashes, 1, 2, max_bucket=1).count() == 0
 
 
 # --- video (Y4M per-frame) --------------------------------------------------

@@ -295,9 +295,17 @@ def phash_neardup_pairs(
     (band_idx, band_value) — never a cartesian product. Pairs are
     deduped across bands before the Hamming filter.
 
+    The join runs over DISTINCT fingerprints (one representative per
+    hash, the min asset_id) — the load-bearing scale decision: a
+    popular image re-posted a million times contributes ONE row to
+    pair generation instead of 10¹² candidate pairs, because identical
+    copies are :func:`phash_dedup_groups`' job. Candidate volume
+    therefore scales with distinct content, not corpus size; pairs are
+    emitted between representatives.
+
     ``min_hamming=1`` excludes exact-fingerprint pairs by default:
-    those belong to :func:`phash_dedup_groups`, which handles them
-    with a groupBy instead of materializing O(group²) pairs.
+    between representatives those don't exist, and within a
+    fingerprint they belong to the groupBy path.
 
     ``max_bucket`` is the standard fan-out cap of the near-dup family:
     a band value held by more than ``max_bucket`` assets (a degenerate
@@ -317,8 +325,19 @@ def phash_neardup_pairs(
         )
     from pyspark.sql import Window
 
-    bands = hashes.select(
+    reps = hashes.groupBy("b0", "b1", "b2", "b3").agg(
+        F.min("asset_id").alias("asset_id")
+    )
+    # explode bands WITH the full hash carried along, so the self-join
+    # below computes Hamming inline — no re-join against the hash table
+    # (both join legs read the reps aggregation's exchange, which Spark
+    # shares via ReusedExchange instead of recomputing the decode)
+    bands = reps.select(
         "asset_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
         F.explode(
             F.array(
                 *[
@@ -330,11 +349,10 @@ def phash_neardup_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("asset_id", "band.band_idx", "band.band_val")
-    # fan-out cap via a PARTITIONED window count (one shuffle, reused by
-    # the self-join below — same keys, AQE keeps it co-partitioned);
-    # pair generation streams through the join, never materializing a
-    # bucket's O(s²) pair set in memory the way a collect_list would
+    ).select("asset_id", "b0", "b1", "b2", "b3", "band.band_idx", "band.band_val")
+    # fan-out cap via a PARTITIONED window count; pair generation
+    # streams through the join, never materializing a bucket's O(s²)
+    # pair set in memory the way a collect_list would
     bucket_w = Window.partitionBy("band_idx", "band_val")
     eligible = (
         bands.withColumn("bucket_n", F.count(F.lit(1)).over(bucket_w))
@@ -342,22 +360,14 @@ def phash_neardup_pairs(
         .drop("bucket_n")
     )
     left = eligible.select(
-        "band_idx", "band_val", F.col("asset_id").alias("id_a")
-    )
-    right = eligible.select(
-        "band_idx", "band_val", F.col("asset_id").alias("id_b")
-    )
-    pairs = (
-        left.join(right, ["band_idx", "band_val"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    ha = hashes.select(
+        "band_idx",
+        "band_val",
         F.col("asset_id").alias("id_a"),
         *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
     )
-    hb = hashes.select(
+    right = eligible.select(
+        "band_idx",
+        "band_val",
         F.col("asset_id").alias("id_b"),
         *[F.col(f"b{k}").alias(f"bb{k}") for k in range(4)],
     )
@@ -366,11 +376,12 @@ def phash_neardup_pairs(
         for k in range(4)
     )
     return (
-        pairs.join(ha, "id_a")
-        .join(hb, "id_b")
+        left.join(right, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .where(
             (F.col("hamming") >= min_hamming)
             & (F.col("hamming") <= max_hamming)
         )
+        .distinct()
     )

@@ -4497,12 +4497,14 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash NEAR-dup pairs (operators/phash.py): the
     residual Hamming-1..2 pairs that exact-fingerprint dedup misses,
-    found by the 16-bit band LSH join (pigeonhole: hamming < 4 ⇒ ≥1
-    exact band match — never a cartesian product). The oracle
-    recomputes the hashes from the pixel closed form and then does a
-    genuinely different candidate step — an explicit OR-of-bands join
-    over all id pairs — so a banding bug (wrong band boundary, lost
-    bucket, cap misfire) cannot cancel out between engines."""
+    found by the 16-bit band LSH join over DISTINCT fingerprints
+    (pigeonhole: hamming < 4 ⇒ ≥1 exact band match — never a cartesian
+    product; candidate volume scales with distinct content, not corpus
+    size). The oracle recomputes the hashes from the pixel closed form
+    and then does a genuinely different candidate step — an explicit
+    OR-of-bands join over all representative pairs — so a banding bug
+    (wrong band boundary, lost bucket, cap misfire) cannot cancel out
+    between engines."""
     docs = _t(spark, sf_dir, "documents")
     hashes = phash_bmp(synthesize_bmp_payload(docs, "doc_id"))
     return phash_neardup_pairs(hashes, min_hamming=1, max_hamming=2).select(
@@ -4692,11 +4694,15 @@ FROM vfp GROUP BY video_fp HAVING COUNT(*) >= 2
 
 
 IMAGE_PHASH_NEARDUP_SQL = _PHASH_HASHES_CTE + """
+, reps AS (
+  SELECT b0, b1, b2, b3, MIN(doc_id) AS doc_id
+  FROM hashes GROUP BY b0, b1, b2, b3
+)
 SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
   CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
        AS INTEGER) AS hamming
-FROM hashes a JOIN hashes b
+FROM reps a JOIN reps b
   ON a.doc_id < b.doc_id
  AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
 WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
