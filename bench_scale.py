@@ -76,6 +76,13 @@ FLAGSHIPS = (
     "web_pipeline_e2e",
     "pdf_text_extract",
     "epub_chapter_extract",
+    # round-12 multimodal fingerprint family: per-asset Arrow decode +
+    # hash must stay linear; the pHash pair join must stay bounded by
+    # DISTINCT fingerprints (216 on this generator) as the corpus grows
+    "mp3_frame_census",
+    "image_phash_neardup",
+    "audio_fingerprint_dedup",
+    "video_phash_census",
 )
 
 

@@ -295,3 +295,31 @@ def test_video_phash_spark_round_trip(spark, sf_dir):
         assert all(g["n_assets"] >= 2 for g in groups)
     finally:
         fps.unpersist()
+
+
+def test_multimodal_dedup_manifest_composition(spark, sf_dir):
+    """The capstone manifest's per-modality members must agree with the
+    standalone group operators: same total drop counts, keep-first
+    survivor rule (keep_id = group min < drop_id), no self-drops."""
+    from vacancy_gpt_etl_pipeline_spark.queries import (
+        multimodal_dedup_manifest,
+        image_phash_dedup,
+        audio_fingerprint_dedup,
+        video_phash_dedup,
+    )
+
+    man = multimodal_dedup_manifest(spark, sf_dir).collect()
+    assert all(r["keep_id"] < r["drop_id"] for r in man)
+    by_mod = {}
+    for r in man:
+        by_mod.setdefault(r["modality"], []).append(r)
+    expected = {
+        "image": image_phash_dedup,
+        "audio": audio_fingerprint_dedup,
+        "video": video_phash_dedup,
+    }
+    for mod, q in expected.items():
+        drop_total = sum(g["drop_count"] for g in q(spark, sf_dir).collect())
+        assert len(by_mod.get(mod, [])) == drop_total, mod
+    # the sf0.001 documents fixture has no exact text duplicates
+    assert "text" not in by_mod or len(by_mod["text"]) >= 0

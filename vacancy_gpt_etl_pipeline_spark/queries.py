@@ -4693,6 +4693,106 @@ FROM vfp GROUP BY video_fp HAVING COUNT(*) >= 2
 """
 
 
+def multimodal_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup capstone (the composition-flagship pattern of
+    crawl_frontier_e2e / curation_e2e): ONE lineage emits the unified
+    drop manifest (modality, keep_id, drop_id) across all four
+    modalities — exact text dedup, image pHash groups, audio
+    fingerprint groups, video frame-hash-sequence groups — each a
+    partitioned window over its content key (keep-first survivor
+    rule), unioned into the single manifest a 100 TB curation run
+    would feed its tombstone writer. The oracle reconstructs every
+    member independently (group-join instead of windows, the three
+    fingerprint pipelines replayed closed-form) and unions them the
+    same way."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def drops(frame: DataFrame, key: str, modality: str) -> DataFrame:
+        w = Window.partitionBy(key)
+        return (
+            frame.withColumn("keep_id", F.min("asset_id").over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(w))
+            .where(
+                (F.col("_n") >= 2) & (F.col("asset_id") != F.col("keep_id"))
+            )
+            .select(
+                F.lit(modality).alias("modality"),
+                "keep_id",
+                F.col("asset_id").alias("drop_id"),
+            )
+        )
+
+    text = docs.select(F.col("doc_id").alias("asset_id"), "text")
+    img = phash_bmp(synthesize_bmp_payload(docs, "doc_id"))
+    aud = fingerprint_wav(synthesize_tone_payload(docs, "doc_id")).where(
+        F.col("n_windows") >= 1
+    )
+    vid = phash_y4m(synthesize_y4m_payload(docs, "doc_id")).where(
+        F.col("n_frames") >= 1
+    )
+    return (
+        drops(text, "text", "text")
+        .unionByName(drops(img, "hash_hex", "image"))
+        .unionByName(drops(aud, "fingerprint", "audio"))
+        .unionByName(drops(vid, "video_fp", "video"))
+    )
+
+
+MULTIMODAL_MANIFEST_SQL = (
+    """
+SELECT 'text' AS modality, g.keep_id, CAST(d.doc_id AS BIGINT) AS drop_id
+FROM documents d JOIN (
+  SELECT text, CAST(MIN(doc_id) AS BIGINT) AS keep_id
+  FROM documents GROUP BY text HAVING COUNT(*) >= 2
+) g ON d.text = g.text
+WHERE d.doc_id <> g.keep_id
+UNION ALL
+SELECT 'image' AS modality, keep_id, drop_id FROM (
+"""
+    + _PHASH_HASHES_CTE
+    + """
+, grp AS (
+  SELECT b0, b1, b2, b3, CAST(MIN(doc_id) AS BIGINT) AS keep_id
+  FROM hashes GROUP BY b0, b1, b2, b3 HAVING COUNT(*) >= 2
+)
+SELECT grp.keep_id, CAST(h.doc_id AS BIGINT) AS drop_id
+FROM hashes h JOIN grp USING (b0, b1, b2, b3)
+WHERE h.doc_id <> grp.keep_id
+)
+UNION ALL
+SELECT 'audio' AS modality, keep_id, drop_id FROM (
+"""
+    + _AUDIO_FP_CTE
+    + """
+, grp AS (
+  SELECT fingerprint, CAST(MIN(doc_id) AS BIGINT) AS keep_id
+  FROM fp WHERE n_windows >= 1
+  GROUP BY fingerprint HAVING COUNT(*) >= 2
+)
+SELECT grp.keep_id, CAST(f.doc_id AS BIGINT) AS drop_id
+FROM fp f JOIN grp USING (fingerprint)
+WHERE f.doc_id <> grp.keep_id AND f.n_windows >= 1
+)
+UNION ALL
+SELECT 'video' AS modality, keep_id, drop_id FROM (
+"""
+    + _VIDEO_PHASH_CTE
+    + """
+, grp AS (
+  SELECT video_fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id
+  FROM vfp WHERE n_frames >= 1
+  GROUP BY video_fp HAVING COUNT(*) >= 2
+)
+SELECT grp.keep_id, CAST(v.doc_id AS BIGINT) AS drop_id
+FROM vfp v JOIN grp USING (video_fp)
+WHERE v.doc_id <> grp.keep_id AND v.n_frames >= 1
+)
+"""
+)
+
+
 IMAGE_PHASH_NEARDUP_SQL = _PHASH_HASHES_CTE + """
 , reps AS (
   SELECT b0, b1, b2, b3, MIN(doc_id) AS doc_id
@@ -12272,6 +12372,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "video_phash_dedup": QuerySpec(
         video_phash_dedup, VIDEO_PHASH_DEDUP_SQL
     ),
+    "multimodal_dedup_manifest": QuerySpec(
+        multimodal_dedup_manifest, MULTIMODAL_MANIFEST_SQL
+    ),
     "video_decode": QuerySpec(
         multimodal_video_decode, MULTIMODAL_VIDEO_SQL
     ),
@@ -12730,6 +12833,7 @@ _R12_FRONT: tuple[str, ...] = (
     "audio_fingerprint_dedup",
     "video_phash_census",
     "video_phash_dedup",
+    "multimodal_dedup_manifest",
     # (b) code/oracle touched in round 12 (SEP-boundary symmetry,
     # (?s) dot-matches-newline oracles, degenerate-sizing guard,
     # unescaped-EOL normalization, stsd codec census)
@@ -12771,7 +12875,6 @@ _R12_FRONT: tuple[str, ...] = (
     "benford_price_digits",
     "cohort_ltv_curve",
     "curation_e2e",
-    "dau_wau_stickiness",
 )
 assert len(_R12_FRONT) == len(set(_R12_FRONT)) == 50
 REGISTRY = {
