@@ -323,3 +323,18 @@ def test_multimodal_dedup_manifest_composition(spark, sf_dir):
         assert len(by_mod.get(mod, [])) == drop_total, mod
     # the sf0.001 documents fixture has no exact text duplicates
     assert "text" not in by_mod or len(by_mod["text"]) >= 0
+
+
+def test_truncated_payloads_quarantine_not_raise():
+    """Truncated BMP pixel arrays and malformed Y4M header tokens must
+    quarantine (None), never raise inside the Arrow decoder."""
+    # valid 2x2 BMP header claiming pixels that aren't there
+    header = (
+        b"BM" + (70).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + (2).to_bytes(4, "little") + (2).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + b"\x00" * 24
+    )
+    assert _bmp_gray(header + b"\x01\x02") is None
+    assert _y4m_y_planes(b"YUV4MPEG2 Wabc H2 C444\nFRAME\n" + b"\0" * 12) is None

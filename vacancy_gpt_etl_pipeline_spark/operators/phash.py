@@ -96,6 +96,8 @@ def _bmp_gray(b: bytes) -> np.ndarray | None:
     if bpp != 24 or comp != 0 or w <= 0 or h <= 0:
         return None
     stride = (w * 3 + 3) & ~3
+    if off + stride * h > len(b):
+        return None  # truncated pixel array quarantines, never raises
     px = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
     rows = px.reshape(h, stride)[:, : 3 * w].astype(np.int64)
     bgr = rows.reshape(h, w, 3)
@@ -177,13 +179,16 @@ def _y4m_y_planes(b: bytes):
         return None
     w = h = None
     colorspace = "C420"
-    for tok in b[:nl].decode("ascii", "replace").split()[1:]:
-        if tok.startswith("W"):
-            w = int(tok[1:])
-        elif tok.startswith("H"):
-            h = int(tok[1:])
-        elif tok.startswith("C"):
-            colorspace = tok
+    try:
+        for tok in b[:nl].decode("ascii", "replace").split()[1:]:
+            if tok.startswith("W"):
+                w = int(tok[1:])
+            elif tok.startswith("H"):
+                h = int(tok[1:])
+            elif tok.startswith("C"):
+                colorspace = tok
+    except ValueError:
+        return None  # malformed header token quarantines, never raises
     if not w or not h or not colorspace.startswith("C444"):
         return None
     frames = []
