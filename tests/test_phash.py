@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
     synthesize_bmp_payload,
@@ -338,3 +339,37 @@ def test_truncated_payloads_quarantine_not_raise():
     )
     assert _bmp_gray(header + b"\x01\x02") is None
     assert _y4m_y_planes(b"YUV4MPEG2 Wabc H2 C444\nFRAME\n" + b"\0" * 12) is None
+
+
+def test_phash_incremental_gate(spark, sf_dir):
+    """Incremental gate invariants on sf0.001: every survivor's
+    fingerprint is absent from history (exact) and ≥3 Hamming away
+    from every history fingerprint (near, threshold 2); planted
+    byte-copies of history assets never survive."""
+    from vacancy_gpt_etl_pipeline_spark.operators.phash import (
+        phash_incremental,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist_docs = docs.where("doc_id < 250")
+    batch_assets = synthesize_bmp_payload(
+        docs.where("doc_id >= 250"), "doc_id"
+    ).unionByName(
+        synthesize_bmp_payload(docs.where("doc_id < 50"), "doc_id")
+        .withColumn("asset_id", F.col("asset_id") + 900000)
+    )
+    hist = phash_bmp(synthesize_bmp_payload(hist_docs, "doc_id"))
+    batch = phash_bmp(batch_assets)
+    survivors = phash_incremental(batch, hist).collect()
+    hset = [
+        (r["b0"], r["b1"], r["b2"], r["b3"]) for r in hist.collect()
+    ]
+    for s in survivors:
+        assert s["asset_id"] < 900000  # plants are exact copies → dropped
+        sh = (s["b0"], s["b1"], s["b2"], s["b3"])
+        for hh in hset:
+            ham = sum(bin(a ^ b).count("1") for a, b in zip(sh, hh))
+            assert ham > 2
+
+    with pytest.raises(ValueError, match="max_hamming < 4"):
+        phash_incremental(batch, hist, max_hamming=4)

@@ -267,6 +267,91 @@ def video_phash_dup_groups(fps: DataFrame) -> DataFrame:
     )
 
 
+def phash_incremental(
+    batch_hashes: DataFrame,
+    history_hashes: DataFrame,
+    max_hamming: int = 2,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Batch-vs-corpus incremental image gate — the pHash member of the
+    incremental family (text: ``dedup.incremental_dedup`` /
+    ``neardup_incremental``): a new batch of fingerprints survives only
+    if (1) it is the keep-first representative of its fingerprint
+    within the batch, (2) no history asset has the SAME fingerprint
+    (left-anti on the 64-bit hash — the exact gate), and (3) no history
+    asset is within ``max_hamming`` (band-LSH join batch-side reps vs
+    history, the near gate; pigeonhole-sound for ``max_hamming < 4``).
+    History is never re-deduped — its hashes are the only state this
+    needs, the O(distinct-content) index a 100 TB ingest keeps hot.
+
+    Returns the surviving batch hash rows."""
+    if max_hamming >= 4:
+        raise ValueError(
+            "banded candidate generation is only exhaustive for "
+            "max_hamming < 4 (4 bands, pigeonhole)"
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("b0", "b1", "b2", "b3").orderBy("asset_id")
+    reps = (
+        batch_hashes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    exact = reps.join(
+        history_hashes.select("b0", "b1", "b2", "b3").distinct(),
+        ["b0", "b1", "b2", "b3"],
+        "left_anti",
+    )
+
+    def bands(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col("asset_id").alias(f"id_{side}"),
+            *[F.col(f"b{k}").alias(f"{side}{k}") for k in range(4)],
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("band_idx"),
+                            F.col(f"b{k}").alias("band_val"),
+                        )
+                        for k in range(4)
+                    ]
+                )
+            ).alias("band"),
+        ).select(
+            f"id_{side}",
+            *[f"{side}{k}" for k in range(4)],
+            "band.band_idx",
+            "band.band_val",
+        )
+
+    hist_bands = bands(
+        history_hashes.select(
+            "asset_id", "b0", "b1", "b2", "b3"
+        ).dropDuplicates(["b0", "b1", "b2", "b3"]),
+        "h",
+    )
+    bucket_w = Window.partitionBy("band_idx", "band_val")
+    hist_bands = (
+        hist_bands.withColumn("_n", F.count(F.lit(1)).over(bucket_w))
+        .where(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+    batch_bands = bands(exact, "b")
+    hamming = sum(
+        F.bit_count(F.col(f"b{k}").bitwiseXOR(F.col(f"h{k}")))
+        for k in range(4)
+    )
+    near_dropped = (
+        batch_bands.join(hist_bands, ["band_idx", "band_val"])
+        .where((hamming >= 1) & (hamming <= max_hamming))
+        .select(F.col("id_b").alias("asset_id"))
+        .distinct()
+    )
+    return exact.join(near_dropped, "asset_id", "left_anti")
+
+
 def phash_dedup_groups(hashes: DataFrame) -> DataFrame:
     """Exact-fingerprint dedup: one map-side-combinable groupBy on the
     64-bit hash. Returns only groups with ≥2 members — (hash_hex,

@@ -86,6 +86,7 @@ from vacancy_gpt_etl_pipeline_spark.operators.phash import (
     PHASH_DCT_LUT,
     phash_bmp,
     phash_dedup_groups,
+    phash_incremental,
     phash_neardup_pairs,
     phash_y4m,
     video_phash_dup_groups,
@@ -4520,11 +4521,18 @@ _PHASH_LUT_VALUES = ", ".join(
     for x, c in enumerate(row)
 )
 
-_PHASH_HASHES_CTE = f"""
-WITH dims AS (
-  SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 8 + 1 AS h,
-         ((doc_id % 16 + 1) * 3 + 3) // 4 * 4 AS stride
-  FROM documents
+def _phash_hashes_cte(universe: str) -> str:
+    """DuckDB CTE computing the closed-form pHash of every row of
+    ``universe`` — a query yielding (doc_id, src_id) where ``src_id``
+    drives the pixel formula (plants reuse a history asset's bytes
+    under a new id, so the two differ there). Ends with a ``hashes``
+    CTE keyed by doc_id."""
+    return f"""
+WITH u AS ({universe}),
+dims AS (
+  SELECT doc_id, src_id, src_id % 16 + 1 AS w, src_id % 8 + 1 AS h,
+         ((src_id % 16 + 1) * 3 + 3) // 4 * 4 AS stride
+  FROM u
 ),
 lut(u, x, c) AS (VALUES {_PHASH_LUT_VALUES}),
 grid AS (
@@ -4532,15 +4540,15 @@ grid AS (
   FROM generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)
 ),
 samp AS (
-  SELECT d.doc_id, g.x, g.y,
+  SELECT d.doc_id, d.src_id, g.x, g.y,
     (d.h - 1 - (g.y * d.h // 8)) * d.stride + 3 * (g.x * d.w // 8) AS j0
   FROM dims d, grid g
 ),
 gray AS (
   SELECT doc_id, x, y,
-    ((doc_id * 31 + j0 * 7) % 256
-     + (doc_id * 31 + (j0 + 1) * 7) % 256
-     + (doc_id * 31 + (j0 + 2) * 7) % 256) // 3 AS g
+    ((src_id * 31 + j0 * 7) % 256
+     + (src_id * 31 + (j0 + 1) * 7) % 256
+     + (src_id * 31 + (j0 + 2) * 7) % 256) // 3 AS g
   FROM samp
 ),
 coef AS (
@@ -4577,6 +4585,11 @@ hashes AS (
   FROM bands GROUP BY doc_id
 )
 """
+
+
+_PHASH_HASHES_CTE = _phash_hashes_cte(
+    "SELECT doc_id, doc_id AS src_id FROM documents"
+)
 
 IMAGE_PHASH_DEDUP_SQL = _PHASH_HASHES_CTE + """
 SELECT printf('%04x%04x%04x%04x', b0, b1, b2, b3) AS hash_hex,
@@ -4808,6 +4821,77 @@ FROM reps a JOIN reps b
 WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
       + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
       BETWEEN 1 AND 2
+"""
+
+
+def image_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus incremental image gate (operators/phash.py
+    phash_incremental — the pHash member of the incremental family,
+    mirroring incremental_dedup_batch/neardup_incr for text): docs
+    < 250 are history; docs ≥ 250 plus planted byte-copies of history
+    assets (history content relabeled +900000) arrive as a batch. A
+    batch asset survives only as its fingerprint's keep-first rep,
+    with no exact fingerprint match in history (left-anti on the
+    64-bit hash) and no history asset within Hamming 2 (band-LSH
+    near gate). History is never re-deduped — its distinct-fingerprint
+    index is the only state, the O(distinct-content) structure an
+    ingest keeps hot at 100 TB. The oracle recomputes both hash sets
+    closed-form (plants via src_id ≠ doc_id) and replays keep-first,
+    NOT EXISTS exact gate, and an OR-of-bands near gate."""
+    docs = _t(spark, sf_dir, "documents")
+    hist_docs = docs.where(F.col("doc_id") < 250)
+    batch_assets = synthesize_bmp_payload(
+        docs.where(F.col("doc_id") >= 250), "doc_id"
+    ).unionByName(
+        synthesize_bmp_payload(
+            docs.where(F.col("doc_id") < 50), "doc_id"
+        ).withColumn("asset_id", F.col("asset_id") + 900000)
+    )
+    hist = phash_bmp(synthesize_bmp_payload(hist_docs, "doc_id"))
+    batch = phash_bmp(batch_assets)
+    return (
+        phash_incremental(batch, hist, max_hamming=2)
+        .select("asset_id", "hash_hex")
+        .orderBy("asset_id")
+    )
+
+
+IMAGE_PHASH_INCR_SQL = _phash_hashes_cte(
+    """
+  SELECT doc_id, doc_id AS src_id FROM documents
+  UNION ALL
+  SELECT doc_id + 900000 AS doc_id, doc_id AS src_id
+  FROM documents WHERE doc_id < 50
+"""
+) + """
+, hist AS (
+  SELECT DISTINCT b0, b1, b2, b3 FROM hashes WHERE doc_id < 250
+),
+batch AS (SELECT * FROM hashes WHERE doc_id >= 250),
+kf AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY b0, b1, b2, b3 ORDER BY doc_id) AS rn
+  FROM batch
+),
+exact AS (
+  SELECT doc_id, b0, b1, b2, b3 FROM kf
+  WHERE rn = 1 AND NOT EXISTS (
+    SELECT 1 FROM hist h
+    WHERE h.b0 = kf.b0 AND h.b1 = kf.b1 AND h.b2 = kf.b2 AND h.b3 = kf.b3
+  )
+),
+near_dropped AS (
+  SELECT DISTINCT e.doc_id
+  FROM exact e JOIN hist h
+    ON (e.b0 = h.b0 OR e.b1 = h.b1 OR e.b2 = h.b2 OR e.b3 = h.b3)
+  WHERE bit_count(xor(e.b0, h.b0)) + bit_count(xor(e.b1, h.b1))
+        + bit_count(xor(e.b2, h.b2)) + bit_count(xor(e.b3, h.b3))
+        BETWEEN 1 AND 2
+)
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+  printf('%04x%04x%04x%04x', b0, b1, b2, b3) AS hash_hex
+FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped)
+ORDER BY doc_id
 """
 
 
@@ -12375,6 +12459,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "multimodal_dedup_manifest": QuerySpec(
         multimodal_dedup_manifest, MULTIMODAL_MANIFEST_SQL
     ),
+    "image_phash_incremental": QuerySpec(
+        image_phash_incremental, IMAGE_PHASH_INCR_SQL
+    ),
     "video_decode": QuerySpec(
         multimodal_video_decode, MULTIMODAL_VIDEO_SQL
     ),
@@ -12834,6 +12921,7 @@ _R12_FRONT: tuple[str, ...] = (
     "video_phash_census",
     "video_phash_dedup",
     "multimodal_dedup_manifest",
+    "image_phash_incremental",
     # (b) code/oracle touched in round 12 (SEP-boundary symmetry,
     # (?s) dot-matches-newline oracles, degenerate-sizing guard,
     # unescaped-EOL normalization, stsd codec census)
@@ -12868,7 +12956,6 @@ _R12_FRONT: tuple[str, ...] = (
     "training_prep_pipeline",
     "triangle_count_parts",
     # (d) oldest round-7 cohort entries
-    "ab_test_conversion",
     "ann_incremental_topk",
     "ann_ivf_adaptive",
     "association_rules_brands",
