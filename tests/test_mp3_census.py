@@ -277,3 +277,19 @@ def test_adts_spark_round_trip(spark, sf_dir):
         assert r["n_bytes"] == sum(
             107 + (i + 13 * f) % 200 for f in range(i % 6 + 2)
         )
+
+
+def test_id3v24_footer_flag():
+    """v2.4 footer flag (0x10): the 10-byte '3DI' footer follows the
+    body and is NOT counted in the syncsafe size — total tag bytes must
+    include it so the frame walk starts after it."""
+    tag = (
+        b"ID3\x04\x00\x10\x00\x00\x00\x13"
+        b"TIT2\x00\x00\x00\x09\x00\x00\x03caf\xc3\xa9 t4"
+        + b"3DI\x04\x00\x10\x00\x00\x00\x13"
+    )
+    total, title = _parse_id3v2(tag)
+    assert (total, title) == (10 + 19 + 10, "café t4")
+    # v2.3 never has a footer even if the bit happens to be set
+    total23, _ = _parse_id3v2(GOLDEN_ID3V23)
+    assert total23 == 31

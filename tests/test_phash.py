@@ -373,3 +373,12 @@ def test_phash_incremental_gate(spark, sf_dir):
 
     with pytest.raises(ValueError, match="max_hamming < 4"):
         phash_incremental(batch, hist, max_hamming=4)
+
+
+def test_y4m_c444alpha_quarantined():
+    """C444alpha frames carry FOUR planes — a 3-plane stride walk would
+    desynchronize, so the shared header parser refuses anything but
+    exact C444 (same boundary as multimodal._iter_y4m_frames)."""
+    hdr = b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C444alpha\n"
+    frame = b"FRAME\n" + bytes(range(16))  # 4 planes of 4
+    assert _y4m_y_planes(hdr + frame) is None

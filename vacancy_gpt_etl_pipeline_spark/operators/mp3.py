@@ -102,6 +102,10 @@ def _parse_id3v2(b: bytes) -> tuple[int, str | None]:
         return 0, None
     major = b[3]
     tag_body = _syncsafe(b[6:10])
+    # v2.4 footer flag: a 10-byte '3DI' footer follows the body and is
+    # NOT counted in the syncsafe size — skip it or the frame walk
+    # starts inside the footer and quarantines a valid stream
+    footer = 10 if major >= 4 and b[5] & 0x10 else 0
     end = min(10 + tag_body, len(b))
     i = 10
     if b[5] & 0x40 and major >= 3 and i + 4 <= end:  # extended header
@@ -131,7 +135,7 @@ def _parse_id3v2(b: bytes) -> tuple[int, str | None]:
             elif enc == 3:
                 title = text.split(b"\x00")[0].decode("utf-8", "replace")
         i += hdr + fsz
-    return 10 + tag_body, title
+    return 10 + tag_body + footer, title
 
 
 def _frame_info(b: bytes, i: int):

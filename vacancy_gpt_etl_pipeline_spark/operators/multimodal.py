@@ -1202,6 +1202,35 @@ DECODED_FRAME_SCHEMA = T.StructType(
 )
 
 
+def _parse_y4m_header(b: bytes) -> tuple[int, int, int] | None:
+    """(w, h, header_end) of a C444 YUV4MPEG2 stream header, or None —
+    the ONE place the Y4M header boundary lives (the frame walkers and
+    the pHash tier all route through it). Malformed W/H tokens and
+    non-C444 colorspaces (including C444alpha, whose 4-plane frames
+    would desynchronize a 3-plane stride walk) quarantine as None,
+    never raise."""
+    if not b.startswith(Y4M_MAGIC):
+        return None
+    nl = b.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    c444 = True
+    try:
+        for tok in b[len(Y4M_MAGIC) : nl].split(b" "):
+            if tok[:1] == b"W":
+                w = int(tok[1:])
+            elif tok[:1] == b"H":
+                h = int(tok[1:])
+            elif tok[:1] == b"C" and tok != b"C444":
+                c444 = False
+    except ValueError:
+        return None
+    if not w or not h or w < 0 or h < 0 or not c444:
+        return None
+    return w, h, nl + 1
+
+
 def _iter_y4m_frames(
     b: bytes,
 ) -> Iterator[tuple[int, int, int, "np.ndarray"]]:
@@ -1209,24 +1238,11 @@ def _iter_y4m_frames(
     bytes — per decodable frame of a Y4M stream. Non-Y4M / malformed
     payloads yield nothing (quarantine-not-fail); truncated trailing
     frames are dropped, complete leading frames still decode."""
-    if not b.startswith(Y4M_MAGIC):
+    hdr = _parse_y4m_header(b)
+    if hdr is None:
         return
-    nl = b.find(b"\n")
-    if nl < 0:
-        return
-    w = h = None
-    c444 = True
-    for tok in b[len(Y4M_MAGIC) : nl].split(b" "):
-        if tok[:1] == b"W":
-            w = int(tok[1:])
-        elif tok[:1] == b"H":
-            h = int(tok[1:])
-        elif tok[:1] == b"C" and tok != b"C444":
-            c444 = False
-    if not w or not h or not c444:
-        return
+    w, h, pos = hdr
     plane = w * h
-    pos = nl + 1
     idx = 0
     while b[pos : pos + 5] == b"FRAME":
         fnl = b.find(b"\n", pos)

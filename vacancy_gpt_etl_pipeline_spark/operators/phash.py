@@ -173,37 +173,21 @@ VIDEO_PHASH_SCHEMA = T.StructType(
 
 def _y4m_y_planes(b: bytes):
     """Walk a C444 YUV4MPEG2 stream and return (w, h, [Y planes as
-    (h, w) int64 matrices, top row first]). None on anything else."""
-    nl = b.find(b"\n")
-    if nl < 0 or not b.startswith(b"YUV4MPEG2"):
+    (h, w) int64 matrices, top row first]); None on anything the shared
+    header parser quarantines. Frame walking and the header boundary
+    both live in :mod:`operators.multimodal` (``_parse_y4m_header`` /
+    ``_iter_y4m_frames``) — ONE decode boundary, no drift between the
+    census tier and the pHash tier."""
+    from .multimodal import _iter_y4m_frames, _parse_y4m_header
+
+    hdr = _parse_y4m_header(b)
+    if hdr is None:
         return None
-    w = h = None
-    colorspace = "C420"
-    try:
-        for tok in b[:nl].decode("ascii", "replace").split()[1:]:
-            if tok.startswith("W"):
-                w = int(tok[1:])
-            elif tok.startswith("H"):
-                h = int(tok[1:])
-            elif tok.startswith("C"):
-                colorspace = tok
-    except ValueError:
-        return None  # malformed header token quarantines, never raises
-    if not w or not h or not colorspace.startswith("C444"):
-        return None
-    frames = []
-    i = nl + 1
-    flen = w * h * 3
-    while b[i : i + 5] == b"FRAME":
-        j = b.find(b"\n", i)
-        if j < 0 or j + 1 + flen > len(b):
-            break
-        frames.append(
-            np.frombuffer(b, np.uint8, w * h, j + 1)
-            .astype(np.int64)
-            .reshape(h, w)
-        )
-        i = j + 1 + flen
+    w, h, _ = hdr
+    frames = [
+        data[: w * h].astype(np.int64).reshape(h, w)
+        for _, _, _, data in _iter_y4m_frames(b)
+    ]
     return w, h, frames
 
 
@@ -298,8 +282,15 @@ def phash_incremental(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+    # ONE dedup of the large history table serves both gates (the
+    # anti-join and the band index below) — two differently-projected
+    # dedups would shuffle the O(corpus-distinct) history twice per
+    # batch with no exchange reuse
+    hist_reps = history_hashes.groupBy("b0", "b1", "b2", "b3").agg(
+        F.min("asset_id").alias("asset_id")
+    )
     exact = reps.join(
-        history_hashes.select("b0", "b1", "b2", "b3").distinct(),
+        hist_reps.select("b0", "b1", "b2", "b3"),
         ["b0", "b1", "b2", "b3"],
         "left_anti",
     )
@@ -326,12 +317,7 @@ def phash_incremental(
             "band.band_val",
         )
 
-    hist_bands = bands(
-        history_hashes.select(
-            "asset_id", "b0", "b1", "b2", "b3"
-        ).dropDuplicates(["b0", "b1", "b2", "b3"]),
-        "h",
-    )
+    hist_bands = bands(hist_reps, "h")
     bucket_w = Window.partitionBy("band_idx", "band_val")
     hist_bands = (
         hist_bands.withColumn("_n", F.count(F.lit(1)).over(bucket_w))

@@ -42,11 +42,18 @@ BATCH_COL = "_batch_id"
 
 def _read_index(spark, index_path: str) -> DataFrame:
     """The persisted fingerprint index, or an empty frame with the
-    hash schema before the first batch commits."""
+    hash schema before the first batch commits. ONLY the missing-path
+    case is caught — a corrupt or unreadable index must FAIL the batch
+    (gating against a silently-empty history would re-admit every
+    duplicate ever ingested)."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(index_path)
-    except Exception:  # AnalysisException: path does not exist yet
-        return spark.createDataFrame([], PHASH_SCHEMA)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], PHASH_SCHEMA)
+        raise
 
 
 def write_stream_phash_gate(
