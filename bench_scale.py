@@ -352,7 +352,8 @@ def main() -> None:
     # per-round cost c and setup s, dt/n = c + s/n DECREASES with n,
     # so "dt/n stable" would actually indicate growth. The isolating
     # metric is the MARGINAL cost of the extra rounds,
-    # (t_96 − t_32) / 64, which cancels s exactly; and JIT warmup must
+    # (t_80 − mean(t_32, t_32_repeat)) / 48, which cancels s exactly
+    # (the marginal_sec_per_round_32_80 key below); and JIT warmup must
     # be fully drained first (a short warmup bleeds compilation into
     # the first measurement and masquerades as growth — measured
     # 0.52 → 0.26 s/round for two IDENTICAL n=32 calls when the

@@ -293,3 +293,19 @@ def test_id3v24_footer_flag():
     # v2.3 never has a footer even if the bit happens to be set
     total23, _ = _parse_id3v2(GOLDEN_ID3V23)
     assert total23 == 31
+
+
+def test_id3v23_unsynchronisation_destuffed():
+    """Tag-level unsync (flag 0x80): a 0x00 is stuffed after every 0xFF
+    in the tag body; sizes and text must be read over the DE-stuffed
+    bytes. Title here contains a 0xFF latin-1 byte ('ÿ'), and the frame
+    size covers the unstuffed body per spec."""
+    body = b"TIT2\x00\x00\x00\x04\x00\x00\x00a\xffb"
+    stuffed = body.replace(b"\xff", b"\xff\x00")
+    tag = b"ID3\x03\x00\x80" + bytes(
+        [(len(stuffed) >> 21) & 127, (len(stuffed) >> 14) & 127,
+         (len(stuffed) >> 7) & 127, len(stuffed) & 127]
+    ) + stuffed
+    total, title = _parse_id3v2(tag)
+    assert total == 10 + len(stuffed)
+    assert title == "a\xffb"

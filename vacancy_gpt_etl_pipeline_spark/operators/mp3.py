@@ -12,9 +12,11 @@ real bitstream, so a 100 TB audio crawl can be censused, bucketed and
 budgeted without a codec library in the container.
 
 Parser scope (stated loudly):
-  * ID3v2.2/2.3/2.4 tag header: syncsafe size honoured, tag skipped
-    for frame walking; v2.3/v2.4 TIT2 (and v2.2 TT2) text frames with
-    encoding 0 (latin-1) / 3 (utf-8) extracted as ``title``;
+  * ID3v2.2/2.3/2.4 tag header: syncsafe size honoured, v2.4 footer
+    skipped, tag-level unsynchronisation de-stuffed, tag skipped for
+    frame walking; v2.3/v2.4 TIT2 (and v2.2 TT2) text frames with
+    encoding 0 (latin-1) / 3 (utf-8) extracted as ``title``
+    (v2.4 per-frame unsync with the tag flag clear stays a boundary);
   * MPEG-1 and MPEG-2 (ISO 11172-3 / 13818-3) Layers I/II/III frame
     headers: sync ``0xFFE``, version/layer bits, the full bitrate and
     sample-rate index tables, padding bit, channel mode; frame length
@@ -107,27 +109,36 @@ def _parse_id3v2(b: bytes) -> tuple[int, str | None]:
     # starts inside the footer and quarantines a valid stream
     footer = 10 if major >= 4 and b[5] & 0x10 else 0
     end = min(10 + tag_body, len(b))
-    i = 10
-    if b[5] & 0x40 and major >= 3 and i + 4 <= end:  # extended header
+    tag = b[10:end]
+    if b[5] & 0x80:
+        # tag-level unsynchronisation: a 0x00 is stuffed after every
+        # 0xFF throughout the tag — de-stuff before walking, or frame
+        # sizes read over stuffed bytes and the walk desynchronizes.
+        # (v2.4's per-frame unsync flag with the tag flag clear stays a
+        # boundary; the tag-level flag covers the legacy v2.2/v2.3
+        # corpus where unsync is actually common.)
+        tag = tag.replace(b"\xff\x00", b"\xff")
+    i = 0
+    if b[5] & 0x40 and major >= 3 and i + 4 <= len(tag):  # extended header
         if major == 4:  # v2.4: syncsafe, size INCLUDES the size field
-            ext = _syncsafe(b[i : i + 4])
+            ext = _syncsafe(tag[i : i + 4])
         else:  # v2.3: plain BE, size EXCLUDES the 4-byte size field
-            ext = int.from_bytes(b[i : i + 4], "big") + 4
+            ext = int.from_bytes(tag[i : i + 4], "big") + 4
         i += max(ext, 4)
     title = None
     hdr = 6 if major == 2 else 10
     want = b"TT2" if major == 2 else b"TIT2"
-    while i + hdr <= end:
-        fid = b[i : i + (3 if major == 2 else 4)]
+    while i + hdr <= len(tag):
+        fid = tag[i : i + (3 if major == 2 else 4)]
         if fid.strip(b"\x00") == b"":  # padding reached
             break
         if major == 2:
-            fsz = int.from_bytes(b[i + 3 : i + 6], "big")
+            fsz = int.from_bytes(tag[i + 3 : i + 6], "big")
         elif major == 4:
-            fsz = _syncsafe(b[i + 4 : i + 8])
+            fsz = _syncsafe(tag[i + 4 : i + 8])
         else:
-            fsz = int.from_bytes(b[i + 4 : i + 8], "big")
-        body = b[i + hdr : i + hdr + fsz]
+            fsz = int.from_bytes(tag[i + 4 : i + 8], "big")
+        body = tag[i + hdr : i + hdr + fsz]
         if fid == want and fsz >= 1:
             enc, text = body[0], body[1:]
             if enc == 0:

@@ -317,14 +317,20 @@ def phash_incremental(
             "band.band_val",
         )
 
-    hist_bands = bands(hist_reps, "h")
     bucket_w = Window.partitionBy("band_idx", "band_val")
-    hist_bands = (
-        hist_bands.withColumn("_n", F.count(F.lit(1)).over(bucket_w))
-        .where(F.col("_n") <= max_bucket)
-        .drop("_n")
-    )
-    batch_bands = bands(exact, "b")
+
+    def _capped(df: DataFrame) -> DataFrame:
+        # fan-out cap on BOTH join legs: a degenerate batch bucket (the
+        # docstring's logo-re-encoded-a-million-times corpus) would
+        # otherwise join |batch_bucket| x max_bucket candidates
+        return (
+            df.withColumn("_n", F.count(F.lit(1)).over(bucket_w))
+            .where(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+
+    hist_bands = _capped(bands(hist_reps, "h"))
+    batch_bands = _capped(bands(exact, "b"))
     hamming = sum(
         F.bit_count(F.col(f"b{k}").bitwiseXOR(F.col(f"h{k}")))
         for k in range(4)

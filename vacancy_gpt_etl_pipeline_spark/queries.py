@@ -4737,7 +4737,11 @@ def multimodal_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    text = docs.select(F.col("doc_id").alias("asset_id"), "text")
+    # NULL text is excluded, matching the oracle's equality join (SQL
+    # NULL never equals NULL; a window partition WOULD group them)
+    text = docs.where(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("asset_id"), "text"
+    )
     img = phash_bmp(synthesize_bmp_payload(docs, "doc_id"))
     aud = fingerprint_wav(synthesize_tone_payload(docs, "doc_id")).where(
         F.col("n_windows") >= 1

@@ -40,9 +40,7 @@ from vacancy_gpt_etl_pipeline_spark.operators.enrichment import (
     enrich_column,
 )
 
-#: micro-batch id tag on every sunk row (same convention as
-#: streaming/upsert.BATCH_COL)
-BATCH_COL = "_batch_id"
+from vacancy_gpt_etl_pipeline_spark.streaming.upsert import BATCH_COL
 
 
 def write_stream_enriched(

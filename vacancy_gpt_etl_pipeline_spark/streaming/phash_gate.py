@@ -34,10 +34,7 @@ from vacancy_gpt_etl_pipeline_spark.operators.phash import (
     phash_bmp,
     phash_incremental,
 )
-
-#: micro-batch id tag on every sunk row (streaming/upsert.BATCH_COL
-#: convention)
-BATCH_COL = "_batch_id"
+from vacancy_gpt_etl_pipeline_spark.streaming.upsert import BATCH_COL
 
 
 def _read_index(spark, index_path: str) -> DataFrame:
@@ -75,18 +72,33 @@ def write_stream_phash_gate(
         spark = batch_df.sparkSession
         hashes = phash_bmp(batch_df)
         hist = _read_index(spark, index_path)
+        # localCheckpoint severs lineage: both sinks below reuse the
+        # materialized survivors, and the index append must not re-read
+        # the index being written. DataFrame.unpersist() does NOT free
+        # localCheckpoint blocks — release them by id-diffing
+        # getPersistentRDDs (the operators/tokenize.py trainer pattern),
+        # or a long drain strands one pinned RDD per micro-batch.
+        jsc = spark.sparkContext._jsc
+        before = set(jsc.getPersistentRDDs().keySet().toArray())
         survivors = phash_incremental(
             hashes, hist, max_hamming=max_hamming, max_bucket=max_bucket
-        ).localCheckpoint()  # sever lineage: both sinks below reuse it,
-        # and the index append must not re-read the index being written
-        (
-            survivors.withColumn(BATCH_COL, F.lit(batch_id))
-            .write.mode("append")
-            .parquet(out_path)
-        )
-        survivors.select(
-            "asset_id", "b0", "b1", "b2", "b3", "hash_hex"
-        ).write.mode("append").parquet(index_path)
+        ).localCheckpoint()
+        new_ids = set(jsc.getPersistentRDDs().keySet().toArray()) - before
+        try:
+            (
+                survivors.withColumn(BATCH_COL, F.lit(batch_id))
+                .write.mode("append")
+                .parquet(out_path)
+            )
+            survivors.select(
+                "asset_id", "b0", "b1", "b2", "b3", "hash_hex"
+            ).write.mode("append").parquet(index_path)
+        finally:
+            m = jsc.getPersistentRDDs()
+            for rid in new_ids:
+                rdd = m.get(rid)
+                if rdd is not None:
+                    rdd.unpersist(False)
 
     (
         stream.writeStream.foreachBatch(_batch)
