@@ -94,7 +94,14 @@ def _semdedup_scaled(spark, sf_dir):
     nothing is deduplicated (rows == corpus, runtime collapses). This
     variant applies the production sizing rule — n_centroids ∝ corpus,
     targeting ~250 vectors/cell — and the attestation shows drops
-    happen at every scale with near-linear cost."""
+    happen at every scale with near-linear cost.
+
+    Since r13 the operator itself routes cell counts above
+    two_level_threshold (64) through ivf_assign_two_level, so this
+    configuration exercises the PRODUCTION assignment path end-to-end:
+    exact Voronoi at x1 (8 cells), hierarchical at x10/x50 — the r12
+    verdict's documented-superlinear brute-force path no longer
+    exists for C ∝ n configs."""
     from pyspark.sql import functions as F
 
     from vacancy_gpt_etl_pipeline_spark.operators.similarity import semdedup
@@ -426,11 +433,14 @@ def main() -> None:
                 "applies it (~250 vecs/cell)."
             ),
             "semdedup_scaled": (
-                "DOCUMENTED SUPERLINEAR: with cells C proportional to "
-                "n, brute-force assignment is n*C dot products = "
-                "quadratic (measured 2.2 per-row at 50x). The pair "
-                "join itself is linear (C cells * 250^2). The fix is "
-                "hierarchical assignment — see semdedup_2level."
+                "production sizing (C ~ n/250) now routes assignment "
+                "through ivf_assign_two_level automatically inside the "
+                "operator (two_level_threshold=64): ~2n*sqrt(C) dots, "
+                "n^1.25 when C grows with n, vs the r10-r12 "
+                "brute-force n*C path that measured 2.2x per-row at "
+                "50x. The pair join itself stays linear (C cells * "
+                "250^2); drop-set parity with exact assignment ~1% "
+                "(tests/test_semdedup.py)."
             ),
             "semdedup_2level": (
                 "the scale path: ivf_assign_two_level routes through a "

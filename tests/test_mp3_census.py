@@ -309,3 +309,20 @@ def test_id3v23_unsynchronisation_destuffed():
     total, title = _parse_id3v2(tag)
     assert total == 10 + len(stuffed)
     assert title == "a\xffb"
+
+
+def test_id3v24_unsynchronisation_is_boundary():
+    """v2.4 + tag-level unsync (r12 advice): the flag means PER-FRAME
+    unsync and frame sizes count the stored (stuffed) bytes, so a
+    global de-stuff desynchronizes the walk. Documented boundary: the
+    tag is skipped correctly (header syncsafe size over RAW bytes) and
+    no title is surfaced."""
+    body = b"TIT2\x00\x00\x00\x04\x00\x02\x00a\xffb"
+    stuffed = body.replace(b"\xff", b"\xff\x00")
+    tag = b"ID3\x04\x00\x80" + bytes(
+        [(len(stuffed) >> 21) & 127, (len(stuffed) >> 14) & 127,
+         (len(stuffed) >> 7) & 127, len(stuffed) & 127]
+    ) + stuffed
+    total, title = _parse_id3v2(tag)
+    assert total == 10 + len(stuffed)
+    assert title is None

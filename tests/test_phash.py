@@ -375,6 +375,74 @@ def test_phash_incremental_gate(spark, sf_dir):
         phash_incremental(batch, hist, max_hamming=4)
 
 
+def test_phash_incremental_overfull_batch_bucket_still_gated(spark):
+    """r12 advice: the near gate's fan-out cap applies to the HISTORY
+    leg only. An over-full BATCH band bucket must still be gated —
+    capping it by its own size silently ADMITTED near-duplicates of
+    history (a recall hole the uncapped oracle diverges on). Three
+    distinct batch fingerprints share band 0 with a history
+    fingerprint at Hamming ≤ 2; with max_bucket=2 (smaller than the
+    batch bucket) all three must still be dropped by the near gate."""
+    import pandas as pd
+
+    from vacancy_gpt_etl_pipeline_spark.operators.phash import (
+        phash_incremental,
+    )
+
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": [11, 12, 13],
+                "b0": [5, 5, 5],
+                "b1": [8, 11, 13],  # hamming 1..2 from history's 9
+                "b2": [2, 2, 2],
+                "b3": [7, 7, 7],
+                "hash_hex": ["a", "b", "c"],
+            }
+        )
+    )
+    hist = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": [1],
+                "b0": [5],
+                "b1": [9],
+                "b2": [2],
+                "b3": [7],
+                "hash_hex": ["h"],
+            }
+        )
+    )
+    assert phash_incremental(batch, hist, max_bucket=2).count() == 0
+    # the history cap keeps its admit-direction contract: an over-full
+    # HISTORY bucket loses its veto
+    hist3 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": [1, 2, 3],
+                "b0": [5, 5, 5],
+                "b1": [9, 17, 33],  # distinct fingerprints, same band 0
+                "b2": [2, 2, 2],
+                "b3": [7, 7, 7],
+                "hash_hex": ["h", "i", "j"],
+            }
+        )
+    )
+    one = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": [21],
+                "b0": [5],
+                "b1": [8],  # hamming 1 from history's 9 — normally gated
+                "b2": [2],
+                "b3": [7],
+                "hash_hex": ["k"],
+            }
+        )
+    )
+    assert phash_incremental(one, hist3, max_bucket=1).count() == 1
+
+
 def test_y4m_c444alpha_quarantined():
     """C444alpha frames carry FOUR planes — a 3-plane stride walk would
     desynchronize, so the shared header parser refuses anything but

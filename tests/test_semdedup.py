@@ -231,3 +231,55 @@ def test_two_level_assignment_output_contract(spark):
     cells = {r.cell for r in out.select("cell").distinct().collect()}
     valid = {r.cell for r in cents.collect()}
     assert cells <= valid
+
+
+def test_semdedup_auto_routes_large_cell_counts_two_level(spark):
+    """r12 verdict item 2: above ``two_level_threshold`` the operator
+    routes assignment through ivf_assign_two_level BY ITSELF — the
+    production C ∝ n sizing must not silently fall back to the
+    quadratic brute-force path. Pinned two ways: (a) the auto-routed
+    result equals semdedup over an explicitly injected two-level
+    assignment (bit-identical survivors — same code path), and (b) it
+    stays within parity distance of the exact-assignment result."""
+    import numpy as np
+
+    from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
+        ivf_assign_two_level,
+        sampled_centroids,
+        semdedup,
+    )
+
+    rng = np.random.default_rng(23)
+    n, dim, n_copy = 500, 16, 50
+    v = rng.normal(0, 1, (n, dim))
+    src = rng.integers(0, n - n_copy, n_copy)
+    v[n - n_copy :] = 0.97 * v[src] + rng.normal(0, 0.01, (n_copy, dim))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(v)],
+        "vec_id long, embedding array<double>",
+    )
+    n_cells, stride = 80, 7  # > two_level_threshold=64
+    auto = {
+        r.vec_id
+        for r in semdedup(df, n_cells, stride, threshold=0.9, dim=dim).collect()
+    }
+    cents = sampled_centroids(df, n_cells, stride)
+    injected = {
+        r.vec_id
+        for r in semdedup(
+            df, n_cells, stride, threshold=0.9, dim=dim,
+            assigned=ivf_assign_two_level(df, cents, dim=dim),
+        ).collect()
+    }
+    assert auto == injected  # (a) identical path
+    exact = {
+        r.vec_id
+        for r in semdedup(
+            df, n_cells, stride, threshold=0.9, dim=dim,
+            two_level_threshold=10_000,  # force brute-force assignment
+        ).collect()
+    }
+    drops_exact = n - len(exact)
+    assert drops_exact > 0
+    assert abs((n - len(auto)) - drops_exact) <= max(3, drops_exact // 10)

@@ -111,12 +111,20 @@ def _parse_id3v2(b: bytes) -> tuple[int, str | None]:
     end = min(10 + tag_body, len(b))
     tag = b[10:end]
     if b[5] & 0x80:
-        # tag-level unsynchronisation: a 0x00 is stuffed after every
-        # 0xFF throughout the tag — de-stuff before walking, or frame
-        # sizes read over stuffed bytes and the walk desynchronizes.
-        # (v2.4's per-frame unsync flag with the tag flag clear stays a
-        # boundary; the tag-level flag covers the legacy v2.2/v2.3
-        # corpus where unsync is actually common.)
+        if major >= 4:
+            # v2.4 semantics (r12 advice): the tag-level flag means
+            # every frame was INDIVIDUALLY unsynchronised, and frame
+            # size fields count the STORED (stuffed) bytes — a global
+            # de-stuff makes the syncsafe sizes over-count and the
+            # frame walk desynchronizes. Documented boundary: skip the
+            # tag correctly (header syncsafe size over raw bytes),
+            # surface no title.
+            return 10 + tag_body + footer, None
+        # v2.2/v2.3 tag-level unsynchronisation: a 0x00 is stuffed
+        # after every 0xFF throughout the tag — de-stuff before
+        # walking, or frame sizes read over stuffed bytes and the walk
+        # desynchronizes. This covers the legacy corpus where unsync
+        # is actually common.
         tag = tag.replace(b"\xff\x00", b"\xff")
     i = 0
     if b[5] & 0x40 and major >= 3 and i + 4 <= len(tag):  # extended header

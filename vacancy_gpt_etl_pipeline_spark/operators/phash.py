@@ -319,18 +319,24 @@ def phash_incremental(
 
     bucket_w = Window.partitionBy("band_idx", "band_val")
 
-    def _capped(df: DataFrame) -> DataFrame:
-        # fan-out cap on BOTH join legs: a degenerate batch bucket (the
-        # docstring's logo-re-encoded-a-million-times corpus) would
-        # otherwise join |batch_bucket| x max_bucket candidates
-        return (
-            df.withColumn("_n", F.count(F.lit(1)).over(bucket_w))
-            .where(F.col("_n") <= max_bucket)
-            .drop("_n")
-        )
-
-    hist_bands = _capped(bands(hist_reps, "h"))
-    batch_bands = _capped(bands(exact, "b"))
+    # Fan-out cap on the HISTORY leg only (r12 advice): capping the
+    # batch leg by its own bucket size silently ADMITTED every asset of
+    # an over-full batch bucket past the near gate — a recall hole the
+    # uncapped DuckDB oracle diverges on. The history cap alone already
+    # bounds the join: each batch band row meets at most ``max_bucket``
+    # history rows, so candidate volume is ≤ 4·|batch_reps|·max_bucket —
+    # linear in the batch with a fixed constant, which is the bound an
+    # ingest actually needs (the batch is a micro-batch; history is the
+    # unbounded side). Over-full HISTORY buckets still lose their veto
+    # (admit-direction, documented) — the same conservative direction as
+    # every LSH cap in the dedup family.
+    hist_bands = (
+        bands(hist_reps, "h")
+        .withColumn("_n", F.count(F.lit(1)).over(bucket_w))
+        .where(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+    batch_bands = bands(exact, "b")
     hamming = sum(
         F.bit_count(F.col(f"b{k}").bitwiseXOR(F.col(f"h{k}")))
         for k in range(4)

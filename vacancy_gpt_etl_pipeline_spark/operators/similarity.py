@@ -587,6 +587,7 @@ def semdedup(
     max_cell: int = 10_000,
     cache_scope: CacheScope | None = None,
     assigned: DataFrame | None = None,
+    two_level_threshold: int = 64,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space into cells and, within
@@ -601,7 +602,11 @@ def semdedup(
     convention of every other dedup operator in the package.
 
     Scale shape: the cell index is :func:`ivf_assign` (broadcast
-    centroids, map-side ``max_by`` collapse — one narrow shuffle); the
+    centroids, map-side ``max_by`` collapse — one narrow shuffle) for
+    small fixture-style cell counts, switching automatically to
+    :func:`ivf_assign_two_level` above ``two_level_threshold`` cells —
+    the production regime where C ∝ corpus makes brute-force
+    assignment quadratic; the
     candidate pair join is an equi-join on cell, never all-pairs, with
     pair work Σ|cell|² bounded by ``max_cell`` — oversized cells (a
     degenerate centroid attracting everything) are excluded from pair
@@ -622,7 +627,22 @@ def semdedup(
         centroids = sampled_centroids(
             corpus, n_centroids, stride, id_col, vec_col
         )
-        assigned = ivf_assign(corpus, centroids, id_col, vec_col, dim)
+        if n_centroids > two_level_threshold:
+            # Production sizing puts C ∝ corpus (~250 vectors/cell);
+            # brute-force assignment is then n×C dots = quadratic
+            # (measured 2.2× per-row at 50× in BENCH_SCALE r10-r12).
+            # Route large cell counts through the hierarchical
+            # quantizer automatically (~2n√C dots, n^1.25 when C ∝ n;
+            # drop-set parity ~1% — see ivf_assign_two_level's
+            # pair-co-assignment argument and tests/test_semdedup.py).
+            # Small fixture-tuned configs (the oracle-replayed registry
+            # entry pins n_centroids=8) stay on exact Voronoi
+            # assignment below the threshold.
+            assigned = ivf_assign_two_level(
+                corpus, centroids, id_col, vec_col, dim
+            )
+        else:
+            assigned = ivf_assign(corpus, centroids, id_col, vec_col, dim)
     assigned = persist_in(assigned, cache_scope)
     sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_csz"))
     # Degenerate-sizing guard: the oversized-cell cap keeps members
