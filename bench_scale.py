@@ -277,8 +277,11 @@ def main() -> None:
     warm = spark.read.parquet(os.path.join(ensure_corpus(scales[0]), "documents.parquet"))
     warm.groupBy("source").count().write.mode("overwrite").format("noop").save()
 
+    _partial_only = os.environ.get(
+        "SPARK_GRAFT_TRAINER_ONLY"
+    ) or os.environ.get("SPARK_GRAFT_GATE_ONLY")
     results: dict[str, dict] = {}
-    for scale in scales if not os.environ.get("SPARK_GRAFT_TRAINER_ONLY") else []:
+    for scale in scales if not _partial_only else []:
         sf_dir = ensure_corpus(scale)
         # min-of-2 for the cheap scales; single pass at 50x bounds the
         # harness to ~15 min (the 50x numbers are the headline, and a
@@ -353,6 +356,195 @@ def main() -> None:
             results["x50_partitions_160"] = {"sec": scaled}
             print(f"[scale] x50 @160 partitions: {scaled}", file=sys.stderr)
 
+    # Incremental-gate history pruning (r12 verdict item 5): the
+    # persisted gate indexes are partitioned by band/prefix so a
+    # micro-batch reads only its own working set of the history. The
+    # attestation grows the IMAGE fingerprint index 10x and the TEXT
+    # hash+postings indexes 10x while holding a small trickle batch
+    # fixed, and records gate wall time pruned vs unpruned at both
+    # history sizes. The claim being demonstrated: pruned gate cost
+    # tracks the batch's touched partitions, not total history — the
+    # steady-state trickle-ingest shape. (A batch whose band prefixes
+    # cover the whole prefix space reads everything with or without
+    # pruning; the win is bounded by prefix-space coverage, which is
+    # why the probe batch is small.)
+    gate_pruning: dict[str, dict] = {}
+    if not os.environ.get("SPARK_GRAFT_TRAINER_ONLY") and {1, 10} <= set(
+        scales
+    ):  # also runs under SPARK_GRAFT_GATE_ONLY (refresh-only mode)
+        import shutil
+        import tempfile
+
+        from vacancy_gpt_etl_pipeline_spark.operators.phash import (
+            phash_bmp,
+            phash_incremental,
+        )
+        from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+            synthesize_bmp_payload,
+        )
+        from vacancy_gpt_etl_pipeline_spark.streaming.phash_gate import (
+            batch_band_pairs,
+            index_rows,
+            read_index_fingerprints,
+        )
+        from vacancy_gpt_etl_pipeline_spark.streaming.neardup_gate import (
+            apply_neardup_gate_batch,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="gate_scale_")
+        try:
+            # --- image gate ---
+            probe_docs = spark.read.parquet(
+                os.path.join(ensure_corpus(1), "documents.parquet")
+            ).where("doc_id < 12")
+            probe = phash_bmp(
+                synthesize_bmp_payload(probe_docs, "doc_id")
+            ).localCheckpoint()
+            pairs = batch_band_pairs(probe)
+            img_row: dict[str, float] = {}
+            for scale in (1, 10):
+                idx_path = os.path.join(tmp, f"img_idx_x{scale}")
+                hist_docs = spark.read.parquet(
+                    os.path.join(
+                        ensure_corpus(scale), "documents.parquet"
+                    )
+                ).where("doc_id >= 100")
+                index_rows(
+                    phash_bmp(
+                        synthesize_bmp_payload(hist_docs, "doc_id")
+                    ),
+                    0,
+                ).write.mode("overwrite").partitionBy(
+                    "band_idx", "pb"
+                ).parquet(idx_path)
+                for mode, p in (("pruned", pairs), ("unpruned", None)):
+                    best = None
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        hist = read_index_fingerprints(
+                            spark, idx_path, pairs=p
+                        )
+                        phash_incremental(probe, hist).write.mode(
+                            "overwrite"
+                        ).format("noop").save()
+                        dt = time.perf_counter() - t0
+                        best = dt if best is None else min(best, dt)
+                    img_row[f"{mode}_sec_x{scale}"] = round(best, 3)
+                # the structural measure — wall time at fixture scale
+                # is task-overhead-dominated, but the file/byte count
+                # a pruned scan touches IS what partition pruning
+                # saves at billions-of-rows index scale
+                pair_set = set(pairs)
+                total_f = pruned_f = total_b = pruned_b = 0
+                for root, _dirs, files in os.walk(idx_path):
+                    pqs = [f for f in files if f.endswith(".parquet")]
+                    if not pqs:
+                        continue
+                    parts = dict(
+                        seg.split("=")
+                        for seg in root.split(os.sep)
+                        if "=" in seg
+                    )
+                    sz = sum(
+                        os.path.getsize(os.path.join(root, f))
+                        for f in pqs
+                    )
+                    total_f += len(pqs)
+                    total_b += sz
+                    if (
+                        int(parts["band_idx"]),
+                        int(parts["pb"]),
+                    ) in pair_set:
+                        pruned_f += len(pqs)
+                        pruned_b += sz
+                img_row[f"files_read_x{scale}"] = f"{pruned_f}/{total_f}"
+                img_row[f"bytes_read_frac_x{scale}"] = round(
+                    pruned_b / max(total_b, 1), 4
+                )
+            img_row["touched_pairs"] = len(pairs)
+            gate_pruning["image_phash_gate"] = img_row
+
+            # --- text gate (hash + postings indexes) ---
+            txt_row = {}
+            probe_txt = spark.read.parquet(
+                os.path.join(ensure_corpus(1), "documents.parquet")
+            ).where("doc_id < 12").select("doc_id", "text")
+            for scale in (1, 10):
+                hist_txt = spark.read.parquet(
+                    os.path.join(
+                        ensure_corpus(scale), "documents.parquet"
+                    )
+                ).where("doc_id >= 100").select("doc_id", "text")
+                hp = os.path.join(tmp, f"txt_h_x{scale}")
+                pp = os.path.join(tmp, f"txt_p_x{scale}")
+                op = os.path.join(tmp, f"txt_o_x{scale}")
+                apply_neardup_gate_batch(hist_txt, 0, op, hp, pp)
+                # single timed run: a second attempt would gate against
+                # the first attempt's own survivors (exact-dropped to
+                # zero) and min-of-2 would keep that degenerate pass
+                t0 = time.perf_counter()
+                apply_neardup_gate_batch(probe_txt, 1, op, hp, pp)
+                txt_row[f"gate_sec_x{scale}"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                # structural pruning measure on both text indexes
+                from pyspark.sql import functions as Fx
+
+                from vacancy_gpt_etl_pipeline_spark.operators.dedup import (
+                    content_hash_col,
+                )
+                from vacancy_gpt_etl_pipeline_spark.streaming.neardup_gate import (  # noqa: E501
+                    _shingle_postings,
+                )
+
+                hash_pbs = {
+                    r["pb"]
+                    for r in probe_txt.select(
+                        Fx.substring(
+                            content_hash_col("text"), 1, 2
+                        ).alias("pb")
+                    )
+                    .distinct()
+                    .collect()
+                }
+                post_pbs = {
+                    str(r["pb"])
+                    for r in _shingle_postings(probe_txt, 3)
+                    .select("pb")
+                    .distinct()
+                    .collect()
+                }
+                for label, path, touched in (
+                    ("hash_index", hp, hash_pbs),
+                    ("postings_index", pp, post_pbs),
+                ):
+                    total_b = pruned_b = 0
+                    for root, _dirs, files in os.walk(path):
+                        pqs = [
+                            f for f in files if f.endswith(".parquet")
+                        ]
+                        if not pqs:
+                            continue
+                        parts = dict(
+                            seg.split("=")
+                            for seg in root.split(os.sep)
+                            if "=" in seg
+                        )
+                        sz = sum(
+                            os.path.getsize(os.path.join(root, f))
+                            for f in pqs
+                        )
+                        total_b += sz
+                        if parts.get("pb") in touched:
+                            pruned_b += sz
+                    txt_row[
+                        f"{label}_bytes_read_frac_x{scale}"
+                    ] = round(pruned_b / max(total_b, 1), 4)
+            gate_pruning["text_neardup_gate"] = txt_row
+            print(f"[scale] gate pruning: {gate_pruning}", file=sys.stderr)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     # BPE-trainer per-round flatness. Methodology matters here:
     # raw dt/n CONFLATES the per-call setup (word explode, initial
     # segmentation + pair count) with per-round cost — for flat
@@ -370,7 +562,7 @@ def main() -> None:
     # rounds-so-far shows as marginal_32_80 ≤ the warm n=32 per-round
     # value and the repeat matching the first n=32.
     trainer_rounds: dict[str, dict] = {}
-    if 1 in scales:
+    if 1 in scales and not os.environ.get("SPARK_GRAFT_GATE_ONLY"):
         from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
             bpe_learn_merges,
             bpe_learn_merges_incremental,
@@ -414,6 +606,19 @@ def main() -> None:
         print(json.dumps({"bpe_trainer_rounds": trainer_rounds}))
         return
 
+    if os.environ.get("SPARK_GRAFT_GATE_ONLY"):
+        # refresh ONLY the gate-pruning attestation inside the
+        # committed BENCH_SCALE.json (same pattern as TRAINER_ONLY)
+        path = os.path.join(REPO, "BENCH_SCALE.json")
+        with open(path) as f:
+            existing = json.load(f)
+        existing["incremental_gate_pruning"] = gate_pruning
+        with open(path, "w") as f:
+            json.dump(existing, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(json.dumps({"incremental_gate_pruning": gate_pruning}))
+        return
+
     out = {
         "metric": "scaling_attestation",
         "unit": "sec",
@@ -421,6 +626,7 @@ def main() -> None:
                  "fixture_style": "sf0.1-matched + planted dups"},
         "scales": results,
         "bpe_trainer_rounds": trainer_rounds,
+        "incremental_gate_pruning": gate_pruning,
         "notes": {
             "semdedup": (
                 "registry entry pins n_centroids=8 (fixture-tuned, "
@@ -448,6 +654,28 @@ def main() -> None:
                 "when C grows with n) and the drop set matches exact "
                 "assignment to ~1% (pair co-assignment argument, "
                 "tests/test_semdedup.py)."
+            ),
+            "incremental_gate_pruning": (
+                "gate indexes are partitioned by band/prefix "
+                "(image: band_idx x band-high-byte, 1024 dirs; text: "
+                "hash 2-hex prefix + shingle-hash mod 256) and every "
+                "micro-batch reads only its touched partitions "
+                "(PartitionFilters pinned in "
+                "tests/test_streaming_phash.py / "
+                "test_streaming_neardup.py). The attestation holds a "
+                "12-doc trickle batch fixed while history grows 10x: "
+                "pruned gate cost tracks touched-partition bytes, "
+                "unpruned tracks total history. The win is bounded by "
+                "the batch's prefix-space coverage — measured: image "
+                "index 13-25 percent of bytes read, text hash index "
+                "5-6 percent, text POSTINGS index ~95 percent (12 "
+                "docs x ~150 distinct shingles nearly covers all 256 "
+                "prefixes — postings pruning only pays for very small "
+                "or short-doc batches; the postings JOIN itself stays "
+                "bounded by matched postings per shingle, which is "
+                "the actual scale control for that index). Wall times "
+                "at fixture scale are task-overhead-dominated; the "
+                "byte fractions are the scale-meaningful signal."
             ),
             "web_family": (
                 "warc_ingest/web_pipeline_e2e synthesize AND parse the "

@@ -522,6 +522,19 @@ def ngram_jaccard_pairs(
     )
 
 
+def content_hash_col(col: str, normalize: bool = True):
+    """The incremental-dedup family's content key: md5 of the
+    whitespace-collapsed, trimmed, lowercased text (or of the raw text
+    with ``normalize=False``). Factored out so the streaming gate
+    (streaming/neardup_gate.py) and :func:`incremental_dedup` share one
+    definition — hash parity between the persisted index and the batch
+    operator is the twin contract."""
+    norm = F.col(col)
+    if normalize:
+        norm = F.lower(F.regexp_replace(F.trim(norm), r"\s+", " "))
+    return F.md5(norm)
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     history: DataFrame,
@@ -542,10 +555,7 @@ def incremental_dedup(
     """
 
     def _h(col):
-        norm = F.col(col)
-        if normalize:
-            norm = F.lower(F.regexp_replace(F.trim(norm), r"\s+", " "))
-        return F.md5(norm)
+        return content_hash_col(col, normalize)
 
     seen = history.select(_h(text_col).alias("content_hash")).distinct()
     batch = new_docs.withColumn("content_hash", _h(text_col))

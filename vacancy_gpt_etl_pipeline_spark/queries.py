@@ -4713,10 +4713,13 @@ def multimodal_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     modalities — exact text dedup, image pHash groups, audio
     fingerprint groups, video frame-hash-sequence groups — each a
     partitioned window over its content key (keep-first survivor
-    rule), unioned into the single manifest a 100 TB curation run
-    would feed its tombstone writer. The oracle reconstructs every
-    member independently (group-join instead of windows, the three
-    fingerprint pipelines replayed closed-form) and unions them the
+    rule), plus the image NEAR-duplicate tier ('image_near': band-LSH
+    pairs between fingerprint representatives at Hamming 1..2,
+    keep-lowest-id per dropped rep) — unioned into the single manifest
+    a 100 TB curation run would feed its tombstone writer. The oracle
+    reconstructs every member independently (group-join instead of
+    windows, the three fingerprint pipelines replayed closed-form, the
+    near tier via the OR-of-bands rep self-join) and unions them the
     same way."""
     from pyspark.sql import Window
 
@@ -4749,9 +4752,27 @@ def multimodal_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     vid = phash_y4m(synthesize_y4m_payload(docs, "doc_id")).where(
         F.col("n_frames") >= 1
     )
+    # r12 verdict item 6: NEAR-duplicate members join the manifest as
+    # modality='image_near' — band-LSH pairs between fingerprint
+    # representatives at Hamming 1..2, keep-lowest-id per drop (for a
+    # rep near several lower-id reps, the smallest id wins — the same
+    # deterministic survivor rule as every exact group above). Exact
+    # copies of a dropped rep are already tombstoned by the 'image'
+    # rows, so rep-level near rows complete the closure.
+    near = phash_neardup_pairs(img, min_hamming=1, max_hamming=2)
+    image_near = (
+        near.groupBy("id_b")
+        .agg(F.min("id_a").alias("keep_id"))
+        .select(
+            F.lit("image_near").alias("modality"),
+            "keep_id",
+            F.col("id_b").alias("drop_id"),
+        )
+    )
     return (
         drops(text, "text", "text")
         .unionByName(drops(img, "hash_hex", "image"))
+        .unionByName(image_near)
         .unionByName(drops(aud, "fingerprint", "audio"))
         .unionByName(drops(vid, "video_fp", "video"))
     )
@@ -4777,6 +4798,26 @@ SELECT 'image' AS modality, keep_id, drop_id FROM (
 SELECT grp.keep_id, CAST(h.doc_id AS BIGINT) AS drop_id
 FROM hashes h JOIN grp USING (b0, b1, b2, b3)
 WHERE h.doc_id <> grp.keep_id
+)
+UNION ALL
+SELECT 'image_near' AS modality, keep_id, drop_id FROM (
+"""
+    + _PHASH_HASHES_CTE
+    + """
+, reps AS (
+  SELECT b0, b1, b2, b3, MIN(doc_id) AS doc_id
+  FROM hashes GROUP BY b0, b1, b2, b3
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM reps a JOIN reps b
+    ON a.doc_id < b.doc_id
+   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+        BETWEEN 1 AND 2
+)
+SELECT CAST(MIN(id_a) AS BIGINT) AS keep_id, CAST(id_b AS BIGINT) AS drop_id
+FROM pairs GROUP BY id_b
 )
 UNION ALL
 SELECT 'audio' AS modality, keep_id, drop_id FROM (
@@ -12971,6 +13012,74 @@ assert len(_R12_FRONT) == len(set(_R12_FRONT)) == 50
 REGISTRY = {
     **{name: REGISTRY[name] for name in _R12_FRONT},
     **{k: v for k, v in REGISTRY.items() if k not in frozenset(_R12_FRONT)},
+}
+
+# Round-13 rotation (r12 verdict item 1 — sweep the driver-stale
+# tail): (a) entries whose code, oracle, or plan changed this round
+# (manifest near tier, semdedup auto two-level routing, pHash
+# batch-leg cap, ID3v2.4 unsync boundary), then (b) the FULL 36-entry
+# cohort whose last driver-green row is round 7 (five rounds stale),
+# then (c) the oldest round-8 entries to fill 50. The remaining 34
+# round-8 entries are the r14 front.
+_R13_FRONT: tuple[str, ...] = (
+    # (a) code/oracle touched in round 13
+    "multimodal_dedup_manifest",
+    "image_phash_incremental",
+    "semdedup",
+    "semdedup_2level",
+    "mp3_frame_census",
+    "aac_adts_census",
+    # (b) last driver-green in round 7
+    "ab_test_conversion",
+    "dau_wau_stickiness",
+    "diff_in_diff_conversion",
+    "embedding_normalize",
+    "event_transition_matrix",
+    "ewma_daily_events",
+    "feature_scale_balances",
+    "gapfill_daily_events",
+    "golden_user_profile",
+    "grouping_sets_revenue",
+    "growth_accounting_weekly",
+    "histogram_order_prices",
+    "hybrid_search_rrf",
+    "kcore_parts",
+    "kfold_docs",
+    "lineage_file_counts",
+    "linear_attribution",
+    "modal_priority_per_status",
+    "monthly_revenue_growth",
+    "order_fulfillment_aging",
+    "orders_with_lines",
+    "pagerank",
+    "pearson_corr_lineitem",
+    "pit_user_state",
+    "price_volume_mix",
+    "q14_promo_revenue",
+    "q17_small_qty_revenue",
+    "q22_idle_customer_balance",
+    "q4_late_shipment_priority",
+    "seasonality_dow_index",
+    "sentiment_docs",
+    "skyline_parts",
+    "top_orders_per_priority",
+    "trajectory_similar_users",
+    "unpivot_part_measures",
+    "vocab_oov_docs",
+    # (c) oldest round-8 cohort entries
+    "a2_keyed_keep_first",
+    "j1_broadcast_join",
+    "j2_semi_join",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "q1_pricing_summary",
+    "ref_q1_top_titles",
+    "ref_q2_market_share",
+)
+assert len(_R13_FRONT) == len(set(_R13_FRONT)) == 50
+REGISTRY = {
+    **{name: REGISTRY[name] for name in _R13_FRONT},
+    **{k: v for k, v in REGISTRY.items() if k not in frozenset(_R13_FRONT)},
 }
 
 

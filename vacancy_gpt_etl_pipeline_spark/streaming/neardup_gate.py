@@ -1,0 +1,323 @@
+"""Streaming twin of the TEXT incremental dedup gates
+(operators/dedup.incremental_dedup + incremental_neardup) — the
+missing symmetric member of the streaming-twin family the r12 verdict
+named (images got streaming/phash_gate.py in r12; this is the text
+side).
+
+``foreachBatch`` bridges the same way: the batch operators' contract
+(normalize→hash → keep-first within batch → exact anti-join vs history
+→ shingle-Jaccard near gate vs history) is already the per-micro-batch
+shape, so each micro-batch replays the operator semantics verbatim
+against persisted state and parity is by construction
+(tests/test_streaming_neardup.py pins gate survivors bit-equal to
+``incremental_dedup`` + ``incremental_neardup(max_shingle_freq=None)``
+over the same history).
+
+State — two partitioned parquet indexes, both the O(distinct-content)
+structures a 100 TB ingest keeps hot, laid out for PRUNED history
+reads (r12 verdict item 5):
+
+- **content-hash index**: one row per surviving document,
+  ``(content_hash, doc_id, _batch_id)``, partitioned by ``pb`` = the
+  hash's first two hex chars (256 directories). The exact gate reads
+  only the partitions matching the batch's own hash prefixes.
+- **shingle postings index**: one row per (surviving document,
+  distinct word n-gram shingle), ``(s_hash, doc_id, n_sh,
+  _batch_id)``, partitioned by ``pb`` = the 64-bit shingle hash mod
+  256. ``n_sh`` (the doc's distinct-shingle count) is denormalized
+  into every posting so Jaccard denominators never need the unpruned
+  index: a candidate's intersection rows all live in partitions the
+  batch already reads, and its denominator rides along on those rows.
+
+Near-gate semantics are RAW Jaccard (``max_shingle_freq=None`` in the
+batch operator): the corpus-frequency ubiquity filter would need
+post-filter set sizes over shingles OUTSIDE the pruned read, so the
+streaming gate instead applies a candidate-generation fan-out cap
+(``max_shingle_fanout``): a shingle held by more history docs than the
+cap generates no candidates. Admit-direction and per-partition
+computable (a shingle's full posting list lives in its one partition)
+— the same conservative cap contract as every LSH bucket cap in the
+dedup family.
+
+Delivery class mirrors streaming/phash_gate.py exactly: checkpointed
+micro-batches never replay; within a failed-and-retried batch, output
+overwrites its own ``_batch_id`` partition (dynamic partition
+overwrite) and the gate excludes its own batch id from both index
+reads, so either crash order (output-then-index or index-then-output)
+converges to the same final state on retry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vacancy_gpt_etl_pipeline_spark.operators.dedup import (
+    _shingled,
+    content_hash_col,
+)
+from vacancy_gpt_etl_pipeline_spark.streaming.upsert import BATCH_COL
+
+HASH_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField(BATCH_COL, T.LongType()),
+        T.StructField("pb", T.StringType()),
+    ]
+)
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("s_hash", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_sh", T.IntegerType()),
+        T.StructField(BATCH_COL, T.LongType()),
+        T.StructField("pb", T.IntegerType()),
+    ]
+)
+
+
+def _read_or_empty(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Persisted index or an empty schema frame before the first batch
+    commits. ONLY the missing-path case is caught — a corrupt index
+    must FAIL the batch (an empty history re-admits every duplicate)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], schema)
+        raise
+
+
+def _pruned(
+    idx: DataFrame, pbs: list, exclude_batch_id: int | None
+) -> DataFrame:
+    pred = F.col("pb").isin(pbs) if pbs else F.lit(False)
+    idx = idx.where(pred)
+    if exclude_batch_id is not None:
+        idx = idx.where(F.col(BATCH_COL) != F.lit(exclude_batch_id))
+    return idx
+
+
+def _shingle_postings(docs: DataFrame, n: int) -> DataFrame:
+    """``(doc_id, s_hash, n_sh, pb)`` postings for one batch — the same
+    distinct word n-grams as the batch operator (shared ``_shingled``
+    helper), keyed by xxhash64 so the persisted index stores 8-byte
+    keys instead of shingle strings.
+
+    ``persist=False`` + ``localCheckpoint`` instead of `_shingled`'s
+    default ``.persist()``: the checkpoint both materializes the array
+    before the explode (the re-evaluation hazard the default persist
+    guards against) and keeps the block in the caller's
+    getPersistentRDDs diff so each micro-batch frees its own state —
+    an untracked ``.persist()`` per batch would pile up across a long
+    drain."""
+    sh = _shingled(
+        docs, "text", "doc_id", n, persist=False
+    ).localCheckpoint()
+    ex = sh.select(
+        F.col("_id").alias("doc_id"),
+        F.size("_sh").cast("int").alias("n_sh"),
+        F.explode("_sh").alias("_s"),
+    )
+    return ex.select(
+        "doc_id",
+        "n_sh",
+        F.xxhash64("_s").alias("s_hash"),
+        F.pmod(F.xxhash64("_s"), F.lit(256)).cast("int").alias("pb"),
+    )
+
+
+def apply_neardup_gate_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    hash_index_path: str,
+    postings_index_path: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_fanout: int = 10_000,
+    normalize: bool = True,
+) -> None:
+    """One micro-batch of the text gate — exposed as a plain function
+    so retry idempotence is testable without a streaming harness.
+    ``batch_df`` is ``(doc_id, text)``; survivors (exact-fresh AND not
+    near-matching history at ``jaccard >= threshold``) land in this
+    batch's partition of ``out_path`` and both indexes."""
+    spark = batch_df.sparkSession
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    hashed = batch_df.withColumn(
+        "content_hash", content_hash_col("text", normalize)
+    )
+    # keep-first within batch (the incremental_dedup contract), then
+    # checkpoint: the frame feeds the prefix collect, the exact gate,
+    # and the shingle stage
+    w = Window.partitionBy("content_hash").orderBy(F.asc("doc_id"))
+    fresh = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint()
+    )
+    # exact gate against the pruned hash index (prefix collect is
+    # metadata-sized: ≤ 256 distinct 2-hex-char values)
+    hash_pbs = [
+        r["pb"]
+        for r in fresh.select(
+            F.substring("content_hash", 1, 2).alias("pb")
+        )
+        .distinct()
+        .collect()
+    ]
+    seen = _pruned(
+        _read_or_empty(spark, hash_index_path, HASH_INDEX_SCHEMA),
+        hash_pbs,
+        batch_id,
+    ).select("content_hash")
+    exact = fresh.join(seen, "content_hash", "left_anti").localCheckpoint()
+
+    # near gate: batch shingles vs pruned postings, raw Jaccard
+    bsh = _shingle_postings(exact, n).localCheckpoint()
+    post_pbs = [
+        r["pb"] for r in bsh.select("pb").distinct().collect()
+    ]
+    hist = _pruned(
+        _read_or_empty(spark, postings_index_path, POSTINGS_SCHEMA),
+        post_pbs,
+        batch_id,
+    )
+    # fan-out cap: a shingle's history posting list is fully contained
+    # in its partition, so the df count under pruning is EXACT
+    fan_w = Window.partitionBy("s_hash")
+    hist = (
+        hist.withColumn("_df", F.count(F.lit(1)).over(fan_w))
+        .where(F.col("_df") <= max_shingle_fanout)
+        .drop("_df")
+    )
+    inter = (
+        bsh.select("s_hash", F.col("doc_id").alias("_bid"), "n_sh")
+        .join(
+            hist.select(
+                "s_hash",
+                F.col("doc_id").alias("_hid"),
+                F.col("n_sh").alias("_nh"),
+            ),
+            "s_hash",
+        )
+        .groupBy("_bid", "_hid")
+        .agg(
+            F.count(F.lit(1)).alias("_inter"),
+            F.first("n_sh").alias("_nb"),
+            F.first("_nh").alias("_nh"),
+        )
+    )
+    near_dropped = (
+        inter.withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter")
+                / (F.col("_nb") + F.col("_nh") - F.col("_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(F.col("_bid").alias("doc_id"))
+        .distinct()
+    )
+    survivors = exact.join(
+        near_dropped, "doc_id", "left_anti"
+    ).localCheckpoint()
+    new_ids = set(jsc.getPersistentRDDs().keySet().toArray()) - before
+
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            survivors.withColumn(BATCH_COL, F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .partitionBy(BATCH_COL)
+            .parquet(out_path)
+        )
+        (
+            survivors.select(
+                "content_hash",
+                "doc_id",
+                F.lit(batch_id).cast("long").alias(BATCH_COL),
+                F.substring("content_hash", 1, 2).alias("pb"),
+            )
+            .write.mode("append")
+            .partitionBy("pb")
+            .parquet(hash_index_path)
+        )
+        (
+            # reuse the batch's checkpointed postings — survivors are a
+            # subset of the exact-fresh frame bsh was built from
+            bsh.join(survivors.select("doc_id"), "doc_id", "left_semi")
+            .select(
+                "s_hash",
+                "doc_id",
+                "n_sh",
+                F.lit(batch_id).cast("long").alias(BATCH_COL),
+                "pb",
+            )
+            .write.mode("append")
+            .partitionBy("pb")
+            .parquet(postings_index_path)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
+        m = jsc.getPersistentRDDs()
+        for rid in new_ids:
+            rdd = m.get(rid)
+            if rdd is not None:
+                rdd.unpersist(False)
+
+
+def write_stream_neardup_gate(
+    stream: DataFrame,
+    out_path: str,
+    hash_index_path: str,
+    postings_index_path: str,
+    checkpoint: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_fanout: int = 10_000,
+    normalize: bool = True,
+) -> None:
+    """Drain a document ``stream`` (AvailableNow; rows of
+    ``(doc_id, text)``) through the incremental text gate: each
+    micro-batch is exact- and near-deduplicated against the persisted
+    indexes, survivors land in their batch partition of ``out_path``,
+    and both indexes grow by the survivors."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_neardup_gate_batch(
+            batch_df,
+            batch_id,
+            out_path,
+            hash_index_path,
+            postings_index_path,
+            n=n,
+            threshold=threshold,
+            max_shingle_fanout=max_shingle_fanout,
+            normalize=normalize,
+        )
+
+    (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
