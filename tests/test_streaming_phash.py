@@ -226,3 +226,57 @@ def test_gate_history_read_is_partition_pruned(spark, sf_dir, tmp_path):
     assert read_index_fingerprints(
         spark, index, pairs=[(0, 9999)]
     ).count() == 0
+
+
+def test_compact_phash_index_preserves_gate_decisions(
+    spark, sf_dir, tmp_path
+):
+    """Compaction collapses retry-duplicated rows to one per logical
+    key, keeps the (band_idx, pb) partitioning, and leaves every gate
+    decision unchanged."""
+    from vacancy_gpt_etl_pipeline_spark.streaming.phash_gate import (
+        apply_phash_gate_batch,
+        batch_band_pairs,
+        compact_phash_index,
+        read_index_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "out")
+    index = str(tmp_path / "index")
+    compacted = str(tmp_path / "index_c")
+    b0 = synthesize_bmp_payload(docs.where("doc_id < 150"), "doc_id")
+    apply_phash_gate_batch(b0, 0, out, index)
+    apply_phash_gate_batch(b0, 0, out, index)  # retry → duplicate rows
+    raw = spark.read.parquet(index)
+    assert raw.count() == 2 * raw.distinct().count()
+
+    compact_phash_index(spark, index, compacted)
+    comp = spark.read.parquet(compacted)
+    assert comp.count() == raw.distinct().count()
+    # partition layout preserved → pruned reads still work
+    import os as _os
+
+    assert any(
+        d.startswith("band_idx=") for d in _os.listdir(compacted)
+    )
+    batch = phash_bmp(
+        synthesize_bmp_payload(
+            docs.where("doc_id >= 150 AND doc_id < 200"), "doc_id"
+        ).unionByName(
+            synthesize_bmp_payload(docs.where("doc_id < 30"), "doc_id")
+            .withColumn("asset_id", F.col("asset_id") + 900000)
+        )
+    )
+    pairs = batch_band_pairs(batch)
+    before_gate = _survivor_set(
+        phash_incremental(
+            batch, read_index_fingerprints(spark, index, pairs=pairs)
+        )
+    )
+    after_gate = _survivor_set(
+        phash_incremental(
+            batch, read_index_fingerprints(spark, compacted, pairs=pairs)
+        )
+    )
+    assert before_gate == after_gate

@@ -1,0 +1,136 @@
+"""WebDataset tar-shard ingestion conformance (operators/wds.py):
+the hand-written ustar walker against stdlib tarfile ground truth,
+checksum/magic/overrun quarantine, NULL-modality skip, offset
+accounting, and sample regrouping."""
+
+from __future__ import annotations
+
+import io
+import tarfile
+
+from pyspark.sql import functions as F
+
+from vacancy_gpt_etl_pipeline_spark.operators.wds import (
+    _parse_ustar,
+    synthesize_wds_shards,
+    tar_members,
+    wds_samples,
+)
+
+
+def _shard(members: list[tuple[str, bytes]]) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(
+        fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+    ) as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 0
+            info.mode = 0o644
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def test_walker_matches_tarfile_ground_truth():
+    """Names, sizes, payloads, and HEADER OFFSETS all match what
+    stdlib tarfile reports for the same archive — including a 0-byte
+    member and one spanning multiple 512 blocks."""
+    members = [
+        ("a/0001.txt", b"hello world"),
+        ("0001.cls", b"7"),
+        ("empty.bin", b""),
+        ("big.dat", b"x" * 1300),
+    ]
+    b = _shard(members)
+    got = list(_parse_ustar(b))
+    assert [(g[0], g[1], g[4]) for g in got] == [
+        (n, len(d), d) for n, d in members
+    ]
+    with tarfile.open(fileobj=io.BytesIO(b)) as tf:
+        truth = [(m.name, m.offset) for m in tf.getmembers()]
+    assert [(g[0], g[2]) for g in got] == truth
+
+
+def test_quarantine_classes():
+    b = bytearray(_shard([("x.txt", b"abc")]))
+    # checksum corruption
+    bad = bytearray(b)
+    bad[0] ^= 0xFF
+    try:
+        list(_parse_ustar(bytes(bad)))
+        assert False, "checksum mismatch not detected"
+    except ValueError as e:
+        assert "checksum" in str(e)
+    # bad magic
+    bad = bytearray(b)
+    bad[257] = 0x00
+    # keep checksum consistent is irrelevant — magic checked first
+    try:
+        list(_parse_ustar(bytes(bad)))
+        assert False
+    except ValueError as e:
+        assert "magic" in str(e)
+    # member overruns shard: truncate the data region
+    try:
+        list(_parse_ustar(bytes(b[:512 + 1])))
+        assert False
+    except ValueError as e:
+        assert "overruns" in str(e)
+
+
+def test_tar_members_quarantines_bad_shard(spark):
+    good = _shard([("0000000001.txt", b"ok")])
+    bad = bytearray(good)
+    bad[100] ^= 0x55  # breaks the checksum
+    df = spark.createDataFrame(
+        [(1, bytes(good)), (2, bytes(bad))],
+        "shard_id long, content binary",
+    )
+    rows = tar_members(df).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    assert by_shard[1][0]["name"] == "0000000001.txt"
+    assert by_shard[2][0]["name"] is None  # observable quarantine row
+
+
+def test_null_text_skips_txt_member(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    m = tar_members(synthesize_wds_shards(docs))
+    got = sorted(
+        (r["key"], r["ext"]) for r in m.where("name IS NOT NULL").collect()
+    )
+    assert got == [
+        ("000000001", "cls"),
+        ("000000001", "txt"),
+        ("000000002", "cls"),
+        ("000000003", "cls"),
+        ("000000003", "txt"),
+    ]
+    s = wds_samples(m)
+    parts = {
+        r["key"]: r["n_parts"] for r in s.collect()
+    }
+    assert parts == {
+        "000000001": 2,
+        "000000002": 1,
+        "000000003": 2,
+    }
+
+
+def test_samples_carry_decodable_parts(spark, sf_dir):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .where("doc_id < 40")
+    )
+    s = wds_samples(tar_members(synthesize_wds_shards(docs)))
+    row = s.where(F.col("key") == "000000007").collect()[0]
+    parts = dict(row["parts"])
+    assert bytes(parts["cls"]) == b"7"
+    src = docs.where("doc_id = 7").collect()[0]["text"]
+    assert bytes(parts["txt"]).decode() == src

@@ -82,6 +82,14 @@ from vacancy_gpt_etl_pipeline_spark.operators.mp3 import (
     synthesize_adts_payload,
     synthesize_mp3_payload,
 )
+from vacancy_gpt_etl_pipeline_spark.operators.webp import (
+    census_webp,
+    synthesize_webp_payload,
+)
+from vacancy_gpt_etl_pipeline_spark.operators.wds import (
+    synthesize_wds_shards,
+    tar_members,
+)
 from vacancy_gpt_etl_pipeline_spark.operators.phash import (
     PHASH_DCT_LUT,
     phash_bmp,
@@ -4315,6 +4323,147 @@ SELECT CAST(b.doc_id AS BIGINT) AS asset_id, 'mp3' AS fmt,
   CAST(b.id3_bytes + fl.frames_bytes AS BIGINT) AS n_bytes,
   (b.n_frames * 1152) / CAST(b.sample_rate AS DOUBLE) AS duration_sec
 FROM base b JOIN fl ON b.doc_id = fl.doc_id
+"""
+
+
+def webp_container_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP container census (operators/webp.py): documents become
+    RIFF/WEBP containers — lossy VP8 (frame tag + 9d 01 2a start code
+    + LE14 dims), lossless VP8L (0x2f signature + LE32 bit-pack), and
+    extended VP8X + VP8 (flags byte + LE24 canvas dims), with the
+    even-pad rule exercised by a variable-length lossy body — and
+    census_webp walks the actual bytes: RIFF size bound check, chunk
+    hop with padding, per-variant signature validation, dimension and
+    alpha extraction. Every 23rd payload is truncated 6 bytes so its
+    RIFF size overruns the buffer: the census must quarantine it as
+    fmt='webp?' with null columns (quarantine-not-fail), and the
+    oracle replays BOTH populations closed-form. Bitstream decode
+    (arithmetic-coded VP8) is a documented boundary, like
+    inter-predicted video."""
+    docs = _t(spark, sf_dir, "documents")
+    return census_webp(synthesize_webp_payload(docs, "doc_id")).select(
+        "asset_id",
+        "fmt",
+        "variant",
+        "width",
+        "height",
+        "has_alpha",
+        "n_chunks",
+        "n_bytes",
+    )
+
+
+WEBP_CENSUS_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+  CASE WHEN doc_id % 23 = 0 THEN 'webp?' ELSE 'webp' END AS fmt,
+  CASE WHEN doc_id % 23 = 0 THEN NULL
+       WHEN doc_id % 3 = 0 THEN 'lossy'
+       WHEN doc_id % 3 = 1 THEN 'lossless' ELSE 'extended' END AS variant,
+  CASE WHEN doc_id % 23 = 0 THEN NULL
+       ELSE CAST(16 + doc_id % 97 AS INTEGER) END AS width,
+  CASE WHEN doc_id % 23 = 0 THEN NULL
+       ELSE CAST(16 + doc_id % 61 AS INTEGER) END AS height,
+  CASE WHEN doc_id % 23 = 0 THEN NULL
+       WHEN doc_id % 3 = 0 THEN FALSE ELSE doc_id % 2 = 1 END AS has_alpha,
+  CASE WHEN doc_id % 23 = 0 THEN NULL
+       WHEN doc_id % 3 = 2 THEN CAST(2 AS INTEGER)
+       ELSE CAST(1 AS INTEGER) END AS n_chunks,
+  CAST(CASE WHEN doc_id % 3 = 1 THEN 26
+            WHEN doc_id % 3 = 0
+              THEN 20 + (10 + doc_id % 5) + (doc_id % 5) % 2
+            ELSE 38 + (10 + doc_id % 5) + (doc_id % 5) % 2 END
+       - CASE WHEN doc_id % 23 = 0 THEN 6 ELSE 0 END AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+def wds_member_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard member census (operators/wds.py):
+    documents become POSIX-ustar shards of 16 (each doc contributing
+    ``{id:09d}.txt`` + ``{id:09d}.cls`` members, NULL texts skipping
+    the txt member like a real pipeline skips a missing modality), and
+    tar_members walks the actual 512-byte header blocks: magic +
+    checksum validation (checksum field blanked to spaces), octal size
+    parse, block-aligned hop, end-at-zero-block. The oracle replays
+    every member row closed-form — sizes are octet lengths, offsets
+    are 512-block cumulative sums over the insertion order — so the
+    hash only matches if the header layout, the octal fields, and the
+    padding hop are byte-exact. Shard-level tasks are the WebDataset
+    scale granule (shard count >> executors at 100 TB)."""
+    docs = _t(spark, sf_dir, "documents")
+    members = tar_members(synthesize_wds_shards(docs))
+    return members.select(
+        "shard_id",
+        "name",
+        "key",
+        "ext",
+        "size",
+        F.col("offset").alias("byte_offset"),
+        "typeflag",
+    )
+
+
+WDS_MEMBER_SQL = """
+WITH m AS (
+  SELECT doc_id, doc_id // 16 AS shard_id,
+         printf('%09d', doc_id) AS key, 'txt' AS ext,
+         CAST(octet_length(encode(text)) AS BIGINT) AS size, 0 AS pr
+  FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id, doc_id // 16, printf('%09d', doc_id), 'cls',
+         CAST(1 AS BIGINT), 1
+  FROM documents
+),
+o AS (
+  SELECT shard_id, doc_id, key, ext, size,
+    COALESCE(SUM(512 + ((size + 511) // 512) * 512) OVER (
+      PARTITION BY shard_id ORDER BY doc_id, pr
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM m
+)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+  key || '.' || ext AS name, key, ext, size,
+  CAST(off AS BIGINT) AS byte_offset, '0' AS typeflag
+FROM o
+"""
+
+
+def wds_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset ingest e2e: documents → tar shards → member walk →
+    sample regroup (txt + cls by key) → decoded text compared against
+    the source table Spark-side. Output carries the decoded label, the
+    text byte size, and the comparison verdict, so the oracle (which
+    emits text_ok=TRUE unconditionally) hash-mismatches on ANY decode
+    corruption anywhere in the synthesize→parse→decode chain."""
+    docs = _t(spark, sf_dir, "documents")
+    members = tar_members(synthesize_wds_shards(docs))
+    txt = members.where(F.col("ext") == "txt").select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.decode("content", "UTF-8").alias("_t"),
+        F.col("size").alias("n_text_bytes"),
+    )
+    cls = members.where(F.col("ext") == "cls").select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.decode("content", "UTF-8").cast("int").alias("label"),
+    )
+    return (
+        docs.join(txt, "doc_id")
+        .join(cls, "doc_id")
+        .select(
+            "doc_id",
+            "label",
+            "n_text_bytes",
+            (F.col("text") == F.col("_t")).alias("text_ok"),
+        )
+    )
+
+
+WDS_ROUNDTRIP_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(doc_id % 10 AS INTEGER) AS label,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_text_bytes,
+  TRUE AS text_ok
+FROM documents WHERE text IS NOT NULL
 """
 
 
@@ -12483,6 +12632,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "aac_adts_census": QuerySpec(
         multimodal_aac_census, MULTIMODAL_AAC_SQL
     ),
+    "webp_census": QuerySpec(webp_container_census, WEBP_CENSUS_SQL),
+    "wds_member_census": QuerySpec(wds_member_census, WDS_MEMBER_SQL),
+    "wds_roundtrip": QuerySpec(wds_ingest_roundtrip, WDS_ROUNDTRIP_SQL),
     "audio_fingerprint_census": QuerySpec(
         audio_fingerprint_census, AUDIO_FP_CENSUS_SQL
     ),
@@ -13022,7 +13174,10 @@ REGISTRY = {
 # then (c) the oldest round-8 entries to fill 50. The remaining 34
 # round-8 entries are the r14 front.
 _R13_FRONT: tuple[str, ...] = (
-    # (a) code/oracle touched in round 13
+    # (a) new in round 13, then code/oracle touched in round 13
+    "webp_census",
+    "wds_member_census",
+    "wds_roundtrip",
     "multimodal_dedup_manifest",
     "image_phash_incremental",
     "semdedup",
@@ -13067,11 +13222,8 @@ _R13_FRONT: tuple[str, ...] = (
     "unpivot_part_measures",
     "vocab_oov_docs",
     # (c) oldest round-8 cohort entries
-    "a2_keyed_keep_first",
     "j1_broadcast_join",
-    "j2_semi_join",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "q1_pricing_summary",
     "ref_q1_top_titles",
     "ref_q2_market_share",

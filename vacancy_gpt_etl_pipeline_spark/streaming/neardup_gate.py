@@ -321,3 +321,44 @@ def write_stream_neardup_gate(
         .start()
         .awaitTermination()
     )
+
+
+def compact_neardup_indexes(
+    spark: SparkSession,
+    hash_index_path: str,
+    postings_index_path: str,
+    hash_dest: str,
+    postings_dest: str,
+) -> None:
+    """Log-compaction for the text gate's two indexes (same contract as
+    streaming/phash_gate.compact_phash_index: new immutable
+    directories, same partitioning, no concurrent writer). Hash index:
+    one row per content_hash, MIN doc_id (survivor hashes are unique
+    across committed batches by construction, so only retry duplicates
+    collapse). Postings index: one row per (s_hash, doc_id) — every
+    history document stays a distinct near-gate candidate; ``n_sh`` is
+    constant per document so any contributing row's value is correct."""
+    (
+        _read_or_empty(spark, hash_index_path, HASH_INDEX_SCHEMA)
+        .groupBy("pb", "content_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.max(BATCH_COL).alias(BATCH_COL),
+        )
+        .select("content_hash", "doc_id", BATCH_COL, "pb")
+        .write.mode("error")
+        .partitionBy("pb")
+        .parquet(hash_dest)
+    )
+    (
+        _read_or_empty(spark, postings_index_path, POSTINGS_SCHEMA)
+        .groupBy("pb", "s_hash", "doc_id")
+        .agg(
+            F.first("n_sh").alias("n_sh"),
+            F.max(BATCH_COL).alias(BATCH_COL),
+        )
+        .select("s_hash", "doc_id", "n_sh", BATCH_COL, "pb")
+        .write.mode("error")
+        .partitionBy("pb")
+        .parquet(postings_dest)
+    )

@@ -281,3 +281,43 @@ def write_stream_phash_gate(
         .start()
         .awaitTermination()
     )
+
+
+def compact_phash_index(
+    spark: SparkSession, index_path: str, dest_path: str
+) -> None:
+    """Log-compaction for a long-lived gate index (the
+    streaming/upsert.py snapshot pattern): retried micro-batches
+    double-append rows within their own batch id, and a years-long
+    drain accumulates them. Compaction rewrites ONE row per logical key
+    — (band_idx, pb, band_val, full hash), keeping the MIN asset_id so
+    the gate's keep-first representative (and therefore every future
+    survivor id) is unchanged — into a NEW immutable directory with the
+    same (band_idx, pb) partitioning. Never in-place: concurrent
+    readers of the old index stay consistent; the caller switches paths
+    between drains (no concurrent writer, like every compactor here).
+    ``_batch_id`` is kept as the MAX contributing batch — by switch
+    time those batches are checkpoint-committed, so own-batch exclusion
+    can never re-fire for them."""
+    (
+        _read_index(spark, index_path)
+        .groupBy("band_idx", "pb", "band_val", "b0", "b1", "b2", "b3")
+        .agg(
+            F.min("asset_id").alias("asset_id"),
+            F.max(BATCH_COL).alias(BATCH_COL),
+        )
+        .select(
+            "asset_id",
+            "b0",
+            "b1",
+            "b2",
+            "b3",
+            "band_val",
+            BATCH_COL,
+            "band_idx",
+            "pb",
+        )
+        .write.mode("error")
+        .partitionBy("band_idx", "pb")
+        .parquet(dest_path)
+    )
