@@ -83,6 +83,11 @@ FLAGSHIPS = (
     "image_phash_neardup",
     "audio_fingerprint_dedup",
     "video_phash_census",
+    # round-13 container-ingestion family: per-shard ustar walk and
+    # per-payload RIFF walk must both stay linear (shard/task = the
+    # WebDataset granule; webp is a pure Arrow map)
+    "wds_member_census",
+    "webp_census",
 )
 
 

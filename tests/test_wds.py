@@ -134,3 +134,37 @@ def test_samples_carry_decodable_parts(spark, sf_dir):
     assert bytes(parts["cls"]) == b"7"
     src = docs.where("doc_id = 7").collect()[0]["text"]
     assert bytes(parts["txt"]).decode() == src
+
+
+def test_binary_member_roundtrip_feeds_phash(spark, sf_dir):
+    """The multimodal sample shape: a real BMP rides as {key}.bmp next
+    to txt/cls, and the bytes recovered from the tar walk hash to the
+    SAME fingerprints as hashing the payloads directly — the
+    wds_multimodal_e2e contract."""
+    from vacancy_gpt_etl_pipeline_spark.operators.multimodal import (
+        synthesize_bmp_payload,
+    )
+    from vacancy_gpt_etl_pipeline_spark.operators.phash import phash_bmp
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .where("doc_id < 64")
+    )
+    payload = synthesize_bmp_payload(docs, "doc_id").select(
+        F.col("asset_id").alias("doc_id"), F.col("content").alias("bmp")
+    )
+    members = tar_members(
+        synthesize_wds_shards(docs.join(payload, "doc_id"), binary_col="bmp")
+    )
+    via_tar = phash_bmp(
+        members.where("ext = 'bmp'").select(
+            F.col("key").cast("long").alias("asset_id"), "content"
+        )
+    )
+    direct = phash_bmp(
+        payload.select(F.col("doc_id").alias("asset_id"), F.col("bmp").alias("content"))
+    )
+    a = sorted((r["asset_id"], r["hash_hex"]) for r in via_tar.collect())
+    b = sorted((r["asset_id"], r["hash_hex"]) for r in direct.collect())
+    assert a == b and len(a) == 64

@@ -134,14 +134,19 @@ def synthesize_wds_shards(
     id_col: str = "doc_id",
     text_col: str = "text",
     docs_per_shard: int = 16,
+    binary_col: str | None = None,
+    binary_ext: str = "bmp",
 ) -> DataFrame:
     """Deterministic WebDataset fixture: documents grouped into shards
     of ``docs_per_shard`` by ``id // docs_per_shard``; each document
     contributes ``{id:09d}.txt`` (UTF-8 text — skipped when NULL, as a
     real pipeline skips a missing modality) and ``{id:09d}.cls``
-    (label ``id % 10``), members in id order, POSIX ustar, zeroed
-    mtime/uid/gid — byte-deterministic, closed-form replayable (member
-    sizes are octet lengths; offsets are 512-block cumulative sums)."""
+    (label ``id % 10``) — plus ``{id:09d}.{binary_ext}`` when
+    ``binary_col`` names a binary column (the multimodal sample shape:
+    image + caption + label per key). Members in id order, POSIX
+    ustar, zeroed mtime/uid/gid — byte-deterministic, closed-form
+    replayable (member sizes are octet lengths; offsets are 512-block
+    cumulative sums)."""
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)
@@ -155,6 +160,10 @@ def synthesize_wds_shards(
                 if row[text_col] is not None:
                     parts.append((f"{i:09d}.txt", str(row[text_col]).encode()))
                 parts.append((f"{i:09d}.cls", str(i % 10).encode()))
+                if binary_col is not None and row[binary_col] is not None:
+                    parts.append(
+                        (f"{i:09d}.{binary_ext}", bytes(row[binary_col]))
+                    )
                 for name, data in parts:
                     info = tarfile.TarInfo(name)
                     info.size = len(data)
@@ -168,9 +177,10 @@ def synthesize_wds_shards(
             }
         )
 
+    cols = [id_col, text_col] + ([binary_col] if binary_col else [])
     shard = (F.col(id_col) / docs_per_shard).cast("long")
     return (
-        df.select(id_col, text_col)
+        df.select(*cols)
         .withColumn("_shard", shard)
         .groupBy("_shard")
         .applyInPandas(

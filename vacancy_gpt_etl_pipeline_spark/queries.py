@@ -4467,6 +4467,35 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
+def wds_multimodal_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal WebDataset composition flagship: documents become
+    (image, caption, label) samples — the synthesize_bmp_payload BMP
+    rides as the ``{key}.bmp`` member next to txt/cls — packed into
+    POSIX-ustar shards, walked back out by tar_members, and the
+    recovered image bytes flow into the REAL pHash pipeline
+    (decode → integer-DCT hash → map-side-combinable dup groups).
+    The oracle is the image_phash_dedup closed form verbatim: the
+    hash only matches if every BMP byte survives the tar round trip
+    (a single corrupted offset or size field changes some pixel
+    stream, its fingerprint, and the group census). This is the shape
+    a LAION-style curation run takes at 100 TB — shard-granular
+    container parse feeding fingerprint dedup, no intermediate
+    materialization."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = synthesize_bmp_payload(docs, "doc_id").select(
+        F.col("asset_id").alias("doc_id"),
+        F.col("content").alias("bmp"),
+    )
+    enriched = docs.select("doc_id", "text").join(payload, "doc_id")
+    members = tar_members(
+        synthesize_wds_shards(enriched, binary_col="bmp")
+    )
+    imgs = members.where(F.col("ext") == "bmp").select(
+        F.col("key").cast("long").alias("asset_id"), "content"
+    )
+    return phash_dedup_groups(phash_bmp(imgs))
+
+
 def multimodal_aac_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AAC-ADTS census (operators/mp3.py): documents become MPEG-4
     ADTS streams with real 7-byte headers — variable frame lengths
@@ -12635,6 +12664,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "webp_census": QuerySpec(webp_container_census, WEBP_CENSUS_SQL),
     "wds_member_census": QuerySpec(wds_member_census, WDS_MEMBER_SQL),
     "wds_roundtrip": QuerySpec(wds_ingest_roundtrip, WDS_ROUNDTRIP_SQL),
+    "wds_multimodal_e2e": QuerySpec(
+        wds_multimodal_e2e, IMAGE_PHASH_DEDUP_SQL
+    ),
     "audio_fingerprint_census": QuerySpec(
         audio_fingerprint_census, AUDIO_FP_CENSUS_SQL
     ),
@@ -13178,6 +13210,7 @@ _R13_FRONT: tuple[str, ...] = (
     "webp_census",
     "wds_member_census",
     "wds_roundtrip",
+    "wds_multimodal_e2e",
     "multimodal_dedup_manifest",
     "image_phash_incremental",
     "semdedup",
@@ -13224,7 +13257,6 @@ _R13_FRONT: tuple[str, ...] = (
     # (c) oldest round-8 cohort entries
     "j1_broadcast_join",
     "dedup_minhash_lsh",
-    "q1_pricing_summary",
     "ref_q1_top_titles",
     "ref_q2_market_share",
 )
