@@ -283,3 +283,72 @@ def test_semdedup_auto_routes_large_cell_counts_two_level(spark):
     drops_exact = n - len(exact)
     assert drops_exact > 0
     assert abs((n - len(auto)) - drops_exact) <= max(3, drops_exact // 10)
+
+
+def test_semdedup_incremental_gate_invariants(spark):
+    """Embedding member of the incremental family: planted near-copies
+    of history are vetoed when co-assigned, every dropped batch vector
+    has a same-cell history match ≥ threshold, within-batch near-dups
+    both survive, and an over-full history cell loses its veto
+    (admit-direction cap)."""
+    import numpy as np
+
+    from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        sampled_centroids,
+        semdedup_incremental,
+    )
+
+    rng = np.random.default_rng(31)
+    dim = 16
+    hv = rng.normal(0, 1, (300, dim))
+    hv /= np.linalg.norm(hv, axis=1, keepdims=True)
+    hist = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(hv)],
+        "vec_id long, embedding array<double>",
+    )
+    # batch: 40 fresh gaussians + 30 near-copies of history + a
+    # within-batch near-dup PAIR (both fresh)
+    fresh = rng.normal(0, 1, (40, dim))
+    fresh /= np.linalg.norm(fresh, axis=1, keepdims=True)
+    pair_base = fresh[0]
+    rows = [(1000 + i, [float(x) for x in r]) for i, r in enumerate(fresh)]
+    rows += [
+        (2000 + i, [float(x) for x in (hv[i] * 2.0 + 0.001)])
+        for i in range(30)
+    ]
+    rows.append((3000, [float(x) for x in (pair_base * 0.999)]))
+    batch = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cents = sampled_centroids(hist, 12, 7)
+    out = semdedup_incremental(batch, hist, cents, threshold=0.9, dim=dim)
+    survivors = {r.vec_id for r in out.collect()}
+    # the within-batch near-dup pair both survive (history-only veto)
+    assert 1000 in survivors and 3000 in survivors
+    # dropped == batch vectors with a same-cell history cosine >= 0.9
+    ha = {
+        r.vec_id: r.cell
+        for r in ivf_assign(hist, cents, dim=dim).collect()
+    }
+    ba = {
+        r.vec_id: r.cell
+        for r in ivf_assign(batch, cents, dim=dim).collect()
+    }
+    hv_by_cell: dict[int, list] = {}
+    for i, c in ha.items():
+        hv_by_cell.setdefault(c, []).append(hv[i])
+    for r in batch.collect():
+        v = np.array(r.embedding)
+        v = v / np.linalg.norm(v)
+        cell = ba[r.vec_id]
+        vetoed = any(
+            round(float(np.dot(v, h / np.linalg.norm(h))), 6) >= 0.9
+            for h in hv_by_cell.get(cell, [])
+        )
+        assert (r.vec_id not in survivors) == vetoed, r.vec_id
+    # admit-direction cap: max_cell=0 removes every veto
+    capped = semdedup_incremental(
+        batch, hist, cents, threshold=0.9, dim=dim, max_cell=0
+    )
+    assert capped.count() == batch.count()

@@ -708,6 +708,70 @@ def semdedup(
     return assigned.join(dropped, id_col, "left_anti").select(id_col, "cell")
 
 
+def semdedup_incremental(
+    batch: DataFrame,
+    history: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    max_cell: int = 10_000,
+    history_assigned: DataFrame | None = None,
+    batch_assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Batch-vs-corpus SEMANTIC dedup gate — the embedding member of
+    the incremental family (text: ``dedup.incremental_dedup`` /
+    ``incremental_neardup``; images: ``phash.phash_incremental``): a
+    new batch vector survives only if NO history vector in its
+    quantizer cell has cosine ≥ ``threshold``. History is never
+    re-deduped; within-batch near-duplicates both survive (history is
+    the only veto — the family contract, so a retried or reordered
+    ingest can never change a past decision).
+
+    The ``centroids`` table is the FIXED quantizer a production corpus
+    keeps alongside its (id, vector, cell) index — assignment of the
+    batch is n_batch×C broadcast dots (or inject a two-level routing
+    via a precomputed frame upstream), and the veto join is an
+    equi-join on cell against only the history cells the batch
+    touches: with the history index stored partitioned by cell (the
+    streaming gates' layout), the read prunes to the batch's working
+    set. ``history_assigned`` injection skips re-assigning a history
+    frame that already carries its cell (the persisted-index path);
+    otherwise history is assigned here with the same quantizer.
+
+    Over-full history cells (> ``max_cell``) lose their veto —
+    admit-direction, the same conservative cap contract as every gate
+    in the family (a degenerate centroid attracting everything must
+    not turn the gate into an all-pairs join). Returns surviving batch
+    rows as ``(id_col, cell)``. ``batch_assigned`` injection skips
+    re-assigning a batch the caller already routed (the streaming
+    gate assigns once for its cell-prune collect and reuses it
+    here)."""
+    b = (
+        batch_assigned
+        if batch_assigned is not None
+        else ivf_assign(batch, centroids, id_col, vec_col, dim)
+    )
+    if history_assigned is None:
+        history_assigned = ivf_assign(
+            history, centroids, id_col, vec_col, dim
+        )
+    sizes = history_assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("_csz")
+    )
+    h = history_assigned.join(
+        F.broadcast(sizes.where(F.col("_csz") <= max_cell)), "cell"
+    ).select("cell", F.col(vec_col).alias("_hv"))
+    dropped = (
+        b.join(h, "cell")
+        .where(cosine_similarity_col(vec_col, "_hv", dim=dim) >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+    return b.join(dropped, id_col, "left_anti").select(id_col, "cell")
+
+
 def l2_normalize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Unit-normalize an embedding column — the standard prep before any
     cosine-based stage (ANN, SemDeDup, near-dup): post-normalization,

@@ -6031,6 +6031,93 @@ WHERE dropped.vec_id IS NULL
 """
 
 
+def semdedup_incr_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch-vs-corpus SEMANTIC dedup gate
+    (operators/similarity.semdedup_incremental — the embedding member
+    of the incremental family, completing the text/image/embedding
+    symmetry): vectors < 350 are the corpus; vectors ≥ 350 plus
+    planted near-copies of corpus vectors (x*2.0+0.02, relabeled
+    +1000000) arrive as a batch. The quantizer is stride-sampled from
+    the CORPUS (the production shape: a fixed centroid table trained
+    on the history), both sides are cell-assigned with the rounded-
+    cosine lowest-cell argmax, and a batch vector is dropped iff some
+    same-cell history vector has cosine ≥ 0.9. History is never
+    re-deduped; within-batch near-dups both survive (history is the
+    only veto). The oracle replays the full chain — stride centroid
+    pick, BOTH assignments, the same-cell veto join — closed-form."""
+    from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
+        sampled_centroids,
+        semdedup_incremental,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    hist = base.where(F.col("vec_id") < 350)
+    batch = base.where(F.col("vec_id") >= 350).unionByName(
+        base.where(F.col("vec_id") < 25).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x * F.lit(2.0) + F.lit(0.02)
+            ).alias("embedding"),
+        )
+    )
+    cents = sampled_centroids(hist, _IVF_CELLS, _IVF_STRIDE)
+    return semdedup_incremental(
+        batch, hist, cents, threshold=0.9, dim=_EMB_DIM
+    ).select("vec_id", F.col("cell").cast("long").alias("cell"))
+
+
+SEMDEDUP_INCR_SQL = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+hist AS (SELECT vec_id, e FROM base WHERE vec_id < 350),
+batch AS (
+  SELECT vec_id, e FROM base WHERE vec_id >= 350
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, list_transform(e, x -> x * 2.0 + 0.02) AS e
+  FROM base WHERE vec_id < 25
+),
+cents AS (
+  SELECT vec_id AS cell, e AS ce FROM hist
+  WHERE vec_id % {{stride}} = 0 ORDER BY vec_id LIMIT {{cells}}
+),
+ha AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT h.vec_id, h.e, c.cell,
+      row_number() OVER (
+        PARTITION BY h.vec_id
+        ORDER BY ROUND(list_cosine_similarity(h.e, c.ce), 6) DESC, c.cell
+      ) AS rnk
+    FROM hist h, cents c
+  ) WHERE rnk = 1
+),
+ba AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT b.vec_id, b.e, c.cell,
+      row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY ROUND(list_cosine_similarity(b.e, c.ce), 6) DESC, c.cell
+      ) AS rnk
+    FROM batch b, cents c
+  ) WHERE rnk = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM ba b JOIN ha h ON b.cell = h.cell
+  WHERE ROUND(list_cosine_similarity(b.e, h.e), 6) >= 0.9
+)
+SELECT ba.vec_id, CAST(ba.cell AS BIGINT) AS cell
+FROM ba LEFT JOIN dropped ON ba.vec_id = dropped.vec_id
+WHERE dropped.vec_id IS NULL
+""".replace("{stride}", str(_IVF_STRIDE)).replace("{cells}", str(_IVF_CELLS))
+
+
 def semdedup_2level_survivors(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -12701,6 +12788,7 @@ REGISTRY: dict[str, QuerySpec] = {
         multimodal_jpeg_image_decode, JPEG_IMAGE_SQL
     ),
     "semdedup": QuerySpec(semdedup_survivors, SEMDEDUP_SQL),
+    "semdedup_incr": QuerySpec(semdedup_incr_survivors, SEMDEDUP_INCR_SQL),
     "semdedup_2level": QuerySpec(
         semdedup_2level_survivors, SEMDEDUP_2LEVEL_SQL
     ),
@@ -13211,6 +13299,7 @@ _R13_FRONT: tuple[str, ...] = (
     "wds_member_census",
     "wds_roundtrip",
     "wds_multimodal_e2e",
+    "semdedup_incr",
     "multimodal_dedup_manifest",
     "image_phash_incremental",
     "semdedup",
@@ -13258,7 +13347,6 @@ _R13_FRONT: tuple[str, ...] = (
     "j1_broadcast_join",
     "dedup_minhash_lsh",
     "ref_q1_top_titles",
-    "ref_q2_market_share",
 )
 assert len(_R13_FRONT) == len(set(_R13_FRONT)) == 50
 REGISTRY = {
