@@ -1,0 +1,92 @@
+"""JPEG EXIF census conformance (operators/exif.py): golden TIFF
+structures in BOTH byte orders, the >4-byte offset indirection,
+GPS latitude decode, and every quarantine class."""
+
+from __future__ import annotations
+
+import struct
+
+from vacancy_gpt_etl_pipeline_spark.operators.exif import (
+    _build_exif_jpeg,
+    _parse_exif,
+)
+
+
+def test_both_byte_orders_golden():
+    even = _parse_exif(_build_exif_jpeg(12))  # II, gps (12%3==0)
+    assert even == (
+        "II",
+        "CAM2",
+        5,
+        "2024:01:13 12:00:00",
+        True,
+        12.2,  # 12 deg + 12 min / 60
+        4,
+    )
+    odd = _parse_exif(_build_exif_jpeg(7))  # MM, no gps
+    assert odd == ("MM", "CAM2", 8, "2024:01:08 12:00:00", False, None, 3)
+
+
+def test_inline_vs_offset_values():
+    """Orientation (SHORT, 2 bytes) is stored inline in the 4-byte
+    value field; Make (ASCII > 4 bytes) goes through the offset
+    indirection — both must decode."""
+    got = _parse_exif(_build_exif_jpeg(2))
+    assert got[1] == "CAM2" and got[2] == 3
+
+
+def test_gps_latitude_rationals():
+    # id=93: MM order, 93%90=3 deg, 93%60=33 min -> 3.55
+    got = _parse_exif(_build_exif_jpeg(93))
+    assert got[4] is True
+    assert got[5] == round(3 + 33 / 60, 6) == 3.55
+
+
+def test_quarantine_classes():
+    good = _build_exif_jpeg(4)
+    assert _parse_exif(good) is not None
+    assert _parse_exif(good[: len(good) // 2]) is None  # truncated
+    assert _parse_exif(b"") is None
+    assert _parse_exif(b"\x00\x00" + good[2:]) is None  # no SOI
+    # APP1 present but TIFF magic wrong
+    bad = bytearray(good)
+    off = good.find(b"Exif\x00\x00") + 6
+    bad[off + 2] = 0x99  # magic 42 -> corrupted
+    assert _parse_exif(bytes(bad)) is None
+    # IFD0 offset pointing past the buffer
+    bad = bytearray(good)
+    bad[off + 4 : off + 8] = struct.pack("<L", 1 << 20)
+    assert _parse_exif(bytes(bad)) is None
+    # segment length overrunning the file
+    bad = bytearray(good)
+    bad[2 + 2 : 2 + 4] = struct.pack(">H", 0xFFFF)
+    assert _parse_exif(bytes(bad)) is None
+    # a JPEG with no Exif APP1 at all (plain JFIF) quarantines too —
+    # this census is about metadata presence
+    jfif = b"\xff\xd8\xff\xe0" + struct.pack(">H", 7) + b"JFIF\x00\xff\xd9"
+    assert _parse_exif(jfif) is None
+
+
+def test_spark_census_closed_forms(spark, sf_dir):
+    from vacancy_gpt_etl_pipeline_spark.operators.exif import (
+        census_exif,
+        synthesize_exif_payload,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    rows = census_exif(synthesize_exif_payload(docs)).collect()
+    assert rows
+    for r in rows:
+        i = r.asset_id
+        if i % 29 == 0:
+            assert r.fmt == "jpeg?" and r.byte_order is None
+            continue
+        assert r.fmt == "jpeg"
+        assert r.byte_order == ("II" if i % 2 == 0 else "MM")
+        assert r.make == f"CAM{i % 5}"
+        assert r.orientation == 1 + i % 8
+        assert r.has_gps == (i % 3 == 0)
+        if r.has_gps:
+            assert r.gps_lat == round((i % 90) + (i % 60) / 60, 6)

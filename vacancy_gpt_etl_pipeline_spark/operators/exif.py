@@ -1,0 +1,309 @@
+"""JPEG EXIF metadata census — the image-metadata PII tier (the text
+side has `pii_redaction`; crawled images carry their own PII in EXIF:
+GPS coordinates, device serials, timestamps). Public formats end to
+end: JPEG marker segments (ITU T.81), the Exif APP1 payload (a TIFF
+file: II/MM byte order, 12-byte IFD entries of (tag, type, count,
+value-or-offset)), the Exif and GPS sub-IFDs reached through the
+0x8769 / 0x8825 pointer tags, and GPS latitude as three RATIONALs
+(deg, min, sec).
+
+Census columns are what a curation run acts on: device make,
+orientation, capture timestamp, and — the PII flag — GPS presence
+plus the decoded decimal latitude. Both TIFF byte orders are
+exercised by the fixture (id parity), because a walker that only
+handles II silently mis-reads every MM camera. Malformed payloads
+(truncated APP1, bad TIFF magic, entry tables overrunning the
+segment) quarantine as ``fmt='jpeg?'`` with null columns —
+quarantine-not-fail. Pixel decode stays operators/jpeg.py's job; this
+is the metadata tier, like the MP3/ADTS/WebP censuses.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EXIF_CENSUS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("byte_order", T.StringType()),
+        T.StructField("make", T.StringType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("datetime_original", T.StringType()),
+        T.StructField("has_gps", T.BooleanType()),
+        T.StructField("gps_lat", T.DoubleType()),
+        T.StructField("n_ifd0_entries", T.IntegerType()),
+    ]
+)
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _read_ifd(tiff: bytes, off: int, e: str):
+    """((tag → (type, count, raw-value-field)), entry_count) at
+    ``off``; raises ValueError past the buffer."""
+    if off + 2 > len(tiff):
+        raise ValueError("IFD offset past buffer")
+    n = struct.unpack(e + "H", tiff[off : off + 2])[0]
+    end = off + 2 + 12 * n
+    if end + 4 > len(tiff):
+        raise ValueError("IFD entries past buffer")
+    out = {}
+    for k in range(n):
+        base = off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack(e + "HHL", tiff[base : base + 8])
+        out[tag] = (typ, cnt, tiff[base + 8 : base + 12])
+    return out, n
+
+
+def _value(tiff: bytes, typ: int, cnt: int, raw: bytes, e: str):
+    """Decode an IFD entry value, following the offset indirection
+    when the payload exceeds 4 bytes."""
+    size = _TYPE_SIZE.get(typ)
+    if size is None:
+        return None
+    total = size * cnt
+    if total <= 4:
+        buf = raw[:total]
+    else:
+        off = struct.unpack(e + "L", raw)[0]
+        if off + total > len(tiff):
+            raise ValueError("value offset past buffer")
+        buf = tiff[off : off + total]
+    if typ == 2:  # ASCII, NUL-terminated
+        return buf.split(b"\x00")[0].decode("ascii", "replace")
+    if typ == 3:
+        return list(struct.unpack(e + "H" * cnt, buf))
+    if typ == 4:
+        return list(struct.unpack(e + "L" * cnt, buf))
+    if typ == 5:  # RATIONAL pairs
+        flat = struct.unpack(e + "L" * (2 * cnt), buf)
+        return [(flat[2 * i], flat[2 * i + 1]) for i in range(cnt)]
+    return list(buf)
+
+
+def _parse_exif(b: bytes):
+    """Census tuple or None for malformed input. Walks JPEG segments
+    to APP1/Exif, then the TIFF structure inside it."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    app1 = None
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if seg_len < 2 or i + 2 + seg_len > len(b):
+            return None  # truncated segment
+        if marker == 0xE1 and b[i + 4 : i + 10] == b"Exif\x00\x00":
+            app1 = b[i + 10 : i + 2 + seg_len]
+            break
+        i += 2 + seg_len
+    if app1 is None:
+        return None
+    tiff = app1
+    if len(tiff) < 8:
+        return None
+    order = tiff[:2]
+    if order == b"II":
+        e = "<"
+    elif order == b"MM":
+        e = ">"
+    else:
+        return None
+    magic, ifd0_off = struct.unpack(e + "HL", tiff[2:8])
+    if magic != 42:
+        return None
+    try:
+        ifd0, n0 = _read_ifd(tiff, ifd0_off, e)
+        make = None
+        if 0x010F in ifd0:
+            make = _value(tiff, *ifd0[0x010F], e)
+        orientation = None
+        if 0x0112 in ifd0:
+            v = _value(tiff, *ifd0[0x0112], e)
+            orientation = int(v[0]) if v else None
+        dt = None
+        if 0x8769 in ifd0:  # Exif sub-IFD pointer
+            off = _value(tiff, *ifd0[0x8769], e)[0]
+            exif_ifd, _ = _read_ifd(tiff, off, e)
+            if 0x9003 in exif_ifd:  # DateTimeOriginal
+                dt = _value(tiff, *exif_ifd[0x9003], e)
+        has_gps, gps_lat = False, None
+        if 0x8825 in ifd0:  # GPS sub-IFD pointer
+            off = _value(tiff, *ifd0[0x8825], e)[0]
+            gps_ifd, _ = _read_ifd(tiff, off, e)
+            has_gps = True
+            if 2 in gps_ifd:  # GPSLatitude: 3 RATIONALs
+                rats = _value(tiff, *gps_ifd[2], e)
+                if rats and all(d != 0 for _, d in rats):
+                    deg = rats[0][0] / rats[0][1]
+                    mins = rats[1][0] / rats[1][1] if len(rats) > 1 else 0
+                    secs = rats[2][0] / rats[2][1] if len(rats) > 2 else 0
+                    gps_lat = round(deg + mins / 60 + secs / 3600, 6)
+    except ValueError:
+        return None
+    return (
+        order.decode("ascii"),
+        make,
+        orientation,
+        dt,
+        has_gps,
+        gps_lat,
+        n0,
+    )
+
+
+def census_exif(
+    df: DataFrame, id_col: str = "asset_id", content_col: str = "content"
+) -> DataFrame:
+    """Walk every payload's JPEG segments + EXIF TIFF structure (Arrow
+    ``mapInPandas``); malformed payloads quarantine as ``fmt='jpeg?'``
+    with null census columns."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in EXIF_CENSUS_SCHEMA}
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(content) if content is not None else b""
+                parsed = _parse_exif(b)
+                rows["asset_id"].append(int(aid))
+                if parsed is None:
+                    rows["fmt"].append("jpeg?")
+                    for k in (
+                        "byte_order",
+                        "make",
+                        "orientation",
+                        "datetime_original",
+                        "has_gps",
+                        "gps_lat",
+                        "n_ifd0_entries",
+                    ):
+                        rows[k].append(None)
+                    continue
+                (order, make, orientation, dt, has_gps, lat, n0) = parsed
+                rows["fmt"].append("jpeg")
+                rows["byte_order"].append(order)
+                rows["make"].append(make)
+                rows["orientation"].append(orientation)
+                rows["datetime_original"].append(dt)
+                rows["has_gps"].append(has_gps)
+                rows["gps_lat"].append(lat)
+                rows["n_ifd0_entries"].append(n0)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, EXIF_CENSUS_SCHEMA
+    )
+
+
+def _build_exif_jpeg(i: int) -> bytes:
+    """One deterministic fixture payload: SOI + APP1/Exif (TIFF with
+    IFD0 Make/Orientation + Exif and GPS sub-IFDs) + EOI. Closed
+    forms: byte order II for even ids / MM for odd; make 'CAM<id%5>';
+    orientation 1 + id%8; DateTimeOriginal day 1 + id%28; GPS present
+    iff id%3 == 0 with latitude (id%90) deg + (id%60) min. Every
+    ``id % 29 == 0`` payload is truncated mid-APP1 → quarantine."""
+    e = "<" if i % 2 == 0 else ">"
+    make = f"CAM{i % 5}".encode("ascii") + b"\x00"
+    dt = f"2024:01:{1 + i % 28:02d} 12:00:00".encode("ascii") + b"\x00"
+    gps = i % 3 == 0
+
+    def entry(tag, typ, cnt, raw4):
+        return struct.pack(e + "HHL", tag, typ, cnt) + raw4
+
+    def short4(v):
+        return struct.pack(e + "H", v) + b"\x00\x00"
+
+    def long4(v):
+        return struct.pack(e + "L", v)
+
+    # layout: header(8) | IFD0 | exif IFD | gps IFD | data area
+    n0 = 4 if gps else 3
+    ifd0_off = 8
+    ifd0_size = 2 + 12 * n0 + 4
+    exif_off = ifd0_off + ifd0_size
+    exif_size = 2 + 12 * 1 + 4
+    gps_off = exif_off + exif_size
+    gps_size = (2 + 12 * 2 + 4) if gps else 0
+    data_off = gps_off + gps_size
+    make_off = data_off
+    dt_off = make_off + len(make)
+    lat_off = dt_off + len(dt)
+
+    ifd0_entries = [
+        entry(0x010F, 2, len(make), long4(make_off)),
+        entry(0x0112, 3, 1, short4(1 + i % 8)),
+        entry(0x8769, 4, 1, long4(exif_off)),
+    ]
+    if gps:
+        ifd0_entries.append(entry(0x8825, 4, 1, long4(gps_off)))
+    ifd0_entries.sort(key=lambda raw: struct.unpack(e + "H", raw[:2])[0])
+    ifd0 = (
+        struct.pack(e + "H", n0) + b"".join(ifd0_entries) + long4(0)
+    )
+    exif_ifd = (
+        struct.pack(e + "H", 1)
+        + entry(0x9003, 2, len(dt), long4(dt_off))
+        + long4(0)
+    )
+    data = make + dt
+    gps_ifd = b""
+    if gps:
+        lat = struct.pack(
+            e + "LLLLLL", i % 90, 1, i % 60, 1, 0, 1
+        )
+        gps_ifd = (
+            struct.pack(e + "H", 2)
+            + entry(1, 2, 2, b"N\x00\x00\x00")  # GPSLatitudeRef
+            + entry(2, 5, 3, long4(lat_off))
+            + long4(0)
+        )
+        data += lat
+    tiff = (
+        (b"II" if e == "<" else b"MM")
+        + struct.pack(e + "HL", 42, ifd0_off)
+        + ifd0
+        + exif_ifd
+        + gps_ifd
+        + data
+    )
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    out = b"\xff\xd8" + app1 + b"\xff\xd9"
+    if i % 29 == 0:
+        out = out[: len(out) - len(out) // 2]  # truncate mid-APP1
+    return out
+
+
+def synthesize_exif_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic EXIF-JPEG fixture (Arrow ``mapInPandas``; per-row
+    Python assembly because TIFF offsets + dual endianness make hex
+    concatenation unreadable — the wds tarfile-for-synthesis
+    precedent). All fields are the closed forms in
+    :func:`_build_exif_jpeg`'s docstring."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "content": [_build_exif_jpeg(i) for i in ids],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        run, "asset_id long, content binary"
+    )

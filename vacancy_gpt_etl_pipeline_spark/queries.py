@@ -90,6 +90,10 @@ from vacancy_gpt_etl_pipeline_spark.operators.wds import (
     synthesize_wds_shards,
     tar_members,
 )
+from vacancy_gpt_etl_pipeline_spark.operators.exif import (
+    census_exif,
+    synthesize_exif_payload,
+)
 from vacancy_gpt_etl_pipeline_spark.operators.phash import (
     PHASH_DCT_LUT,
     phash_bmp,
@@ -4494,6 +4498,55 @@ def wds_multimodal_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").cast("long").alias("asset_id"), "content"
     )
     return phash_dedup_groups(phash_bmp(imgs))
+
+
+def jpeg_exif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG EXIF metadata census (operators/exif.py) — the
+    image-metadata PII tier: documents become JPEGs with real APP1/
+    Exif TIFF structures (IFD0 Make/Orientation, Exif sub-IFD
+    DateTimeOriginal, GPS sub-IFD with RATIONAL latitude), half II and
+    half MM byte order so a single-endianness walker cannot pass, and
+    census_exif walks the actual segments: marker scan, TIFF header,
+    12-byte IFD entries with the >4-byte offset indirection, pointer-
+    tag hops into both sub-IFDs, deg+min/60 latitude decode. Every
+    29th payload is truncated mid-APP1 → quarantined as fmt='jpeg?'.
+    The oracle replays every column (including the quarantine
+    population and the GPS-presence flag a PII-scrubbing run filters
+    on) closed-form from doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    return census_exif(synthesize_exif_payload(docs, "doc_id")).select(
+        "asset_id",
+        "fmt",
+        "byte_order",
+        "make",
+        "orientation",
+        "datetime_original",
+        "has_gps",
+        "gps_lat",
+        "n_ifd0_entries",
+    )
+
+
+EXIF_CENSUS_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+  CASE WHEN doc_id % 29 = 0 THEN 'jpeg?' ELSE 'jpeg' END AS fmt,
+  CASE WHEN doc_id % 29 = 0 THEN NULL
+       WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+  CASE WHEN doc_id % 29 = 0 THEN NULL
+       ELSE 'CAM' || CAST(doc_id % 5 AS VARCHAR) END AS make,
+  CASE WHEN doc_id % 29 = 0 THEN NULL
+       ELSE CAST(1 + doc_id % 8 AS INTEGER) END AS orientation,
+  CASE WHEN doc_id % 29 = 0 THEN NULL
+       ELSE '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+            || ' 12:00:00' END AS datetime_original,
+  CASE WHEN doc_id % 29 = 0 THEN NULL ELSE doc_id % 3 = 0 END AS has_gps,
+  CASE WHEN doc_id % 29 = 0 OR doc_id % 3 <> 0 THEN NULL
+       ELSE ROUND((doc_id % 90) + (doc_id % 60) / 60.0, 6) END AS gps_lat,
+  CASE WHEN doc_id % 29 = 0 THEN NULL
+       WHEN doc_id % 3 = 0 THEN CAST(4 AS INTEGER)
+       ELSE CAST(3 AS INTEGER) END AS n_ifd0_entries
+FROM documents
+"""
 
 
 def multimodal_aac_census(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12749,6 +12802,7 @@ REGISTRY: dict[str, QuerySpec] = {
         multimodal_aac_census, MULTIMODAL_AAC_SQL
     ),
     "webp_census": QuerySpec(webp_container_census, WEBP_CENSUS_SQL),
+    "jpeg_exif_census": QuerySpec(jpeg_exif_census, EXIF_CENSUS_SQL),
     "wds_member_census": QuerySpec(wds_member_census, WDS_MEMBER_SQL),
     "wds_roundtrip": QuerySpec(wds_ingest_roundtrip, WDS_ROUNDTRIP_SQL),
     "wds_multimodal_e2e": QuerySpec(
@@ -13300,6 +13354,7 @@ _R13_FRONT: tuple[str, ...] = (
     "wds_roundtrip",
     "wds_multimodal_e2e",
     "semdedup_incr",
+    "jpeg_exif_census",
     "multimodal_dedup_manifest",
     "image_phash_incremental",
     "semdedup",
@@ -13346,7 +13401,6 @@ _R13_FRONT: tuple[str, ...] = (
     # (c) oldest round-8 cohort entries
     "j1_broadcast_join",
     "dedup_minhash_lsh",
-    "ref_q1_top_titles",
 )
 assert len(_R13_FRONT) == len(set(_R13_FRONT)) == 50
 REGISTRY = {
