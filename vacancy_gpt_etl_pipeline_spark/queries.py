@@ -4441,24 +4441,29 @@ def wds_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     corruption anywhere in the synthesize→parse→decode chain."""
     docs = _t(spark, sf_dir, "documents")
     members = tar_members(synthesize_wds_shards(docs))
-    txt = members.where(F.col("ext") == "txt").select(
-        F.col("key").cast("long").alias("doc_id"),
-        F.decode("content", "UTF-8").alias("_t"),
-        F.col("size").alias("n_text_bytes"),
-    )
-    cls = members.where(F.col("ext") == "cls").select(
-        F.col("key").cast("long").alias("doc_id"),
-        F.decode("content", "UTF-8").cast("int").alias("label"),
-    )
-    return (
-        docs.join(txt, "doc_id")
-        .join(cls, "doc_id")
-        .select(
-            "doc_id",
-            "label",
-            "n_text_bytes",
-            (F.col("text") == F.col("_t")).alias("text_ok"),
+    # ONE pass over the members: a txt/cls branch pair as separate
+    # frames would re-run the tar synthesis + parse lineage once per
+    # branch (measured 2x FlatMapGroupsInPandas in the plan); the
+    # conditional-aggregate pivot reads the member stream once and
+    # regroups per sample — the shape a WebDataset loader has anyway
+    t, c = F.col("ext") == "txt", F.col("ext") == "cls"
+    samples = (
+        members.where(t | c)
+        .groupBy(F.col("key").cast("long").alias("doc_id"))
+        .agg(
+            F.max(F.when(t, F.decode("content", "UTF-8"))).alias("_t"),
+            F.max(F.when(t, F.col("size"))).alias("n_text_bytes"),
+            F.max(
+                F.when(c, F.decode("content", "UTF-8").cast("int"))
+            ).alias("label"),
         )
+        .where(F.col("_t").isNotNull())
+    )
+    return docs.join(samples, "doc_id").select(
+        "doc_id",
+        "label",
+        "n_text_bytes",
+        (F.col("text") == F.col("_t")).alias("text_ok"),
     )
 
 
