@@ -1,0 +1,122 @@
+"""Quarantine-not-fail under arbitrary corruption: the container/
+metadata walkers (ustar, WebP, EXIF, MP3/ID3) must never raise on
+mutated or random bytes — every outcome is either a valid parse or a
+clean quarantine signal. Seeded mutation fuzz over real fixture
+payloads plus pure-noise buffers; any uncaught exception here is
+exactly the crash a 100 TB crawl shard would hit mid-job."""
+
+from __future__ import annotations
+
+import random
+
+from vacancy_gpt_etl_pipeline_spark.operators.exif import (
+    _build_exif_jpeg,
+    _parse_exif,
+)
+from vacancy_gpt_etl_pipeline_spark.operators.mp3 import _parse_id3v2
+from vacancy_gpt_etl_pipeline_spark.operators.webp import _parse_webp
+from vacancy_gpt_etl_pipeline_spark.operators.wds import _parse_ustar
+
+
+def _mutations(rng: random.Random, base: bytes, n: int):
+    for _ in range(n):
+        b = bytearray(base)
+        kind = rng.randrange(4)
+        if kind == 0 and b:  # flip bytes
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        elif kind == 1 and b:  # truncate
+            del b[rng.randrange(len(b)) :]
+        elif kind == 2:  # splice noise
+            pos = rng.randrange(len(b) + 1)
+            b[pos:pos] = bytes(
+                rng.randrange(256) for _ in range(rng.randrange(1, 32))
+            )
+        else:  # overwrite a run
+            if b:
+                pos = rng.randrange(len(b))
+                run = min(len(b) - pos, rng.randrange(1, 16))
+                b[pos : pos + run] = bytes(
+                    rng.randrange(256) for _ in range(run)
+                )
+        yield bytes(b)
+
+
+def _noise(rng: random.Random, n: int):
+    for _ in range(n):
+        yield bytes(
+            rng.randrange(256) for _ in range(rng.randrange(0, 700))
+        )
+
+
+def test_exif_walker_never_raises():
+    rng = random.Random(131)
+    for base_id in (1, 3, 6):
+        base = _build_exif_jpeg(base_id)
+        for payload in _mutations(rng, base, 250):
+            r = _parse_exif(payload)
+            assert r is None or isinstance(r, tuple)
+    for payload in _noise(rng, 150):
+        assert _parse_exif(b"\xff\xd8" + payload) is None or True
+
+
+def test_webp_walker_never_raises():
+    from test_webp_census import _container, _vp8, _vp8l, _vp8x
+
+    rng = random.Random(133)
+    bases = (
+        _container(_vp8(320, 240, fill=3)),
+        _container(_vp8l(100, 80, True)),
+        _container(_vp8x(64, 48, False), _vp8(64, 48)),
+    )
+    for base in bases:
+        for payload in _mutations(rng, base, 200):
+            r = _parse_webp(payload)
+            assert r is None or isinstance(r, tuple)
+    for payload in _noise(rng, 150):
+        r = _parse_webp(b"RIFF" + payload)
+        assert r is None or isinstance(r, tuple)
+
+
+def test_ustar_walker_raises_only_valueerror():
+    """The ustar walker's error contract is ValueError (the shard
+    quarantine signal in tar_members) — never IndexError/struct.error
+    or a hang."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(
+        fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+    ) as tf:
+        for name, data in (("a.txt", b"abc" * 50), ("b.cls", b"1")):
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(data))
+    base = buf.getvalue()
+    rng = random.Random(137)
+    for payload in _mutations(rng, base, 400):
+        try:
+            list(_parse_ustar(payload))
+        except ValueError:
+            pass
+    for payload in _noise(rng, 150):
+        try:
+            list(_parse_ustar(payload))
+        except ValueError:
+            pass
+
+
+def test_id3_parser_never_raises():
+    rng = random.Random(139)
+    v23 = (
+        b"ID3\x03\x00\x00\x00\x00\x00\x15"
+        b"TIT2\x00\x00\x00\x0b\x00\x00\x00hello tests"
+    )
+    for payload in _mutations(rng, v23, 300):
+        total, title = _parse_id3v2(payload + b"\x00" * 8)
+        assert total >= 0
+    for payload in _noise(rng, 150):
+        total, title = _parse_id3v2(payload)
+        assert total >= 0

@@ -123,33 +123,61 @@ def _parse_exif(b: bytes):
     magic, ifd0_off = struct.unpack(e + "HL", tiff[2:8])
     if magic != 42:
         return None
+    # tag-level corruption guards: a flipped TYPE byte makes _value
+    # return a differently-shaped (or None) payload — each extractor
+    # accepts only the shape its tag is defined with and treats
+    # anything else as the tag being absent (quarantine stays reserved
+    # for STRUCTURAL damage: offsets/tables past the buffer)
+    def _ptr(entry):
+        v = _value(tiff, *entry, e)
+        if isinstance(v, list) and v and isinstance(v[0], int):
+            return v[0]
+        return None
+
     try:
         ifd0, n0 = _read_ifd(tiff, ifd0_off, e)
         make = None
         if 0x010F in ifd0:
-            make = _value(tiff, *ifd0[0x010F], e)
+            v = _value(tiff, *ifd0[0x010F], e)
+            make = v if isinstance(v, str) else None
         orientation = None
         if 0x0112 in ifd0:
             v = _value(tiff, *ifd0[0x0112], e)
-            orientation = int(v[0]) if v else None
+            if isinstance(v, list) and v and isinstance(v[0], int):
+                orientation = int(v[0])
         dt = None
         if 0x8769 in ifd0:  # Exif sub-IFD pointer
-            off = _value(tiff, *ifd0[0x8769], e)[0]
-            exif_ifd, _ = _read_ifd(tiff, off, e)
-            if 0x9003 in exif_ifd:  # DateTimeOriginal
-                dt = _value(tiff, *exif_ifd[0x9003], e)
+            off = _ptr(ifd0[0x8769])
+            if off is not None:
+                exif_ifd, _ = _read_ifd(tiff, off, e)
+                if 0x9003 in exif_ifd:  # DateTimeOriginal
+                    v = _value(tiff, *exif_ifd[0x9003], e)
+                    dt = v if isinstance(v, str) else None
         has_gps, gps_lat = False, None
         if 0x8825 in ifd0:  # GPS sub-IFD pointer
-            off = _value(tiff, *ifd0[0x8825], e)[0]
-            gps_ifd, _ = _read_ifd(tiff, off, e)
-            has_gps = True
-            if 2 in gps_ifd:  # GPSLatitude: 3 RATIONALs
-                rats = _value(tiff, *gps_ifd[2], e)
-                if rats and all(d != 0 for _, d in rats):
-                    deg = rats[0][0] / rats[0][1]
-                    mins = rats[1][0] / rats[1][1] if len(rats) > 1 else 0
-                    secs = rats[2][0] / rats[2][1] if len(rats) > 2 else 0
-                    gps_lat = round(deg + mins / 60 + secs / 3600, 6)
+            off = _ptr(ifd0[0x8825])
+            if off is not None:
+                gps_ifd, _ = _read_ifd(tiff, off, e)
+                has_gps = True
+                if 2 in gps_ifd:  # GPSLatitude: 3 RATIONALs
+                    rats = _value(tiff, *gps_ifd[2], e)
+                    if (
+                        isinstance(rats, list)
+                        and rats
+                        and all(
+                            isinstance(r, tuple) and len(r) == 2
+                            for r in rats
+                        )
+                        and all(d != 0 for _, d in rats)
+                    ):
+                        deg = rats[0][0] / rats[0][1]
+                        mins = (
+                            rats[1][0] / rats[1][1] if len(rats) > 1 else 0
+                        )
+                        secs = (
+                            rats[2][0] / rats[2][1] if len(rats) > 2 else 0
+                        )
+                        gps_lat = round(deg + mins / 60 + secs / 3600, 6)
     except ValueError:
         return None
     return (
