@@ -36,10 +36,11 @@ def test_inline_vs_offset_values():
 
 
 def test_gps_latitude_rationals():
-    # id=93: MM order, 93%90=3 deg, 93%60=33 min -> 3.55
-    got = _parse_exif(_build_exif_jpeg(93))
+    # id=33: MM order, 33%90=33 deg, 33%60=33 min -> 33.55
+    # (33, not 93 — 93 is a multiple of 31, the no-EXIF fixture class)
+    got = _parse_exif(_build_exif_jpeg(33))
     assert got[4] is True
-    assert got[5] == round(3 + 33 / 60, 6) == 3.55
+    assert got[5] == round(33 + 33 / 60, 6) == 33.55
 
 
 def test_quarantine_classes():
@@ -61,10 +62,60 @@ def test_quarantine_classes():
     bad = bytearray(good)
     bad[2 + 2 : 2 + 4] = struct.pack(">H", 0xFFFF)
     assert _parse_exif(bytes(bad)) is None
-    # a JPEG with no Exif APP1 at all (plain JFIF) quarantines too —
-    # this census is about metadata presence
+
+
+def test_no_exif_is_not_quarantine():
+    """A structurally valid JPEG without an Exif APP1 is NO_EXIF, not
+    None — 'no GPS present' and 'unparseable' are distinct census
+    populations."""
+    from vacancy_gpt_etl_pipeline_spark.operators.exif import NO_EXIF
+
     jfif = b"\xff\xd8\xff\xe0" + struct.pack(">H", 7) + b"JFIF\x00\xff\xd9"
-    assert _parse_exif(jfif) is None
+    assert _parse_exif(jfif) == NO_EXIF
+    # bare SOI+EOI: the walk completes at EOI having seen no segments
+    assert _parse_exif(b"\xff\xd8\xff\xd9") == NO_EXIF
+    # SOS terminates the metadata walk (APPn must precede the scan) —
+    # entropy-coded data after it is never parsed as segments
+    sos = (
+        b"\xff\xd8"
+        + b"\xff\xda"
+        + struct.pack(">H", 4)
+        + b"\x01\x00"
+        + b"\x12\x34\x56"  # entropy bytes, not segment-shaped
+    )
+    assert _parse_exif(sos) == NO_EXIF
+    # truncation is still quarantine, not NO_EXIF
+    assert _parse_exif(jfif[:-3]) is None
+
+
+def test_fill_bytes_and_standalone_markers_are_skipped():
+    """0xFF fill padding and length-less TEM/RSTn markers before APP1
+    must not derail the walk (advice r13: the walker misread them as
+    length-bearing segments)."""
+    good = _build_exif_jpeg(4)
+    assert good[2:4] == b"\xff\xe1"
+    app1_on = good[2:]
+    for prefix in (
+        b"\xff",  # fill byte
+        b"\xff\x01",  # TEM
+        b"\xff\xd0",  # RST0
+        b"\xff\xff\xff\xd7\xff\x01",  # fill run + RST7 + TEM
+    ):
+        assert _parse_exif(b"\xff\xd8" + prefix + app1_on) == _parse_exif(
+            good
+        )
+    # the id%11 fixture class bakes the same prefix in
+    got = _parse_exif(_build_exif_jpeg(22))  # 22%11==0, II, no gps
+    assert got is not None and got[0] == "II" and got[1] == "CAM2"
+
+
+def test_no_exif_fixture_class():
+    from vacancy_gpt_etl_pipeline_spark.operators.exif import NO_EXIF
+
+    assert _parse_exif(_build_exif_jpeg(31)) == NO_EXIF
+    assert _parse_exif(_build_exif_jpeg(62)) == NO_EXIF
+    # %29 truncation takes precedence over %31
+    assert _parse_exif(_build_exif_jpeg(29 * 31)) is None
 
 
 def test_spark_census_closed_forms(spark, sf_dir):
@@ -82,6 +133,12 @@ def test_spark_census_closed_forms(spark, sf_dir):
         i = r.asset_id
         if i % 29 == 0:
             assert r.fmt == "jpeg?" and r.byte_order is None
+            assert r.has_gps is None
+            continue
+        if i % 31 == 0:
+            assert r.fmt == "jpeg" and r.byte_order is None
+            assert r.has_gps is False and r.gps_lat is None
+            assert r.n_ifd0_entries is None
             continue
         assert r.fmt == "jpeg"
         assert r.byte_order == ("II" if i % 2 == 0 else "MM")

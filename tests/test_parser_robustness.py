@@ -55,7 +55,13 @@ def test_exif_walker_never_raises():
         base = _build_exif_jpeg(base_id)
         for payload in _mutations(rng, base, 250):
             r = _parse_exif(payload)
-            assert r is None or isinstance(r, tuple)
+            # None (quarantine), NO_EXIF (clean walk, no APP1 — a
+            # mutation can zero out the APP1 marker), or a census tuple
+            from vacancy_gpt_etl_pipeline_spark.operators.exif import (
+                NO_EXIF,
+            )
+
+            assert r is None or r == NO_EXIF or isinstance(r, tuple)
     for payload in _noise(rng, 150):
         assert _parse_exif(b"\xff\xd8" + payload) is None or True
 

@@ -174,6 +174,42 @@ def test_text_gate_retry_idempotent_both_crash_orders(
     assert spark.read.parquet(out).where(f"{BATCH_COL} = 2").count() == 0
 
 
+def test_text_gate_history_retry_duplicates_do_not_inflate_jaccard(
+    spark, tmp_path
+):
+    """A retried EARLIER batch leaves duplicate (s_hash, doc_id) rows in
+    the append-mode postings index until compaction. The intersection
+    count is row-based, so without the history-side dedupe a later
+    batch's Jaccard doubles (here 0.25 → 8/12 = 0.67) and a doc whose
+    TRUE similarity is below threshold is falsely dropped — the
+    converge-on-retry contract the module docstring promises."""
+    out = str(tmp_path / "out")
+    hidx = str(tmp_path / "hash_index")
+    pidx = str(tmp_path / "postings")
+
+    # history doc: 12 distinct words → 10 distinct 3-gram shingles
+    hist_text = " ".join(f"w{i}" for i in range(12))
+    # probe doc: shares the first 6 words then diverges → 10 shingles,
+    # exactly 4 shared (grams fully inside w0..w5) → true J = 4/16 = 0.25
+    probe_text = (
+        " ".join(f"w{i}" for i in range(6))
+        + " "
+        + " ".join(f"x{i}" for i in range(6))
+    )
+    b0 = spark.createDataFrame([(1, hist_text)], _SCHEMA)
+    apply_neardup_gate_batch(b0, 0, out, hidx, pidx)
+    apply_neardup_gate_batch(b0, 0, out, hidx, pidx)  # retry: postings 2×
+    raw = spark.read.parquet(pidx)
+    assert raw.count() == 2 * raw.select("s_hash", "doc_id").distinct().count()
+
+    b1 = spark.createDataFrame([(2, probe_text)], _SCHEMA)
+    apply_neardup_gate_batch(b1, 1, out, hidx, pidx)
+    survivors = _ids(spark.read.parquet(out).where(f"{BATCH_COL} = 1"))
+    assert survivors == [2]
+    # and full parity with the batch-operator composition over clean state
+    assert survivors == _ids(_direct_gate(spark, b1, b0))
+
+
 def test_text_gate_index_reads_are_partition_pruned(
     spark, sf_dir, tmp_path
 ):

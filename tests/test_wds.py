@@ -79,6 +79,126 @@ def test_quarantine_classes():
         assert "overruns" in str(e)
 
 
+def _shard_fmt(members: list[tuple[str, bytes]], fmt) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 0
+            info.mode = 0o644
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def test_pax_and_gnu_long_names_match_tarfile():
+    """>100-char paths via pax ``x`` headers (PAX_FORMAT) and GNU
+    ``L`` members: the walker must apply the override to the FOLLOWING
+    member, never emit the metadata member, and keep offsets equal to
+    what tarfile reports (r13 verdict gap 1)."""
+    long_name = "deep/" * 25 + "0000000042.txt"  # 139 chars
+    members = [
+        ("0000000001.txt", b"first"),
+        (long_name, b"long payload"),
+        ("0000000002.cls", b"3"),
+    ]
+    for fmt in (tarfile.PAX_FORMAT, tarfile.GNU_FORMAT):
+        b = _shard_fmt(members, fmt)
+        got = list(_parse_ustar(b))
+        assert [(g[0], g[1], g[4]) for g in got] == [
+            (n, len(d), d) for n, d in members
+        ]
+        assert all(g[3] == "0" for g in got)  # no x/g/L rows leak out
+        with tarfile.open(fileobj=io.BytesIO(b)) as tf:
+            truth = [(m.name, m.offset) for m in tf.getmembers()]
+        assert [(g[0], g[2]) for g in got] == truth
+
+
+def test_ustar_prefix_split_names():
+    """POSIX.1-1988 long paths via the 155-byte prefix field (what
+    USTAR_FORMAT itself emits for '/'-splittable paths > 100 chars)."""
+    deep = "p/" * 60 + "x.txt"  # 125 chars, splittable
+    b = _shard_fmt([(deep, b"q")], tarfile.USTAR_FORMAT)
+    got = list(_parse_ustar(b))
+    assert got[0][0] == deep and got[0][4] == b"q"
+
+
+def test_pax_global_header_and_size_override():
+    """Hand-built pax records: a global ``g`` path default applies to
+    following members (per-member ``x`` wins), and a per-member
+    ``size`` record overrides the octal header field."""
+    import struct
+
+    def hdr(name: bytes, size: int, typeflag: bytes) -> bytes:
+        h = bytearray(512)
+        h[0 : len(name)] = name
+        h[100:108] = b"0000644\x00"
+        h[108:116] = h[116:124] = b"0000000\x00"
+        h[124:136] = f"{size:011o}\x00".encode()
+        h[136:148] = b"00000000000\x00"
+        h[148:156] = b" " * 8
+        h[156:157] = typeflag
+        h[257:263] = b"ustar\x00"
+        h[263:265] = b"00"
+        chk = sum(h)
+        h[148:156] = f"{chk:06o}\x00 ".encode()
+        return bytes(h)
+
+    def pad(data: bytes) -> bytes:
+        return data + b"\x00" * (-len(data) % 512)
+
+    def rec(k: str, v: str) -> bytes:
+        body = f" {k}={v}\n"
+        n = len(body) + 1
+        while len(str(n)) + len(body) != n:
+            n += 1
+        return f"{n}{body}".encode()
+
+    payload_g = rec("path", "global/override.txt")
+    payload_x = rec("path", "member/override.cls") + rec("size", "3")
+    archive = (
+        hdr(b"ignored-g", len(payload_g), b"g")
+        + pad(payload_g)
+        + hdr(b"short.txt", 3, b"0")
+        + pad(b"abc")
+        + hdr(b"ignored-x", len(payload_x), b"x")
+        + pad(payload_x)
+        # octal size field says 5; the pax size record (3) must win
+        + hdr(b"real.cls", 5, b"0")
+        + pad(b"xyzzz")
+        + b"\x00" * 1024
+    )
+    got = list(_parse_ustar(archive))
+    assert [(g[0], g[1], g[4]) for g in got] == [
+        ("global/override.txt", 3, b"abc"),
+        ("member/override.cls", 3, b"xyz"),
+    ]
+
+
+def test_mid_walk_corruption_quarantines_whole_shard(spark):
+    """A shard corrupted AFTER valid members contributes ONLY its
+    quarantine row — its already-parsed members must not leak into the
+    valid population (advice r13: partial members + quarantine row
+    made the shard appear in both populations)."""
+    good = _shard([("0000000001.txt", b"ok"), ("0000000002.cls", b"5")])
+    # corrupt the SECOND member's header checksum; first stays valid
+    bad = bytearray(good)
+    bad[1024] ^= 0x55  # second header starts at 512 (hdr) + 512 (data)
+    df = spark.createDataFrame(
+        [(1, bytes(good)), (2, bytes(bad))],
+        "shard_id long, content binary",
+    )
+    rows = tar_members(df).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    assert sorted(r["name"] for r in by_shard[1]) == [
+        "0000000001.txt",
+        "0000000002.cls",
+    ]
+    assert len(by_shard[2]) == 1 and by_shard[2][0]["name"] is None
+
+
 def test_tar_members_quarantines_bad_shard(spark):
     good = _shard([("0000000001.txt", b"ok")])
     bad = bytearray(good)

@@ -127,6 +127,14 @@ def test_quarantine_classes():
     # empty / tiny
     assert _parse_webp(b"") is None
     assert _parse_webp(b"RIFF\x00\x00\x00\x00WEB") is None
+    # chunk overruns the CONTAINER but not the buffer (trailing garbage
+    # after the RIFF payload): must quarantine, not read dimensions
+    # from bytes outside the container (advice r13)
+    trailing = bytes(oversize) + b"\x9d\x01\x2aZZ" * 64
+    assert _parse_webp(trailing) is None
+    # a well-formed container followed by trailing garbage is still
+    # valid — the bound is the container end, not the buffer end
+    assert _parse_webp(good + b"GARBAGE") == _parse_webp(good)
 
 
 def test_spark_census_and_quarantine(spark, sf_dir):

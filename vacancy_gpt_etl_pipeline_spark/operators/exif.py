@@ -14,8 +14,14 @@ exercised by the fixture (id parity), because a walker that only
 handles II silently mis-reads every MM camera. Malformed payloads
 (truncated APP1, bad TIFF magic, entry tables overrunning the
 segment) quarantine as ``fmt='jpeg?'`` with null columns —
-quarantine-not-fail. Pixel decode stays operators/jpeg.py's job; this
-is the metadata tier, like the MP3/ADTS/WebP censuses.
+quarantine-not-fail. A structurally VALID JPEG whose marker walk
+completes (EOI or SOS reached) without an Exif APP1 is NOT
+quarantined: it censuses as ``fmt='jpeg'`` with ``has_gps=false``
+and null metadata — a PII audit must distinguish 'no GPS present'
+from 'unparseable'. The walk skips 0xFF fill bytes and standalone
+markers (TEM 0x01, RSTn 0xD0–0xD7), which carry no length field.
+Pixel decode stays operators/jpeg.py's job; this is the metadata
+tier, like the MP3/ADTS/WebP censuses.
 """
 
 from __future__ import annotations
@@ -88,28 +94,59 @@ def _value(tiff: bytes, typ: int, cnt: int, raw: bytes, e: str):
     return list(buf)
 
 
+#: sentinel for "structurally valid JPEG, no Exif APP1" — distinct
+#: from None (malformed/truncated → quarantine). A string, not
+#: ``object()``: the census closure crosses the Arrow-worker pickle
+#: boundary, where a by-value copy of an object() sentinel breaks
+#: ``is`` checks — compare with ``==``.
+NO_EXIF = "no_exif"
+
+
 def _parse_exif(b: bytes):
-    """Census tuple or None for malformed input. Walks JPEG segments
-    to APP1/Exif, then the TIFF structure inside it."""
+    """Census tuple, :data:`NO_EXIF` for a clean JPEG without an Exif
+    APP1, or None for malformed input. Walks JPEG segments to
+    APP1/Exif, then the TIFF structure inside it."""
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
     i = 2
     app1 = None
-    while i + 4 <= len(b):
+    walk_complete = False
+    while i < len(b):
         if b[i] != 0xFF:
             return None
-        marker = b[i + 1]
-        if marker == 0xD9:  # EOI
+        # fill bytes: any run of 0xFF pads before the marker code
+        j = i + 1
+        while j < len(b) and b[j] == 0xFF:
+            j += 1
+        if j >= len(b):
+            return None  # trailing fill with no marker — truncated
+        marker = b[j]
+        if marker == 0xD9:  # EOI — metadata walk completed
+            walk_complete = True
             break
-        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
-        if seg_len < 2 or i + 2 + seg_len > len(b):
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone TEM/RSTn: no length field follows
+            i = j + 1
+            continue
+        if marker == 0xDA:
+            # SOS: APPn segments must precede the scan, so an APP1
+            # was never going to appear — stop without parsing
+            # entropy-coded data
+            walk_complete = True
+            break
+        if marker == 0x00:
+            return None  # 0xFF00 byte-stuffing outside a scan
+        if j + 3 > len(b):
+            return None
+        seg_len = struct.unpack(">H", b[j + 1 : j + 3])[0]
+        if seg_len < 2 or j + 1 + seg_len > len(b):
             return None  # truncated segment
-        if marker == 0xE1 and b[i + 4 : i + 10] == b"Exif\x00\x00":
-            app1 = b[i + 10 : i + 2 + seg_len]
+        if marker == 0xE1 and b[j + 3 : j + 9] == b"Exif\x00\x00":
+            app1 = b[j + 9 : j + 1 + seg_len]
             break
-        i += 2 + seg_len
+        i = j + 1 + seg_len
     if app1 is None:
-        return None
+        return NO_EXIF if walk_complete else None
     tiff = app1
     if len(tiff) < 8:
         return None
@@ -205,14 +242,21 @@ def census_exif(
                 b = bytes(content) if content is not None else b""
                 parsed = _parse_exif(b)
                 rows["asset_id"].append(int(aid))
-                if parsed is None:
-                    rows["fmt"].append("jpeg?")
+                if parsed is None or parsed == NO_EXIF:
+                    # quarantine ('jpeg?') vs clean-but-metadata-free
+                    # ('jpeg', has_gps=false): a PII audit must be able
+                    # to tell 'no GPS present' from 'unparseable'
+                    rows["fmt"].append(
+                        "jpeg?" if parsed is None else "jpeg"
+                    )
+                    rows["has_gps"].append(
+                        None if parsed is None else False
+                    )
                     for k in (
                         "byte_order",
                         "make",
                         "orientation",
                         "datetime_original",
-                        "has_gps",
                         "gps_lat",
                         "n_ifd0_entries",
                     ):
@@ -240,7 +284,18 @@ def _build_exif_jpeg(i: int) -> bytes:
     forms: byte order II for even ids / MM for odd; make 'CAM<id%5>';
     orientation 1 + id%8; DateTimeOriginal day 1 + id%28; GPS present
     iff id%3 == 0 with latitude (id%90) deg + (id%60) min. Every
-    ``id % 29 == 0`` payload is truncated mid-APP1 → quarantine."""
+    ``id % 29 == 0`` payload is truncated mid-APP1 → quarantine.
+    Otherwise every ``id % 31 == 0`` payload is a clean JPEG with an
+    APP0/JFIF segment and NO Exif APP1 → fmt='jpeg', has_gps=false,
+    null metadata (the no-EXIF census class). Every ``id % 11 == 0``
+    payload prefixes the APP1 with a 0xFF fill byte and a standalone
+    TEM marker — census values unchanged; a walker that misreads
+    length-less markers fails here."""
+    if i % 29 != 0 and i % 31 == 0:
+        # structurally valid, metadata-free: SOI + APP0/JFIF + EOI
+        jfif = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        app0 = b"\xff\xe0" + struct.pack(">H", len(jfif) + 2) + jfif
+        return b"\xff\xd8" + app0 + b"\xff\xd9"
     e = "<" if i % 2 == 0 else ">"
     make = f"CAM{i % 5}".encode("ascii") + b"\x00"
     dt = f"2024:01:{1 + i % 28:02d} 12:00:00".encode("ascii") + b"\x00"
@@ -307,6 +362,10 @@ def _build_exif_jpeg(i: int) -> bytes:
     )
     payload = b"Exif\x00\x00" + tiff
     app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    if i % 11 == 0:
+        # fill byte + standalone TEM before APP1 (length-less markers
+        # the walker must skip; census values are unchanged)
+        app1 = b"\xff" + b"\xff\x01" + app1
     out = b"\xff\xd8" + app1 + b"\xff\xd9"
     if i % 29 == 0:
         out = out[: len(out) - len(out) // 2]  # truncate mid-APP1

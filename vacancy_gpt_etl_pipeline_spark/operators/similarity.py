@@ -644,7 +644,17 @@ def semdedup(
         else:
             assigned = ivf_assign(corpus, centroids, id_col, vec_col, dim)
     assigned = persist_in(assigned, cache_scope)
-    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_csz"))
+    # persisted because it is read TWICE: the guard aggregate below and
+    # the `joinable` broadcast build. Unpersisted, the broadcast
+    # exchange re-runs this groupBy over the corpus — the r13 idle
+    # regression (semdedup 1.33×, semdedup_2level 1.44×) was exactly
+    # that duplicated pass; cached, the guard's single action
+    # materializes assigned AND sizes and the broadcast reads n_cells
+    # cached rows.
+    sizes = persist_in(
+        assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_csz")),
+        cache_scope,
+    )
     # Degenerate-sizing guard: the oversized-cell cap keeps members
     # conservatively, so a configuration where EVERY cell exceeds
     # ``max_cell`` (corpus/n_centroids > max_cell) makes the whole
@@ -663,14 +673,17 @@ def semdedup(
         F.sum((F.col("_csz") > max_cell).cast("long")).alias("n_over"),
     ).first()
     if _stats.n_cells and _stats.n_over == _stats.n_cells:
-        if cache_scope is None and operator_built:
-            # the guard just materialized the corpus-sized assignment
-            # cache; on the error path nobody downstream will read or
-            # free it — a caller that catches and retries with fixed
-            # sizing would otherwise leak one cached frame per attempt.
-            # A caller-INJECTED frame is the caller's cache to manage
-            # (it may feed several semdedup calls) — never drop it.
-            assigned.unpersist()
+        if cache_scope is None:
+            # the guard just materialized the per-cell sizes cache; on
+            # the error path nobody downstream will read or free it.
+            sizes.unpersist()
+            if operator_built:
+                # same for the corpus-sized assignment cache — a caller
+                # that catches and retries with fixed sizing would
+                # otherwise leak one cached frame per attempt. A
+                # caller-INJECTED frame is the caller's cache to manage
+                # (it may feed several semdedup calls) — never drop it.
+                assigned.unpersist()
         raise ValueError(
             f"semdedup degenerate sizing: all {_stats.n_cells} cells "
             f"exceed max_cell={max_cell}, so no pair would be "
@@ -757,8 +770,13 @@ def semdedup_incremental(
         history_assigned = ivf_assign(
             history, centroids, id_col, vec_col, dim
         )
+    # countDistinct, not count: the streaming gate's append-mode index
+    # can hold retry-duplicated rows until compaction; a row count
+    # would inflate cell sizes and trip the max_cell cap spuriously,
+    # removing a legitimate cell's veto (admit-direction divergence
+    # from batch semantics). Distinct ids are the true cell size.
     sizes = history_assigned.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("_csz")
+        F.countDistinct(id_col).alias("_csz")
     )
     h = history_assigned.join(
         F.broadcast(sizes.where(F.col("_csz") <= max_cell)), "cell"

@@ -12,10 +12,23 @@ checksum over the header with the checksum field blanked, typeflag,
 ``ustar`` magic; data padded to 512; archive ends at two zero blocks)
 — stdlib ``tarfile`` is used only to SYNTHESIZE the deterministic
 fixture, mirroring operators/epub.py's zipfile-for-synthesis pattern.
-Malformed shards (bad magic, checksum mismatch, size overrun)
-quarantine per shard; a malformed HEADER mid-walk stops that shard's
-walk at the last valid member (documented: tar has no resync point —
-unlike MP3 frame sync, a corrupt header poisons everything after it).
+Malformed shards (bad magic, checksum mismatch, size overrun,
+malformed pax records) quarantine WHOLE-SHARD: the shard contributes
+ONLY its single quarantine row and none of its already-parsed
+members. Tar has no resync point — unlike MP3 frame sync, a corrupt
+header poisons everything after it, so a partial member list is
+partial data a training run must not silently consume; the shard is
+the re-fetch unit.
+
+Real-world shards are rarely plain ustar: Python's ``tarfile`` has
+defaulted to PAX since 3.8, and GNU tar emits its own long-name
+scheme. The walker therefore consumes the three public long-name
+mechanisms — the ustar ``prefix`` field (POSIX.1-1988 split paths),
+pax extended headers (typeflag ``x`` per-member / ``g`` global:
+``len key=value\\n`` records whose ``path``/``size`` override the
+following header), and GNU ``L``/``K`` members (NUL-terminated
+long name / linkname payload applying to the next member) — and
+never emits the header members themselves as samples.
 """
 
 from __future__ import annotations
@@ -43,12 +56,55 @@ MEMBER_SCHEMA = T.StructType(
 )
 
 
-def _parse_ustar(b: bytes):
-    """Yield ``(name, size, offset, typeflag, payload)`` per member, or
-    raise ValueError on a malformed header (bad magic / checksum /
-    size overrun). ``offset`` is the member's HEADER block offset."""
+def _parse_pax_records(data: bytes) -> dict[str, str]:
+    """Decode pax extended-header records (POSIX.1-2001:
+    ``<len> <key>=<value>\\n`` where ``<len>`` counts the WHOLE record
+    including its own digits); raises ValueError on malformed input."""
+    out: dict[str, str] = {}
     i = 0
+    while i < len(data):
+        sp = data.find(b" ", i)
+        if sp < 0:
+            raise ValueError("pax record missing length delimiter")
+        try:
+            rlen = int(data[i:sp])
+        except ValueError:
+            raise ValueError("pax record length not decimal") from None
+        if rlen <= sp - i + 1 or i + rlen > len(data):
+            raise ValueError("pax record length out of range")
+        if data[i + rlen - 1 : i + rlen] != b"\n":
+            raise ValueError("pax record missing newline terminator")
+        rec = data[sp + 1 : i + rlen - 1]
+        eq = rec.find(b"=")
+        if eq < 0:
+            raise ValueError("pax record missing '='")
+        out[rec[:eq].decode("utf-8", "replace")] = rec[eq + 1 :].decode(
+            "utf-8", "replace"
+        )
+        i += rlen
+    return out
+
+
+def _parse_ustar(b: bytes):
+    """Yield ``(name, size, offset, typeflag, payload)`` per LOGICAL
+    member, or raise ValueError on a malformed header (bad magic /
+    checksum / size overrun / malformed pax records). ``offset`` is
+    the member's FIRST on-disk block — a preceding pax ``x``/``g`` or
+    GNU ``L``/``K`` companion is part of the member's byte range, so
+    seeking there re-reads the member with its overrides (stdlib
+    ``tarfile.TarInfo.offset`` semantics; pinned against it in
+    tests). Long-name mechanisms applied, in precedence order: pax
+    per-member ``path`` > GNU longname > pax global ``path`` > ustar
+    ``prefix`` + name. A pax per-member ``size`` record overrides the
+    octal header size (the >8 GiB escape hatch)."""
+    i = 0
+    global_over: dict[str, str] = {}
+    next_over: dict[str, str] = {}
+    gnu_longname: str | None = None
+    member_start: int | None = None  # first block incl. meta headers
     while i + 512 <= len(b):
+        if member_start is None:
+            member_start = i
         hdr = b[i : i + 512]
         if hdr == b"\x00" * 512:
             return  # end-of-archive marker
@@ -61,11 +117,54 @@ def _parse_ustar(b: bytes):
         name = hdr[0:100].split(b"\x00")[0].decode("utf-8", "replace")
         size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
         typeflag = chr(hdr[156]) if hdr[156] else "0"
+        if typeflag in ("x", "g") and "size" in next_over:
+            raise ValueError(f"pax header chained to pax header at {i}")
+        if typeflag == "0" and "size" in next_over:
+            # pax size override wins over the octal field BEFORE the
+            # data slice — the octal field may be zeroed/capped
+            try:
+                size = int(next_over["size"])
+            except ValueError:
+                raise ValueError(f"pax size not decimal at {i}") from None
         data_start = i + 512
         if data_start + size > len(b):
             raise ValueError(f"member overruns shard at {i}")
-        yield name, size, i, typeflag, b[data_start : data_start + size]
-        i = data_start + ((size + 511) // 512) * 512
+        payload = b[data_start : data_start + size]
+        advance = data_start + ((size + 511) // 512) * 512
+        if typeflag == "x":  # pax per-member header → next member
+            next_over = _parse_pax_records(payload)
+            i = advance
+            continue
+        if typeflag == "g":  # pax global header → all following
+            global_over.update(_parse_pax_records(payload))
+            i = advance
+            continue
+        if typeflag == "L":  # GNU longname → next member
+            gnu_longname = payload.split(b"\x00")[0].decode(
+                "utf-8", "replace"
+            )
+            i = advance
+            continue
+        if typeflag == "K":  # GNU long linkname — irrelevant metadata
+            i = advance
+            continue
+        if "path" in next_over:
+            name = next_over["path"]
+        elif gnu_longname is not None:
+            name = gnu_longname
+        elif "path" in global_over:
+            name = global_over["path"]
+        else:
+            prefix = hdr[345:500].split(b"\x00")[0].decode(
+                "utf-8", "replace"
+            )
+            if prefix:
+                name = prefix + "/" + name
+        next_over = {}
+        gnu_longname = None
+        yield name, size, member_start, typeflag, payload
+        member_start = None
+        i = advance
 
 
 def tar_members(
@@ -76,8 +175,11 @@ def tar_members(
     """Explode tar shards into member rows (Arrow ``mapInPandas``; one
     task parses whole shards — the WebDataset granule). ``key``/``ext``
     split WebDataset-style on the FIRST dot of the basename. Malformed
-    shards contribute a single quarantine row (name NULL) so corrupt
-    inputs are observable, not silently absent."""
+    shards quarantine WHOLE-SHARD: exactly one quarantine row (name
+    NULL) and NONE of the members parsed before the corruption — a
+    shard appearing in both the valid-member and quarantine
+    populations would let consumers ingest its partial members as if
+    clean (tar has no resync point; the shard is the re-fetch unit)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -96,15 +198,23 @@ def tar_members(
             for sid, content in zip(pdf[id_col], pdf[content_col]):
                 b = bytes(content) if content is not None else b""
                 sid = int(sid)
+                # buffer so mid-walk corruption discards the shard's
+                # already-parsed members (whole-shard quarantine)
+                buffered: list[tuple] = []
                 try:
                     for name, size, off, tf, payload in _parse_ustar(b):
                         base = name.rsplit("/", 1)[-1]
                         dot = base.find(".")
                         key = base[:dot] if dot >= 0 else base
                         ext = base[dot + 1 :] if dot >= 0 else ""
-                        add(sid, name, key, ext, size, off, tf, payload)
+                        buffered.append(
+                            (sid, name, key, ext, size, off, tf, payload)
+                        )
                 except ValueError:
                     add(sid, None, None, None, None, None, None, None)
+                    continue
+                for row in buffered:
+                    add(*row)
             yield pd.DataFrame(rows)
 
     return df.select(id_col, content_col).mapInPandas(run, MEMBER_SCHEMA)
@@ -129,6 +239,18 @@ def wds_samples(members: DataFrame) -> DataFrame:
     )
 
 
+_TAR_FORMATS = {
+    "ustar": tarfile.USTAR_FORMAT,
+    "pax": tarfile.PAX_FORMAT,
+    "gnu": tarfile.GNU_FORMAT,
+}
+
+#: directory prefix planted on long-name members — 96 chars + '/' +
+#: the 13-char basename = 110 > the ustar name field's 100, forcing a
+#: pax ``path`` record (PAX_FORMAT) or an ``L`` member (GNU_FORMAT)
+LONG_DIR = "d" * 96
+
+
 def synthesize_wds_shards(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -136,6 +258,8 @@ def synthesize_wds_shards(
     docs_per_shard: int = 16,
     binary_col: str | None = None,
     binary_ext: str = "bmp",
+    tar_format: str = "ustar",
+    long_name_every: int | None = None,
 ) -> DataFrame:
     """Deterministic WebDataset fixture: documents grouped into shards
     of ``docs_per_shard`` by ``id // docs_per_shard``; each document
@@ -143,26 +267,55 @@ def synthesize_wds_shards(
     real pipeline skips a missing modality) and ``{id:09d}.cls``
     (label ``id % 10``) — plus ``{id:09d}.{binary_ext}`` when
     ``binary_col`` names a binary column (the multimodal sample shape:
-    image + caption + label per key). Members in id order, POSIX
-    ustar, zeroed mtime/uid/gid — byte-deterministic, closed-form
-    replayable (member sizes are octet lengths; offsets are 512-block
-    cumulative sums)."""
+    image + caption + label per key). Members in id order, zeroed
+    mtime/uid/gid — byte-deterministic, closed-form replayable
+    (member sizes are octet lengths; offsets are 512-block cumulative
+    sums).
+
+    ``tar_format``: ``'ustar'`` (default), ``'pax'`` (POSIX.1-2001 —
+    Python tarfile's own default since 3.8), ``'gnu'``, or ``'mix'``
+    (pax for even shard ids, gnu for odd — both long-name schemes in
+    one corpus, like a crawl of heterogeneous uploaders).
+    ``long_name_every``: every ``id % N == 0`` document's members gain
+    the :data:`LONG_DIR` 96-char directory prefix (full path 110 chars
+    > the 100-char ustar name field), emitting a real pax ``x`` header
+    or GNU ``L`` member. The on-disk overhead is a closed form an
+    oracle replays: 512 (meta header) + 512 (padded payload — the pax
+    record ``"120 path=<110 chars>\\n"`` is 120 bytes and the GNU
+    payload 111 bytes, both ≤ 512) = 1024 bytes per long-name member,
+    identical across both formats. Long names require pax/gnu/mix
+    (ustar raises in tarfile — the format cannot carry them without
+    the prefix split, which tarfile only uses for '/'-splittable
+    paths)."""
+    if tar_format not in (*_TAR_FORMATS, "mix"):
+        raise ValueError(f"unknown tar_format {tar_format!r}")
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)
+        sid = int(pdf["_shard"].iloc[0])
+        fmt = (
+            _TAR_FORMATS["pax" if sid % 2 == 0 else "gnu"]
+            if tar_format == "mix"
+            else _TAR_FORMATS[tar_format]
+        )
         buf = io.BytesIO()
-        with tarfile.open(
-            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
-        ) as tf:
+        with tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
             for _, row in pdf.iterrows():
                 i = int(row[id_col])
+                pre = (
+                    LONG_DIR + "/"
+                    if long_name_every and i % long_name_every == 0
+                    else ""
+                )
                 parts = []
                 if row[text_col] is not None:
-                    parts.append((f"{i:09d}.txt", str(row[text_col]).encode()))
-                parts.append((f"{i:09d}.cls", str(i % 10).encode()))
+                    parts.append(
+                        (f"{pre}{i:09d}.txt", str(row[text_col]).encode())
+                    )
+                parts.append((f"{pre}{i:09d}.cls", str(i % 10).encode()))
                 if binary_col is not None and row[binary_col] is not None:
                     parts.append(
-                        (f"{i:09d}.{binary_ext}", bytes(row[binary_col]))
+                        (f"{pre}{i:09d}.{binary_ext}", bytes(row[binary_col]))
                     )
                 for name, data in parts:
                     info = tarfile.TarInfo(name)
@@ -172,7 +325,7 @@ def synthesize_wds_shards(
                     tf.addfile(info, io.BytesIO(data))
         return pd.DataFrame(
             {
-                "shard_id": [int(pdf["_shard"].iloc[0])],
+                "shard_id": [sid],
                 "content": [buf.getvalue()],
             }
         )

@@ -66,9 +66,14 @@ def _parse_webp(b: bytes):
     while i + 8 <= end:
         fourcc = b[i : i + 4]
         sz = int.from_bytes(b[i + 4 : i + 8], "little")
+        if i + 8 + sz > end:
+            # chunk size overruns the RIFF container — checked against
+            # the container end, NOT the buffer: trailing garbage after
+            # the RIFF payload must not make an overrunning chunk
+            # readable (its "dimensions" would come from bytes outside
+            # the container)
+            return None
         payload = b[i + 8 : i + 8 + sz]
-        if len(payload) < sz:
-            return None  # chunk size overruns the container
         n_chunks += 1
         if fourcc == b"VP8X" and sz >= 10:
             variant = "extended"

@@ -4432,6 +4432,66 @@ FROM o
 """
 
 
+def wds_pax_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset PAX/GNU long-name census (operators/wds.py — the r13
+    verdict's top real-user gap: Python tarfile has defaulted to PAX
+    since 3.8, so real shards are rarely plain ustar): shards are
+    synthesized in MIXED format (pax for even shard ids, GNU for odd)
+    and every ``doc_id % 7 == 0`` document's members carry a 96-char
+    directory prefix — a 110-char path that cannot fit the ustar name
+    field, forcing a real pax ``x`` header (``"120 path=…\\n"`` record)
+    or GNU ``L`` member into the byte stream. tar_members must consume
+    the metadata member, apply its path override to the FOLLOWING
+    header, and never emit it as a sample. The oracle replays name,
+    size, and byte offset closed-form — offsets use stdlib tarfile
+    semantics (a member starts at its FIRST on-disk block, meta header
+    included) and the long-name overhead is exactly 1024 bytes (meta
+    header + one padded payload block) in BOTH formats, so a walker
+    that emits header members as samples, drops the override, or
+    mis-hops the padding changes the row count, names, or offsets."""
+    docs = _t(spark, sf_dir, "documents")
+    members = tar_members(
+        synthesize_wds_shards(docs, tar_format="mix", long_name_every=7)
+    )
+    return members.select(
+        "shard_id",
+        "name",
+        "key",
+        "ext",
+        "size",
+        F.col("offset").alias("byte_offset"),
+        "typeflag",
+    )
+
+
+WDS_PAX_SQL = """
+WITH m AS (
+  SELECT doc_id, doc_id // 16 AS shard_id,
+         printf('%09d', doc_id) AS key, 'txt' AS ext,
+         CAST(octet_length(encode(text)) AS BIGINT) AS size, 0 AS pr,
+         doc_id % 7 = 0 AS long_name
+  FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id, doc_id // 16, printf('%09d', doc_id), 'cls',
+         CAST(1 AS BIGINT), 1, doc_id % 7 = 0
+  FROM documents
+),
+o AS (
+  SELECT shard_id, key, ext, size, long_name,
+    COALESCE(SUM(CASE WHEN long_name THEN 1024 ELSE 0 END + 512
+                 + ((size + 511) // 512) * 512) OVER (
+      PARTITION BY shard_id ORDER BY doc_id, pr
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM m
+)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+  CASE WHEN long_name THEN repeat('d', 96) || '/' ELSE '' END
+    || key || '.' || ext AS name,
+  key, ext, size, CAST(off AS BIGINT) AS byte_offset, '0' AS typeflag
+FROM o
+"""
+
+
 def wds_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset ingest e2e: documents → tar shards → member walk →
     sample regroup (txt + cls by key) → decoded text compared against
@@ -4514,10 +4574,15 @@ def jpeg_exif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     census_exif walks the actual segments: marker scan, TIFF header,
     12-byte IFD entries with the >4-byte offset indirection, pointer-
     tag hops into both sub-IFDs, deg+min/60 latitude decode. Every
-    29th payload is truncated mid-APP1 → quarantined as fmt='jpeg?'.
-    The oracle replays every column (including the quarantine
-    population and the GPS-presence flag a PII-scrubbing run filters
-    on) closed-form from doc_id."""
+    29th payload is truncated mid-APP1 → quarantined as fmt='jpeg?';
+    every remaining 31st is a clean APP0-only JPEG with NO Exif →
+    fmt='jpeg' with has_gps=false and null metadata (quarantine and
+    no-EXIF are distinct populations — a PII audit needs 'no GPS
+    present' ≠ 'unparseable'); every 11th prefixes the APP1 with a
+    fill byte + standalone TEM marker the walker must skip. The
+    oracle replays every column (all three populations and the
+    GPS-presence flag a PII-scrubbing run filters on) closed-form
+    from doc_id."""
     docs = _t(spark, sf_dir, "documents")
     return census_exif(synthesize_exif_payload(docs, "doc_id")).select(
         "asset_id",
@@ -4535,19 +4600,21 @@ def jpeg_exif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXIF_CENSUS_SQL = """
 SELECT CAST(doc_id AS BIGINT) AS asset_id,
   CASE WHEN doc_id % 29 = 0 THEN 'jpeg?' ELSE 'jpeg' END AS fmt,
-  CASE WHEN doc_id % 29 = 0 THEN NULL
+  CASE WHEN doc_id % 29 = 0 OR doc_id % 31 = 0 THEN NULL
        WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
-  CASE WHEN doc_id % 29 = 0 THEN NULL
+  CASE WHEN doc_id % 29 = 0 OR doc_id % 31 = 0 THEN NULL
        ELSE 'CAM' || CAST(doc_id % 5 AS VARCHAR) END AS make,
-  CASE WHEN doc_id % 29 = 0 THEN NULL
+  CASE WHEN doc_id % 29 = 0 OR doc_id % 31 = 0 THEN NULL
        ELSE CAST(1 + doc_id % 8 AS INTEGER) END AS orientation,
-  CASE WHEN doc_id % 29 = 0 THEN NULL
+  CASE WHEN doc_id % 29 = 0 OR doc_id % 31 = 0 THEN NULL
        ELSE '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
             || ' 12:00:00' END AS datetime_original,
-  CASE WHEN doc_id % 29 = 0 THEN NULL ELSE doc_id % 3 = 0 END AS has_gps,
-  CASE WHEN doc_id % 29 = 0 OR doc_id % 3 <> 0 THEN NULL
-       ELSE ROUND((doc_id % 90) + (doc_id % 60) / 60.0, 6) END AS gps_lat,
   CASE WHEN doc_id % 29 = 0 THEN NULL
+       WHEN doc_id % 31 = 0 THEN FALSE
+       ELSE doc_id % 3 = 0 END AS has_gps,
+  CASE WHEN doc_id % 29 = 0 OR doc_id % 31 = 0 OR doc_id % 3 <> 0 THEN NULL
+       ELSE ROUND((doc_id % 90) + (doc_id % 60) / 60.0, 6) END AS gps_lat,
+  CASE WHEN doc_id % 29 = 0 OR doc_id % 31 = 0 THEN NULL
        WHEN doc_id % 3 = 0 THEN CAST(4 AS INTEGER)
        ELSE CAST(3 AS INTEGER) END AS n_ifd0_entries
 FROM documents
@@ -12809,6 +12876,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "webp_census": QuerySpec(webp_container_census, WEBP_CENSUS_SQL),
     "jpeg_exif_census": QuerySpec(jpeg_exif_census, EXIF_CENSUS_SQL),
     "wds_member_census": QuerySpec(wds_member_census, WDS_MEMBER_SQL),
+    "wds_pax_census": QuerySpec(wds_pax_census, WDS_PAX_SQL),
     "wds_roundtrip": QuerySpec(wds_ingest_roundtrip, WDS_ROUNDTRIP_SQL),
     "wds_multimodal_e2e": QuerySpec(
         wds_multimodal_e2e, IMAGE_PHASH_DEDUP_SQL

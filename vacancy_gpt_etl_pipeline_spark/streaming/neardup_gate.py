@@ -193,8 +193,17 @@ def apply_neardup_gate_batch(
         post_pbs,
         batch_id,
     )
+    # A retried-then-committed EARLIER batch leaves duplicate
+    # (s_hash, doc_id) rows in the append-mode index until compaction;
+    # the intersection count below is row-based, so without this
+    # dedupe a later batch would double-count shared shingles
+    # (Jaccard > true value, possibly > 1) and falsely drop docs.
+    # (s_hash, doc_id) is unique per logical posting; n_sh is constant
+    # per doc so any surviving row's value is correct.
+    hist = hist.dropDuplicates(["s_hash", "doc_id"])
     # fan-out cap: a shingle's history posting list is fully contained
     # in its partition, so the df count under pruning is EXACT
+    # (counted AFTER the dedupe, so the cap sees distinct docs)
     fan_w = Window.partitionBy("s_hash")
     hist = (
         hist.withColumn("_df", F.count(F.lit(1)).over(fan_w))
