@@ -545,6 +545,50 @@ def main() -> None:
                     txt_row[
                         f"{label}_bytes_read_frac_x{scale}"
                     ] = round(pruned_b / max(total_b, 1), 4)
+                if scale == 10:
+                    # r13 verdict item 4 — the per-DOC amortization
+                    # leg of the postings-bound closure: a realistic
+                    # 1k-doc ingest batch reads the same ~full
+                    # postings index ONCE, so read cost per batch doc
+                    # is ~1/83rd of the 12-doc trickle's. Gate wall
+                    # time per doc is the recorded signal (the byte
+                    # fraction at 1k docs is ~1.0 by construction —
+                    # that is the documented coverage bound, see
+                    # streaming/neardup_gate.py).
+                    # suffix-mutated so the docs pass the EXACT gate
+                    # (byte-copies of history would short-circuit the
+                    # near stage) and exercise the full postings read
+                    probe_1k = (
+                        spark.read.parquet(
+                            os.path.join(
+                                ensure_corpus(1), "documents.parquet"
+                            )
+                        )
+                        .where(
+                            "doc_id >= 1000 AND doc_id < 2000 "
+                            "AND text IS NOT NULL"
+                        )
+                        .select(
+                            (Fx.col("doc_id") + 5_000_000).alias(
+                                "doc_id"
+                            ),
+                            Fx.concat(
+                                Fx.col("text"), Fx.lit(" zq")
+                            ).alias("text"),
+                        )
+                    )
+                    n1k = probe_1k.count()
+                    t0 = time.perf_counter()
+                    apply_neardup_gate_batch(probe_1k, 2, op, hp, pp)
+                    dt = time.perf_counter() - t0
+                    txt_row["gate_sec_1kdoc_x10"] = round(dt, 3)
+                    txt_row["n_docs_1k_probe"] = n1k
+                    txt_row["sec_per_doc_12doc_x10"] = round(
+                        txt_row["gate_sec_x10"] / 12, 4
+                    )
+                    txt_row["sec_per_doc_1kdoc_x10"] = round(
+                        dt / max(n1k, 1), 4
+                    )
             gate_pruning["text_neardup_gate"] = txt_row
             print(f"[scale] gate pruning: {gate_pruning}", file=sys.stderr)
         finally:

@@ -199,6 +199,59 @@ def test_mid_walk_corruption_quarantines_whole_shard(spark):
     assert len(by_shard[2]) == 1 and by_shard[2][0]["name"] is None
 
 
+def test_pack_wds_shards_roundtrip_and_determinism(spark):
+    """pack_wds_shards is the walker's inverse: samples (key +
+    ext→content map) pack into pax shards whose members walk back out
+    byte-identical — including a >100-char key that forces a real pax
+    path record — and packing the same input twice yields the same
+    shard bytes (zeroed mtime, key-sorted members, fixed hash)."""
+    from vacancy_gpt_etl_pipeline_spark.operators.wds import (
+        pack_wds_shards,
+    )
+
+    long_key = "k" * 100 + "000000007"
+    rows = [
+        ("000000001", {"txt": b"hello", "cls": b"3"}),
+        ("000000002", {"cls": b"9"}),
+        (long_key, {"txt": b"long-key payload", "cls": b"1"}),
+    ]
+    samples = spark.createDataFrame(
+        rows, "key string, parts map<string, binary>"
+    )
+    packed = pack_wds_shards(samples, n_shards=4)
+    members = tar_members(packed).collect()
+    got = {
+        (r["key"], r["ext"]): bytes(r["content"])
+        for r in members
+        if r["name"] is not None
+    }
+    want = {
+        (k, ext): data for k, parts in rows for ext, data in parts.items()
+    }
+    assert got == want
+    # the long key's member name exceeded the ustar field → the packed
+    # bytes contain a pax path record the walker applied
+    long_shards = [
+        bytes(r["content"])
+        for r in packed.collect()
+        if any(
+            m["key"] == long_key
+            for m in members
+            if m["shard_id"] == r["shard_id"]
+        )
+    ]
+    assert long_shards and b"path=" in long_shards[0]
+    # byte determinism: same input → same shard bytes
+    again = {
+        r["shard_id"]: bytes(r["content"])
+        for r in pack_wds_shards(samples, n_shards=4).collect()
+    }
+    first = {
+        r["shard_id"]: bytes(r["content"]) for r in packed.collect()
+    }
+    assert again == first
+
+
 def test_tar_members_quarantines_bad_shard(spark):
     good = _shard([("0000000001.txt", b"ok")])
     bad = bytearray(good)

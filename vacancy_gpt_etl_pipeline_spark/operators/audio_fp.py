@@ -152,6 +152,32 @@ def audio_fp_dup_groups(fps: DataFrame) -> DataFrame:
     )
 
 
+def audio_fp_incremental(
+    batch_fps: DataFrame, history_fps: DataFrame
+) -> DataFrame:
+    """Batch-vs-corpus incremental AUDIO gate — the audio member of
+    the incremental family (text: ``dedup.incremental_dedup``; image:
+    ``phash.phash_incremental``; embedding:
+    ``similarity.semdedup_incremental``): a new recording survives
+    only if its acoustic fingerprint is keep-first within the batch
+    AND absent from history. The fingerprint is already
+    gain-invariant (bin energies scale by gain², argmax unmoved), so
+    exact key equality is the duplicate relation — no near tier, the
+    r13-verdict symmetry-completion design. History is never
+    re-deduped; its distinct fingerprints are the whole state
+    (:func:`dedup.keyed_incremental_gate` scale notes apply)."""
+    from vacancy_gpt_etl_pipeline_spark.operators.dedup import (
+        keyed_incremental_gate,
+    )
+
+    return keyed_incremental_gate(
+        batch_fps.where(F.col("n_windows") >= 1),
+        history_fps,
+        "fingerprint",
+        "asset_id",
+    )
+
+
 def synthesize_tone_payload(
     df: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -535,6 +535,45 @@ def content_hash_col(col: str, normalize: bool = True):
     return F.md5(norm)
 
 
+def keyed_incremental_gate(
+    batch: DataFrame,
+    history: DataFrame,
+    key_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Generic batch-vs-corpus EXACT gate on a precomputed key column —
+    the shared core of the fingerprint-keyed incremental family
+    (audio: ``audio_fp.audio_fp_incremental`` on ``fingerprint``;
+    video: ``phash.video_phash_incremental`` on ``video_fp``). The
+    text/image/embedding members carry their own key derivation and
+    near tiers; audio/video fingerprints are already
+    invariance-collapsed strings (gain- / brightness-normalized), so
+    exact key equality IS the duplicate relation and no near tier is
+    needed.
+
+    Family contract: keep-first within the batch (min ``id_col`` per
+    key — deterministic under any partitioning), then LEFT ANTI join
+    against history's distinct keys; history is never re-deduped and
+    is the only veto, so retried or reordered ingests cannot change a
+    past decision. Scale shape: the history side projects to distinct
+    keys only (the O(distinct-content) index), the anti-join shuffles
+    on the key, and NULL-key rows (quarantined/undecodable assets,
+    which have no identity to gate on) are DROPPED on both sides —
+    route them to a census/quarantine sink upstream, not a dedup
+    gate."""
+    seen = history.select(key_col).where(
+        F.col(key_col).isNotNull()
+    ).distinct()
+    w = Window.partitionBy(key_col).orderBy(F.asc(id_col))
+    fresh = (
+        batch.where(F.col(key_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return fresh.join(seen, key_col, "left_anti")
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     history: DataFrame,

@@ -251,6 +251,32 @@ def video_phash_dup_groups(fps: DataFrame) -> DataFrame:
     )
 
 
+def video_phash_incremental(
+    batch_fps: DataFrame, history_fps: DataFrame
+) -> DataFrame:
+    """Batch-vs-corpus incremental VIDEO gate — completes the
+    incremental family's modality symmetry (r13 verdict item 5): a new
+    clip survives only if its frame-hash-sequence fingerprint
+    (``video_fp`` from :func:`phash_y4m`) is keep-first within the
+    batch AND absent from history. The per-frame pHashes already
+    absorb brightness re-encodes and the sequence join collapses
+    container-level re-muxes, so exact equality is the duplicate
+    relation — no near tier (frame-level near-dup stays
+    ``phash_neardup_pairs``' job on sampled frames). History is never
+    re-deduped; its distinct fingerprints are the whole state
+    (:func:`dedup.keyed_incremental_gate` scale notes apply)."""
+    from vacancy_gpt_etl_pipeline_spark.operators.dedup import (
+        keyed_incremental_gate,
+    )
+
+    return keyed_incremental_gate(
+        batch_fps.where(F.col("n_frames") >= 1),
+        history_fps,
+        "video_fp",
+        "asset_id",
+    )
+
+
 def phash_incremental(
     batch_hashes: DataFrame,
     history_hashes: DataFrame,
@@ -376,6 +402,7 @@ def phash_neardup_pairs(
     min_hamming: int = 1,
     max_hamming: int = 2,
     max_bucket: int = 10_000,
+    reps_precomputed: bool = False,
 ) -> DataFrame:
     """NEAR-duplicate pairs via band-LSH: two hashes within Hamming
     distance < 4 share at least one exact 16-bit band (pigeonhole over
@@ -402,7 +429,14 @@ def phash_neardup_pairs(
     ``dedup.py``'s LSH caps — its members still collapse via the
     dedup-groups path. Requires ``max_hamming < 4`` so the pigeonhole
     band guarantee holds; raises ValueError otherwise (the honest
-    failure the semdedup sizing guard models)."""
+    failure the semdedup sizing guard models).
+
+    ``reps_precomputed=True`` skips the internal min-id representative
+    aggregation — the caller attests ``hashes`` already holds exactly
+    one row per distinct fingerprint, keyed by its group's MIN
+    asset_id (e.g. derived from a keep-first window the caller
+    computed anyway, the multimodal_dedup_manifest pattern). Saves one
+    corpus-sized shuffle when a dedup-groups pass precedes this."""
     if not 0 <= min_hamming <= max_hamming:
         raise ValueError("need 0 <= min_hamming <= max_hamming")
     if max_hamming >= 4:
@@ -413,8 +447,12 @@ def phash_neardup_pairs(
         )
     from pyspark.sql import Window
 
-    reps = hashes.groupBy("b0", "b1", "b2", "b3").agg(
-        F.min("asset_id").alias("asset_id")
+    reps = (
+        hashes.select("b0", "b1", "b2", "b3", "asset_id")
+        if reps_precomputed
+        else hashes.groupBy("b0", "b1", "b2", "b3").agg(
+            F.min("asset_id").alias("asset_id")
+        )
     )
     # explode bands WITH the full hash carried along, so the self-join
     # below computes Hamming inline — no re-join against the hash table

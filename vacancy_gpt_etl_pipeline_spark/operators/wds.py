@@ -239,6 +239,72 @@ def wds_samples(members: DataFrame) -> DataFrame:
     )
 
 
+def pack_wds_shards(
+    samples: DataFrame,
+    n_shards: int = 64,
+    key_col: str = "key",
+    parts_col: str = "parts",
+    tar_format: str = "pax",
+) -> DataFrame:
+    """The SINK side of the WebDataset tier: pack sample rows
+    (``key_col`` string + ``parts_col`` ext→content map — the
+    :func:`wds_samples` shape) into tar shards, the layout a training
+    loader streams at 100 TB. Inverse of :func:`tar_members` ∘
+    :func:`wds_samples`; the pack→walk→regroup roundtrip is
+    oracle-gated in the registry (``wds_pack_roundtrip``).
+
+    Shard assignment is HASH-bucketed (``xxhash64(key) mod
+    n_shards``), the production WebDataset convention — one shuffle on
+    shard_id, one task per shard, no global ordering anywhere (a
+    rank-based assignment would be a single-task global sort, the
+    exact UnpartitionedWindow shape the plan budget bans). Determinism
+    contract (what makes the roundtrip hashable): the hash is fixed,
+    samples sort by key within their shard, members within a sample
+    emit in ext order, and headers carry zeroed mtime/uid/gid —
+    identical input always packs byte-identical shards. Size ``n_shards``
+    so samples-per-shard lands near the loader's preference (and
+    shard count >> executor count at scale). Default
+    ``tar_format='pax'`` — what Python tarfile itself writes since
+    3.8; member names are ``{key}.{ext}``, so long keys emit real pax
+    path records the walker (:func:`tar_members`) round-trips."""
+    if tar_format not in _TAR_FORMATS:
+        raise ValueError(f"unknown tar_format {tar_format!r}")
+    sharded = samples.select(
+        F.col(key_col).alias("_key"),
+        F.col(parts_col).alias("_parts"),
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
+        .cast("long")
+        .alias("shard_id"),
+    )
+    fmt = _TAR_FORMATS[tar_format]
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_key")
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
+            for _, row in pdf.iterrows():
+                # Arrow map columns arrive as key/value tuple lists
+                parts = dict(row["_parts"])
+                for ext in sorted(parts):
+                    data = bytes(parts[ext])
+                    info = tarfile.TarInfo(f"{row['_key']}.{ext}")
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.mode = 0o644
+                    tf.addfile(info, io.BytesIO(data))
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "content": [buf.getvalue()],
+                "n_samples": [len(pdf)],
+            }
+        )
+
+    return sharded.groupBy("shard_id").applyInPandas(
+        build, "shard_id long, content binary, n_samples int"
+    )
+
+
 _TAR_FORMATS = {
     "ustar": tarfile.USTAR_FORMAT,
     "pax": tarfile.PAX_FORMAT,

