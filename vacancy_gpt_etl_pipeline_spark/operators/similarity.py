@@ -644,17 +644,17 @@ def semdedup(
         else:
             assigned = ivf_assign(corpus, centroids, id_col, vec_col, dim)
     assigned = persist_in(assigned, cache_scope)
-    # persisted because it is read TWICE: the guard aggregate below and
-    # the `joinable` broadcast build. Unpersisted, the broadcast
-    # exchange re-runs this groupBy over the corpus — the r13 idle
-    # regression (semdedup 1.33×, semdedup_2level 1.44×) was exactly
-    # that duplicated pass; cached, the guard's single action
-    # materializes assigned AND sizes and the broadcast reads n_cells
-    # cached rows.
-    sizes = persist_in(
-        assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_csz")),
-        cache_scope,
-    )
+    # NOT persisted, on measurement: sizes is read twice (the guard
+    # aggregate and the `joinable` broadcast build), but both reads
+    # re-aggregate from the CACHED assignment — milliseconds at any
+    # realistic cell count. Caching the aggregate itself was tried in
+    # r14 and measured a 1.3–1.45× PESSIMIZATION under a controlled
+    # same-session A/B (the InMemoryRelation boundary costs more than
+    # the duplicated cached-input aggregate it saves); the same A/B
+    # showed the r13 guard code at parity with the pre-guard r12 shape
+    # (2.49 vs 2.58 s / 3.89 vs 4.73 s min-of-4 warm), so the r13
+    # idle-stamp delta was machine state, not this code path.
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_csz"))
     # Degenerate-sizing guard: the oversized-cell cap keeps members
     # conservatively, so a configuration where EVERY cell exceeds
     # ``max_cell`` (corpus/n_centroids > max_cell) makes the whole
@@ -673,17 +673,14 @@ def semdedup(
         F.sum((F.col("_csz") > max_cell).cast("long")).alias("n_over"),
     ).first()
     if _stats.n_cells and _stats.n_over == _stats.n_cells:
-        if cache_scope is None:
-            # the guard just materialized the per-cell sizes cache; on
-            # the error path nobody downstream will read or free it.
-            sizes.unpersist()
-            if operator_built:
-                # same for the corpus-sized assignment cache — a caller
-                # that catches and retries with fixed sizing would
-                # otherwise leak one cached frame per attempt. A
-                # caller-INJECTED frame is the caller's cache to manage
-                # (it may feed several semdedup calls) — never drop it.
-                assigned.unpersist()
+        if cache_scope is None and operator_built:
+            # the guard just materialized the corpus-sized assignment
+            # cache; on the error path nobody downstream will read or
+            # free it — a caller that catches and retries with fixed
+            # sizing would otherwise leak one cached frame per attempt.
+            # A caller-INJECTED frame is the caller's cache to manage
+            # (it may feed several semdedup calls) — never drop it.
+            assigned.unpersist()
         raise ValueError(
             f"semdedup degenerate sizing: all {_stats.n_cells} cells "
             f"exceed max_cell={max_cell}, so no pair would be "
