@@ -114,6 +114,36 @@ def test_ustar_walker_raises_only_valueerror():
             pass
 
 
+def test_pax_gnu_walker_raises_only_valueerror():
+    """Same error contract over the r14 long-name paths: mutated pax
+    ``x`` records (length fields, '='-less bodies, truncated payloads)
+    and GNU ``L`` members must yield ValueError or clean members —
+    never IndexError/struct.error/UnicodeError or a hang."""
+    import io
+    import tarfile
+
+    long_name = "deep/" * 25 + "member-0001.txt"
+    for fmt in (tarfile.PAX_FORMAT, tarfile.GNU_FORMAT):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
+            for name, data in (
+                ("a.txt", b"abc" * 50),
+                (long_name, b"payload-under-long-name"),
+                ("b.cls", b"1"),
+            ):
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(data))
+        base = buf.getvalue()
+        rng = random.Random(149 if fmt == tarfile.PAX_FORMAT else 151)
+        for payload in _mutations(rng, base, 400):
+            try:
+                list(_parse_ustar(payload))
+            except ValueError:
+                pass
+
+
 def test_id3_parser_never_raises():
     rng = random.Random(139)
     v23 = (
