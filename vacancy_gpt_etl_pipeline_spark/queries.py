@@ -10121,6 +10121,7 @@ LIMIT {_BPE_TOP_K}
 
 
 _TEMP_ALPHA, _TEMP_BUDGET = 0.7, 300
+_QUOTA_BUDGET = 200
 
 
 def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10179,6 +10180,220 @@ SELECT source, n_docs, weight_q,
   CAST(weight_q AS DOUBLE) / CAST(t AS DOUBLE) * {float(_TEMP_BUDGET)} AS expected_docs
 FROM weighted, tot
 ORDER BY source
+"""
+
+
+def weighted_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted quota sampling — the SELECTION stage temperature_mix
+    only plans: a global budget of 200 documents is
+    allocated across sources by the same α=0.7 temperature weights
+    (1e6-quantized, exact bigint arithmetic), integerized by the
+    LARGEST-REMAINDER method (base = floor(K·w/Σw) — the remainder
+    K·w mod Σw is an exact integer — with the leftover seats going to
+    the largest remainders, source-name tie-break), and each source
+    fills its quota with its smallest-priority documents under the
+    deterministic Knuth multiplicative hash (doc_id·2654435761 mod
+    2^28) — uniform within source, reproducible in any engine with
+    exact integers only (the classical A-ES exponential key needs
+    pow/ln whose cross-engine rounding is not reproducible; weighted
+    allocation × uniform-within-source is also how real training
+    mixes are drawn). Scale shape: the remainder ranking is a
+    broadcast self-join over the SOURCE-cardinality frame (no global
+    window), and the per-source pick is a PARTITIONED row_number —
+    WindowGroupLimit truncates map-side before the exchange."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    wq = F.expr(
+        f"CAST(ROUND(POWER(CAST(n_docs AS DOUBLE), {_TEMP_ALPHA})"
+        " * 1000000.0) AS BIGINT)"
+    )
+    weighted = per_src.select("source", wq.alias("weight_q"))
+    totals = weighted.agg(
+        F.sum("weight_q").cast("bigint").alias("_tot")
+    )
+    # integral DIV/MOD on exact bigints — no double division anywhere
+    # in the allocation arithmetic. The source-cardinality alloc frame
+    # feeds FOUR consumers (both self-join legs, the leftover sum, the
+    # quota build); persisted, the full-table per-source aggregate runs
+    # once instead of once per consumer (unscoped persist — the
+    # bench/oracle harnesses clear the cache per query).
+    alloc = (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "weight_q",
+            F.expr(
+                f"CAST({_QUOTA_BUDGET} * weight_q DIV _tot AS BIGINT)"
+            ).alias("base"),
+            F.expr(
+                f"CAST({_QUOTA_BUDGET} * weight_q % _tot AS BIGINT)"
+            ).alias("rem"),
+        )
+        .persist()
+    )
+    leftover = alloc.agg(
+        (F.lit(_QUOTA_BUDGET).cast("bigint") - F.sum("base"))
+        .cast("bigint")
+        .alias("_left")
+    )
+    # largest-remainder rank WITHOUT a global window: count the
+    # sources strictly ahead in (rem DESC, source ASC) via a broadcast
+    # self-join over the source-cardinality frame
+    other = alloc.select(
+        F.col("source").alias("_os"),
+        F.col("rem").alias("_or"),
+    )
+    ahead = (
+        alloc.join(
+            F.broadcast(other),
+            (F.col("_or") > F.col("rem"))
+            | ((F.col("_or") == F.col("rem")) & (F.col("_os") < F.col("source"))),
+            "left",
+        )
+        .groupBy("source", "base", "rem")
+        .agg(F.count("_os").alias("_rank"))
+    )
+    quotas = ahead.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        (
+            F.col("base")
+            + F.when(F.col("_rank") < F.col("_left"), 1).otherwise(0)
+        ).alias("quota"),
+    )
+    pri = (F.col("doc_id") * F.lit(2654435761)) % F.lit(268435456)
+    w = Window.partitionBy("source").orderBy("_pri", "doc_id")
+    picked = (
+        docs.withColumn("_pri", pri)
+        .withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(quotas), "source")
+        .where(F.col("_rn") <= F.col("quota"))
+    )
+    return picked.select(
+        "source", "doc_id", F.col("_pri").cast("long").alias("priority")
+    )
+
+
+WEIGHTED_QUOTA_SQL = f"""
+WITH per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+weighted AS (
+  SELECT source,
+    CAST(ROUND(POWER(CAST(n_docs AS DOUBLE), {_TEMP_ALPHA}) * 1000000.0)
+      AS BIGINT) AS weight_q
+  FROM per_src
+),
+tot AS (SELECT CAST(SUM(weight_q) AS BIGINT) AS t FROM weighted),
+alloc AS (
+  SELECT source, weight_q,
+    ({_QUOTA_BUDGET} * weight_q) // t AS base,
+    ({_QUOTA_BUDGET} * weight_q) % t AS rem
+  FROM weighted, tot
+),
+leftover AS (SELECT {_QUOTA_BUDGET} - SUM(base) AS l FROM alloc),
+ranked AS (
+  SELECT a.source, a.base, a.rem,
+    (SELECT COUNT(*) FROM alloc b
+     WHERE b.rem > a.rem OR (b.rem = a.rem AND b.source < a.source))
+      AS rnk
+  FROM alloc a
+),
+quotas AS (
+  SELECT source,
+    base + CASE WHEN rnk < (SELECT l FROM leftover) THEN 1 ELSE 0 END
+      AS quota
+  FROM ranked
+),
+pri AS (
+  SELECT source, doc_id,
+    (doc_id * 2654435761) % 268435456 AS priority,
+    ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY (doc_id * 2654435761) % 268435456, doc_id
+    ) AS rn
+  FROM documents
+)
+SELECT p.source, CAST(p.doc_id AS BIGINT) AS doc_id,
+  CAST(p.priority AS BIGINT) AS priority
+FROM pri p JOIN quotas q ON p.source = q.source
+WHERE p.rn <= q.quota
+"""
+
+
+def fim_transform_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022,
+    arXiv:2207.14255): HALF the corpus (doc_id parity — the paper's
+    50% FIM rate) is reordered prefix-suffix-middle with sentinel
+    tokens, the rest passes through as plain autoregressive text. The
+    two split points are closed forms of doc_id and the CHARACTER
+    length (both engines count chars), so the oracle rebuilds every
+    transformed document with pure substring arithmetic; short or
+    NULL docs (< 16 chars) pass through untransformed like the
+    autoregressive half. Entirely map-side codegen — substrings +
+    concat, no shuffle except the source scan."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.length("text")
+    third = F.greatest(n / F.lit(3), F.lit(1)).cast("bigint")
+    s1 = (F.lit(1) + F.col("doc_id") % third).cast("int")
+    s2 = (
+        s1.cast("bigint")
+        + F.lit(1)
+        + (F.col("doc_id") / F.lit(7)).cast("bigint") % third
+    ).cast("int")
+    prefix = F.substring(F.col("text"), F.lit(1), s1)
+    middle = F.substring(F.col("text"), s1 + F.lit(1), s2 - s1)
+    suffix = F.substring(F.col("text"), s2 + F.lit(1), n.cast("int"))
+    fim_ok = (
+        F.col("text").isNotNull()
+        & (n >= 16)
+        & (F.col("doc_id") % 2 == 0)
+    )
+    psm = F.concat(
+        F.lit("<PRE>"),
+        prefix,
+        F.lit("<SUF>"),
+        suffix,
+        F.lit("<MID>"),
+        middle,
+    )
+    return d.select(
+        "doc_id",
+        F.when(fim_ok, F.lit("fim_psm"))
+        .when(F.col("text").isNotNull(), F.lit("ar"))
+        .otherwise(F.lit("empty"))
+        .alias("mode"),
+        F.when(fim_ok, psm).otherwise(F.col("text")).alias("train_text"),
+        F.when(fim_ok, (s2 - s1).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("n_middle_chars"),
+    )
+
+
+FIM_TRANSFORM_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CASE WHEN text IS NOT NULL AND length(text) >= 16 AND doc_id % 2 = 0
+       THEN 'fim_psm'
+       WHEN text IS NOT NULL THEN 'ar' ELSE 'empty' END AS mode,
+  CASE WHEN text IS NOT NULL AND length(text) >= 16 AND doc_id % 2 = 0
+       THEN '<PRE>'
+            || substr(text, 1, CAST(1 + doc_id % GREATEST(length(text) // 3, 1) AS INTEGER))
+            || '<SUF>'
+            || substr(text,
+                 CAST(1 + doc_id % GREATEST(length(text) // 3, 1)
+                      + 1 + (doc_id // 7) % GREATEST(length(text) // 3, 1)
+                      + 1 AS INTEGER))
+            || '<MID>'
+            || substr(text,
+                 CAST(1 + doc_id % GREATEST(length(text) // 3, 1) + 1 AS INTEGER),
+                 CAST(1 + (doc_id // 7) % GREATEST(length(text) // 3, 1) AS INTEGER))
+       ELSE text END AS train_text,
+  CASE WHEN text IS NOT NULL AND length(text) >= 16 AND doc_id % 2 = 0
+       THEN CAST(1 + (doc_id // 7) % GREATEST(length(text) // 3, 1) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS n_middle_chars
+FROM documents
 """
 
 
@@ -13224,6 +13439,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "source_ngram_overlap": QuerySpec(source_ngram_overlap, SOURCE_OVERLAP_SQL),
     "curriculum_order_docs": QuerySpec(curriculum_order_docs, CURRICULUM_SQL),
     "temperature_mix_docs": QuerySpec(temperature_mix_docs, TEMP_MIX_SQL),
+    "weighted_quota_sample": QuerySpec(
+        weighted_quota_sample, WEIGHTED_QUOTA_SQL
+    ),
+    "fim_transform": QuerySpec(fim_transform_docs, FIM_TRANSFORM_SQL),
     "text_quality_filter": QuerySpec(text_quality_filter, QUALITY_FILTER_SQL),
     "train_test_split": QuerySpec(train_test_split, TRAIN_TEST_SPLIT_SQL),
     "split_contamination": QuerySpec(split_contamination, SPLIT_CONTAMINATION_SQL),
@@ -13725,14 +13944,16 @@ _R14_FRONT: tuple[str, ...] = (
     "wds_pack_roundtrip",
     "audio_fp_incremental",
     "video_phash_incremental",
+    "weighted_quota_sample",
+    "fim_transform",
     # (c) code/oracle touched in round 14 (wds_member_census /
     # webp_census / wds_multimodal_e2e also saw walker code but their
     # oracles+fixtures are unchanged, r13 driver evidence is fresh, and
-    # wds_pax_census exercises the same walker more strictly — covered
-    # by the committed self-attestations)
+    # wds_pax_census exercises the same walker more strictly;
+    # semdedup / semdedup_2level ended the round byte-identical to
+    # their r13-driver-green code after the measured A/B revert —
+    # all covered by the committed self-attestations)
     "jpeg_exif_census",
-    "semdedup",
-    "semdedup_2level",
     "semdedup_incr",
     "multimodal_dedup_manifest",
     "wds_roundtrip",
