@@ -118,6 +118,49 @@ def test_no_exif_fixture_class():
     assert _parse_exif(_build_exif_jpeg(29 * 31)) is None
 
 
+def test_tiff_census_golden_and_chain():
+    from vacancy_gpt_etl_pipeline_spark.operators.exif import (
+        _build_tiff,
+        _parse_tiff,
+    )
+
+    # id=2: II, 1+2%3=3 pages, w=34, h=26, bits 8, comp 1
+    got = _parse_tiff(_build_tiff(2))
+    assert got == ("II", 34, 26, 8, 1, 3, 4)
+    # id=3: MM, bilevel (3%3==0 -> bits 1), 1 page
+    got = _parse_tiff(_build_tiff(3))
+    assert got == ("MM", 32 + 3, 24 + 3, 1, 1, 1, 4)
+    # id=4: LZW compression tag (4%4==0)
+    assert _parse_tiff(_build_tiff(4))[4] == 5
+
+
+def test_tiff_census_quarantine_classes():
+    import struct as _s
+
+    from vacancy_gpt_etl_pipeline_spark.operators.exif import (
+        _build_tiff,
+        _parse_tiff,
+    )
+
+    good = _build_tiff(2)
+    assert _parse_tiff(good) is not None
+    assert _parse_tiff(good[: len(good) // 2]) is None  # truncated
+    assert _parse_tiff(b"") is None
+    assert _parse_tiff(b"XX" + good[2:]) is None  # bad order bytes
+    bad = bytearray(good)
+    bad[2:4] = _s.pack("<H", 43)  # wrong magic
+    assert _parse_tiff(bytes(bad)) is None
+    # fixture truncation class
+    assert _parse_tiff(_build_tiff(37)) is None
+    assert _parse_tiff(_build_tiff(74)) is None
+    # circular IFD chain: point page 2's next pointer back at IFD0
+    loop = bytearray(_build_tiff(2))  # 3 pages, IFDs at 8/62/116
+    ifd_size = 2 + 12 * 4 + 4
+    tail = 8 + ifd_size + (2 + 12 * 4)  # page-2 next-pointer offset
+    loop[tail : tail + 4] = _s.pack("<L", 8)
+    assert _parse_tiff(bytes(loop)) is None
+
+
 def test_spark_census_closed_forms(spark, sf_dir):
     from vacancy_gpt_etl_pipeline_spark.operators.exif import (
         census_exif,

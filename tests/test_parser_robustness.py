@@ -144,6 +144,27 @@ def test_pax_gnu_walker_raises_only_valueerror():
                 pass
 
 
+def test_tiff_walker_never_raises():
+    """The standalone TIFF census shares the EXIF IFD machinery; its
+    quarantine contract is a None return — mutations (including ones
+    corrupting the next-IFD chain pointers) must never escape as
+    IndexError/struct.error or loop forever."""
+    from vacancy_gpt_etl_pipeline_spark.operators.exif import (
+        _build_tiff,
+        _parse_tiff,
+    )
+
+    rng = random.Random(157)
+    for base_id in (2, 3, 5):
+        base = _build_tiff(base_id)
+        for payload in _mutations(rng, base, 300):
+            r = _parse_tiff(payload)
+            assert r is None or isinstance(r, tuple)
+    for payload in _noise(rng, 150):
+        r = _parse_tiff(payload)
+        assert r is None or isinstance(r, tuple)
+
+
 def test_id3_parser_never_raises():
     rng = random.Random(139)
     v23 = (

@@ -228,6 +228,194 @@ def _parse_exif(b: bytes):
     )
 
 
+TIFF_CENSUS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("byte_order", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("compression", T.IntegerType()),
+        T.StructField("n_ifds", T.IntegerType()),
+        T.StructField("n_ifd0_entries", T.IntegerType()),
+    ]
+)
+
+
+def _parse_tiff(b: bytes):
+    """Standalone TIFF container census (TIFF 6.0): the same II/MM +
+    magic-42 + IFD machinery the EXIF walker hops through, but as the
+    whole file — scanned-document corpora ship bare .tif. Walks the
+    IFD CHAIN (next-IFD pointer; multi-page TIFFs are IFD lists),
+    reading the baseline tags from IFD0: ImageWidth 0x0100,
+    ImageLength 0x0101, BitsPerSample 0x0102, Compression 0x0103.
+    Returns the census tuple or None for malformed input (bad order
+    bytes, wrong magic, IFD/value offsets past the buffer, an IFD
+    chain that loops)."""
+    if len(b) < 8:
+        return None
+    order = b[:2]
+    if order == b"II":
+        e = "<"
+    elif order == b"MM":
+        e = ">"
+    else:
+        return None
+    magic, ifd_off = struct.unpack(e + "HL", b[2:8])
+    if magic != 42:
+        return None
+
+    def _first_int(entry):
+        v = _value(b, *entry, e)
+        if isinstance(v, list) and v and isinstance(v[0], int):
+            return int(v[0])
+        return None
+
+    try:
+        seen: set[int] = set()
+        n_ifds = 0
+        first: dict | None = None
+        n0 = 0
+        off = ifd_off
+        while off:
+            if off in seen:
+                return None  # circular IFD chain
+            seen.add(off)
+            ifd, n = _read_ifd(b, off, e)
+            if n_ifds == 0:
+                first, n0 = ifd, n
+            n_ifds += 1
+            if n_ifds > 10_000:
+                return None  # unreasonable page count — corrupt chain
+            tail = off + 2 + 12 * n
+            off = struct.unpack(e + "L", b[tail : tail + 4])[0]
+        if first is None:
+            return None  # zero IFDs: not a usable TIFF
+        w = _first_int(first[0x0100]) if 0x0100 in first else None
+        h = _first_int(first[0x0101]) if 0x0101 in first else None
+        bits = _first_int(first[0x0102]) if 0x0102 in first else None
+        comp = _first_int(first[0x0103]) if 0x0103 in first else None
+    except ValueError:
+        return None
+    return (
+        order.decode("ascii"),
+        w,
+        h,
+        bits,
+        comp,
+        n_ifds,
+        n0,
+    )
+
+
+def census_tiff(
+    df: DataFrame, id_col: str = "asset_id", content_col: str = "content"
+) -> DataFrame:
+    """Walk every payload's TIFF IFD chain (Arrow ``mapInPandas``);
+    malformed payloads quarantine as ``fmt='tiff?'`` with null census
+    columns — the census_exif contract on the standalone container."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in TIFF_CENSUS_SCHEMA}
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(content) if content is not None else b""
+                parsed = _parse_tiff(b)
+                rows["asset_id"].append(int(aid))
+                if parsed is None:
+                    rows["fmt"].append("tiff?")
+                    for k in (
+                        "byte_order",
+                        "width",
+                        "height",
+                        "bits_per_sample",
+                        "compression",
+                        "n_ifds",
+                        "n_ifd0_entries",
+                    ):
+                        rows[k].append(None)
+                    continue
+                (order, w, h, bits, comp, n_ifds, n0) = parsed
+                rows["fmt"].append("tiff")
+                rows["byte_order"].append(order)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["bits_per_sample"].append(bits)
+                rows["compression"].append(comp)
+                rows["n_ifds"].append(n_ifds)
+                rows["n_ifd0_entries"].append(n0)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, TIFF_CENSUS_SCHEMA
+    )
+
+
+def _build_tiff(i: int) -> bytes:
+    """One deterministic standalone-TIFF fixture payload. Closed
+    forms: byte order II for even ids / MM for odd; width 32 + id%97;
+    height 24 + id%61; bits 8 except bilevel scans (1) every 3rd id;
+    compression 1 (none) except LZW (5, header-only) every 4th id;
+    pages 1 + id%3 (a real multi-page IFD chain). Every
+    ``id % 37 == 0`` payload is truncated mid-IFD → quarantine."""
+    e = "<" if i % 2 == 0 else ">"
+    n_pages = 1 + i % 3
+    w, h = 32 + i % 97, 24 + i % 61
+    bits = 8 if i % 3 != 0 else 1
+    comp = 1 if i % 4 != 0 else 5
+
+    def entry(tag, typ, cnt, raw4):
+        return struct.pack(e + "HHL", tag, typ, cnt) + raw4
+
+    def short4(v):
+        return struct.pack(e + "H", v) + b"\x00\x00"
+
+    # each page IFD: 4 entries + next pointer, laid out back-to-back
+    ifd_size = 2 + 12 * 4 + 4
+    out = (b"II" if e == "<" else b"MM") + struct.pack(e + "HL", 42, 8)
+    for p in range(n_pages):
+        off = 8 + p * ifd_size
+        nxt = off + ifd_size if p + 1 < n_pages else 0
+        entries = [
+            entry(0x0100, 3, 1, short4(w)),
+            entry(0x0101, 3, 1, short4(h)),
+            entry(0x0102, 3, 1, short4(bits)),
+            entry(0x0103, 3, 1, short4(comp)),
+        ]
+        out += (
+            struct.pack(e + "H", 4)
+            + b"".join(entries)
+            + struct.pack(e + "L", nxt)
+        )
+    if i % 37 == 0:
+        out = out[: len(out) - len(out) // 2]  # truncate mid-IFD
+    return out
+
+
+def synthesize_tiff_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic standalone-TIFF fixture (Arrow ``mapInPandas``;
+    the :func:`synthesize_exif_payload` pattern — per-row Python
+    assembly because dual endianness + chained IFD offsets make hex
+    concatenation unreadable). Closed forms in :func:`_build_tiff`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "content": [_build_tiff(i) for i in ids],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        run, "asset_id long, content binary"
+    )
+
+
 def census_exif(
     df: DataFrame, id_col: str = "asset_id", content_col: str = "content"
 ) -> DataFrame:

@@ -93,7 +93,9 @@ from vacancy_gpt_etl_pipeline_spark.operators.wds import (
 )
 from vacancy_gpt_etl_pipeline_spark.operators.exif import (
     census_exif,
+    census_tiff,
     synthesize_exif_payload,
+    synthesize_tiff_payload,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.phash import (
     PHASH_DCT_LUT,
@@ -4663,6 +4665,53 @@ def jpeg_exif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gps_lat",
         "n_ifd0_entries",
     )
+
+
+def tiff_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone TIFF container census (operators/exif.py — the same
+    II/MM + magic-42 + 12-byte-IFD machinery the EXIF walker hops
+    through, exercised as the WHOLE file the way scanned-document
+    corpora ship bare .tif): documents become multi-page TIFFs (a real
+    next-IFD chain, 1–3 pages), both byte orders by id parity, and
+    census_tiff walks the chain reading the baseline tags (ImageWidth/
+    ImageLength/BitsPerSample/Compression). Every 37th payload is
+    truncated mid-IFD → quarantined as fmt='tiff?'. The oracle replays
+    every column closed-form from doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    return census_tiff(synthesize_tiff_payload(docs, "doc_id")).select(
+        "asset_id",
+        "fmt",
+        "byte_order",
+        "width",
+        "height",
+        "bits_per_sample",
+        "compression",
+        "n_ifds",
+        "n_ifd0_entries",
+    )
+
+
+TIFF_CENSUS_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+  CASE WHEN doc_id % 37 = 0 THEN 'tiff?' ELSE 'tiff' END AS fmt,
+  CASE WHEN doc_id % 37 = 0 THEN NULL
+       WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+  CASE WHEN doc_id % 37 = 0 THEN NULL
+       ELSE CAST(32 + doc_id % 97 AS INTEGER) END AS width,
+  CASE WHEN doc_id % 37 = 0 THEN NULL
+       ELSE CAST(24 + doc_id % 61 AS INTEGER) END AS height,
+  CASE WHEN doc_id % 37 = 0 THEN NULL
+       WHEN doc_id % 3 = 0 THEN CAST(1 AS INTEGER)
+       ELSE CAST(8 AS INTEGER) END AS bits_per_sample,
+  CASE WHEN doc_id % 37 = 0 THEN NULL
+       WHEN doc_id % 4 = 0 THEN CAST(5 AS INTEGER)
+       ELSE CAST(1 AS INTEGER) END AS compression,
+  CASE WHEN doc_id % 37 = 0 THEN NULL
+       ELSE CAST(1 + doc_id % 3 AS INTEGER) END AS n_ifds,
+  CASE WHEN doc_id % 37 = 0 THEN NULL
+       ELSE CAST(4 AS INTEGER) END AS n_ifd0_entries
+FROM documents
+"""
 
 
 EXIF_CENSUS_SQL = """
@@ -13270,6 +13319,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "webp_census": QuerySpec(webp_container_census, WEBP_CENSUS_SQL),
     "jpeg_exif_census": QuerySpec(jpeg_exif_census, EXIF_CENSUS_SQL),
+    "tiff_census": QuerySpec(tiff_census, TIFF_CENSUS_SQL),
     "wds_member_census": QuerySpec(wds_member_census, WDS_MEMBER_SQL),
     "wds_pax_census": QuerySpec(wds_pax_census, WDS_PAX_SQL),
     "wds_pack_roundtrip": QuerySpec(
