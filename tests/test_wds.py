@@ -175,6 +175,92 @@ def test_pax_global_header_and_size_override():
     ]
 
 
+def _hand_hdr(name: bytes, size_field: bytes, typeflag: bytes) -> bytes:
+    """Raw ustar header with an ARBITRARY 12-byte size field (lets
+    tests forge values tarfile refuses to write, e.g. negative octal)."""
+    h = bytearray(512)
+    h[0 : len(name)] = name
+    h[100:108] = b"0000644\x00"
+    h[108:116] = h[116:124] = b"0000000\x00"
+    h[124 : 124 + len(size_field)] = size_field
+    h[136:148] = b"00000000000\x00"
+    h[148:156] = b" " * 8
+    h[156:157] = typeflag
+    h[257:263] = b"ustar\x00"
+    h[263:265] = b"00"
+    chk = sum(h)
+    h[148:156] = f"{chk:06o}\x00 ".encode()
+    return bytes(h)
+
+
+def _pad512(data: bytes) -> bytes:
+    return data + b"\x00" * (-len(data) % 512)
+
+
+def _pax_rec(k: str, v: str) -> bytes:
+    body = f" {k}={v}\n"
+    n = len(body) + 1
+    while len(str(n)) + len(body) != n:
+        n += 1
+    return f"{n}{body}".encode()
+
+
+def test_negative_size_raises_not_hangs():
+    """r14 advice (high): int(b'-1750', 8) and a pax ``size=-2000``
+    record both parse to NEGATIVE sizes; before the guard, ``advance``
+    floored BELOW the cursor and the walker yielded the same member
+    forever (unbounded buffer → task hang/OOM). Both holes must raise
+    ValueError immediately — the whole-shard quarantine signal."""
+    # hole 1: negative OCTAL size field on a plain member
+    archive = (
+        _hand_hdr(b"evil.txt", b"-0000001750\x00", b"0")
+        + _pad512(b"x")
+        + b"\x00" * 1024
+    )
+    try:
+        list(_parse_ustar(archive))
+        assert False, "negative octal size not detected"
+    except ValueError as e:
+        assert "negative" in str(e)
+    # hole 2: pax per-member size override of -2000 over a valid
+    # 3-block shard (the advice's repro shape)
+    payload = _pax_rec("size", "-2000")
+    archive = (
+        _hand_hdr(b"pax-evil", f"{len(payload):011o}\x00".encode(), b"x")
+        + _pad512(payload)
+        + _hand_hdr(b"victim.txt", b"00000000003\x00", b"0")
+        + _pad512(b"abc")
+        + b"\x00" * 1024
+    )
+    try:
+        list(_parse_ustar(archive))
+        assert False, "negative pax size not detected"
+    except ValueError as e:
+        assert "negative" in str(e)
+
+
+def test_pax_global_header_offset_matches_stdlib():
+    """r14 advice (low): stdlib propagates TarInfo.offset to the next
+    member only for ``x``/``L``/``K`` companions, NOT ``g`` — a member
+    following a global header starts at ITS OWN block. Pin the walker
+    against tarfile on a hand-built archive stdlib can also read."""
+    payload_g = _pax_rec("comment", "global metadata")
+    archive = (
+        _hand_hdr(
+            b"ignored-g", f"{len(payload_g):011o}\x00".encode(), b"g"
+        )
+        + _pad512(payload_g)
+        + _hand_hdr(b"after.txt", b"00000000003\x00", b"0")
+        + _pad512(b"abc")
+        + b"\x00" * 1024
+    )
+    got = list(_parse_ustar(archive))
+    assert [(g[0], g[1], g[4]) for g in got] == [("after.txt", 3, b"abc")]
+    with tarfile.open(fileobj=io.BytesIO(archive)) as tf:
+        truth = [(m.name, m.offset) for m in tf.getmembers()]
+    assert [(g[0], g[2]) for g in got] == truth == [("after.txt", 1024)]
+
+
 def test_mid_walk_corruption_quarantines_whole_shard(spark):
     """A shard corrupted AFTER valid members contributes ONLY its
     quarantine row — its already-parsed members must not leak into the

@@ -89,11 +89,11 @@ def _parse_ustar(b: bytes):
     """Yield ``(name, size, offset, typeflag, payload)`` per LOGICAL
     member, or raise ValueError on a malformed header (bad magic /
     checksum / size overrun / malformed pax records). ``offset`` is
-    the member's FIRST on-disk block — a preceding pax ``x``/``g`` or
-    GNU ``L``/``K`` companion is part of the member's byte range, so
-    seeking there re-reads the member with its overrides (stdlib
-    ``tarfile.TarInfo.offset`` semantics; pinned against it in
-    tests). Long-name mechanisms applied, in precedence order: pax
+    the member's FIRST on-disk block — a preceding pax ``x`` or GNU
+    ``L``/``K`` companion is part of the member's byte range, so
+    seeking there re-reads the member with its overrides; a pax ``g``
+    GLOBAL header is NOT (stdlib ``tarfile.TarInfo.offset`` semantics
+    for all four cases; pinned against it in tests). Long-name mechanisms applied, in precedence order: pax
     per-member ``path`` > GNU longname > pax global ``path`` > ustar
     ``prefix`` + name. A pax per-member ``size`` record overrides the
     octal header size (the >8 GiB escape hatch)."""
@@ -116,6 +116,11 @@ def _parse_ustar(b: bytes):
             raise ValueError(f"checksum mismatch at {i}")
         name = hdr[0:100].split(b"\x00")[0].decode("utf-8", "replace")
         size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
+        if size < 0:
+            # int(b'-1750', 8) parses; a negative size would floor
+            # `advance` BELOW i and walk the cursor backwards — the
+            # same member yielded forever, an unbounded-buffer hang
+            raise ValueError(f"negative size at {i}")
         typeflag = chr(hdr[156]) if hdr[156] else "0"
         if typeflag in ("x", "g") and "size" in next_over:
             raise ValueError(f"pax header chained to pax header at {i}")
@@ -126,11 +131,17 @@ def _parse_ustar(b: bytes):
                 size = int(next_over["size"])
             except ValueError:
                 raise ValueError(f"pax size not decimal at {i}") from None
+            if size < 0:
+                raise ValueError(f"negative pax size at {i}")
         data_start = i + 512
         if data_start + size > len(b):
             raise ValueError(f"member overruns shard at {i}")
         payload = b[data_start : data_start + size]
         advance = data_start + ((size + 511) // 512) * 512
+        if advance <= i:
+            # belt-and-braces: the walk must strictly progress; any
+            # future size-derivation bug fails loudly, never hangs
+            raise ValueError(f"non-advancing member at {i}")
         if typeflag == "x":  # pax per-member header → next member
             next_over = _parse_pax_records(payload)
             i = advance
@@ -138,6 +149,10 @@ def _parse_ustar(b: bytes):
         if typeflag == "g":  # pax global header → all following
             global_over.update(_parse_pax_records(payload))
             i = advance
+            # stdlib propagates TarInfo.offset to the next member only
+            # for x/L/K companions, NOT g — exclude the global header
+            # block from the next member's byte range to match
+            member_start = None
             continue
         if typeflag == "L":  # GNU longname → next member
             gnu_longname = payload.split(b"\x00")[0].decode(

@@ -10241,8 +10241,10 @@ def weighted_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     K·w mod Σw is an exact integer — with the leftover seats going to
     the largest remainders, source-name tie-break), and each source
     fills its quota with its smallest-priority documents under the
-    deterministic Knuth multiplicative hash (doc_id·2654435761 mod
-    2^28) — uniform within source, reproducible in any engine with
+    deterministic Knuth multiplicative hash ((doc_id mod 2^28)·
+    2654435761 mod 2^28 — pre-reduced so the product never exceeds
+    2^58, overflow-safe for any int64 doc_id in every engine) —
+    uniform within source, reproducible in any engine with
     exact integers only (the classical A-ES exponential key needs
     pow/ln whose cross-engine rounding is not reproducible; weighted
     allocation × uniform-within-source is also how real training
@@ -10265,10 +10267,12 @@ def weighted_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integral DIV/MOD on exact bigints — no double division anywhere
     # in the allocation arithmetic. The source-cardinality alloc frame
     # feeds FOUR consumers (both self-join legs, the leftover sum, the
-    # quota build); persisted, the full-table per-source aggregate runs
-    # once instead of once per consumer (unscoped persist — the
-    # bench/oracle harnesses clear the cache per query).
-    alloc = (
+    # quota build); materialized ONCE driver-side into a local
+    # relation (bounded #sources rows — the fp_gate pb-list class of
+    # collect, not a data-path collect), so the full-table per-source
+    # aggregate runs exactly once and NO cached partitions survive the
+    # query (r14 verdict: the unscoped persist leaked cache).
+    alloc_rows = (
         weighted.crossJoin(F.broadcast(totals))
         .select(
             "source",
@@ -10280,7 +10284,11 @@ def weighted_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CAST({_QUOTA_BUDGET} * weight_q % _tot AS BIGINT)"
             ).alias("rem"),
         )
-        .persist()
+        .collect()
+    )
+    alloc = spark.createDataFrame(
+        alloc_rows,
+        "source string, weight_q bigint, base bigint, rem bigint",
     )
     leftover = alloc.agg(
         (F.lit(_QUOTA_BUDGET).cast("bigint") - F.sum("base"))
@@ -10311,7 +10319,14 @@ def weighted_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("_rank") < F.col("_left"), 1).otherwise(0)
         ).alias("quota"),
     )
-    pri = (F.col("doc_id") * F.lit(2654435761)) % F.lit(268435456)
+    # reduce doc_id mod 2^28 BEFORE the Knuth multiply: same residue
+    # ((a mod M)·K mod M = a·K mod M), but the product stays < 2^58 —
+    # a raw doc_id ≳ 3.47e9 would overflow int64, where Spark
+    # (non-ANSI) wraps silently and SQL engines error/promote,
+    # breaking DF/SQL parity at extreme scale (r14 advice)
+    pri = (
+        (F.col("doc_id") % F.lit(268435456)) * F.lit(2654435761)
+    ) % F.lit(268435456)
     w = Window.partitionBy("source").orderBy("_pri", "doc_id")
     picked = (
         docs.withColumn("_pri", pri)
@@ -10358,10 +10373,10 @@ quotas AS (
 ),
 pri AS (
   SELECT source, doc_id,
-    (doc_id * 2654435761) % 268435456 AS priority,
+    ((doc_id % 268435456) * 2654435761) % 268435456 AS priority,
     ROW_NUMBER() OVER (
       PARTITION BY source
-      ORDER BY (doc_id * 2654435761) % 268435456, doc_id
+      ORDER BY ((doc_id % 268435456) * 2654435761) % 268435456, doc_id
     ) AS rn
   FROM documents
 )
