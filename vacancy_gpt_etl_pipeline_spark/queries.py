@@ -14029,6 +14029,78 @@ REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in frozenset(_R14_FRONT)},
 }
 
+# Round-15 rotation (r14 verdict item 1 — clear the LAST stale cohort):
+# (a) tiff_census (added after the r14 front froze — never
+# driver-checked) and the five entries whose code was touched in r14
+# without a fresh driver row, then (b) the FULL 44-entry cohort whose
+# last driver-green row is round 9. After this front, no registry
+# entry's driver evidence is older than round 11. Entries whose code
+# changed in r15 but already hold r14 driver rows (weighted_quota_sample
+# — overflow-proof hash + scoped materialization, oracle hash attested
+# unchanged; the wds_* family — new malformed-input guards and pax `g`
+# offset attribution that no fixture exercises) are covered by this
+# round's committed ORACLE_SELF attestations at both SFs and are first
+# in line for the r16 front.
+_R15_FRONT: tuple[str, ...] = (
+    # (a) never-checked + r14-code-touched without a fresh driver row
+    "tiff_census",
+    "webp_census",
+    "wds_member_census",
+    "wds_multimodal_e2e",
+    "semdedup",
+    "semdedup_2level",
+    # (b) the r9 cohort — everything whose driver evidence is round 9
+    "a1_full_distinct",
+    "a4_frequency",
+    "a6_conditional_agg",
+    "f8_json_extract",
+    "f9_date_functions",
+    "f_scalar_functions",
+    "t2_top_k_by_count",
+    "ann_ivf_int8",
+    "ann_ivf_pq",
+    "ann_ivf_pq_rescore",
+    "bigram_lm_score",
+    "bloom_semi_join_orders",
+    "budget_mix_docs",
+    "chunk_documents",
+    "cluster_cohesion_embeddings",
+    "cube_flags",
+    "curriculum_order_docs",
+    "exact_substr_dedup",
+    "funnel_conversion",
+    "merge_upsert_orders",
+    "multimodal_metadata",
+    "ngram_contamination_audit",
+    "ngram_novelty",
+    "ntile_price_buckets",
+    "pareto_revenue_concentration",
+    "pii_redaction",
+    "pivot_event_types",
+    "profile_columns",
+    "q11_important_stock",
+    "quality_classifier_scores",
+    "range_join_attribution",
+    "repetition_profile",
+    "rfm_segments",
+    "rollup_status_priority",
+    "sessionize_events",
+    "shortest_paths_parts",
+    "source_kl_divergence",
+    "source_ngram_overlap",
+    "split_contamination",
+    "temperature_mix_docs",
+    "text_quality_filter",
+    "tfidf_keywords",
+    "training_mix_e2e",
+    "video_decode",
+)
+assert len(_R15_FRONT) == len(set(_R15_FRONT)) == 50
+REGISTRY = {
+    **{name: REGISTRY[name] for name in _R15_FRONT},
+    **{k: v for k, v in REGISTRY.items() if k not in frozenset(_R15_FRONT)},
+}
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark for name, spec in REGISTRY.items()}
