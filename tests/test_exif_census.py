@@ -190,3 +190,100 @@ def test_spark_census_closed_forms(spark, sf_dir):
         assert r.has_gps == (i % 3 == 0)
         if r.has_gps:
             assert r.gps_lat == round((i % 90) + (i % 60) / 60, 6)
+
+
+def test_tiff_pixel_decode_golden_all_classes():
+    """_build_tiff_px → _tiff_gray round-trips EVERY fixture class
+    (both byte orders, WhiteIsZero/BlackIsZero/RGB, PackBits and
+    uncompressed, multi-strip) to the one closed-form gray matrix the
+    oracle replays; ids sharing a residue mod 250 decode identical
+    (the dup population) despite different container classes."""
+    import numpy as np
+
+    from vacancy_gpt_etl_pipeline_spark.operators.exif import (
+        _build_tiff_px,
+        _tiff_gray,
+    )
+
+    for i in (1, 2, 3, 4, 5, 6, 8, 12, 251, 252, 480):
+        g = _tiff_gray(_build_tiff_px(i))
+        src = i % 250
+        w, h = 8 + src % 16, 8 + src % 8
+        assert g is not None and g.shape == (h, w)
+        exp = np.array(
+            [1 + (src * 31 + (k // 4) * 7) % 254 for k in range(w * h)]
+        ).reshape(h, w)
+        assert (g == exp).all(), i
+    # cross-class collapse: II/uncompressed/photo-1 (id 1) vs
+    # MM/photo-? (id 251) — different containers, same pixels
+    a = _tiff_gray(_build_tiff_px(1))
+    b = _tiff_gray(_build_tiff_px(251))
+    assert (a == b).all()
+
+
+def test_tiff_pixel_decode_quarantine_classes():
+    import struct as _s
+
+    from vacancy_gpt_etl_pipeline_spark.operators.exif import (
+        _build_tiff_px,
+        _packbits_decode,
+        _tiff_gray,
+    )
+
+    # fixture truncation class (every 37th id)
+    assert _tiff_gray(_build_tiff_px(37)) is None
+    assert _tiff_gray(_build_tiff_px(0)) is None
+    good = _build_tiff_px(2)
+    assert _tiff_gray(good) is not None
+    assert _tiff_gray(b"") is None
+    assert _tiff_gray(b"XX" + good[2:]) is None
+    bad = bytearray(good)
+    bad[2:4] = _s.pack("<H", 43)  # wrong magic
+    assert _tiff_gray(bytes(bad)) is None
+    # unsupported compression tag (LZW=5) on an otherwise-valid file:
+    # entry 4 (0x0103) value field sits at 8+2+12*3+8
+    lzw = bytearray(good)
+    lzw[8 + 2 + 12 * 3 + 8 : 8 + 2 + 12 * 3 + 10] = _s.pack("<H", 5)
+    assert _tiff_gray(bytes(lzw)) is None
+    # census still reads the tag census-style — decode is the only
+    # tier that refuses (quarantine split between tiers)
+    from vacancy_gpt_etl_pipeline_spark.operators.exif import _parse_tiff
+
+    assert _parse_tiff(bytes(lzw))[4] == 5
+    # PackBits stream with wrong decoded length
+    assert _packbits_decode(b"\x01ab", 2) == b"ab"  # valid 2-literal
+    assert _packbits_decode(b"\x02abc", 2) is None  # decodes 3, want 2
+    assert _packbits_decode(b"\xfe", 3) is None  # repeat missing byte
+    assert _packbits_decode(b"\x05ab", 6) is None  # literal truncated
+
+
+def test_phash_tiff_spark_and_dup_population(spark, sf_dir):
+    """Spark-side: quarantined ids dropped, residue-mod-250 pairs
+    collapse to one fingerprint, and the hash matches hashing the
+    decoded plane directly."""
+    from vacancy_gpt_etl_pipeline_spark.operators.exif import (
+        _build_tiff_px,
+        _tiff_gray,
+        synthesize_tiff_pixel_payload,
+    )
+    from vacancy_gpt_etl_pipeline_spark.operators.phash import (
+        phash64,
+        phash_tiff,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .where("doc_id < 300")
+    )
+    rows = {
+        r["asset_id"]: r
+        for r in phash_tiff(
+            synthesize_tiff_pixel_payload(docs, "doc_id")
+        ).collect()
+    }
+    assert 0 not in rows and 37 not in rows and 259 not in rows
+    assert rows[1]["hash_hex"] == rows[251]["hash_hex"]
+    b0, b1, b2, b3 = phash64(_tiff_gray(_build_tiff_px(5)))
+    assert rows[5]["hash_hex"] == f"{b0:04x}{b1:04x}{b2:04x}{b3:04x}"
+    assert (rows[5]["width"], rows[5]["height"]) == (8 + 5 % 16, 8 + 5 % 8)

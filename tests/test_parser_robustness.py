@@ -177,3 +177,27 @@ def test_id3_parser_never_raises():
     for payload in _noise(rng, 150):
         total, title = _parse_id3v2(payload)
         assert total >= 0
+
+
+def test_tiff_pixel_decoder_never_raises():
+    """_tiff_gray's error contract is None (quarantine) — never an
+    exception or unbounded allocation — under mutations that reach the
+    STRIP PAYLOADS and offset arrays (r14 verdict item 2: the fuzz
+    must cover pixel data, not just headers), over an uncompressed, a
+    PackBits, and an RGB base, plus pure noise."""
+    import numpy as np
+
+    from vacancy_gpt_etl_pipeline_spark.operators.exif import (
+        _build_tiff_px,
+        _tiff_gray,
+    )
+
+    rng = random.Random(157)
+    for base_id in (1, 4, 2):  # photo1/uncomp, packbits, RGB
+        base = _build_tiff_px(base_id)
+        for payload in _mutations(rng, base, 300):
+            r = _tiff_gray(payload)
+            assert r is None or isinstance(r, np.ndarray)
+    for payload in _noise(rng, 200):
+        r = _tiff_gray(b"II" + payload)
+        assert r is None or isinstance(r, np.ndarray)

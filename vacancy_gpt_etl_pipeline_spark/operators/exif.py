@@ -416,6 +416,276 @@ def synthesize_tiff_payload(
     )
 
 
+def _packbits_decode(src: bytes, expected: int) -> bytes | None:
+    """Decode an Apple PackBits stream (TIFF 6.0 §9, Compression
+    32773) to exactly ``expected`` bytes; None on truncation, overrun,
+    or a stream that ends at the wrong length — the quarantine
+    signal, never an exception."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n and len(out) < expected:
+        c = src[i] - 256 if src[i] > 127 else src[i]
+        i += 1
+        if c >= 0:  # literal run of c+1 bytes
+            if i + c + 1 > n:
+                return None
+            out += src[i : i + c + 1]
+            i += c + 1
+        elif c != -128:  # repeat next byte 1-c times; -128 is a no-op
+            if i >= n:
+                return None
+            out += src[i : i + 1] * (1 - c)
+            i += 1
+    if len(out) != expected:
+        return None
+    return bytes(out)
+
+
+def _packbits_encode(src: bytes) -> bytes:
+    """PackBits-encode (fixture-side only — the operator DECODES):
+    runs of ≥2 equal bytes become repeat packets, everything else
+    literal packets; both capped at 128 per the spec."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        j = i
+        while j + 1 < n and src[j + 1] == src[j] and j + 1 - i < 127:
+            j += 1
+        if j > i:  # repeat packet: length L in 2..128 → header -(L-1)
+            out += bytes(((256 - (j - i)) & 0xFF, src[i]))
+            i = j + 1
+            continue
+        k = i + 1  # literal packet up to the next 2-run or the cap
+        while (
+            k < n
+            and (k + 1 >= n or src[k] != src[k + 1])
+            and k - i < 128
+        ):
+            k += 1
+        out.append(k - i - 1)
+        out += src[i:k]
+        i = k
+    return bytes(out)
+
+
+def _tiff_gray(b: bytes):
+    """Decode a baseline TIFF 6.0 payload to an (h, w) int64 grayscale
+    matrix, top row first — the pixel tier the container census can't
+    provide (a scanned-document corpus dedups on CONTENT, not tags).
+    Supported: uncompressed (1) and PackBits (32773) strip data;
+    photometric WhiteIsZero 0 / BlackIsZero 1 (8-bit gray, inverted
+    for 0) and RGB 2 (8,8,8 → exact integer mean (R+G+B)//3, the BMP
+    tier's formula). Strips reassemble via StripOffsets 0x0111 /
+    StripByteCounts 0x0117 / RowsPerStrip 0x0116 (default: one strip).
+    Anything else — other codecs (LZW/JPEG-in-TIFF stay a documented
+    boundary), tiled layout, bad geometry, strip overrun, PackBits
+    length mismatch — returns None (quarantine-not-fail; the census
+    tier names the payload). Never raises on crafted input."""
+    import numpy as np
+
+    if len(b) < 8:
+        return None
+    order = b[:2]
+    if order == b"II":
+        e = "<"
+    elif order == b"MM":
+        e = ">"
+    else:
+        return None
+    magic, ifd_off = struct.unpack(e + "HL", b[2:8])
+    if magic != 42:
+        return None
+    try:
+        ifd, _n = _read_ifd(b, ifd_off, e)
+
+        def ints(tag, default=None):
+            if tag not in ifd:
+                return default
+            v = _value(b, *ifd[tag], e)
+            if isinstance(v, list) and all(
+                isinstance(x, int) for x in v
+            ):
+                return v
+            return None
+
+        wv, hv = ints(0x0100), ints(0x0101)
+        if not wv or not hv:
+            return None
+        w, h = wv[0], hv[0]
+        bits = ints(0x0102, [8])
+        comp = ints(0x0103, [1])
+        photo = ints(0x0106, [1])
+        spp_l = ints(0x0115, [1])
+        rps_l = ints(0x0116, [h])
+        offs = ints(0x0111)
+        cnts = ints(0x0117)
+    except ValueError:
+        return None
+    if None in (bits, comp, photo, spp_l, rps_l) or not (
+        comp and photo and spp_l and rps_l
+    ):
+        return None
+    comp, photo, spp, rps = comp[0], photo[0], spp_l[0], rps_l[0]
+    if w <= 0 or h <= 0 or rps <= 0 or w * h * spp > (1 << 26):
+        return None
+    if comp not in (1, 32773):
+        return None
+    if photo in (0, 1):
+        if spp != 1 or bits != [8]:
+            return None
+    elif photo == 2:
+        if spp != 3 or bits != [8, 8, 8]:
+            return None
+    else:
+        return None
+    if offs is None or cnts is None or len(offs) != len(cnts):
+        return None
+    n_strips = (h + rps - 1) // rps
+    if len(offs) != n_strips:
+        return None
+    data = bytearray()
+    for si, (o, c) in enumerate(zip(offs, cnts)):
+        if o < 0 or c < 0 or o + c > len(b):
+            return None
+        rows_here = min(rps, h - si * rps)
+        expected = rows_here * w * spp
+        strip = b[o : o + c]
+        if comp == 1:
+            if c != expected:
+                return None
+            data += strip
+        else:
+            dec = _packbits_decode(strip, expected)
+            if dec is None:
+                return None
+            data += dec
+    px = np.frombuffer(bytes(data), dtype=np.uint8).astype(np.int64)
+    if photo == 2:
+        return px.reshape(h, w, 3).sum(axis=2) // 3
+    g = px.reshape(h, w)
+    return 255 - g if photo == 0 else g
+
+
+def _build_tiff_px(i: int) -> bytes:
+    """One deterministic PIXEL-bearing TIFF fixture payload — the
+    decode tier's twin of :func:`_build_tiff` (which carries tags
+    only). Closed forms: byte order II even / MM odd; ``src = i mod
+    250`` drives everything hash-visible, so ids sharing a residue
+    decode to the SAME grayscale (the dup population); width
+    ``8 + src%16``, height ``8 + src%8``; photometric cycles i%3
+    (WhiteIsZero stores inverted bytes, BlackIsZero plain, RGB stores
+    (g+1, g, g-1) whose exact mean is g); compression PackBits every
+    4th id else none; RowsPerStrip 4 → a real multi-strip layout with
+    external offset/count arrays. Decoded gray at pixel ``idx`` is
+    always ``1 + (src*31 + (idx//4)*7) % 254`` — one oracle formula
+    across all photometric/compression classes (the //4 plateaus give
+    PackBits real repeat packets). Every ``i % 37 == 0`` payload is
+    truncated mid-strip → quarantine."""
+    e = "<" if i % 2 == 0 else ">"
+    src = i % 250
+    w, h = 8 + src % 16, 8 + src % 8
+    photo = i % 3
+    spp = 3 if photo == 2 else 1
+    comp = 32773 if i % 4 == 0 else 1
+    rps = 4
+
+    raw = bytearray()
+    for idx in range(w * h):
+        gv = 1 + (src * 31 + (idx // 4) * 7) % 254
+        if photo == 2:
+            raw += bytes((gv + 1, gv, gv - 1))
+        elif photo == 0:
+            raw.append(255 - gv)
+        else:
+            raw.append(gv)
+    strips = []
+    for r0 in range(0, h, rps):
+        rows_here = min(rps, h - r0)
+        seg = bytes(raw[r0 * w * spp : (r0 + rows_here) * w * spp])
+        strips.append(_packbits_encode(seg) if comp == 32773 else seg)
+    n_strips = len(strips)
+
+    def entry(tag, typ, cnt, raw4):
+        return struct.pack(e + "HHL", tag, typ, cnt) + raw4
+
+    def short4(v):
+        return struct.pack(e + "H", v) + b"\x00\x00"
+
+    def long4(v):
+        return struct.pack(e + "L", v)
+
+    n_entries = 9
+    val_off = 8 + 2 + 12 * n_entries + 4
+    tail: list[bytes] = []
+    if spp == 3:
+        bits_raw = long4(val_off + sum(len(t) for t in tail))
+        tail.append(struct.pack(e + "HHH", 8, 8, 8))
+    else:
+        bits_raw = short4(8)
+    arr_bytes = (4 * n_strips if n_strips > 1 else 0) * 2
+    pos = val_off + sum(len(t) for t in tail) + arr_bytes
+    offs = []
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    if n_strips > 1:
+        so_raw = long4(val_off + sum(len(t) for t in tail))
+        tail.append(struct.pack(e + "L" * n_strips, *offs))
+        sc_raw = long4(val_off + sum(len(t) for t in tail))
+        tail.append(
+            struct.pack(e + "L" * n_strips, *[len(s) for s in strips])
+        )
+    else:
+        so_raw = long4(offs[0])
+        sc_raw = long4(len(strips[0]))
+    entries = [
+        entry(0x0100, 3, 1, short4(w)),
+        entry(0x0101, 3, 1, short4(h)),
+        entry(0x0102, 3, spp, bits_raw),
+        entry(0x0103, 3, 1, short4(comp)),
+        entry(0x0106, 3, 1, short4(photo)),
+        entry(0x0111, 4, n_strips, so_raw),
+        entry(0x0115, 3, 1, short4(spp)),
+        entry(0x0116, 3, 1, short4(rps)),
+        entry(0x0117, 4, n_strips, sc_raw),
+    ]
+    out = (
+        (b"II" if e == "<" else b"MM")
+        + struct.pack(e + "HL", 42, 8)
+        + struct.pack(e + "H", n_entries)
+        + b"".join(entries)
+        + struct.pack(e + "L", 0)
+        + b"".join(tail)
+        + b"".join(strips)
+    )
+    if i % 37 == 0:
+        out = out[: len(out) - max(1, len(strips[-1]) // 2)]
+    return out
+
+
+def synthesize_tiff_pixel_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic pixel-bearing TIFF fixture (Arrow ``mapInPandas``;
+    closed forms in :func:`_build_tiff_px`). Emits (asset_id,
+    content) — the :func:`synthesize_tiff_payload` contract with real
+    strip data behind the tags."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "content": [_build_tiff_px(i) for i in ids],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        run, "asset_id long, content binary"
+    )
+
+
 def census_exif(
     df: DataFrame, id_col: str = "asset_id", content_col: str = "content"
 ) -> DataFrame:

@@ -160,6 +160,67 @@ def phash_bmp(
     return df.select(id_col, content_col).mapInPandas(run, PHASH_SCHEMA)
 
 
+TIFF_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("b0", T.IntegerType()),
+        T.StructField("b1", T.IntegerType()),
+        T.StructField("b2", T.IntegerType()),
+        T.StructField("b3", T.IntegerType()),
+        T.StructField("hash_hex", T.StringType()),
+    ]
+)
+
+
+def phash_tiff(
+    df: DataFrame, id_col: str = "asset_id", content_col: str = "content"
+) -> DataFrame:
+    """Hash baseline-TIFF payloads to (width, height, b0..b3,
+    hash_hex) via Arrow ``mapInPandas`` — the fifth image population
+    a scanned-document corpus contributes (r14 verdict item 2). The
+    decode boundary lives in :mod:`operators.exif` (``_tiff_gray``:
+    uncompressed + PackBits strips, WhiteIsZero/BlackIsZero/RGB),
+    exactly as the Y4M tier borrows :mod:`operators.multimodal` —
+    ONE parser per container, no drift between census and hash tiers.
+    Undecodable payloads are dropped (quarantine-not-fail; the census
+    tier names them)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .exif import _tiff_gray
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                f.name: [] for f in TIFF_PHASH_SCHEMA
+            }
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(content) if content is not None else b""
+                gray = _tiff_gray(b)
+                if gray is None:
+                    continue
+                h, w = gray.shape
+                b0, b1, b2, b3 = phash64(gray)
+                rows["asset_id"].append(int(aid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["b0"].append(b0)
+                rows["b1"].append(b1)
+                rows["b2"].append(b2)
+                rows["b3"].append(b3)
+                rows["hash_hex"].append(
+                    f"{b0:04x}{b1:04x}{b2:04x}{b3:04x}"
+                )
+            out = pd.DataFrame(rows)
+            for c in ("width", "height", "b0", "b1", "b2", "b3"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, TIFF_PHASH_SCHEMA
+    )
+
+
 VIDEO_PHASH_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),

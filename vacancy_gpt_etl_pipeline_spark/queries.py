@@ -96,6 +96,7 @@ from vacancy_gpt_etl_pipeline_spark.operators.exif import (
     census_tiff,
     synthesize_exif_payload,
     synthesize_tiff_payload,
+    synthesize_tiff_pixel_payload,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.phash import (
     PHASH_DCT_LUT,
@@ -103,6 +104,7 @@ from vacancy_gpt_etl_pipeline_spark.operators.phash import (
     phash_dedup_groups,
     phash_incremental,
     phash_neardup_pairs,
+    phash_tiff,
     phash_y4m,
     video_phash_dup_groups,
     video_phash_incremental,
@@ -4714,6 +4716,111 @@ FROM documents
 """
 
 
+# cos LUT literals shared by every pHash oracle CTE (defined here,
+# above the first module-level CTE construction that interpolates it)
+_PHASH_LUT_VALUES = ", ".join(
+    f"({u}, {x}, {c})"
+    for u, row in enumerate(PHASH_DCT_LUT)
+    for x, c in enumerate(row)
+)
+
+
+def _tiff_hashes_cte(universe: str) -> str:
+    """DuckDB CTE computing the closed-form pHash of every
+    pixel-bearing TIFF fixture row of ``universe`` — (doc_id, src_id)
+    where ``src_id`` drives the pixel formula (plants reuse an asset's
+    bytes under a new id). Mirrors :func:`_phash_hashes_cte`; the gray
+    formula is :func:`operators.exif._build_tiff_px`'s decoded value,
+    identical across photometric / compression / endianness classes
+    by construction, so ONE formula replays all of them. Ends with
+    ``hashes`` (doc_id, b0..b3) and ``dims`` (doc_id, w, h)."""
+    return f"""
+WITH u AS ({universe}),
+dims AS (
+  SELECT doc_id, src_id % 250 AS src,
+         8 + (src_id % 250) % 16 AS w,
+         8 + (src_id % 250) % 8 AS h
+  FROM u WHERE src_id % 37 <> 0
+),
+lut(u, x, c) AS (VALUES {_PHASH_LUT_VALUES}),
+grid AS (
+  SELECT gx.x AS x, gy.y AS y
+  FROM generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)
+),
+samp AS (
+  SELECT d.doc_id, d.src, g.x, g.y,
+    (g.y * d.h // 8) * d.w + (g.x * d.w // 8) AS idx
+  FROM dims d, grid g
+),
+gray AS (
+  SELECT doc_id, x, y,
+    1 + (src * 31 + (idx // 4) * 7) % 254 AS g
+  FROM samp
+),
+coef AS (
+  SELECT gray.doc_id, lu.u AS u, lv.u AS v,
+    CAST(SUM(g * lu.c * lv.c) AS BIGINT) AS coeff
+  FROM gray
+  JOIN lut lu ON lu.x = gray.x
+  JOIN lut lv ON lv.x = gray.y
+  GROUP BY gray.doc_id, lu.u, lv.u
+),
+med AS (
+  SELECT doc_id, coeff AS mval FROM (
+    SELECT doc_id, coeff,
+      row_number() OVER (PARTITION BY doc_id ORDER BY coeff) AS rn
+    FROM coef WHERE NOT (u = 0 AND v = 0)
+  ) WHERE rn = 32
+),
+bits AS (
+  SELECT c.doc_id, c.u * 8 + c.v AS p,
+    CASE WHEN c.coeff > m.mval THEN 1 ELSE 0 END AS bit
+  FROM coef c JOIN med m ON c.doc_id = m.doc_id
+),
+bands AS (
+  SELECT doc_id, p // 16 AS bk,
+    CAST(SUM(bit * (1 << (15 - p % 16))) AS INTEGER) AS bv
+  FROM bits GROUP BY doc_id, p // 16
+),
+hashes AS (
+  SELECT doc_id,
+    MAX(CASE WHEN bk = 0 THEN bv END) AS b0,
+    MAX(CASE WHEN bk = 1 THEN bv END) AS b1,
+    MAX(CASE WHEN bk = 2 THEN bv END) AS b2,
+    MAX(CASE WHEN bk = 3 THEN bv END) AS b3
+  FROM bands GROUP BY doc_id
+)
+"""
+
+
+def tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF PIXEL decode → pHash (operators/exif.py _tiff_gray +
+    operators/phash.py phash_tiff — r14 verdict item 2): documents
+    become pixel-bearing baseline TIFFs (synthesize_tiff_pixel_payload
+    — multi-strip layouts with external offset/count arrays, both byte
+    orders, WhiteIsZero / BlackIsZero / RGB photometric classes,
+    PackBits on every 4th id, truncated-strip quarantine on every
+    37th), the strips decode to grayscale and feed the SAME integer
+    pHash as every other image tier. The oracle replays the decoded
+    gray closed-form (one formula across all container classes — the
+    decode machinery is pinned because ANY strip/offset/inversion/
+    PackBits bug shifts pixels and flips hash bits)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return phash_tiff(synthesize_tiff_pixel_payload(docs, "doc_id")).select(
+        "asset_id", "width", "height", "hash_hex"
+    )
+
+
+TIFF_DECODE_SQL = _tiff_hashes_cte(
+    "SELECT doc_id, doc_id AS src_id FROM documents"
+) + """
+SELECT CAST(h.doc_id AS BIGINT) AS asset_id,
+  CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+  printf('%04x%04x%04x%04x', b0, b1, b2, b3) AS hash_hex
+FROM hashes h JOIN dims d USING (doc_id)
+"""
+
+
 EXIF_CENSUS_SQL = """
 SELECT CAST(doc_id AS BIGINT) AS asset_id,
   CASE WHEN doc_id % 29 = 0 THEN 'jpeg?' ELSE 'jpeg' END AS fmt,
@@ -4979,12 +5086,6 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The oracle's LUT VALUES are generated FROM the operator's constant —
 # one source of truth, zero transcription drift.
-_PHASH_LUT_VALUES = ", ".join(
-    f"({u}, {x}, {c})"
-    for u, row in enumerate(PHASH_DCT_LUT)
-    for x, c in enumerate(row)
-)
-
 def _phash_hashes_cte(universe: str) -> str:
     """DuckDB CTE computing the closed-form pHash of every row of
     ``universe`` — a query yielding (doc_id, src_id) where ``src_id``
@@ -5215,7 +5316,9 @@ def multimodal_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal dedup capstone (the composition-flagship pattern of
     crawl_frontier_e2e / curation_e2e): ONE lineage emits the unified
     drop manifest (modality, keep_id, drop_id) across all four
-    modalities — exact text dedup, image pHash groups, audio
+    modalities — exact text dedup, image pHash groups (BMP crawl
+    assets AND the scanned-document TIFF population, with planted
+    byte-copy duplicates, as 'image_tiff'), audio
     fingerprint groups, video frame-hash-sequence groups — each a
     partitioned window over its content key (keep-first survivor
     rule), plus the image NEAR-duplicate tier ('image_near': band-LSH
@@ -5301,10 +5404,24 @@ def multimodal_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id_b").alias("drop_id"),
         )
     )
+    # r14 verdict item 2: the scanned-document TIFF population joins
+    # as the fifth image leg — every document's pixel-bearing TIFF
+    # plus planted BYTE-COPY duplicates (docs < 50 re-shipped under
+    # id+800000, the image_phash_incremental plant pattern), collapsed
+    # by the same exact-fingerprint keep-first rule. Decode happens
+    # once in the Arrow hash pass; only 16-byte fingerprints shuffle.
+    tif = phash_tiff(
+        synthesize_tiff_pixel_payload(docs, "doc_id").unionByName(
+            synthesize_tiff_pixel_payload(
+                docs.where(F.col("doc_id") < 50), "doc_id"
+            ).withColumn("asset_id", F.col("asset_id") + 800000)
+        )
+    )
     return (
         drops(text, "text", "text")
         .unionByName(image_drops)
         .unionByName(image_near)
+        .unionByName(drops(tif, "hash_hex", "image_tiff"))
         .unionByName(drops(aud, "fingerprint", "audio"))
         .unionByName(drops(vid, "video_fp", "video"))
     )
@@ -5350,6 +5467,26 @@ SELECT 'image_near' AS modality, keep_id, drop_id FROM (
 )
 SELECT CAST(MIN(id_a) AS BIGINT) AS keep_id, CAST(id_b AS BIGINT) AS drop_id
 FROM pairs GROUP BY id_b
+)
+UNION ALL
+SELECT 'image_tiff' AS modality, keep_id, drop_id FROM (
+"""
+    + _tiff_hashes_cte(
+        """
+  SELECT doc_id, doc_id AS src_id FROM documents
+  UNION ALL
+  SELECT doc_id + 800000 AS doc_id, doc_id AS src_id
+  FROM documents WHERE doc_id < 50
+"""
+    )
+    + """
+, grp AS (
+  SELECT b0, b1, b2, b3, CAST(MIN(doc_id) AS BIGINT) AS keep_id
+  FROM hashes GROUP BY b0, b1, b2, b3 HAVING COUNT(*) >= 2
+)
+SELECT grp.keep_id, CAST(h.doc_id AS BIGINT) AS drop_id
+FROM hashes h JOIN grp USING (b0, b1, b2, b3)
+WHERE h.doc_id <> grp.keep_id
 )
 UNION ALL
 SELECT 'audio' AS modality, keep_id, drop_id FROM (
@@ -13335,6 +13472,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "webp_census": QuerySpec(webp_container_census, WEBP_CENSUS_SQL),
     "jpeg_exif_census": QuerySpec(jpeg_exif_census, EXIF_CENSUS_SQL),
     "tiff_census": QuerySpec(tiff_census, TIFF_CENSUS_SQL),
+    "tiff_decode": QuerySpec(tiff_decode, TIFF_DECODE_SQL),
     "wds_member_census": QuerySpec(wds_member_census, WDS_MEMBER_SQL),
     "wds_pax_census": QuerySpec(wds_pax_census, WDS_PAX_SQL),
     "wds_pack_roundtrip": QuerySpec(
