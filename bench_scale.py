@@ -282,9 +282,11 @@ def main() -> None:
     warm = spark.read.parquet(os.path.join(ensure_corpus(scales[0]), "documents.parquet"))
     warm.groupBy("source").count().write.mode("overwrite").format("noop").save()
 
-    _partial_only = os.environ.get(
-        "SPARK_GRAFT_TRAINER_ONLY"
-    ) or os.environ.get("SPARK_GRAFT_GATE_ONLY")
+    _partial_only = (
+        os.environ.get("SPARK_GRAFT_TRAINER_ONLY")
+        or os.environ.get("SPARK_GRAFT_GATE_ONLY")
+        or os.environ.get("SPARK_GRAFT_WDS_ONLY")
+    )
     results: dict[str, dict] = {}
     for scale in scales if not _partial_only else []:
         sf_dir = ensure_corpus(scale)
@@ -374,7 +376,10 @@ def main() -> None:
     # pruning; the win is bounded by prefix-space coverage, which is
     # why the probe batch is small.)
     gate_pruning: dict[str, dict] = {}
-    if not os.environ.get("SPARK_GRAFT_TRAINER_ONLY") and {1, 10} <= set(
+    if not (
+        os.environ.get("SPARK_GRAFT_TRAINER_ONLY")
+        or os.environ.get("SPARK_GRAFT_WDS_ONLY")
+    ) and {1, 10} <= set(
         scales
     ):  # also runs under SPARK_GRAFT_GATE_ONLY (refresh-only mode)
         import shutil
@@ -611,7 +616,10 @@ def main() -> None:
     # rounds-so-far shows as marginal_32_80 ≤ the warm n=32 per-round
     # value and the repeat matching the first n=32.
     trainer_rounds: dict[str, dict] = {}
-    if 1 in scales and not os.environ.get("SPARK_GRAFT_GATE_ONLY"):
+    if 1 in scales and not (
+        os.environ.get("SPARK_GRAFT_GATE_ONLY")
+        or os.environ.get("SPARK_GRAFT_WDS_ONLY")
+    ):
         from vacancy_gpt_etl_pipeline_spark.operators.tokenize import (
             bpe_learn_merges,
             bpe_learn_merges_incremental,
@@ -640,6 +648,106 @@ def main() -> None:
             )
             trainer_rounds[label] = row
         print(f"[scale] trainer rounds: {trainer_rounds}", file=sys.stderr)
+
+    # Sized WDS shard attestation (r14 verdict item 5): pack the x1
+    # fixture corpus under a byte budget and record the ACTUAL shard
+    # byte distribution against it — the estimate ignores pax
+    # long-name/header-record overhead, so this documents how tight
+    # the budget rides the real bytes at corpus scale.
+    wds_sized: dict[str, object] = {}
+    if 1 in scales and not (
+        os.environ.get("SPARK_GRAFT_TRAINER_ONLY")
+        or os.environ.get("SPARK_GRAFT_GATE_ONLY")
+    ):
+        from pyspark.sql import functions as Fw
+
+        from vacancy_gpt_etl_pipeline_spark.operators.wds import (
+            pack_wds_shards_sized,
+        )
+
+        wdocs = spark.read.parquet(
+            os.path.join(ensure_corpus(1), "documents.parquet")
+        )
+        di = Fw.col("doc_id")
+        wparts = Fw.map_concat(
+            Fw.create_map(
+                Fw.lit("cls"),
+                Fw.encode((di % 10).cast("string"), "UTF-8"),
+            ),
+            Fw.when(
+                Fw.col("text").isNotNull(),
+                Fw.create_map(
+                    Fw.lit("txt"), Fw.encode("text", "UTF-8")
+                ),
+            ).otherwise(
+                Fw.map_from_arrays(
+                    Fw.array().cast("array<string>"),
+                    Fw.array().cast("array<binary>"),
+                )
+            ),
+        )
+        wsamples = wdocs.select(
+            Fw.format_string("%09d", di).alias("key"),
+            wparts.alias("parts"),
+        )
+        budget = 256 * 1024
+        t0 = time.perf_counter()
+        stat = (
+            pack_wds_shards_sized(
+                wsamples, shard_bytes=budget, n_buckets=16
+            )
+            .select(
+                "n_samples",
+                "payload_est",
+                "max_item_est",
+                Fw.length("content").alias("actual"),
+            )
+            .agg(
+                Fw.count(Fw.lit(1)).alias("n_shards"),
+                Fw.min("actual").alias("min_actual"),
+                Fw.max("actual").alias("max_actual"),
+                Fw.avg("actual").alias("mean_actual"),
+                Fw.avg(
+                    Fw.col("actual") / Fw.col("payload_est")
+                ).alias("mean_actual_over_est"),
+                Fw.sum(
+                    Fw.when(
+                        Fw.col("payload_est") - Fw.col("max_item_est")
+                        >= budget,
+                        1,
+                    ).otherwise(0)
+                ).alias("invariant_violations"),
+                Fw.sum("n_samples").alias("n_samples_total"),
+            )
+            .collect()[0]
+        )
+        wds_sized = {
+            "budget_bytes": budget,
+            "pack_sec": round(time.perf_counter() - t0, 3),
+            "n_shards": stat["n_shards"],
+            "min_actual": stat["min_actual"],
+            "max_actual": stat["max_actual"],
+            "mean_actual": round(stat["mean_actual"], 1),
+            "mean_actual_over_est": round(
+                stat["mean_actual_over_est"], 3
+            ),
+            "invariant_violations": stat["invariant_violations"],
+            "n_samples_total": stat["n_samples_total"],
+        }
+        print(f"[scale] wds sized shards: {wds_sized}", file=sys.stderr)
+
+    if os.environ.get("SPARK_GRAFT_WDS_ONLY"):
+        # refresh ONLY the sized-shard attestation inside the committed
+        # BENCH_SCALE.json (same pattern as TRAINER_ONLY)
+        path = os.path.join(REPO, "BENCH_SCALE.json")
+        with open(path) as f:
+            existing = json.load(f)
+        existing["wds_sized_shards"] = wds_sized
+        with open(path, "w") as f:
+            json.dump(existing, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(json.dumps({"wds_sized_shards": wds_sized}))
+        return
 
     if os.environ.get("SPARK_GRAFT_TRAINER_ONLY"):
         # refresh ONLY the trainer attestation inside the committed

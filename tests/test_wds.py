@@ -427,3 +427,68 @@ def test_binary_member_roundtrip_feeds_phash(spark, sf_dir):
     a = sorted((r["asset_id"], r["hash_hex"]) for r in via_tar.collect())
     b = sorted((r["asset_id"], r["hash_hex"]) for r in direct.collect())
     assert a == b and len(a) == 64
+
+
+def test_pack_wds_shards_sized_budget_and_roundtrip(spark):
+    """Bytes-budget sink: every sub-shard satisfies the prefix-sum
+    greedy bound (payload_est - max_item_est < budget), an oversized
+    single sample still ships alone, buckets really split into
+    multiple sub-shards, members walk back out byte-identical, and
+    packing twice is byte-deterministic."""
+    from vacancy_gpt_etl_pipeline_spark.operators.wds import (
+        pack_wds_shards_sized,
+    )
+
+    rows = [(f"{k:09d}", {"txt": bytes([65 + k % 26]) * (50 + k * 7)})
+            for k in range(40)]
+    rows.append(("9" * 9, {"bin": b"z" * 20000}))  # >> budget alone
+    samples = spark.createDataFrame(
+        rows, "key string, parts map<string, binary>"
+    )
+    budget = 3000
+    packed = pack_wds_shards_sized(
+        samples, shard_bytes=budget, n_buckets=2
+    )
+    shard_rows = packed.collect()
+    assert all(
+        r["payload_est"] - r["max_item_est"] < budget for r in shard_rows
+    )
+    big = [r for r in shard_rows if r["payload_est"] > 20000]
+    assert len(big) == 1 and big[0]["n_samples"] == 1
+    by_bucket = {}
+    for r in shard_rows:
+        by_bucket.setdefault(r["bucket"], set()).add(r["sub"])
+    assert any(len(s) > 1 for s in by_bucket.values())  # real splits
+    members = tar_members(packed.select("shard_id", "content"))
+    got = {
+        (r["key"], r["ext"]): bytes(r["content"])
+        for r in members.collect()
+        if r["name"] is not None
+    }
+    want = {
+        (k, ext): data for k, parts in rows for ext, data in parts.items()
+    }
+    assert got == want
+    a = {r["shard_id"]: bytes(r["content"]) for r in shard_rows}
+    b = {
+        r["shard_id"]: bytes(r["content"])
+        for r in pack_wds_shards_sized(
+            samples, shard_bytes=budget, n_buckets=2
+        ).collect()
+    }
+    assert a == b
+
+
+def test_pack_wds_shards_sized_rejects_bad_budget(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.wds import (
+        pack_wds_shards_sized,
+    )
+
+    samples = spark.createDataFrame(
+        [("k", {"txt": b"x"})], "key string, parts map<string, binary>"
+    )
+    try:
+        pack_wds_shards_sized(samples, shard_bytes=0)
+        assert False
+    except ValueError as e:
+        assert "positive" in str(e)

@@ -295,28 +295,154 @@ def pack_wds_shards(
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_key")
-        buf = io.BytesIO()
-        with tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
-            for _, row in pdf.iterrows():
-                # Arrow map columns arrive as key/value tuple lists
-                parts = dict(row["_parts"])
-                for ext in sorted(parts):
-                    data = bytes(parts[ext])
-                    info = tarfile.TarInfo(f"{row['_key']}.{ext}")
-                    info.size = len(data)
-                    info.mtime = 0
-                    info.mode = 0o644
-                    tf.addfile(info, io.BytesIO(data))
         return pd.DataFrame(
             {
                 "shard_id": [int(pdf["shard_id"].iloc[0])],
-                "content": [buf.getvalue()],
+                "content": [_pack_samples_tar(pdf, fmt)],
                 "n_samples": [len(pdf)],
             }
         )
 
     return sharded.groupBy("shard_id").applyInPandas(
         build, "shard_id long, content binary, n_samples int"
+    )
+
+
+def _pack_samples_tar(pdf: pd.DataFrame, fmt) -> bytes:
+    """Pack a key-sorted sample frame (``_key``/``_parts`` columns)
+    into one deterministic tar: ext-ordered members, zeroed
+    mtime/uid/gid. Shared by both pack sinks — one byte layout, no
+    drift between the count-bucketed and bytes-budget writers."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
+        for _, row in pdf.iterrows():
+            # Arrow map columns arrive as key/value tuple lists
+            parts = dict(row["_parts"])
+            for ext in sorted(parts):
+                data = bytes(parts[ext])
+                info = tarfile.TarInfo(f"{row['_key']}.{ext}")
+                info.size = len(data)
+                info.mtime = 0
+                info.mode = 0o644
+                tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def sized_shard_assignment(
+    samples: DataFrame,
+    shard_bytes: int,
+    n_buckets: int,
+    key_col: str = "key",
+    parts_col: str = "parts",
+) -> DataFrame:
+    """The ASSIGNMENT stage of :func:`pack_wds_shards_sized`, exposed
+    so invariant/stat consumers can aggregate over the cheap pre-pack
+    frame instead of replaying the tar-build lineage: (_key, _parts,
+    bucket, _est, sub, shard_id). ``_est`` = Σ members (512 header +
+    512-padded payload); ``sub = floor(cum_before / shard_bytes)``
+    over the key-ordered bucket stream (a PARTITIONED window)."""
+    if shard_bytes <= 0:
+        raise ValueError("shard_bytes must be positive")
+    from pyspark.sql import Window
+
+    est = F.aggregate(
+        F.map_values(F.col("_parts")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc
+        + F.lit(512)
+        + F.floor((F.length(v) + F.lit(511)) / F.lit(512)).cast("long")
+        * F.lit(512),
+    )
+    sharded = samples.select(
+        F.col(key_col).alias("_key"),
+        F.col(parts_col).alias("_parts"),
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+        .cast("long")
+        .alias("bucket"),
+    ).withColumn("_est", est)
+    w = Window.partitionBy("bucket").orderBy("_key")
+    return (
+        sharded.withColumn(
+            "_cum_before",
+            F.coalesce(
+                F.sum("_est").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn(
+            "sub",
+            F.floor(F.col("_cum_before") / F.lit(shard_bytes)).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "shard_id",
+            F.col("bucket") * F.lit(1 << 32) + F.col("sub"),
+        )
+    )
+
+
+def pack_wds_shards_sized(
+    samples: DataFrame,
+    shard_bytes: int = 1 << 30,
+    n_buckets: int = 64,
+    key_col: str = "key",
+    parts_col: str = "parts",
+    tar_format: str = "pax",
+) -> DataFrame:
+    """Bytes-budget variant of :func:`pack_wds_shards` (r14 verdict
+    item 5): real loaders target ~100 MB–1 GB SHARD SIZES, not sample
+    counts. Samples hash into ``n_buckets`` (same fixed xxhash64 —
+    the parallelism granule), then WITHIN each bucket the key-sorted
+    stream splits at byte-budget boundaries by PREFIX-SUM
+    partitioning: sample ``i`` goes to sub-shard ``floor(cum_before_i
+    / shard_bytes)`` where ``cum_before`` is the running estimated
+    size of all earlier samples in the bucket. This is greedy
+    first-fit with a closed-form assignment — one partitioned window
+    per bucket (never a global sort), and the packing bound is exact:
+    every sub-shard's estimated payload minus its largest sample is
+    < ``shard_bytes`` (items after the first start strictly inside
+    the budget window), so shards land in [budget, budget + one
+    sample) — the invariant the ``wds_pack_sized`` oracle rides.
+
+    Size estimate per sample = Σ over members of 512 (header block) +
+    payload rounded up to 512 — the dominant on-disk cost; pax
+    long-name records add a bounded constant the estimate ignores
+    (attested against actual shard bytes in BENCH_SCALE). Same
+    determinism contract as the count-bucketed sink: fixed hash,
+    key-sorted samples, ext-ordered members, zeroed metadata —
+    identical input packs byte-identical shards.
+
+    Returns (shard_id, bucket, sub, content, n_samples,
+    payload_est, max_item_est); ``shard_id = bucket·2³² + sub`` is
+    unique and walkable by :func:`tar_members`."""
+    if tar_format not in _TAR_FORMATS:
+        raise ValueError(f"unknown tar_format {tar_format!r}")
+    assigned = sized_shard_assignment(
+        samples, shard_bytes, n_buckets, key_col, parts_col
+    )
+    fmt = _TAR_FORMATS[tar_format]
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_key")
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "sub": [int(pdf["sub"].iloc[0])],
+                "content": [_pack_samples_tar(pdf, fmt)],
+                "n_samples": [len(pdf)],
+                "payload_est": [int(pdf["_est"].sum())],
+                "max_item_est": [int(pdf["_est"].max())],
+            }
+        )
+
+    return assigned.groupBy("shard_id").applyInPandas(
+        build,
+        "shard_id long, bucket long, sub long, content binary, "
+        "n_samples int, payload_est long, max_item_est long",
     )
 
 

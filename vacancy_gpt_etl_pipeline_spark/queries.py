@@ -88,6 +88,8 @@ from vacancy_gpt_etl_pipeline_spark.operators.webp import (
 )
 from vacancy_gpt_etl_pipeline_spark.operators.wds import (
     pack_wds_shards,
+    pack_wds_shards_sized,
+    sized_shard_assignment,
     synthesize_wds_shards,
     tar_members,
 )
@@ -4560,6 +4562,96 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
   CAST(doc_id % 10 AS INTEGER) AS label,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_text_bytes,
   TRUE AS text_ok
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+def wds_pack_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bytes-budget WebDataset sink e2e (operators/wds.
+    pack_wds_shards_sized — r14 verdict item 5: real loaders target
+    ~100 MB–1 GB shard SIZES, not counts): the same sample rows as
+    wds_pack_roundtrip (incl. the %13 long-key pax class) pack under
+    a small byte budget that forces real splits, tar_members walks
+    the sized shards back out, and each surviving document row
+    carries (a) the byte-exact roundtrip verdict and (b) its shard's
+    packing invariant ``payload_est - max_item_est < budget`` — the
+    prefix-sum greedy bound, TRUE for every shard by construction, so
+    the oracle emits both flags unconditionally and ANY packing /
+    splitting / walk corruption hash-mismatches. The budget boundary
+    is a PARTITIONED window per hash bucket (never a global sort)."""
+    budget = 4096
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    key = F.when(
+        i % 13 == 0,
+        F.concat(F.lit("k" * 100), F.format_string("%09d", i)),
+    ).otherwise(F.format_string("%09d", i))
+    empty_map = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<binary>")
+    )
+    parts = F.map_concat(
+        F.create_map(
+            F.lit("cls"), F.encode((i % 10).cast("string"), "UTF-8")
+        ),
+        F.when(
+            F.col("text").isNotNull(),
+            F.create_map(F.lit("txt"), F.encode("text", "UTF-8")),
+        ).otherwise(empty_map),
+    )
+    samples = docs.select(key.alias("key"), parts.alias("parts"))
+    packed = pack_wds_shards_sized(
+        samples, shard_bytes=budget, n_buckets=8
+    )
+    members = tar_members(packed.select("shard_id", "content"))
+    t, c = F.col("ext") == "txt", F.col("ext") == "cls"
+    regroup = (
+        members.where(t | c)
+        .groupBy(
+            F.expr("CAST(right(key, 9) AS LONG)").alias("doc_id")
+        )
+        .agg(
+            F.max(F.when(t, F.decode("content", "UTF-8"))).alias("_t"),
+            F.max(F.when(t, F.col("size"))).alias("n_text_bytes"),
+            F.max(
+                F.when(c, F.decode("content", "UTF-8").cast("int"))
+            ).alias("label"),
+            F.max("shard_id").alias("shard_id"),
+        )
+        .where(F.col("_t").isNotNull())
+    )
+    # invariant stats come from the ASSIGNMENT stage, not the packed
+    # frame — aggregating `packed` here would replay the whole
+    # tar-build lineage a second time for three long columns
+    stats = (
+        sized_shard_assignment(samples, budget, 8)
+        .groupBy("shard_id")
+        .agg(
+            F.sum("_est").alias("payload_est"),
+            F.max("_est").alias("max_item_est"),
+        )
+    )
+    fits = (
+        (F.col("payload_est") - F.col("max_item_est")) < F.lit(budget)
+    ).alias("shard_fits")
+    return (
+        docs.join(regroup, "doc_id")
+        .join(F.broadcast(stats), "shard_id")
+        .select(
+            "doc_id",
+            "label",
+            "n_text_bytes",
+            (F.col("text") == F.col("_t")).alias("text_ok"),
+            fits,
+        )
+    )
+
+
+WDS_PACK_SIZED_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(doc_id % 10 AS INTEGER) AS label,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_text_bytes,
+  TRUE AS text_ok,
+  TRUE AS shard_fits
 FROM documents WHERE text IS NOT NULL
 """
 
@@ -13478,6 +13570,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "wds_pack_roundtrip": QuerySpec(
         wds_pack_roundtrip, WDS_PACK_ROUNDTRIP_SQL
     ),
+    "wds_pack_sized": QuerySpec(wds_pack_sized, WDS_PACK_SIZED_SQL),
     "wds_roundtrip": QuerySpec(wds_ingest_roundtrip, WDS_ROUNDTRIP_SQL),
     "wds_multimodal_e2e": QuerySpec(
         wds_multimodal_e2e, IMAGE_PHASH_DEDUP_SQL
