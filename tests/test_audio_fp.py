@@ -95,3 +95,110 @@ def test_non_wav_quarantined(spark):
         [(1, b"not a wav"), (2, None)], "asset_id long, content binary"
     )
     assert fingerprint_wav(df).count() == 0
+
+
+def test_near_tail_twin_differs_in_at_most_last_window():
+    """The near-encode fixture's contract: the tail switch touches
+    only samples exclusive to the LAST analysis window, so the twin's
+    fingerprint has window-Hamming ≤ 1 from its source — and for at
+    least some ids the peak actually moves (a real near pair)."""
+    import numpy as np
+
+    from vacancy_gpt_etl_pipeline_spark.operators.audio_fp import (
+        FP_COS16,
+        fingerprint_pcm,
+    )
+
+    moved = 0
+    for i in range(64):
+        n = i % 32 + 32
+        f1, f2, f3 = 1 + i % 8, 1 + (i // 8) % 8, 1 + (i + 3) % 8
+        amp = 1 + i % 3
+        cut = ((n - 16) // 8) * 8 + 8
+        base = np.array(
+            [
+                amp * FP_COS16[((f1 if k < n // 2 else f2) * k) % 16]
+                for k in range(n)
+            ]
+        )
+        near = np.array(
+            [
+                amp
+                * FP_COS16[
+                    (
+                        (
+                            f3
+                            if k >= cut
+                            else (f1 if k < n // 2 else f2)
+                        )
+                        * k
+                    )
+                    % 16
+                ]
+                for k in range(n)
+            ]
+        )
+        _, fpa = fingerprint_pcm(base)
+        _, fpb = fingerprint_pcm(near)
+        a, b = fpa.split("-"), fpb.split("-")
+        assert len(a) == len(b)
+        ham = sum(x != y for x, y in zip(a, b))
+        assert ham <= 1, (i, fpa, fpb)
+        moved += ham
+    assert moved > 0  # the plant class produces REAL near pairs
+
+
+def test_audio_fp_near_veto_gate(spark):
+    """Gate semantics: exact copies vetoed by the anti-join, 1-window
+    re-encodes vetoed by the band-LSH near tier, genuinely novel
+    clips survive, and short clips (n_windows <= max_diff) are exempt
+    from the near veto but still face the exact gate."""
+    from vacancy_gpt_etl_pipeline_spark.operators.audio_fp import (
+        audio_fp_near_veto,
+    )
+
+    hist = spark.createDataFrame(
+        [
+            (1, 64, 5, "3-4-5-2-7"),
+            (2, 40, 2, "6-1"),  # short: near-exempt
+        ],
+        "asset_id long, n_samples long, n_windows int, fingerprint string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, 64, 5, "3-4-5-2-7"),   # exact copy -> vetoed
+            (11, 64, 5, "3-4-5-2-8"),   # hamming 1 -> near-vetoed
+            (12, 64, 5, "3-4-6-2-8"),   # hamming 2 -> near-vetoed
+            (13, 64, 5, "3-9-6-2-8"),   # hamming 3 -> survives
+            (14, 64, 5, "1-1-1-1-1"),   # novel -> survives
+            (15, 64, 5, "1-1-1-1-1"),   # dup of 14 in-batch -> keep-first
+            (16, 40, 2, "6-2"),         # short, hamming 1 but EXEMPT
+            (17, 40, 2, "6-1"),         # short exact copy -> vetoed
+            (18, 0, 0, ""),             # zero windows -> dropped
+        ],
+        "asset_id long, n_samples long, n_windows int, fingerprint string",
+    )
+    got = sorted(
+        r["asset_id"]
+        for r in audio_fp_near_veto(
+            batch, hist, max_diff=2, n_bands=3
+        ).collect()
+    )
+    assert got == [13, 14, 16]
+
+
+def test_audio_fp_near_veto_guards(spark):
+    from vacancy_gpt_etl_pipeline_spark.operators.audio_fp import (
+        audio_fp_near_veto,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 64, 5, "1-2-3-4-5")],
+        "asset_id long, n_samples long, n_windows int, fingerprint string",
+    )
+    for kwargs in ({"max_diff": 3, "n_bands": 3}, {"max_diff": 0}):
+        try:
+            audio_fp_near_veto(df, df, **kwargs)
+            assert False, kwargs
+        except ValueError:
+            pass

@@ -178,8 +178,133 @@ def audio_fp_incremental(
     )
 
 
+def audio_fp_near_veto(
+    batch_fps: DataFrame,
+    history_fps: DataFrame,
+    max_diff: int = 2,
+    n_bands: int = 3,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Batch-vs-corpus incremental audio gate WITH a near tier (r14
+    verdict item 6 — the audio analogue of
+    :func:`phash.phash_incremental`): the exact gate alone misses
+    codec re-encodes that shift a few spectral peaks (the pHash
+    Hamming-1 analogue), so a new recording survives only if (1) it is
+    the keep-first representative of its fingerprint within the batch,
+    (2) no history recording has the SAME fingerprint (left-anti — the
+    exact gate), and (3) no history recording of the SAME length is
+    within ``max_diff`` differing windows (the near veto).
+
+    Near candidates come from band-LSH over the PER-WINDOW peak-bin
+    sequence: the sequence splits into ``n_bands`` contiguous
+    sub-sequences (band ``k`` = windows ``[k·n/B, (k+1)·n/B)``), and
+    two equal-length sequences within ``max_diff < n_bands`` differing
+    windows agree exactly on ≥1 NON-EMPTY band (pigeonhole: the diffs
+    touch at most ``max_diff`` of the ``min(n, B) > max_diff``
+    non-empty bands), so a join on (n_windows, band_idx, band_value)
+    is exhaustive — never a cartesian product. Window Hamming is
+    computed inline via ``zip_with`` on the split sequences (JVM-side,
+    no UDF). Same-length-only is the honest relation: a re-encode
+    preserves duration, so window counts match; clips with
+    ``n_windows <= max_diff`` are EXEMPT from the near veto (a
+    2-window clip one window away is 50% different audio, not a
+    near-dup) and face the exact gate only.
+
+    ``max_bucket`` caps fan-out on the HISTORY leg only (the
+    :func:`phash.phash_incremental` direction: candidate volume stays
+    ≤ B·|batch reps|·max_bucket — linear in the micro-batch; an
+    over-full history bucket loses its veto, the family's documented
+    conservative direction). History is never re-deduped; its
+    distinct fingerprints are the whole state.
+
+    Returns the surviving batch fingerprint rows."""
+    if max_diff < 1:
+        raise ValueError("max_diff must be >= 1 (0 is the exact gate)")
+    if max_diff >= n_bands:
+        raise ValueError(
+            "banded candidate generation is only exhaustive for "
+            "max_diff < n_bands (contiguous bands, pigeonhole)"
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy("asset_id")
+    reps = (
+        batch_fps.where(F.col("n_windows") >= 1)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    hist = history_fps.where(F.col("n_windows") >= 1)
+    hist_fp = hist.select("n_windows", "fingerprint").distinct()
+    exact = reps.join(
+        hist_fp.select("fingerprint"), "fingerprint", "left_anti"
+    )
+
+    def bands(df: DataFrame, side: str) -> DataFrame:
+        seq = F.split("fingerprint", "-")
+        k = F.col("band_idx")
+        n = F.col("n_windows")
+        start = F.floor(k * n / F.lit(n_bands)).cast("int")
+        length = (
+            F.floor((k + 1) * n / F.lit(n_bands)).cast("int") - start
+        )
+        return (
+            df.where(F.col("n_windows") > max_diff)
+            .select(
+                F.col("fingerprint").alias(f"fp_{side}"),
+                "n_windows",
+                *(
+                    [F.col("asset_id").alias(f"id_{side}")]
+                    if side == "b"
+                    else []
+                ),
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(n_bands - 1))
+                ).alias("band_idx"),
+            )
+            .withColumn(
+                "band_val",
+                F.array_join(
+                    F.slice(
+                        F.split(f"fp_{side}", "-"), start + 1, length
+                    ),
+                    "-",
+                ),
+            )
+            .where(length >= 1)  # empty bands never generate candidates
+        )
+
+    bucket_w = Window.partitionBy("n_windows", "band_idx", "band_val")
+    hist_bands = (
+        bands(hist_fp, "h")
+        .withColumn("_n", F.count(F.lit(1)).over(bucket_w))
+        .where(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+    batch_bands = bands(exact, "b")
+    ham = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("fp_b", "-"),
+                F.split("fp_h", "-"),
+                lambda x, y: x != y,
+            ),
+            lambda v: v,
+        )
+    )
+    near_dropped = (
+        batch_bands.join(
+            hist_bands, ["n_windows", "band_idx", "band_val"]
+        )
+        .where((ham >= 1) & (ham <= max_diff))
+        .select(F.col("id_b").alias("asset_id"))
+        .distinct()
+    )
+    return exact.join(near_dropped, "asset_id", "left_anti")
+
+
 def synthesize_tone_payload(
-    df: DataFrame, id_col: str = "doc_id"
+    df: DataFrame, id_col: str = "doc_id", near_tail: bool = False
 ) -> DataFrame:
     """Deterministic mono 16-bit WAV whose samples are a REAL two-tone
     signal built from the fingerprint LUT itself, hex-assembled
@@ -191,16 +316,27 @@ def synthesize_tone_payload(
       * amplitude ``1 + id % 3`` (fingerprints must collapse it);
       * sample ``k`` is ``amp · FP_COS16[(f·k) mod 16]``, stored
         little-endian two's-complement.
-    """
+
+    ``near_tail=True`` emits the NEAR-ENCODE twin (r14 verdict item
+    6): samples from ``cut = ((n-16)//8)·8 + 8`` onward — the back
+    half of the LAST analysis window, touched by no other window —
+    switch to bin ``f3 = 1 + (id+3) % 8``, the codec-re-encode
+    analogue of pHash Hamming-1: at most ONE window's peak moves
+    (sometimes none, when the old bin still dominates — exactly how a
+    benign re-encode behaves)."""
     i = F.col(id_col).cast("bigint")
     n = (i % 32 + 32).cast("int")
     f1 = (1 + i % 8).cast("bigint")
     f2 = (1 + F.floor(i / 8) % 8).cast("bigint")
+    f3 = (1 + (i + 3) % 8).cast("bigint")
+    cut = (F.floor((n - 16) / 8) * 8 + 8).cast("bigint")
     amp = (1 + i % 3).cast("bigint")
     cos_arr = F.array(*[F.lit(v) for v in FP_COS16])
 
     def sample_hex(k: F.Column) -> F.Column:
         f = F.when(k < F.floor(n / 2), f1).otherwise(f2)
+        if near_tail:
+            f = F.when(k >= cut, f3).otherwise(f)
         val = amp * F.element_at(cos_arr, ((f * k) % 16 + 1).cast("int"))
         u = F.pmod(val, F.lit(65536)).cast("int")
         return F.concat(

@@ -116,6 +116,7 @@ from vacancy_gpt_etl_pipeline_spark.operators.audio_fp import (
     FP_SIN16,
     audio_fp_dup_groups,
     audio_fp_incremental,
+    audio_fp_near_veto,
     fingerprint_wav,
     synthesize_tone_payload,
 )
@@ -5134,6 +5135,153 @@ SELECT CAST(k.asset_id AS BIGINT) AS asset_id, k.fingerprint
 FROM k
 WHERE NOT EXISTS (
   SELECT 1 FROM hist h WHERE h.fingerprint = k.fingerprint
+)
+"""
+
+
+def audio_fp_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental AUDIO gate with the NEAR tier (operators/audio_fp.
+    audio_fp_near_veto — r14 verdict item 6): the exact gate alone
+    misses codec re-encodes that shift a few spectral peaks, so this
+    entry plants exactly those — every history recording (doc_id <
+    16) re-arrives as a near-encode twin (id+700000) whose tail
+    frequency switched inside the LAST analysis window only
+    (synthesize_tone_payload near_tail: the pHash-Hamming-1 analogue;
+    at most one window's peak moves, sometimes none). Every plant must
+    be vetoed — by the exact gate when the peak survived the
+    re-encode, by the band-LSH near tier (contiguous sequence bands,
+    pigeonhole-sound for max_diff < n_bands, history-side fan-out
+    cap) when it moved. Normal batch recordings (ids ≥ 250) face both
+    gates too — a 48-residue-class clip within 2 windows of a history
+    fingerprint is ALSO vetoed, which the oracle replays by
+    brute-force same-length Hamming (a genuinely different candidate
+    step than Spark's banding, so a band-boundary bug cannot cancel
+    out between engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = fingerprint_wav(
+        synthesize_tone_payload(docs.where("doc_id < 16"), "doc_id")
+    )
+    batch_payloads = synthesize_tone_payload(
+        docs.where("doc_id >= 250"), "doc_id"
+    ).unionByName(
+        synthesize_tone_payload(
+            docs.where("doc_id < 16"), "doc_id", near_tail=True
+        ).withColumn("asset_id", F.col("asset_id") + 700000)
+    )
+    batch = fingerprint_wav(batch_payloads)
+    return audio_fp_near_veto(
+        batch, hist, max_diff=2, n_bands=3
+    ).select("asset_id", "n_windows", "fingerprint")
+
+
+def _audio_fp_cte_u(universe: str) -> str:
+    """DuckDB CTE computing the closed-form acoustic fingerprint of
+    every row of ``universe`` — (doc_id, src_id, near, is_hist) where
+    ``src_id`` drives the tone closed forms and ``near`` switches the
+    tail samples (from ``cut`` — the last window's exclusive back
+    half) to bin f3, the near-encode twin. Mirrors ``_AUDIO_FP_CTE``;
+    ends with ``fpi`` (doc_id, n_windows, fingerprint, is_hist)."""
+    return f"""
+WITH u AS ({universe}),
+base AS (
+  SELECT doc_id, near, is_hist,
+         src_id % 32 + 32 AS n, 1 + src_id % 8 AS f1,
+         1 + (src_id // 8) % 8 AS f2, 1 + (src_id + 3) % 8 AS f3,
+         1 + src_id % 3 AS amp,
+         ((src_id % 32 + 32 - 16) // 8) * 8 + 8 AS cut
+  FROM u
+),
+cosl(j, c) AS (VALUES {_FP_COS_VALUES}),
+sinl(j, s) AS (VALUES {_FP_SIN_VALUES}),
+bins(b) AS (VALUES (1), (2), (3), (4), (5), (6), (7), (8)),
+w AS (
+  SELECT doc_id, near, n, f1, f2, f3, cut, amp,
+    unnest(generate_series(0, (n - 16) // 8)) AS wi
+  FROM base
+),
+kk AS (
+  SELECT doc_id, near, n, f1, f2, f3, cut, amp, wi,
+    unnest(generate_series(0, 15)) AS k
+  FROM w
+),
+samp AS (
+  SELECT kk.doc_id, kk.wi, kk.k,
+    kk.amp * lc.c AS s
+  FROM kk
+  JOIN cosl lc ON lc.j =
+    ((CASE WHEN kk.near AND kk.wi * 8 + kk.k >= kk.cut THEN kk.f3
+           WHEN kk.wi * 8 + kk.k < kk.n // 2 THEN kk.f1
+           ELSE kk.f2 END)
+     * (kk.wi * 8 + kk.k)) % 16
+),
+e AS (
+  SELECT samp.doc_id, samp.wi, b.b,
+    CAST(SUM(samp.s * lc.c) AS BIGINT) AS re,
+    CAST(SUM(samp.s * ls.s) AS BIGINT) AS im
+  FROM samp
+  CROSS JOIN bins b
+  JOIN cosl lc ON lc.j = (b.b * samp.k) % 16
+  JOIN sinl ls ON ls.j = (b.b * samp.k) % 16
+  GROUP BY samp.doc_id, samp.wi, b.b
+),
+top AS (
+  SELECT doc_id, wi, b AS top_bin FROM (
+    SELECT doc_id, wi, b,
+      row_number() OVER (
+        PARTITION BY doc_id, wi ORDER BY re * re + im * im DESC, b ASC
+      ) AS rn
+    FROM e
+  ) WHERE rn = 1
+),
+fp AS (
+  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_windows,
+    string_agg(CAST(top_bin AS VARCHAR), '-' ORDER BY wi) AS fingerprint
+  FROM top GROUP BY doc_id
+),
+fpi AS (
+  SELECT fp.doc_id, fp.n_windows, fp.fingerprint, b.is_hist
+  FROM fp JOIN base b USING (doc_id)
+)
+"""
+
+
+AUDIO_FP_NEAR_SQL = _audio_fp_cte_u(
+    """
+  SELECT doc_id, doc_id AS src_id, FALSE AS near, TRUE AS is_hist
+  FROM documents WHERE doc_id < 16
+  UNION ALL
+  SELECT doc_id, doc_id, FALSE, FALSE
+  FROM documents WHERE doc_id >= 250
+  UNION ALL
+  SELECT doc_id + 700000, doc_id, TRUE, FALSE
+  FROM documents WHERE doc_id < 16
+"""
+) + """
+, hist AS (
+  SELECT DISTINCT n_windows, fingerprint FROM fpi
+  WHERE is_hist AND n_windows >= 1
+),
+reps AS (
+  SELECT fingerprint, MIN(n_windows) AS n_windows,
+         MIN(doc_id) AS asset_id
+  FROM fpi WHERE NOT is_hist AND n_windows >= 1
+  GROUP BY fingerprint
+),
+exact AS (
+  SELECT r.* FROM reps r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM hist h WHERE h.fingerprint = r.fingerprint
+  )
+)
+SELECT CAST(e.asset_id AS BIGINT) AS asset_id,
+  e.n_windows, e.fingerprint
+FROM exact e
+WHERE NOT EXISTS (
+  SELECT 1 FROM hist h
+  WHERE h.n_windows = e.n_windows AND e.n_windows > 2
+    AND len(list_filter(list_zip(string_split(e.fingerprint, '-'),
+                                 string_split(h.fingerprint, '-')),
+            x -> x[1] <> x[2])) BETWEEN 1 AND 2
 )
 """
 
@@ -13584,6 +13732,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "audio_fp_incremental": QuerySpec(
         audio_fp_incr_gate, AUDIO_FP_INCR_SQL
     ),
+    "audio_fp_near": QuerySpec(audio_fp_near, AUDIO_FP_NEAR_SQL),
     "image_phash_dedup": QuerySpec(
         image_phash_dedup, IMAGE_PHASH_DEDUP_SQL
     ),
@@ -14269,9 +14418,12 @@ REGISTRY = {
 # changed in r15 but already hold r14 driver rows (weighted_quota_sample
 # — overflow-proof hash + scoped materialization, oracle hash attested
 # unchanged; the wds_* family — new malformed-input guards and pax `g`
-# offset attribution that no fixture exercises) are covered by this
-# round's committed ORACLE_SELF attestations at both SFs and are first
-# in line for the r16 front.
+# offset attribution that no fixture exercises; multimodal_dedup_manifest
+# — the new image_tiff leg), plus the three entries NEW in r15
+# (tiff_decode, wds_pack_sized, audio_fp_near — added after this
+# front's 50 slots were fixed by the r14 verdict's enumeration), are
+# covered by this round's committed ORACLE_SELF attestations at both
+# SFs and are first in line for the r16 front.
 _R15_FRONT: tuple[str, ...] = (
     # (a) never-checked + r14-code-touched without a fresh driver row
     "tiff_census",
