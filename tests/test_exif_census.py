@@ -287,3 +287,84 @@ def test_phash_tiff_spark_and_dup_population(spark, sf_dir):
     b0, b1, b2, b3 = phash64(_tiff_gray(_build_tiff_px(5)))
     assert rows[5]["hash_hex"] == f"{b0:04x}{b1:04x}{b2:04x}{b3:04x}"
     assert (rows[5]["width"], rows[5]["height"]) == (8 + 5 % 16, 8 + 5 % 8)
+
+
+def test_lzw_roundtrip_and_width_thresholds():
+    """TIFF §13 LZW: encode→decode round-trips across sizes that
+    straddle every early-change width bump (9→10→11→12), including
+    the end-of-stream edge where the decoder's append after the FINAL
+    data code lands exactly on its threshold and EOI reads one bit
+    wider (the bug class the encoder must mirror)."""
+    import random
+
+    from vacancy_gpt_etl_pipeline_spark.operators.exif import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = random.Random(3)
+    for _ in range(200):
+        n = rng.randrange(0, 1200)
+        d = bytes(
+            rng.choice([rng.randrange(256), 7, 7, 7]) for _ in range(n)
+        )
+        assert _lzw_decode(_lzw_encode(d), n) == d
+    # ~1 table add per byte: lengths 490..539 walk the 511 threshold
+    for n in range(490, 540):
+        r2 = random.Random(n)
+        d = bytes(r2.randrange(256) for _ in range(n))
+        assert _lzw_decode(_lzw_encode(d), n) == d, n
+    big = bytes(random.Random(9).randrange(256) for _ in range(30000))
+    assert _lzw_decode(_lzw_encode(big), len(big)) == big
+    # malformed streams: truncated, wrong length, code past table
+    enc = _lzw_encode(b"abcabcabc")
+    assert _lzw_decode(enc[:-2], 9) is None
+    assert _lzw_decode(enc, 8) is None
+    assert _lzw_decode(enc, 10) is None
+    assert _lzw_decode(b"", 1) is None
+
+
+def test_tiff_cx_decode_all_classes():
+    """LZW gray / LZW+predictor gray / LZW+predictor RGB / bilevel
+    classes all decode to their closed-form gray; truncation
+    quarantines; predictor on non-8-bit quarantines."""
+    import struct as _s
+
+    import numpy as np
+
+    from vacancy_gpt_etl_pipeline_spark.operators.exif import (
+        _build_tiff_cx,
+        _tiff_gray,
+    )
+
+    for i in (4, 5, 6, 7, 8, 9, 10, 11, 255, 256):  # covers cls 0-3
+        g = _tiff_gray(_build_tiff_cx(i))
+        src = i % 250
+        w, h = 8 + src % 16, 8 + src % 8
+        assert g is not None and g.shape == (h, w), i
+        if i % 4 == 3:
+            exp = np.array(
+                [
+                    255 * ((src * 31 + (k // 4) * 7) % 2)
+                    for k in range(w * h)
+                ]
+            ).reshape(h, w)
+        else:
+            exp = np.array(
+                [
+                    1 + (src * 31 + (k // 4) * 7) % 254
+                    for k in range(w * h)
+                ]
+            ).reshape(h, w)
+        assert (g == exp).all(), (i, i % 4)
+    assert _tiff_gray(_build_tiff_cx(0)) is None  # truncation class
+    assert _tiff_gray(_build_tiff_cx(37)) is None
+    # predictor=2 on the BILEVEL class must quarantine, not mis-decode:
+    # entry 10 (0x013D) value field sits at 8 + 2 + 12*9 + 8
+    b = bytearray(_build_tiff_cx(7))  # cls 3 bilevel, II? 7%2=1 -> MM
+    fmt = ">" if b[:2] == b"MM" else "<"
+    off = 8 + 2 + 12 * 9 + 8
+    b[off : off + 2] = _s.pack(fmt + "H", 2)
+    # checksum-free format: IFD entries carry no checksum, so the tag
+    # patch alone flips the decode verdict
+    assert _tiff_gray(bytes(b)) is None

@@ -201,3 +201,23 @@ def test_tiff_pixel_decoder_never_raises():
     for payload in _noise(rng, 200):
         r = _tiff_gray(b"II" + payload)
         assert r is None or isinstance(r, np.ndarray)
+
+
+def test_tiff_cx_decoder_never_raises():
+    """Mutation fuzz over the COMPRESSED classes: corrupted LZW
+    streams, predictor rows, and bilevel bit rows must yield None or
+    a clean matrix — never an exception (the decoder's whole-payload
+    quarantine contract extends to codec payloads)."""
+    import numpy as np
+
+    from vacancy_gpt_etl_pipeline_spark.operators.exif import (
+        _build_tiff_cx,
+        _tiff_gray,
+    )
+
+    rng = random.Random(163)
+    for base_id in (4, 5, 6, 7):  # lzw, lzw+pred, lzw+pred RGB, bilevel
+        base = _build_tiff_cx(base_id)
+        for payload in _mutations(rng, base, 250):
+            r = _tiff_gray(payload)
+            assert r is None or isinstance(r, np.ndarray)

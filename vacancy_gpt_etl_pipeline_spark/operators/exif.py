@@ -468,19 +468,134 @@ def _packbits_encode(src: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_decode(src: bytes, expected: int) -> bytes | None:
+    """Decode a TIFF 6.0 §13 LZW stream (MSB-first bit packing,
+    ClearCode 256 / EOI 257, 9→12-bit codes with the TIFF
+    early-change rule: width bumps when the NEXT table entry would be
+    2^width − 1) to exactly ``expected`` bytes; None on any malformed
+    stream — bad code, missing EOI, wrong decoded length. Never
+    raises, never over-allocates past ``expected``."""
+    buf = 0
+    nbits = 0
+    i = 0
+    width = 9
+
+    def read():
+        nonlocal buf, nbits, i
+        while nbits < width:
+            if i >= len(src):
+                return None
+            buf = (buf << 8) | src[i]
+            i += 1
+            nbits += 8
+        nbits -= width
+        return (buf >> nbits) & ((1 << width) - 1)
+
+    table: list[bytes] = [bytes([c]) for c in range(256)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        code = read()
+        if code is None:
+            return None  # stream ended without EOI
+        if code == 256:  # clear
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if code == 257:  # end of information
+            break
+        if prev is None:
+            if code > 255:
+                return None  # first code after clear must be literal
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None
+        out += entry
+        if len(out) > expected:
+            return None
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+    if len(out) != expected:
+        return None
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavor LZW encoder (fixture-side only — the operator
+    DECODES): leading ClearCode, greedy longest-match, early-change
+    width bumps mirroring :func:`_lzw_decode` exactly."""
+    out = bytearray()
+    buf = 0
+    nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((buf >> nbits) & 0xFF)
+
+    codes: dict[bytes, int] = {bytes([c]): c for c in range(256)}
+    next_code = 258
+    emit(256)
+    w = b""
+    for j in range(len(data)):
+        ch = data[j : j + 1]
+        wc = w + ch
+        if wc in codes:
+            w = wc
+            continue
+        emit(codes[w])
+        if next_code <= 4093:
+            codes[wc] = next_code
+            next_code += 1
+            # the ENCODER runs one table entry ahead of the decoder,
+            # so its width bump lands one entry LATER (2^w, vs the
+            # decoder's early-change 2^w - 1) for stream widths to
+            # pair up — the public libtiff convention
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        w = ch
+    if w:
+        emit(codes[w])
+        # the decoder appends one more table entry after this final
+        # data code; if that lands exactly on its early-change
+        # threshold it reads EOI one bit wider — mirror the bump
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+    emit(257)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _tiff_gray(b: bytes):
     """Decode a baseline TIFF 6.0 payload to an (h, w) int64 grayscale
     matrix, top row first — the pixel tier the container census can't
     provide (a scanned-document corpus dedups on CONTENT, not tags).
-    Supported: uncompressed (1) and PackBits (32773) strip data;
-    photometric WhiteIsZero 0 / BlackIsZero 1 (8-bit gray, inverted
-    for 0) and RGB 2 (8,8,8 → exact integer mean (R+G+B)//3, the BMP
-    tier's formula). Strips reassemble via StripOffsets 0x0111 /
+    Supported: uncompressed (1), LZW (5, §13 early-change codes, with
+    the horizontal-differencing Predictor 2 on 8-bit samples) and
+    PackBits (32773) strip data; photometric WhiteIsZero 0 /
+    BlackIsZero 1 at 8-bit AND 1-bit (bilevel rows MSB-packed,
+    byte-aligned per row — the fax-scan layout; inverted for 0) and
+    RGB 2 (8,8,8 → exact integer mean (R+G+B)//3, the BMP tier's
+    formula). Strips reassemble via StripOffsets 0x0111 /
     StripByteCounts 0x0117 / RowsPerStrip 0x0116 (default: one strip).
-    Anything else — other codecs (LZW/JPEG-in-TIFF stay a documented
-    boundary), tiled layout, bad geometry, strip overrun, PackBits
-    length mismatch — returns None (quarantine-not-fail; the census
-    tier names the payload). Never raises on crafted input."""
+    Anything else — remaining codecs (JPEG-in-TIFF / CCITT G3/G4 stay
+    the documented boundary), tiled layout, bad geometry, strip
+    overrun, decode length mismatch — returns None
+    (quarantine-not-fail; the census tier names the payload). Never
+    raises on crafted input."""
     import numpy as np
 
     if len(b) < 8:
@@ -517,49 +632,77 @@ def _tiff_gray(b: bytes):
         photo = ints(0x0106, [1])
         spp_l = ints(0x0115, [1])
         rps_l = ints(0x0116, [h])
+        pred_l = ints(0x013D, [1])
         offs = ints(0x0111)
         cnts = ints(0x0117)
     except ValueError:
         return None
-    if None in (bits, comp, photo, spp_l, rps_l) or not (
-        comp and photo and spp_l and rps_l
+    if None in (bits, comp, photo, spp_l, rps_l, pred_l) or not (
+        comp and photo and spp_l and rps_l and pred_l
     ):
         return None
-    comp, photo, spp, rps = comp[0], photo[0], spp_l[0], rps_l[0]
+    comp, photo, spp, rps, pred = (
+        comp[0],
+        photo[0],
+        spp_l[0],
+        rps_l[0],
+        pred_l[0],
+    )
     if w <= 0 or h <= 0 or rps <= 0 or w * h * spp > (1 << 26):
         return None
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         return None
     if photo in (0, 1):
-        if spp != 1 or bits != [8]:
+        if spp != 1 or bits not in ([8], [1]):
             return None
+        depth = bits[0]
     elif photo == 2:
         if spp != 3 or bits != [8, 8, 8]:
             return None
+        depth = 8
     else:
+        return None
+    if pred not in (1, 2) or (pred == 2 and depth != 8):
+        # horizontal differencing is defined on 8-bit samples here;
+        # anything else quarantines rather than mis-decoding
         return None
     if offs is None or cnts is None or len(offs) != len(cnts):
         return None
     n_strips = (h + rps - 1) // rps
     if len(offs) != n_strips:
         return None
+    # bilevel rows pack MSB-first and each ROW starts on a byte
+    # boundary (TIFF 6.0 §8)
+    row_bytes = (w * spp * depth + 7) // 8
     data = bytearray()
     for si, (o, c) in enumerate(zip(offs, cnts)):
         if o < 0 or c < 0 or o + c > len(b):
             return None
         rows_here = min(rps, h - si * rps)
-        expected = rows_here * w * spp
+        expected = rows_here * row_bytes
         strip = b[o : o + c]
         if comp == 1:
             if c != expected:
                 return None
-            data += strip
+            dec = strip
+        elif comp == 5:
+            dec = _lzw_decode(strip, expected)
         else:
             dec = _packbits_decode(strip, expected)
-            if dec is None:
-                return None
-            data += dec
+        if dec is None:
+            return None
+        data += dec
     px = np.frombuffer(bytes(data), dtype=np.uint8).astype(np.int64)
+    if depth == 1:
+        rows = px.reshape(h, row_bytes).astype(np.uint8)
+        bits_m = np.unpackbits(rows, axis=1)[:, :w].astype(np.int64)
+        return 255 * (1 - bits_m) if photo == 0 else 255 * bits_m
+    if pred == 2:
+        # horizontal differencing: sample i = delta i + sample i-spp,
+        # per row per channel — an exact per-row cumsum mod 256
+        px = (
+            px.reshape(h, w, spp).cumsum(axis=1, dtype=np.int64) % 256
+        ).reshape(-1)
     if photo == 2:
         return px.reshape(h, w, 3).sum(axis=2) // 3
     g = px.reshape(h, w)
@@ -661,6 +804,146 @@ def _build_tiff_px(i: int) -> bytes:
     if i % 37 == 0:
         out = out[: len(out) - max(1, len(strips[-1]) // 2)]
     return out
+
+
+def _build_tiff_cx(i: int) -> bytes:
+    """Compressed/extended TIFF fixture — the classes
+    :func:`_build_tiff_px` leaves to the baseline tier. Class
+    ``i % 4``: 0 = LZW gray, 1 = LZW gray + Predictor 2 (horizontal
+    differencing), 2 = LZW RGB + Predictor 2, 3 = uncompressed
+    BILEVEL (1-bit, WhiteIsZero, rows MSB-packed byte-aligned — the
+    fax-scan layout). Byte order II even / MM odd; ``src = i mod
+    250`` drives dims (w ``8 + src%16``, h ``8 + src%8``) and pixels;
+    RowsPerStrip 4. Decoded gray closed forms the oracle replays:
+    classes 0-2 → ``1 + (src*31 + (idx//4)*7) % 254`` (identical to
+    the baseline fixture — LZW and the predictor are invisible after
+    decode, which is exactly what pins them); class 3 →
+    ``255 · ((src*31 + (idx//4)*7) % 2)``. Every ``i % 37 == 0``
+    payload is truncated mid-strip → quarantine."""
+    e = "<" if i % 2 == 0 else ">"
+    src = i % 250
+    w, h = 8 + src % 16, 8 + src % 8
+    cls = i % 4
+    bilevel = cls == 3
+    photo = 0 if bilevel else (2 if cls == 2 else 1)
+    spp = 3 if cls == 2 else 1
+    comp = 1 if bilevel else 5
+    pred = 2 if cls in (1, 2) else 1
+    rps = 4
+    row_bytes = (w + 7) // 8 if bilevel else w * spp
+
+    rows_raw: list[bytes] = []
+    for r in range(h):
+        if bilevel:
+            bits_row = [
+                (src * 31 + ((r * w + c) // 4) * 7) % 2
+                for c in range(w)
+            ]
+            packed = bytearray(row_bytes)
+            for c, bit in enumerate(bits_row):
+                # WhiteIsZero stores the INVERSE of the gray bit
+                if not bit:
+                    packed[c // 8] |= 0x80 >> (c % 8)
+            rows_raw.append(bytes(packed))
+            continue
+        row = bytearray()
+        for c in range(w):
+            gv = 1 + (src * 31 + ((r * w + c) // 4) * 7) % 254
+            if spp == 3:
+                row += bytes((gv + 1, gv, gv - 1))
+            else:
+                row.append(gv)
+        if pred == 2:  # horizontal differencing per row per channel
+            delta = bytearray(row)
+            for j in range(len(row) - 1, spp - 1, -1):
+                delta[j] = (row[j] - row[j - spp]) % 256
+            row = delta
+        rows_raw.append(bytes(row))
+
+    strips = []
+    for r0 in range(0, h, rps):
+        seg = b"".join(rows_raw[r0 : r0 + rps])
+        strips.append(seg if comp == 1 else _lzw_encode(seg))
+    n_strips = len(strips)
+
+    def entry(tag, typ, cnt, raw4):
+        return struct.pack(e + "HHL", tag, typ, cnt) + raw4
+
+    def short4(v):
+        return struct.pack(e + "H", v) + b"\x00\x00"
+
+    def long4(v):
+        return struct.pack(e + "L", v)
+
+    n_entries = 10
+    val_off = 8 + 2 + 12 * n_entries + 4
+    tail: list[bytes] = []
+    if spp == 3:
+        bits_raw = long4(val_off + sum(len(t) for t in tail))
+        tail.append(struct.pack(e + "HHH", 8, 8, 8))
+    else:
+        bits_raw = short4(1 if bilevel else 8)
+    arr_bytes = (4 * n_strips if n_strips > 1 else 0) * 2
+    pos = val_off + sum(len(t) for t in tail) + arr_bytes
+    offs = []
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    if n_strips > 1:
+        so_raw = long4(val_off + sum(len(t) for t in tail))
+        tail.append(struct.pack(e + "L" * n_strips, *offs))
+        sc_raw = long4(val_off + sum(len(t) for t in tail))
+        tail.append(
+            struct.pack(e + "L" * n_strips, *[len(s) for s in strips])
+        )
+    else:
+        so_raw = long4(offs[0])
+        sc_raw = long4(len(strips[0]))
+    entries = [
+        entry(0x0100, 3, 1, short4(w)),
+        entry(0x0101, 3, 1, short4(h)),
+        entry(0x0102, 3, spp, bits_raw),
+        entry(0x0103, 3, 1, short4(comp)),
+        entry(0x0106, 3, 1, short4(photo)),
+        entry(0x0111, 4, n_strips, so_raw),
+        entry(0x0115, 3, 1, short4(spp)),
+        entry(0x0116, 3, 1, short4(rps)),
+        entry(0x0117, 4, n_strips, sc_raw),
+        entry(0x013D, 3, 1, short4(pred)),
+    ]
+    out = (
+        (b"II" if e == "<" else b"MM")
+        + struct.pack(e + "HL", 42, 8)
+        + struct.pack(e + "H", n_entries)
+        + b"".join(entries)
+        + struct.pack(e + "L", 0)
+        + b"".join(tail)
+        + b"".join(strips)
+    )
+    if i % 37 == 0:
+        out = out[: len(out) - max(1, len(strips[-1]) // 2)]
+    return out
+
+
+def synthesize_tiff_cx_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic compressed/extended TIFF fixture (closed forms in
+    :func:`_build_tiff_cx`); emits (asset_id, content)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "content": [_build_tiff_cx(i) for i in ids],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        run, "asset_id long, content binary"
+    )
 
 
 def synthesize_tiff_pixel_payload(

@@ -98,6 +98,7 @@ from vacancy_gpt_etl_pipeline_spark.operators.exif import (
     census_tiff,
     synthesize_exif_payload,
     synthesize_tiff_payload,
+    synthesize_tiff_cx_payload,
     synthesize_tiff_pixel_payload,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.phash import (
@@ -4818,15 +4819,20 @@ _PHASH_LUT_VALUES = ", ".join(
 )
 
 
-def _tiff_hashes_cte(universe: str) -> str:
+def _tiff_hashes_cte(
+    universe: str,
+    gray_expr: str = "1 + (src * 31 + (idx // 4) * 7) % 254",
+) -> str:
     """DuckDB CTE computing the closed-form pHash of every
     pixel-bearing TIFF fixture row of ``universe`` — (doc_id, src_id)
     where ``src_id`` drives the pixel formula (plants reuse an asset's
-    bytes under a new id). Mirrors :func:`_phash_hashes_cte`; the gray
-    formula is :func:`operators.exif._build_tiff_px`'s decoded value,
-    identical across photometric / compression / endianness classes
-    by construction, so ONE formula replays all of them. Ends with
-    ``hashes`` (doc_id, b0..b3) and ``dims`` (doc_id, w, h)."""
+    bytes under a new id). Mirrors :func:`_phash_hashes_cte`; the
+    default ``gray_expr`` is :func:`operators.exif._build_tiff_px`'s
+    decoded value, identical across photometric / compression /
+    endianness classes by construction, so ONE formula replays all of
+    them (the compressed/extended fixture passes a CASE over its
+    bilevel class). Ends with ``hashes`` (doc_id, b0..b3) and
+    ``dims`` (doc_id, w, h)."""
     return f"""
 WITH u AS ({universe}),
 dims AS (
@@ -4847,7 +4853,7 @@ samp AS (
 ),
 gray AS (
   SELECT doc_id, x, y,
-    1 + (src * 31 + (idx // 4) * 7) % 254 AS g
+    {gray_expr} AS g
   FROM samp
 ),
 coef AS (
@@ -4906,6 +4912,41 @@ def tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TIFF_DECODE_SQL = _tiff_hashes_cte(
     "SELECT doc_id, doc_id AS src_id FROM documents"
+) + """
+SELECT CAST(h.doc_id AS BIGINT) AS asset_id,
+  CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+  printf('%04x%04x%04x%04x', b0, b1, b2, b3) AS hash_hex
+FROM hashes h JOIN dims d USING (doc_id)
+"""
+
+
+def tiff_decode_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF compressed/extended decode classes (operators/exif.py —
+    closing the r14-documented LZW boundary): LZW strips (TIFF 6.0
+    §13 MSB-first variable-width codes with the early-change rule —
+    the dominant scanned-document compression), the horizontal-
+    differencing Predictor 2 on gray AND RGB, and uncompressed
+    BILEVEL (1-bit WhiteIsZero, rows MSB-packed byte-aligned — the
+    fax-scan layout), all decoding through the same ``_tiff_gray``
+    boundary into the shared pHash. The oracle replays the decoded
+    gray closed-form per class (LZW and the predictor are INVISIBLE
+    after decode — the 8-bit classes share the baseline formula, so
+    any codec bug flips hash bits; the bilevel class has its own 0/255
+    form). CCITT G3/G4 and JPEG-in-TIFF remain the documented
+    boundary (decode quarantines; the census names the tag)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return phash_tiff(synthesize_tiff_cx_payload(docs, "doc_id")).select(
+        "asset_id", "width", "height", "hash_hex"
+    )
+
+
+TIFF_DECODE_LZW_SQL = _tiff_hashes_cte(
+    "SELECT doc_id, doc_id AS src_id FROM documents",
+    gray_expr=(
+        "CASE WHEN doc_id % 4 = 3"
+        " THEN 255 * ((src * 31 + (idx // 4) * 7) % 2)"
+        " ELSE 1 + (src * 31 + (idx // 4) * 7) % 254 END"
+    ),
 ) + """
 SELECT CAST(h.doc_id AS BIGINT) AS asset_id,
   CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
@@ -13713,6 +13754,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "jpeg_exif_census": QuerySpec(jpeg_exif_census, EXIF_CENSUS_SQL),
     "tiff_census": QuerySpec(tiff_census, TIFF_CENSUS_SQL),
     "tiff_decode": QuerySpec(tiff_decode, TIFF_DECODE_SQL),
+    "tiff_decode_lzw": QuerySpec(tiff_decode_lzw, TIFF_DECODE_LZW_SQL),
     "wds_member_census": QuerySpec(wds_member_census, WDS_MEMBER_SQL),
     "wds_pax_census": QuerySpec(wds_pax_census, WDS_PAX_SQL),
     "wds_pack_roundtrip": QuerySpec(
