@@ -202,3 +202,86 @@ def test_audio_fp_near_veto_guards(spark):
             assert False, kwargs
         except ValueError:
             pass
+
+
+def test_seq_near_pairs_generic(spark):
+    """The shared sequence-band-LSH core (dedup.seq_near_pairs):
+    equal-length-only pairing, inclusive diff bounds, short-sequence
+    exemption, min-id representatives, and the banding finding every
+    pair a brute-force Hamming finds (pigeonhole exhaustiveness)."""
+    from itertools import combinations
+
+    from vacancy_gpt_etl_pipeline_spark.operators.dedup import (
+        seq_near_pairs,
+    )
+
+    rows = [
+        (1, "3-4-5-2-7"),
+        (2, "3-4-5-2-8"),    # d(1,2)=1
+        (3, "3-4-6-2-8"),    # d(1,3)=2, d(2,3)=1
+        (4, "9-9-9-9-9"),
+        (5, "3-4-5-2"),      # different length: never pairs with 1-3
+        (6, "3-4-5-3"),      # d(5,6)=1 (length-4 family)
+        (7, "3-4-5-2-7"),    # exact dup of 1: collapses to rep 1
+        (8, "1-2"),          # n <= max_diff: exempt
+        (9, "1-3"),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, fingerprint string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["n_diff"])
+        for r in seq_near_pairs(df, "fingerprint").collect()
+    )
+    # brute force over min-id reps with n > 2
+    reps = {}
+    for aid, fp in rows:
+        reps[fp] = min(reps.get(fp, 10**9), aid)
+    want = []
+    for (fa, a), (fb, b) in combinations(sorted(reps.items()), 2):
+        sa, sb = fa.split("-"), fb.split("-")
+        if len(sa) != len(sb) or len(sa) <= 2:
+            continue
+        d = sum(x != y for x, y in zip(sa, sb))
+        if 1 <= d <= 2:
+            want.append((min(a, b), max(a, b), d))
+    assert got == sorted(want)
+    assert (1, 2, 1) in got and (5, 6, 1) in got and (8, 9, 1) not in got
+
+
+def test_seq_near_pairs_matches_bruteforce_on_fixture(spark, sf_dir):
+    """Banding exhaustiveness on the REAL audio fixture: every pair
+    brute-force Hamming finds between distinct-fingerprint reps, the
+    banded join finds too (and nothing more)."""
+    from itertools import combinations
+
+    from vacancy_gpt_etl_pipeline_spark.operators.audio_fp import (
+        fingerprint_wav,
+        synthesize_tone_payload,
+    )
+    from vacancy_gpt_etl_pipeline_spark.operators.dedup import (
+        seq_near_pairs,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .where("doc_id < 200")
+    )
+    fps = fingerprint_wav(synthesize_tone_payload(docs, "doc_id"))
+    rows = [(r["asset_id"], r["fingerprint"]) for r in fps.collect()]
+    got = sorted(
+        (r["id_a"], r["id_b"], r["n_diff"])
+        for r in seq_near_pairs(fps, "fingerprint").collect()
+    )
+    reps = {}
+    for aid, fp in rows:
+        if fp:
+            reps[fp] = min(reps.get(fp, 10**9), aid)
+    want = []
+    for (fa, a), (fb, b) in combinations(sorted(reps.items()), 2):
+        sa, sb = fa.split("-"), fb.split("-")
+        if len(sa) != len(sb) or len(sa) <= 2:
+            continue
+        d = sum(x != y for x, y in zip(sa, sb))
+        if 1 <= d <= 2:
+            want.append((min(a, b), max(a, b), d))
+    assert got == sorted(want) and got

@@ -899,3 +899,125 @@ def exact_substring_dedup(
             F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
         )
     )
+
+
+def seq_near_pairs(
+    df: DataFrame,
+    seq_col: str,
+    id_col: str = "asset_id",
+    min_diff: int = 1,
+    max_diff: int = 2,
+    n_bands: int = 3,
+    max_bucket: int = 10_000,
+    sep: str = "-",
+    reps_precomputed: bool = False,
+) -> DataFrame:
+    """NEAR-duplicate pairs over '-'-joined SEQUENCE fingerprints —
+    the generic band-LSH core shared by the audio peak-bin sequences
+    (``audio_fp.fingerprint_wav``) and the video frame-hash sequences
+    (``phash.phash_y4m``): a codec re-encode perturbs a few windows /
+    frames, so the near relation is element-wise Hamming over
+    EQUAL-LENGTH sequences (duration survives a re-encode).
+
+    Candidates come from contiguous sub-sequence bands (band ``k`` =
+    elements ``[k·n/B, (k+1)·n/B)``): two equal-length sequences
+    within ``max_diff < n_bands`` differing elements agree exactly on
+    ≥1 non-empty band (pigeonhole — the diffs touch at most
+    ``max_diff`` of the ``min(n, B) > max_diff`` non-empty bands), so
+    the join on (length, band_idx, band_value) is exhaustive and
+    never a cartesian product. Element Hamming is computed inline via
+    ``zip_with`` (JVM-side, no UDF). Pairs are emitted between
+    DISTINCT-fingerprint representatives (min id) — identical copies
+    are the groupBy dedup path's job, the
+    :func:`phash.phash_neardup_pairs` scale rule. Sequences with
+    ``n <= max_diff`` are exempt (1 differing element of 2 is 50%
+    different content, not a near-dup). ``max_bucket`` is the
+    family's fan-out cap: over-full (length, band) buckets drop from
+    pair generation (their members still collapse via exact groups).
+
+    ``reps_precomputed=True`` skips the internal min-id aggregation —
+    the caller attests one row per distinct sequence keyed by its
+    group's MIN id (e.g. a keep-first window row, the
+    multimodal_dedup_manifest pattern)."""
+    if not 1 <= min_diff <= max_diff:
+        raise ValueError("need 1 <= min_diff <= max_diff")
+    if max_diff >= n_bands:
+        raise ValueError(
+            "banded candidate generation is only exhaustive for "
+            "max_diff < n_bands (contiguous bands, pigeonhole)"
+        )
+    from pyspark.sql import Window
+
+    reps = (
+        df.select(
+            F.col(seq_col).alias("_seq_s"), F.col(id_col).alias("_id")
+        )
+        if reps_precomputed
+        else df.groupBy(F.col(seq_col).alias("_seq_s")).agg(
+            F.min(id_col).alias("_id")
+        )
+    )
+    reps = reps.withColumn(
+        "_n", F.size(F.split("_seq_s", sep))
+    ).where(F.col("_n") > max_diff)
+    k = F.col("band_idx")
+    n = F.col("_n")
+    start = F.floor(k * n / F.lit(n_bands)).cast("int")
+    length = F.floor((k + 1) * n / F.lit(n_bands)).cast("int") - start
+    bands = (
+        reps.select(
+            "_id",
+            "_seq_s",
+            "_n",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias(
+                "band_idx"
+            ),
+        )
+        .withColumn(
+            "band_val",
+            F.array_join(
+                F.slice(F.split("_seq_s", sep), start + 1, length), sep
+            ),
+        )
+        .where(length >= 1)
+    )
+    bucket_w = Window.partitionBy("_n", "band_idx", "band_val")
+    eligible = (
+        bands.withColumn("_bn", F.count(F.lit(1)).over(bucket_w))
+        .where(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+    left = eligible.select(
+        F.col("_id").alias("id_a"),
+        F.col("_seq_s").alias("_sa"),
+        "_n",
+        "band_idx",
+        "band_val",
+    )
+    right = eligible.select(
+        F.col("_id").alias("id_b"),
+        F.col("_seq_s").alias("_sb"),
+        "_n",
+        "band_idx",
+        "band_val",
+    )
+    diff = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("_sa", sep),
+                F.split("_sb", sep),
+                lambda x, y: x != y,
+            ),
+            lambda v: v,
+        )
+    )
+    return (
+        left.join(right, ["_n", "band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", diff.cast("int").alias("n_diff"))
+        .where(
+            (F.col("n_diff") >= min_diff)
+            & (F.col("n_diff") <= max_diff)
+        )
+        .distinct()
+    )

@@ -55,6 +55,7 @@ from vacancy_gpt_etl_pipeline_spark.operators.dedup import (
     dedup_keep_first,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
+    seq_near_pairs,
     simhash_near_duplicates,
 )
 from vacancy_gpt_etl_pipeline_spark.operators.enrichment import (
@@ -5602,9 +5603,12 @@ def multimodal_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-copy duplicates, as 'image_tiff'), audio
     fingerprint groups, video frame-hash-sequence groups — each a
     partitioned window over its content key (keep-first survivor
-    rule), plus the image NEAR-duplicate tier ('image_near': band-LSH
-    pairs between fingerprint representatives at Hamming 1..2,
-    keep-lowest-id per dropped rep) — unioned into the single manifest
+    rule), plus the NEAR-duplicate tiers — 'image_near' (16-bit-band
+    LSH pairs between fingerprint representatives at Hamming 1..2)
+    and, since r15, 'audio_near' / 'video_near' (sequence-band LSH
+    over peak-bin / frame-hash sequences via dedup.seq_near_pairs,
+    element Hamming 1..2 between equal-length representatives),
+    keep-lowest-id per dropped rep — unioned into the single manifest
     a 100 TB curation run would feed its tombstone writer. The oracle
     reconstructs every member independently (group-join instead of
     windows, the three fingerprint pipelines replayed closed-form, the
@@ -5698,13 +5702,61 @@ def multimodal_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).withColumn("asset_id", F.col("asset_id") + 800000)
         )
     )
+
+    # r15: audio and video gain their NEAR tiers ('audio_near' /
+    # 'video_near') via the shared sequence-band-LSH core
+    # (dedup.seq_near_pairs) — a re-encode that perturbs a few
+    # spectral windows / frame hashes slips the exact groups exactly
+    # as Hamming-1 images slip exact pHash. Each modality mirrors the
+    # image branch's r13 shape: ONE persisted keep-first window feeds
+    # both its exact drops and the near tier's min-id representatives
+    # (reps_precomputed — the Arrow decode and the fingerprint
+    # shuffle run once per modality, not once per branch).
+    def drops_and_reps(frame: DataFrame, key: str, modality: str):
+        w = Window.partitionBy(key)
+        fw = (
+            frame.withColumn("keep_id", F.min("asset_id").over(w))
+            .withColumn("_cnt", F.count(F.lit(1)).over(w))
+            .persist()
+        )
+        d = fw.where(
+            (F.col("_cnt") >= 2) & (F.col("asset_id") != F.col("keep_id"))
+        ).select(
+            F.lit(modality).alias("modality"),
+            "keep_id",
+            F.col("asset_id").alias("drop_id"),
+        )
+        reps = fw.where(F.col("asset_id") == F.col("keep_id")).select(
+            "asset_id", key
+        )
+        return d, reps
+
+    def near_leg(reps: DataFrame, key: str, modality: str) -> DataFrame:
+        pairs = seq_near_pairs(
+            reps, key, min_diff=1, max_diff=2, n_bands=3,
+            reps_precomputed=True,
+        )
+        return (
+            pairs.groupBy("id_b")
+            .agg(F.min("id_a").alias("keep_id"))
+            .select(
+                F.lit(modality).alias("modality"),
+                "keep_id",
+                F.col("id_b").alias("drop_id"),
+            )
+        )
+
+    audio_drops, aud_reps = drops_and_reps(aud, "fingerprint", "audio")
+    video_drops, vid_reps = drops_and_reps(vid, "video_fp", "video")
     return (
         drops(text, "text", "text")
         .unionByName(image_drops)
         .unionByName(image_near)
         .unionByName(drops(tif, "hash_hex", "image_tiff"))
-        .unionByName(drops(aud, "fingerprint", "audio"))
-        .unionByName(drops(vid, "video_fp", "video"))
+        .unionByName(audio_drops)
+        .unionByName(near_leg(aud_reps, "fingerprint", "audio_near"))
+        .unionByName(video_drops)
+        .unionByName(near_leg(vid_reps, "video_fp", "video_near"))
     )
 
 
@@ -5784,6 +5836,26 @@ FROM fp f JOIN grp USING (fingerprint)
 WHERE f.doc_id <> grp.keep_id AND f.n_windows >= 1
 )
 UNION ALL
+SELECT 'audio_near' AS modality, keep_id, drop_id FROM (
+"""
+    + _AUDIO_FP_CTE
+    + """
+, reps AS (
+  SELECT fingerprint, MIN(n_windows) AS n, MIN(doc_id) AS doc_id
+  FROM fp WHERE n_windows >= 1 GROUP BY fingerprint
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM reps a JOIN reps b
+    ON a.n = b.n AND a.doc_id < b.doc_id AND a.n > 2
+  WHERE len(list_filter(list_zip(string_split(a.fingerprint, '-'),
+                                 string_split(b.fingerprint, '-')),
+        x -> x[1] <> x[2])) BETWEEN 1 AND 2
+)
+SELECT CAST(MIN(id_a) AS BIGINT) AS keep_id, CAST(id_b AS BIGINT) AS drop_id
+FROM pairs GROUP BY id_b
+)
+UNION ALL
 SELECT 'video' AS modality, keep_id, drop_id FROM (
 """
     + _VIDEO_PHASH_CTE
@@ -5796,6 +5868,26 @@ SELECT 'video' AS modality, keep_id, drop_id FROM (
 SELECT grp.keep_id, CAST(v.doc_id AS BIGINT) AS drop_id
 FROM vfp v JOIN grp USING (video_fp)
 WHERE v.doc_id <> grp.keep_id AND v.n_frames >= 1
+)
+UNION ALL
+SELECT 'video_near' AS modality, keep_id, drop_id FROM (
+"""
+    + _VIDEO_PHASH_CTE
+    + """
+, reps AS (
+  SELECT video_fp, MIN(n_frames) AS n, MIN(doc_id) AS doc_id
+  FROM vfp WHERE n_frames >= 1 GROUP BY video_fp
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM reps a JOIN reps b
+    ON a.n = b.n AND a.doc_id < b.doc_id AND a.n > 2
+  WHERE len(list_filter(list_zip(string_split(a.video_fp, '-'),
+                                 string_split(b.video_fp, '-')),
+        x -> x[1] <> x[2])) BETWEEN 1 AND 2
+)
+SELECT CAST(MIN(id_a) AS BIGINT) AS keep_id, CAST(id_b AS BIGINT) AS drop_id
+FROM pairs GROUP BY id_b
 )
 """
 )
