@@ -217,90 +217,25 @@ def audio_fp_near_veto(
     conservative direction). History is never re-deduped; its
     distinct fingerprints are the whole state.
 
-    Returns the surviving batch fingerprint rows."""
-    if max_diff < 1:
-        raise ValueError("max_diff must be >= 1 (0 is the exact gate)")
-    if max_diff >= n_bands:
-        raise ValueError(
-            "banded candidate generation is only exhaustive for "
-            "max_diff < n_bands (contiguous bands, pigeonhole)"
-        )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("fingerprint").orderBy("asset_id")
-    reps = (
-        batch_fps.where(F.col("n_windows") >= 1)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    hist = history_fps.where(F.col("n_windows") >= 1)
-    hist_fp = hist.select("n_windows", "fingerprint").distinct()
-    exact = reps.join(
-        hist_fp.select("fingerprint"), "fingerprint", "left_anti"
+    Since r15 the banded veto itself lives in
+    :func:`dedup.seq_near_veto` (the generic sequence gate the
+    streaming twin shares); this wrapper contributes only the audio
+    frame contract (``n_windows >= 1`` — empty fingerprints never
+    reach the sequence machinery). Returns the surviving batch
+    fingerprint rows."""
+    from vacancy_gpt_etl_pipeline_spark.operators.dedup import (
+        seq_near_veto,
     )
 
-    def bands(df: DataFrame, side: str) -> DataFrame:
-        seq = F.split("fingerprint", "-")
-        k = F.col("band_idx")
-        n = F.col("n_windows")
-        start = F.floor(k * n / F.lit(n_bands)).cast("int")
-        length = (
-            F.floor((k + 1) * n / F.lit(n_bands)).cast("int") - start
-        )
-        return (
-            df.where(F.col("n_windows") > max_diff)
-            .select(
-                F.col("fingerprint").alias(f"fp_{side}"),
-                "n_windows",
-                *(
-                    [F.col("asset_id").alias(f"id_{side}")]
-                    if side == "b"
-                    else []
-                ),
-                F.explode(
-                    F.sequence(F.lit(0), F.lit(n_bands - 1))
-                ).alias("band_idx"),
-            )
-            .withColumn(
-                "band_val",
-                F.array_join(
-                    F.slice(
-                        F.split(f"fp_{side}", "-"), start + 1, length
-                    ),
-                    "-",
-                ),
-            )
-            .where(length >= 1)  # empty bands never generate candidates
-        )
-
-    bucket_w = Window.partitionBy("n_windows", "band_idx", "band_val")
-    hist_bands = (
-        bands(hist_fp, "h")
-        .withColumn("_n", F.count(F.lit(1)).over(bucket_w))
-        .where(F.col("_n") <= max_bucket)
-        .drop("_n")
+    return seq_near_veto(
+        batch_fps.where(F.col("n_windows") >= 1),
+        history_fps.where(F.col("n_windows") >= 1),
+        "fingerprint",
+        "asset_id",
+        max_diff=max_diff,
+        n_bands=n_bands,
+        max_bucket=max_bucket,
     )
-    batch_bands = bands(exact, "b")
-    ham = F.size(
-        F.filter(
-            F.zip_with(
-                F.split("fp_b", "-"),
-                F.split("fp_h", "-"),
-                lambda x, y: x != y,
-            ),
-            lambda v: v,
-        )
-    )
-    near_dropped = (
-        batch_bands.join(
-            hist_bands, ["n_windows", "band_idx", "band_val"]
-        )
-        .where((ham >= 1) & (ham <= max_diff))
-        .select(F.col("id_b").alias("asset_id"))
-        .distinct()
-    )
-    return exact.join(near_dropped, "asset_id", "left_anti")
 
 
 def synthesize_tone_payload(

@@ -1021,3 +1021,107 @@ def seq_near_pairs(
         )
         .distinct()
     )
+
+
+def seq_near_veto(
+    batch: DataFrame,
+    history: DataFrame,
+    seq_col: str,
+    id_col: str = "asset_id",
+    max_diff: int = 2,
+    n_bands: int = 3,
+    max_bucket: int = 10_000,
+    sep: str = "-",
+) -> DataFrame:
+    """Batch-vs-corpus incremental gate over '-'-joined SEQUENCE
+    fingerprints — the gate twin of :func:`seq_near_pairs` and the
+    single implementation behind ``audio_fp.audio_fp_near_veto`` and
+    the streaming sequence gate: a new row survives only if (1) it is
+    the keep-first representative of its sequence within the batch,
+    (2) no history row has the SAME sequence (left-anti — the exact
+    gate), and (3) no history sequence of the SAME length is within
+    ``max_diff`` differing elements (the near veto, banded as in
+    :func:`seq_near_pairs`: contiguous bands, pigeonhole-sound for
+    ``max_diff < n_bands``, fan-out cap on the HISTORY leg only,
+    sequences with ``n <= max_diff`` exempt from the near veto but
+    not the exact gate). History is never re-deduped. Returns the
+    surviving batch rows."""
+    if max_diff < 1:
+        raise ValueError("max_diff must be >= 1 (0 is the exact gate)")
+    if max_diff >= n_bands:
+        raise ValueError(
+            "banded candidate generation is only exhaustive for "
+            "max_diff < n_bands (contiguous bands, pigeonhole)"
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(seq_col).orderBy(id_col)
+    reps = (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    hist_fp = history.select(seq_col).distinct()
+    exact = reps.join(hist_fp, seq_col, "left_anti")
+
+    def bands(df: DataFrame, side: str) -> DataFrame:
+        k = F.col("band_idx")
+        n = F.col("_n")
+        start = F.floor(k * n / F.lit(n_bands)).cast("int")
+        length = (
+            F.floor((k + 1) * n / F.lit(n_bands)).cast("int") - start
+        )
+        return (
+            df.select(
+                F.col(seq_col).alias(f"fp_{side}"),
+                *(
+                    [F.col(id_col).alias(f"id_{side}")]
+                    if side == "b"
+                    else []
+                ),
+            )
+            .withColumn("_n", F.size(F.split(f"fp_{side}", sep)))
+            .where(F.col("_n") > max_diff)
+            .select(
+                "*",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(n_bands - 1))
+                ).alias("band_idx"),
+            )
+            .withColumn(
+                "band_val",
+                F.array_join(
+                    F.slice(
+                        F.split(f"fp_{side}", sep), start + 1, length
+                    ),
+                    sep,
+                ),
+            )
+            .where(length >= 1)
+        )
+
+    bucket_w = Window.partitionBy("_n", "band_idx", "band_val")
+    hist_bands = (
+        bands(hist_fp, "h")
+        .withColumn("_bn", F.count(F.lit(1)).over(bucket_w))
+        .where(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+    batch_bands = bands(exact, "b")
+    ham = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("fp_b", sep),
+                F.split("fp_h", sep),
+                lambda x, y: x != y,
+            ),
+            lambda v: v,
+        )
+    )
+    near_dropped = (
+        batch_bands.join(hist_bands, ["_n", "band_idx", "band_val"])
+        .where((ham >= 1) & (ham <= max_diff))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return exact.join(near_dropped, id_col, "left_anti")
