@@ -88,6 +88,14 @@ FLAGSHIPS = (
     # WebDataset granule; webp is a pure Arrow map)
     "wds_member_census",
     "webp_census",
+    # round-15 additions: the LZW strip decoder is per-payload Python
+    # inside the Arrow map (must stay linear); the audio near gate's
+    # band join must stay bounded by distinct same-length sequences;
+    # the sized pack sink adds a partitioned prefix-sum window + one
+    # applyInPandas per sub-shard (linear in samples)
+    "tiff_decode_lzw",
+    "audio_fp_near",
+    "wds_pack_sized",
 )
 
 
