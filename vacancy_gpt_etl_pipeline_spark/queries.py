@@ -14553,11 +14553,12 @@ REGISTRY = {
 # — overflow-proof hash + scoped materialization, oracle hash attested
 # unchanged; the wds_* family — new malformed-input guards and pax `g`
 # offset attribution that no fixture exercises; multimodal_dedup_manifest
-# — the new image_tiff leg), plus the three entries NEW in r15
-# (tiff_decode, wds_pack_sized, audio_fp_near — added after this
-# front's 50 slots were fixed by the r14 verdict's enumeration), are
-# covered by this round's committed ORACLE_SELF attestations at both
-# SFs and are first in line for the r16 front.
+# — the new image_tiff/audio_near/video_near legs), plus the four
+# entries NEW in r15 (tiff_decode, tiff_decode_lzw, wds_pack_sized,
+# audio_fp_near — added after this front's 50 slots were fixed by the
+# r14 verdict's enumeration), are covered by this round's committed
+# ORACLE_SELF attestations at both SFs and are first in line for the
+# r16 front.
 _R15_FRONT: tuple[str, ...] = (
     # (a) never-checked + r14-code-touched without a fresh driver row
     "tiff_census",
