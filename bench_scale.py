@@ -90,12 +90,13 @@ FLAGSHIPS = (
     "webp_census",
     # round-15 additions: the LZW strip decoder is per-payload Python
     # inside the Arrow map (must stay linear); the audio near gate's
-    # band join must stay bounded by distinct same-length sequences;
-    # the sized pack sink adds a partitioned prefix-sum window + one
-    # applyInPandas per sub-shard (linear in samples)
+    # band join must stay bounded by distinct same-length sequences.
+    # The sized pack sink is deliberately NOT a per-scale flagship —
+    # its tar-build cost (~10 s at x1, Python per sample) would double
+    # the x50 leg for a property the dedicated wds_sized_shards
+    # attestation below already pins at corpus scale.
     "tiff_decode_lzw",
     "audio_fp_near",
-    "wds_pack_sized",
 )
 
 
@@ -792,6 +793,7 @@ def main() -> None:
         "scales": results,
         "bpe_trainer_rounds": trainer_rounds,
         "incremental_gate_pruning": gate_pruning,
+        "wds_sized_shards": wds_sized,
         "notes": {
             "semdedup": (
                 "registry entry pins n_centroids=8 (fixture-tuned, "

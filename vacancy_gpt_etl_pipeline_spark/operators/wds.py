@@ -315,12 +315,14 @@ def _pack_samples_tar(pdf: pd.DataFrame, fmt) -> bytes:
     drift between the count-bucketed and bytes-budget writers."""
     buf = io.BytesIO()
     with tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
-        for _, row in pdf.iterrows():
+        # column zip, not iterrows — per-row Series construction costs
+        # ~100x the tuple iteration and this runs once per sample
+        for key, parts in zip(pdf["_key"], pdf["_parts"]):
             # Arrow map columns arrive as key/value tuple lists
-            parts = dict(row["_parts"])
+            parts = dict(parts)
             for ext in sorted(parts):
                 data = bytes(parts[ext])
-                info = tarfile.TarInfo(f"{row['_key']}.{ext}")
+                info = tarfile.TarInfo(f"{key}.{ext}")
                 info.size = len(data)
                 info.mtime = 0
                 info.mode = 0o644

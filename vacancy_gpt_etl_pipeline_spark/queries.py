@@ -4581,8 +4581,12 @@ def wds_pack_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-sum greedy bound, TRUE for every shard by construction, so
     the oracle emits both flags unconditionally and ANY packing /
     splitting / walk corruption hash-mismatches. The budget boundary
-    is a PARTITIONED window per hash bucket (never a global sort)."""
-    budget = 4096
+    is a PARTITIONED window per hash bucket (never a global sort).
+    The oracle output is budget-INDEPENDENT (doc-level roundtrip +
+    invariant flags), so the budget is sized for real multi-sample
+    sub-shards at every fixture SF without ~1000s of tiny
+    applyInPandas groups dominating the entry's wall time."""
+    budget = 16384
     docs = _t(spark, sf_dir, "documents")
     i = F.col("doc_id")
     key = F.when(
