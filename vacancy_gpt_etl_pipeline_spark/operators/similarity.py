@@ -320,6 +320,14 @@ def ivf_assign(
     the only shuffle carries one (id, vector, cell) row per corpus vector,
     never the ×C expansion. Ties break to the lowest cell id
     (max on (cosine, -cell)), matching ``ORDER BY cos DESC, cell`` in SQL.
+
+    (r15 optimization note: a zero-shuffle variant that bakes the
+    collected centroids into one ``greatest``-over-structs map-side
+    argmax was built and measured — it removes this groupBy exchange
+    but the resulting ~C·3·dim-term expression tree falls out of
+    whole-stage codegen and evaluated 2-3× SLOWER end to end at sf0.1,
+    the same giant-expression failure mode _bucket_frame documents.
+    The crossJoin→max_by shape stays.)
     """
     scored = _cell_scores(
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
@@ -1231,59 +1239,58 @@ def knn_ivf_pq(
         cache_scope,
     )
     # per-query ADC lookup table: queries x codebook x m subspaces,
-    # int64-quantized dots — bounded by the query batch, broadcast
-    lut_melt = (
+    # int64-quantized dots — bounded by the query batch. Collapsed to
+    # ONE flat array per query (index code_id·m + s, code-major) and
+    # carried inside the broadcast probe frame, so ADC scoring is a
+    # map-side array-lookup sum over the candidate stream instead of
+    # the r14 shape (explode ×m → three-key join → candidate-sized
+    # groupBy-sum exchange). The per-candidate score is the SAME sum of
+    # the SAME m int64 LUT entries — integer addition is order-free, so
+    # the result is bit-identical while the candidate stream (the one
+    # corpus-proportional frame in this plan) crosses one less shuffle.
+    lut_arr = (
         probes.select("query_id", "_fq")
         .distinct()
         .crossJoin(F.broadcast(cb))
         .select(
             "query_id",
             "code_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(s).alias("s"),
-                            F.expr(
-                                _sub_dot_q_sql("_fq", "codeword", s, sub)
-                            ).alias("d"),
-                        )
-                        for s in range(m)
-                    ]
+            *[
+                F.expr(_sub_dot_q_sql("_fq", "codeword", s, sub)).alias(
+                    f"_d{s}"
                 )
-            ).alias("_sd"),
+                for s in range(m)
+            ],
         )
-        .select(
-            "query_id", F.col("_sd.s").alias("s"), "code_id", F.col("_sd.d").alias("d")
+        .groupBy("query_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("code_id").alias("_c"),
+                                *[F.col(f"_d{s}") for s in range(m)],
+                            )
+                        )
+                    ),
+                    lambda r: F.array(*[r[f"_d{s}"] for s in range(m)]),
+                )
+            ).alias("_lut")
         )
     )
-    cand = enc.join(
-        F.broadcast(probes.select("query_id", "cell")), "cell"
-    ).where(F.col("query_id") != F.col(id_col))
-    cand_melt = cand.select(
+    probe_lut = probes.select("query_id", "cell").join(lut_arr, "query_id")
+    cand = enc.join(F.broadcast(probe_lut), "cell").where(
+        F.col("query_id") != F.col(id_col)
+    )
+    adc_sum = " + ".join(
+        f"element_at(`_lut`, CAST(`code_{s}` AS INT) * {m} + {s + 1})"
+        for s in range(m)
+    )
+    scored = cand.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.col(f"code_{s}").cast("int").alias("code_id"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("_sc"),
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.col("_sc.s").alias("s"),
-        F.col("_sc.code_id").alias("code_id"),
-    )
-    scored = (
-        cand_melt.join(F.broadcast(lut_melt), ["query_id", "s", "code_id"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("d").alias("score_q"))
+        F.expr(f"(CAST(0 AS BIGINT) + {adc_sum})").alias("score_q"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_q"), F.asc("neighbor_id")
@@ -1295,9 +1302,14 @@ def knn_ivf_pq(
     )
     if rescore_mult is None:
         return adc
-    # refine: exact rounded cosine over the bounded ADC short-list only
+    # refine: exact rounded cosine over the bounded ADC short-list only.
+    # The short-list (≤ queries × k × rescore_mult rows) is explicitly
+    # broadcast: without the hint the planner's estimate for the
+    # window-filtered frame can pick a sort-merge join and shuffle the
+    # CORPUS-sized normalized-vector frame by neighbor_id — the exact
+    # "second payload shuffle" §8 of the optimization guide warns about.
     resc = (
-        adc.select("query_id", "neighbor_id")
+        F.broadcast(adc.select("query_id", "neighbor_id"))
         .join(
             ncorp.select(
                 F.col(id_col).alias("neighbor_id"),

@@ -2652,8 +2652,12 @@ def shortest_paths_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("p_brand") == "Brand#1")
         .select("p_partkey")
     )
+    # edges_canonical: the co-purchase join emits src < dst only, so
+    # the operator dedups BEFORE symmetrizing — the distinct shuffle
+    # covers E rows instead of 2E (r15-opt, guide §2.3)
     return shortest_paths(
-        _kcore_edges(spark, sf_dir), seeds, max_hops=4
+        _kcore_edges(spark, sf_dir), seeds, max_hops=4,
+        edges_canonical=True,
     ).orderBy("node")
 
 
@@ -2696,7 +2700,11 @@ def label_prop_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_propagation,
     )
 
-    labels = label_propagation(_kcore_edges(spark, sf_dir), iterations=3)
+    # edges_canonical: co-purchase pairs are src < dst by construction
+    # — one distinct over E instead of E + 2E (r15-opt, guide §2.3)
+    labels = label_propagation(
+        _kcore_edges(spark, sf_dir), iterations=3, edges_canonical=True
+    )
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_members"))
@@ -4721,7 +4729,9 @@ def wds_multimodal_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     a LAION-style curation run takes at 100 TB — shard-granular
     container parse feeding fingerprint dedup, no intermediate
     materialization."""
-    docs = _t(spark, sf_dir, "documents")
+    # widen: shard synth + tar walk + BMP decode/hash Python behind a
+    # 1-split scan (r15-opt forced-widen A/B: 4.07 s → 3.54 s)
+    docs = _t(spark, sf_dir, "documents", widen=True)
     payload = synthesize_bmp_payload(docs, "doc_id").select(
         F.col("asset_id").alias("doc_id"),
         F.col("content").alias("bmp"),
@@ -4909,7 +4919,10 @@ def tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     gray closed-form (one formula across all container classes — the
     decode machinery is pinned because ANY strip/offset/inversion/
     PackBits bug shifts pixels and flips hash bits)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # widen: CPU-dense per-row Python (strip decode + DCT hash) behind
+    # a 1-split scan — same mechanism as tiff_decode_lzw's measured
+    # 4.6 s → 1.2 s A/B; no-op on a production-wide scan
+    docs = _t(spark, sf_dir, "documents", widen=True).select("doc_id")
     return phash_tiff(synthesize_tiff_pixel_payload(docs, "doc_id")).select(
         "asset_id", "width", "height", "hash_hex"
     )
@@ -4939,7 +4952,12 @@ def tiff_decode_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
     any codec bug flips hash bits; the bilevel class has its own 0/255
     form). CCITT G3/G4 and JPEG-in-TIFF remain the documented
     boundary (decode quarantines; the census names the tag)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # widen: ~4.3 s of serial per-row Python (LZW encode in the synth,
+    # LZW decode + DCT hash after) behind a 1-split scan; measured
+    # 4.6 s → 1.15 s (8 parts) / 1.36 s (32) in an interleaved
+    # same-session A/B — widen_scan picks executor width, a no-op on a
+    # production-wide scan (guide §2/§4: parallelize the CPU-dense map)
+    docs = _t(spark, sf_dir, "documents", widen=True).select("doc_id")
     return phash_tiff(synthesize_tiff_cx_payload(docs, "doc_id")).select(
         "asset_id", "width", "height", "hash_hex"
     )
@@ -5048,7 +5066,9 @@ def audio_fingerprint_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals, exact int64 re²+im², argmax with smallest-bin tie break,
     ordered string_agg — from the generator's closed forms, never
     parsing a byte."""
-    docs = _t(spark, sf_dir, "documents")
+    # widen: PCM decode + integer-DFT windows in Python behind a
+    # 1-split scan (r15-opt forced-widen A/B: 1.19 s → 0.73 s)
+    docs = _t(spark, sf_dir, "documents", widen=True)
     assets = synthesize_tone_payload(docs, "doc_id")
     return fingerprint_wav(assets).select(
         "asset_id", "n_samples", "n_windows", "fingerprint"
@@ -5061,7 +5081,8 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     energies scale by gain², argmax unmoved) — the audio analogue of
     pHash's brightness invariance, asserted end-to-end by the oracle's
     independent group reconstruction."""
-    docs = _t(spark, sf_dir, "documents")
+    # widen: same fingerprint Python as the census (A/B 1.37 s → 1.04 s)
+    docs = _t(spark, sf_dir, "documents", widen=True)
     fps = fingerprint_wav(synthesize_tone_payload(docs, "doc_id"))
     return audio_fp_dup_groups(fps).select(
         "fingerprint", "n_assets", "keep_id", "drop_count"
@@ -5345,7 +5366,8 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     PHASH_DCT_LUT literals, rank-32 AC median, MSB-first band packing
     — so the hash only matches if every stage of the Spark decode→DCT
     →threshold pipeline is bit-exact."""
-    docs = _t(spark, sf_dir, "documents")
+    # widen: BMP decode + DCT hash Python (A/B 1.01 s → 0.84 s)
+    docs = _t(spark, sf_dir, "documents", widen=True)
     hashes = phash_bmp(synthesize_bmp_payload(docs, "doc_id"))
     return phash_dedup_groups(hashes).select(
         "hash_hex", "n_assets", "keep_id", "drop_count"
@@ -5363,7 +5385,8 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     OR-of-bands join over all representative pairs — so a banding bug
     (wrong band boundary, lost bucket, cap misfire) cannot cancel out
     between engines."""
-    docs = _t(spark, sf_dir, "documents")
+    # widen: BMP decode + DCT hash Python (A/B 1.46 s → 1.21 s min-of-3)
+    docs = _t(spark, sf_dir, "documents", widen=True)
     hashes = phash_bmp(synthesize_bmp_payload(docs, "doc_id"))
     return phash_neardup_pairs(hashes, min_hamming=1, max_hamming=2).select(
         "id_a", "id_b", "hamming"
@@ -5461,7 +5484,9 @@ def video_phash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     DCT → rank-32 median → band packing → printf hex → ordered
     string_agg), so the hash only matches if the Y4M walk, the plane
     geometry, and the whole pHash pipeline agree frame-by-frame."""
-    docs = _t(spark, sf_dir, "documents")
+    # widen: per-frame Y4M walk + DCT hash is CPU-dense Python behind a
+    # 1-split scan (r15-opt forced-widen A/B: 1.40 s → 0.65 s min-of-3)
+    docs = _t(spark, sf_dir, "documents", widen=True)
     assets = synthesize_y4m_payload(docs, "doc_id")
     return phash_y4m(assets).select(
         "asset_id", "width", "height", "n_frames", "video_fp"
@@ -5473,7 +5498,8 @@ def video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fourth modality's near-dup surface (text/image/audio/video all
     first-class). One map-side-combinable groupBy; the oracle
     reconstructs the groups independently from the closed forms."""
-    docs = _t(spark, sf_dir, "documents")
+    # widen: same Y4M decode as video_phash_census (A/B 1.70 s → 0.91 s)
+    docs = _t(spark, sf_dir, "documents", widen=True)
     fps = phash_y4m(synthesize_y4m_payload(docs, "doc_id"))
     return video_phash_dup_groups(fps).select(
         "video_fp", "n_assets", "keep_id", "drop_count"
@@ -5620,7 +5646,12 @@ def multimodal_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     same way."""
     from pyspark.sql import Window
 
-    docs = _t(spark, sf_dir, "documents")
+    # widen: FIVE CPU-dense Arrow synth+decode passes (BMP, WAV, Y4M,
+    # TIFF ×2) hang off this one 1-split scan; unwidened they all run
+    # single-task (r15-opt: the tiff_decode_lzw A/B measured 4.6 s →
+    # 1.2 s for one such pass). The relational text leg is unaffected —
+    # its window shuffles regardless.
+    docs = _t(spark, sf_dir, "documents", widen=True)
 
     def drops(frame: DataFrame, key: str, modality: str) -> DataFrame:
         w = Window.partitionBy(key)
@@ -13712,7 +13743,12 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, lang_pred)-cardinality aggregate (30 cells max: 5 true
     languages x 6 predictions incl. 'und'), exact
     integer counts and one IEEE division per row."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # widen: the stopword-vote scorer is a wide regex/token expression
+    # evaluated per row behind a 1-split scan; partial aggregation
+    # keeps the widened stage map-side (r15-opt A/B: 1.13 s → 0.89 s)
+    docs = _t(spark, sf_dir, "documents", widen=True).select(
+        "doc_id", "lang", "text"
+    )
     cells = (
         docs.select("lang", language_id("text").alias("lang_pred"))
         .groupBy("lang", "lang_pred")

@@ -53,8 +53,15 @@ def get_spark(
         # registry pass between the two runs of any query) generates
         # more than 1000 classes per pass, so pass 2 re-compiled the
         # expression-heavy ANN entries (bench min 1.1-2.1 s vs 0.7-1.5 s
-        # standalone warm). 4000 covers two full passes.
-        .config("spark.sql.codegen.cache.maxEntries", "4000")
+        # standalone warm). 4000 covered two full passes at 188 entries;
+        # the registry is 231 entries in r15 and the same late-bench
+        # recompile signature reappeared (ann_ivf_adaptive 7.3 s min-of-2
+        # interleaved vs 3.3 s standalone warm, ann_ivf_int8 38 s on a
+        # single late-session run) — raised to 10000 in the r15
+        # optimization round so the cache again covers two interleaved
+        # passes with headroom. Generated classes are small (KBs); the
+        # driver-memory cost is negligible next to a 32g heap.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         # Spark's default hugeMethodLimit (65535) accepts generated methods
         # far beyond the JVM JIT's 8000-bytecode compile ceiling, so wide-
         # aggregate stages (the 64-accumulator minhash/simhash signatures)
