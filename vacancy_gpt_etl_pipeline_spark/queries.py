@@ -9559,7 +9559,11 @@ def char_diversity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         char_diversity_profile,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # widen: per-char explode/aggregate expressions over a 1-split scan
+    # (r15-opt forced-widen A/B: 2.09 s → 0.84 s min-of-3)
+    docs = _t(spark, sf_dir, "documents", widen=True).select(
+        "doc_id", "text"
+    )
     return char_diversity_profile(docs)
 
 
@@ -9683,7 +9687,12 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     and DuckDB's list_reduce produce identical doubles."""
     from vacancy_gpt_etl_pipeline_spark.operators.similarity import l2_normalize
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # widen: the Σx² fold + per-component divide are interpreted
+    # higher-order expressions over a 1-split scan — CPU-dense map work
+    # (r15-opt forced-widen A/B: 2.00 s → 1.40 s min-of-3)
+    emb = _t(spark, sf_dir, "embeddings", widen=True).select(
+        "vec_id", "embedding"
+    )
     unit = l2_normalize(emb, "embedding")
     return unit.select(
         "vec_id",
@@ -12162,8 +12171,11 @@ def cluster_cohesion_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     two aggregates + a broadcast label join — never pairwise."""
     from vacancy_gpt_etl_pipeline_spark.operators.similarity import l2_normalize
 
+    # widen: the l2_normalize fold + 1e9 quantization transform are
+    # interpreted per-row expressions over a 1-split scan (r15-opt
+    # forced-widen A/B: 2.06 s → 1.85 s min-of-3)
     emb = (
-        _t(spark, sf_dir, "embeddings")
+        _t(spark, sf_dir, "embeddings", widen=True)
         .select("label", "vec_id", "embedding")
         .where(F.col("label").isNotNull())
     )
