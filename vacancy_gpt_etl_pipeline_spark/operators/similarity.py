@@ -1194,12 +1194,21 @@ def knn_ivf_pq(
     structure-free data while the probe shuffle still moves 8 B codes;
     output columns become (query_id, neighbor_id, cosine, rank).
 
-    Scale shape: codebook and LUT broadcast (n_codes and
-    queries x m x n_codes rows); candidates shuffle as (query, id,
-    m codes) tinyint tuples — 8 B of payload per vector at m=8, the
-    smallest residency of the three ANN tiers (float 512 B, int8 64 B,
-    PQ 8 B); the melt-join-sum runs on (query, id, s, int) rows with
-    one final partial-aggregated sum."""
+    Scale shape: codebook broadcast (n_codes rows, once as codeword
+    rows for the encode and once folded to a single sorted-array row
+    for the LUT); the per-query flat int64 LUT (code-major, length
+    m x n_codes) is computed MAP-SIDE on the probe rows and rides
+    inside the broadcast probe frame — no distinct, no per-query
+    groupBy, no LUT join, and in particular no candidate-sized
+    groupBy-sum exchange. Candidates shuffle as (query, id, m codes)
+    tinyint tuples — 8 B of payload per vector at m=8, the smallest
+    residency of the three ANN tiers (float 512 B, int8 64 B, PQ 8 B);
+    each candidate's ADC score is a map-side sum of m ``element_at``
+    lookups into the LUT array. The normalized corpus frame is
+    persisted: it feeds the codebook sample, the IVF assignment and
+    (under ``rescore_mult``) the refine join, and re-deriving the
+    unrolled unit-norm per consumer re-pays scan + codegen each time
+    (r16 A/B: rescore 5.79 -> 4.55 s min-of-4)."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
@@ -1213,7 +1222,7 @@ def knn_ivf_pq(
             ).alias(vcol),
         )
 
-    ncorp = unit(corpus.select(id_col, vec_col), vec_col)
+    ncorp = persist_in(unit(corpus.select(id_col, vec_col), vec_col), cache_scope)
     cb = persist_in(
         pq_codebook(ncorp, n_codes, code_stride, id_col=id_col, vec_col=vec_col),
         cache_scope,
@@ -1238,48 +1247,53 @@ def knn_ivf_pq(
         .select("query_id", "_fq", "cell"),
         cache_scope,
     )
-    # per-query ADC lookup table: queries x codebook x m subspaces,
-    # int64-quantized dots — bounded by the query batch. Collapsed to
-    # ONE flat array per query (index code_id·m + s, code-major) and
-    # carried inside the broadcast probe frame, so ADC scoring is a
-    # map-side array-lookup sum over the candidate stream instead of
-    # the r14 shape (explode ×m → three-key join → candidate-sized
-    # groupBy-sum exchange). The per-candidate score is the SAME sum of
-    # the SAME m int64 LUT entries — integer addition is order-free, so
-    # the result is bit-identical while the candidate stream (the one
-    # corpus-proportional frame in this plan) crosses one less shuffle.
-    lut_arr = (
-        probes.select("query_id", "_fq")
-        .distinct()
-        .crossJoin(F.broadcast(cb))
-        .select(
-            "query_id",
-            "code_id",
-            *[
-                F.expr(_sub_dot_q_sql("_fq", "codeword", s, sub)).alias(
-                    f"_d{s}"
+    # per-query ADC lookup table: ONE flat int64 array per probe row
+    # (index code_id·m + s, code-major), carried inside the broadcast
+    # probe frame, so ADC scoring is a map-side array-lookup sum over
+    # the candidate stream — no candidate-sized groupBy-sum exchange.
+    # r16 shape: the codebook is folded to a SINGLE sorted-array row
+    # (code_id ascending — code ids are dense 0..n_codes-1, so array
+    # position == code id, the same layout the old array_sort/flatten
+    # groupBy produced) and the LUT entries are computed map-side per
+    # probe row from that broadcast row. This removes the r15 LUT
+    # subplan entirely — probes.distinct + per-query groupBy +
+    # probes⋈LUT join (3 query-side exchanges and a second pass over
+    # the persisted probe frame) — while every LUT entry is the SAME
+    # _sub_dot_q_sql arithmetic in the same order: bit-identical
+    # scores (r16 interleaved A/B: pq 3.68→3.40 s, rescore with the
+    # ncorp persist 5.79→4.55 s, outputs verified row-identical).
+    cb_row = cb.groupBy().agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("code_id").alias("_c"), F.col("codeword").alias("_w")
                 )
-                for s in range(m)
-            ],
-        )
-        .groupBy("query_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("code_id").alias("_c"),
-                                *[F.col(f"_d{s}") for s in range(m)],
-                            )
-                        )
-                    ),
-                    lambda r: F.array(*[r[f"_d{s}"] for s in range(m)]),
-                )
-            ).alias("_lut")
-        )
+            )
+        ).alias("_cbl")
     )
-    probe_lut = probes.select("query_id", "cell").join(lut_arr, "query_id")
+
+    def _dot_q_lambda(s: int) -> str:
+        # _sub_dot_q_sql with the codeword side addressed through the
+        # transform lambda variable (r._w) instead of a backticked
+        # column name — same terms, same order, same quantization
+        terms = " + ".join(
+            f"CAST(element_at(`_fq`, {i}) AS DOUBLE) * "
+            f"CAST(element_at(r._w, {i}) AS DOUBLE)"
+            for i in _sub_slice(s, sub)
+        )
+        return (
+            f"CAST(ROUND((CAST(0.0 AS DOUBLE) + {terms}) * 1000000.0) "
+            "AS BIGINT)"
+        )
+
+    lut_sql = (
+        "flatten(transform(_cbl, r -> array("
+        + ", ".join(_dot_q_lambda(s) for s in range(m))
+        + ")))"
+    )
+    probe_lut = probes.crossJoin(F.broadcast(cb_row)).select(
+        "query_id", "cell", F.expr(lut_sql).alias("_lut")
+    )
     cand = enc.join(F.broadcast(probe_lut), "cell").where(
         F.col("query_id") != F.col(id_col)
     )

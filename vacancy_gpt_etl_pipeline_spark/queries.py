@@ -2654,10 +2654,20 @@ def shortest_paths_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # edges_canonical: the co-purchase join emits src < dst only, so
     # the operator dedups BEFORE symmetrizing — the distinct shuffle
-    # covers E rows instead of 2E (r15-opt, guide §2.3)
+    # covers E rows instead of 2E (r15-opt, guide §2.3).
+    # checkpoint_every=2 (r16, guide §5 plan truncation): the default
+    # interval of 8 never fires at max_hops=4, and the BFS recurrence's
+    # ANALYZED plan grows ~2^hops (settled_h embeds settled_{h-1} twice:
+    # once in the union, once under fresh_h's anti-join) — 325 k
+    # formatted-plan lines whose driver-side construction dominated the
+    # entry (the round-15 driver's worst entry at 10 s). Truncating the
+    # lineage at hops 2 and 4 collapses the final plan to 51 lines;
+    # interleaved A/B min-of-4: 7.23 s -> 3.90 s, rows identical
+    # (checkpoint_every=1 measured the same 3.90 s — 2 does it with
+    # half the checkpoint jobs).
     return shortest_paths(
         _kcore_edges(spark, sf_dir), seeds, max_hops=4,
-        edges_canonical=True,
+        edges_canonical=True, checkpoint_every=2,
     ).orderBy("node")
 
 
@@ -5646,12 +5656,17 @@ def multimodal_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     same way."""
     from pyspark.sql import Window
 
-    # widen: FIVE CPU-dense Arrow synth+decode passes (BMP, WAV, Y4M,
-    # TIFF ×2) hang off this one 1-split scan; unwidened they all run
-    # single-task (r15-opt: the tiff_decode_lzw A/B measured 4.6 s →
-    # 1.2 s for one such pass). The relational text leg is unaffected —
-    # its window shuffles regardless.
-    docs = _t(spark, sf_dir, "documents", widen=True)
+    # NOT widened (r16, reverting the r15 widen=True): the driver bench
+    # refuted the widen at BOTH core counts (3.99→8.87 s @32, 5.88 s @8)
+    # — each of the FIVE Arrow synth+decode legs re-planned its own
+    # RoundRobinPartitioning exchange over the unpersisted scan and paid
+    # the per-partition Arrow setup ×width per leg. The r16 three-way
+    # interleaved A/B (narrow / widen / widen+persist, min-of-6) measured
+    # 5.08 / 5.56 / 5.43 s — no variant separable from noise locally, so
+    # the driver-proven narrow shape wins: the five single-split decode
+    # legs are INDEPENDENT stages that the scheduler runs concurrently,
+    # which is already leg-level parallelism without any exchange.
+    docs = _t(spark, sf_dir, "documents")
 
     def drops(frame: DataFrame, key: str, modality: str) -> DataFrame:
         w = Window.partitionBy(key)
