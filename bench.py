@@ -236,6 +236,37 @@ def main() -> None:
         )[:15]
     )
     failed = {k: v for k, v in timings.items() if v < 0}
+    # r15 verdict item 9 (reporting breadth, ADDITIONS-ONLY): the
+    # slowest-15 window hides mid-pack entries whose time moved — the
+    # r15 widen family's claimed wins were builder-evidenced only
+    # because none of the 13 entries was slow enough to surface. Also
+    # report the entries that changed >25% vs the committed baseline
+    # (either direction), capped at 10 by |log ratio| and floored at
+    # 0.2 s (sub-200 ms ratios are JVM jitter, same floor as the
+    # regression flag) so the one-line stdout JSON stays well inside
+    # the driver's 2000-char tail buffer. Existing keys are never
+    # removed or renamed; the timing methodology is untouched.
+    import math
+
+    changed: dict[str, float] = {}
+    if previous is not None:
+        _, prev_q = previous
+        ratios = []
+        for k, v in timings.items():
+            b = prev_q.get(k)
+            if (
+                k in slowest
+                or v < 0
+                or not b
+                or b <= 0
+                or max(v, b) <= REGRESSION_FLOOR_SEC
+            ):
+                continue
+            r = v / b
+            if r > 1.25 or r < 0.8:
+                ratios.append((abs(math.log(r)), k, v))
+        ratios.sort(reverse=True)
+        changed = {k: v for _, k, v in ratios[:10]}
     line = json.dumps(
         {
             "metric": "registry_wall_total",
@@ -244,7 +275,7 @@ def main() -> None:
             "sf": sf,
             "n_queries": len(timings),
             "n_failed": len(failed),
-            "queries": {**slowest, **failed},
+            "queries": {**slowest, **changed, **failed},
         },
         separators=(",", ":"),
     )

@@ -352,3 +352,30 @@ def test_semdedup_incremental_gate_invariants(spark):
         batch, hist, cents, threshold=0.9, dim=dim, max_cell=0
     )
     assert capped.count() == batch.count()
+
+
+def test_two_level_n_cent_hint_matches_counted(spark):
+    # r16: the n_cent hint skips the eager centroids.count() job; the
+    # assignment must be IDENTICAL to the counted path when the hint
+    # equals the true centroid count (the registry call site's contract)
+    from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
+        ivf_assign_two_level,
+        sampled_centroids,
+    )
+
+    corpus = spark.createDataFrame(
+        [Row(vec_id=i, embedding=_base(i % 10)) for i in range(60)]
+    )
+    cents = sampled_centroids(corpus, N_CENTROIDS, STRIDE)
+    n_true = cents.count()
+    counted = sorted(
+        (r.vec_id, r.cell)
+        for r in ivf_assign_two_level(corpus, cents, dim=DIM).collect()
+    )
+    hinted = sorted(
+        (r.vec_id, r.cell)
+        for r in ivf_assign_two_level(
+            corpus, cents, dim=DIM, n_cent=n_true
+        ).collect()
+    )
+    assert hinted == counted

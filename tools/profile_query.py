@@ -1,9 +1,14 @@
 """Per-query profiling harness for the optimization rounds.
 
 For each named registry query, measures with a warmed session:
-  - build_s:   driver time to construct the DataFrame (py4j/plan assembly)
-  - exec_s:    noop-sink execution wall (includes analysis/optimization/codegen)
-  - jobs/stages: Spark jobs and stages the execution launched (statusTracker)
+  - build_s:   driver time to construct the DataFrame (py4j/plan assembly
+               plus any eager jobs the builder runs, e.g. loop argmaxes)
+  - jobs:      Spark job count the run launched, via the job-id counter
+               delta (dagScheduler().nextJobId() — a PRIVATE JVM surface;
+               if a Spark upgrade breaks it this tool fails loudly, the
+               bench itself is unaffected)
+  - exec_s:    noop-sink execution wall (includes analysis/optimization/
+               codegen)
 and dumps the formatted executed plan to an optional directory.
 
 Usage:
@@ -46,7 +51,6 @@ def main() -> None:
 
     spark = get_spark(app_name="profile")
     sc = spark.sparkContext
-    tracker = sc.statusTracker()
 
     # same warmers as bench.py
     from pyspark.sql import Window as W

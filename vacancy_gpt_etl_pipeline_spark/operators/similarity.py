@@ -354,11 +354,21 @@ def ivf_assign_two_level(
     vec_col: str = "embedding",
     dim: int | None = None,
     n_coarse: int | None = None,
+    n_cent: int | None = None,
 ) -> DataFrame:
     """Hierarchical (two-level) cell assignment — the scale fix for the
     brute-force n×C term :func:`ivf_assign` pays when the cell count C
     itself grows with the corpus (the r10 scaling attestation measured
     that term going superlinear at cells ∝ n).
+
+    ``n_cent``: callers that KNOW the centroid count (every registry
+    entry sizes the table by contract) pass it to skip the eager
+    ``centroids.count()`` job — r16 profiling measured that count at
+    ~0.7 s warm per call at sf0.1 because it drags the full sampled-
+    centroid lineage (scan + union + window + limit) through a job
+    before any assignment work starts. Semantics are unchanged ONLY
+    when the passed value equals the true count; callers whose corpus
+    may under-fill the sample must leave it None.
 
     Construction: stride-sample ``n_coarse`` (default ⌈√C⌉) of the
     centroids as a COARSE quantizer; assign every centroid to its
@@ -378,7 +388,8 @@ def ivf_assign_two_level(
     Consumers that need exact Voronoi membership (the ANN oracle
     entries) keep ivf_assign. Same output contract as ivf_assign:
     (id, vector, cell)."""
-    n_cent = centroids.count()  # bounded by contract (centroid table)
+    if n_cent is None:
+        n_cent = centroids.count()  # bounded by contract (centroid table)
     if n_coarse is None:
         n_coarse = max(1, math.isqrt(n_cent))
     every = max(1, n_cent // n_coarse)

@@ -2579,7 +2579,16 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 1997 part co-purchase edge list kcore_parts peels (also used
-    by the convergence-bound test)."""
+    by the convergence-bound test).
+
+    CONTRACT (r15 ADVICE): the ``x.l_partkey < y.l_partkey`` join
+    predicate below is what makes every emitted pair single-orientation
+    (src < dst) — the guarantee shortest_paths_parts and
+    label_prop_parts assert via ``edges_canonical=True``. Passing True
+    with mixed-orientation edges would silently double-count label
+    votes in label_propagation (its post-union distinct is dropped
+    under the flag), so re-verify both call sites if this derivation
+    ever changes."""
     li = (
         _t(spark, sf_dir, "lineitem")
         .where(
@@ -7072,7 +7081,15 @@ def semdedup_2level_survivors(
     )
     u = base.unionByName(planted)
     cents = sampled_centroids(u, _IVF_CELLS, _IVF_STRIDE)
-    assigned = ivf_assign_two_level(u, cents, dim=_EMB_DIM)
+    # n_cent=_IVF_CELLS skips the operator's eager centroid count()
+    # job (~0.7 s warm — it drags the sampled-centroid lineage through
+    # a job before assignment starts). The sample is full at every
+    # fixture SF (verified: exactly 8 ids ≡ 0 mod 61 at sf0.001/0.01/
+    # 0.1), and the ORACLE's coarse-pick constants are already derived
+    # from _IVF_CELLS, so the constant is the contract, not a guess.
+    assigned = ivf_assign_two_level(
+        u, cents, dim=_EMB_DIM, n_cent=_IVF_CELLS
+    )
     return semdedup(
         u,
         n_centroids=_IVF_CELLS,
@@ -14709,6 +14726,84 @@ assert len(_R15_FRONT) == len(set(_R15_FRONT)) == 50
 REGISTRY = {
     **{name: REGISTRY[name] for name in _R15_FRONT},
     **{k: v for k, v in REGISTRY.items() if k not in frozenset(_R15_FRONT)},
+}
+
+# Round-16 rotation (r15 verdict item 10): (a) the four entries added in
+# r15 AFTER its front froze — never driver-checked; (b) every entry
+# whose code changed in r16 (this optimization round's touches need
+# fresh driver rows even where r15 rows exist); (c) the r15-code-touched
+# entries without a fresh driver row (the widen family, the wds walker
+# guards, weighted_quota_sample's overflow fix, label_prop_parts'
+# edges_canonical); (d) 27 of the 42-entry cohort whose last driver
+# evidence is round 11. The 15 r11 entries that did not fit the 50-slot
+# front (a3_distinct_values, a8_inverted_index, asof_attribution,
+# cms_frequency, session_windows_per_user, sketch_quantiles,
+# sliding_window_half_hour, stratified_sample_docs, t3_order_by_limit,
+# t4_truncated_sample, tumbling_window_hourly, u1_union_all,
+# u4_except_all, w1_ratio_of_total, window_rank_lag — relational/window
+# entries whose code is unchanged since well before round 11) stay
+# covered by the committed ORACLE_SELF attestations and are first in
+# line for the r17 front.
+_R16_FRONT: tuple[str, ...] = (
+    # (a) never driver-checked (added in r15 after its front froze)
+    "audio_fp_near",
+    "tiff_decode",
+    "tiff_decode_lzw",
+    "wds_pack_sized",
+    # (b) code touched in r16
+    "multimodal_dedup_manifest",
+    "ann_ivf_pq",
+    "ann_ivf_pq_rescore",
+    "shortest_paths_parts",
+    "rfm_segments",
+    "semdedup_2level",
+    # (c) r15-code-touched without a fresh driver row
+    "weighted_quota_sample",
+    "label_prop_parts",
+    "video_phash_census",
+    "video_phash_dedup",
+    "image_phash_dedup",
+    "image_phash_neardup",
+    "audio_fingerprint_census",
+    "audio_fingerprint_dedup",
+    "char_diversity_docs",
+    "embedding_normalize",
+    "wds_roundtrip",
+    "wds_pax_census",
+    "wds_pack_roundtrip",
+    # (d) the round-11 cohort (27 of 42 fit)
+    "ann_brute_force",
+    "ann_ivf",
+    "ann_lsh",
+    "bm25_search",
+    "bpe_pack_docs",
+    "bpe_pair_counts",
+    "dedup_survivor_selection",
+    "dsir_importance_weights",
+    "embedding_near_dup",
+    "enrich_documents",
+    "epub_chapter_extract",
+    "flac_audio_decode",
+    "fuzzy_match_parts",
+    "html_text_extract",
+    "jpeg_image_decode",
+    "langid_confusion",
+    "mjpeg_video_decode",
+    "multiformat_ingest_e2e",
+    "pack_sequences_by_source",
+    "robots_disallow_filter",
+    "scd2_history",
+    "text_analysis_profile",
+    "train_test_split",
+    "url_normalize_filter",
+    "warc_ingest",
+    "web_pipeline_e2e",
+    "weighted_sample_docs",
+)
+assert len(_R16_FRONT) == len(set(_R16_FRONT)) == 50
+REGISTRY = {
+    **{name: REGISTRY[name] for name in _R16_FRONT},
+    **{k: v for k, v in REGISTRY.items() if k not in frozenset(_R16_FRONT)},
 }
 
 

@@ -32,15 +32,24 @@ def widen_scan(df: DataFrame, raw_scan: bool = False) -> DataFrame:
     tests/test_plan_shapes.py), so pushdown is unaffected, and the
     explicit partition count is exempt from AQE coalescing.
 
-    Deliberately NOT applied to every read (measured at sf0.1): scans
-    feeding cheap relational work (joins/aggregates/windows) gain nothing
-    — their first shuffle already re-partitions — and pay an extra
-    exchange per scan branch (merge_upsert 0.9 s → 2.2 s); Arrow/Python
-    boundaries (mapInPandas) pay a per-partition worker+batch setup that
-    dwarfs small inputs (multimodal decode 0.6 s → 4.9 s at 32
-    partitions). The CPU-dense text/embedding operators, by contrast,
-    drop 4-20× (winnowing 53.6 s → 2.4 s, simhash 25.6 s → 6.1 s,
-    BM25 28.5 s → 11.5 s, IVF 16.7 s → 4.7 s).
+    Deliberately NOT applied to every read — the win/loss line (r15
+    A/B table in OPTIMIZATION_r15.md, updated r16):
+
+    - WINS, 4-20×: CPU-dense JVM text/embedding operators (winnowing
+      53.6 s → 2.4 s, simhash 25.6 s → 6.1 s, BM25 28.5 s → 11.5 s,
+      IVF 16.7 s → 4.7 s) and SINGLE heavyweight Arrow/mapInPandas
+      decode legs, where per-partition worker+batch setup amortizes
+      against seconds of serial Python (tiff_decode_lzw 4.6 s → 1.2 s,
+      video_phash_census 1.40 → 0.65, char_diversity 2.09 → 0.84).
+    - LOSES: scans feeding cheap relational work (their first shuffle
+      already re-partitions; merge_upsert 0.9 s → 2.2 s), cheap/small
+      Arrow stages (jpeg, wds walks, warc — setup dwarfs the per-row
+      Python), and FAN-OUT plans where SEVERAL decode legs hang off one
+      UNPERSISTED widened scan: each leg re-plans its own round-robin
+      exchange and pays setup × width × legs (multimodal_dedup_manifest,
+      driver-refuted at both core counts in r15: 3.99 → 8.87 s @32,
+      5.88 s @8 — reverted in r16; such legs are independent stages the
+      scheduler already runs concurrently when narrow).
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
