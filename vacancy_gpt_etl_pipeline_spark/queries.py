@@ -146,7 +146,10 @@ from vacancy_gpt_etl_pipeline_spark.operators.similarity import (
     sampled_centroids,
     semdedup,
 )
-from vacancy_gpt_etl_pipeline_spark.sources.parquet_source import read_table
+from vacancy_gpt_etl_pipeline_spark.sources.parquet_source import (
+    read_table,
+    widen_scan,
+)
 from vacancy_gpt_etl_pipeline_spark.session import configure_session
 from vacancy_gpt_etl_pipeline_spark.streaming.windows import (
     session_window_agg,
@@ -5670,17 +5673,27 @@ def multimodal_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     same way."""
     from pyspark.sql import Window
 
-    # NOT widened (r16, reverting the r15 widen=True): the driver bench
-    # refuted the widen at BOTH core counts (3.99→8.87 s @32, 5.88 s @8)
-    # — each of the FIVE Arrow synth+decode legs re-planned its own
-    # RoundRobinPartitioning exchange over the unpersisted scan and paid
-    # the per-partition Arrow setup ×width per leg. The r16 three-way
-    # interleaved A/B (narrow / widen / widen+persist, min-of-6) measured
-    # 5.08 / 5.56 / 5.43 s — no variant separable from noise locally, so
-    # the driver-proven narrow shape wins: the five single-split decode
-    # legs are INDEPENDENT stages that the scheduler runs concurrently,
-    # which is already leg-level parallelism without any exchange.
+    # r16 widen repair (replaces the driver-refuted r15 widen=True,
+    # which left the full-width widened scan UNPERSISTED so each of the
+    # FIVE Arrow synth+decode legs re-planned its own RoundRobin
+    # exchange and paid Arrow worker+batch setup × 32 per leg:
+    # 3.99→8.87 s @32, 5.88 s @8). The repaired shape bounds the width
+    # at 8 and persists the ONE materialization, so the five legs read
+    # 8-partition cached docs — 5×8 = 40 concurrent decode tasks fill
+    # the executor while setup stays ×8 per leg. Interleaved A/B
+    # min-of-5 (outputs collect-identical): narrow 5.09 /
+    # narrow+persist 5.74 / widen(8)+persist 3.83 s; the earlier
+    # full-width pair measured 5.56 (unpersisted) and 5.43 (persisted).
+    # At production split counts widen_scan returns the scan UNCHANGED
+    # (identity), so nothing is repartitioned down and the full table
+    # is never cached — the persist is keyed off the identity check.
     docs = _t(spark, sf_dir, "documents")
+    _w = widen_scan(
+        docs, raw_scan=True,
+        target=min(8, spark.sparkContext.defaultParallelism),
+    )
+    if _w is not docs:
+        docs = _w.persist()
 
     def drops(frame: DataFrame, key: str, modality: str) -> DataFrame:
         w = Window.partitionBy(key)

@@ -17,7 +17,9 @@ from vacancy_gpt_etl_pipeline_spark.schemas import TESTDATA_TABLES
 from vacancy_gpt_etl_pipeline_spark.session import configure_session
 
 
-def widen_scan(df: DataFrame, raw_scan: bool = False) -> DataFrame:
+def widen_scan(
+    df: DataFrame, raw_scan: bool = False, target: int | None = None
+) -> DataFrame:
     """Round-robin a narrow scan up to executor width — use below
     CPU-DENSE map work (tokenize/md5/regex/rolling-hash/vector math), and
     only there.
@@ -48,11 +50,22 @@ def widen_scan(df: DataFrame, raw_scan: bool = False) -> DataFrame:
       UNPERSISTED widened scan: each leg re-plans its own round-robin
       exchange and pays setup × width × legs (multimodal_dedup_manifest,
       driver-refuted at both core counts in r15: 3.99 → 8.87 s @32,
-      5.88 s @8 — reverted in r16; such legs are independent stages the
-      scheduler already runs concurrently when narrow).
+      5.88 s @8 — repaired in r16 with a BOUNDED ``target`` plus a
+      persist of the one materialization; see below).
+
+    ``target`` overrides the width floor (default: executor
+    parallelism). Callers whose downstream is a PER-PARTITION-setup-
+    heavy Arrow boundary fanning into several legs use a LOWER floor —
+    enough tasks to fill the executor across the legs without paying
+    worker+batch setup × full width × legs (r16:
+    multimodal_dedup_manifest at target=8 + persist: 5.09 → 3.83 s,
+    while target=32 measured 5.4–6.1 s). Returns ``df`` ITSELF (same
+    object) when the scan is already wide enough — callers key persist
+    decisions off that identity.
     """
     spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
+    if target is None:
+        target = spark.sparkContext.defaultParallelism
     if raw_scan:
         # Valid ONLY for a frame that is a bare file scan (the
         # read_table caller): each file contributes ≥1 split, so a file
