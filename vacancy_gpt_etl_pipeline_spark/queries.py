@@ -172,14 +172,27 @@ def _dsum(col: str, alias: str, scale: int = 2) -> F.Column:
 
 
 def _t(
-    spark: SparkSession, sf_dir: str, name: str, widen: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    widen: bool = False,
+    widen_target: int | None = None,
 ) -> DataFrame:
     """``widen=True`` floors the scan width at executor parallelism
     (sources/parquet_source.widen_scan) — set it ONLY on reads feeding
     CPU-dense map work; see widen_scan's docstring for the measured
-    win/loss table."""
+    win/loss table. ``widen_target`` bounds the floor (r16: the
+    Arrow/mapInPandas decode entries measured FASTER at 8 than at full
+    width — per-partition worker+batch setup scales with width while
+    8 tasks already keep the decode off the single-core floor; the
+    13-entry A/B table is in OPTIMIZATION_r16.md). The bound is capped
+    at executor parallelism and widen_scan returns the scan unchanged
+    when it is already at least that wide, so production-wide scans
+    are untouched."""
     configure_session(spark)
-    return read_table(spark, sf_dir, name, widen=widen)
+    return read_table(
+        spark, sf_dir, name, widen=widen, widen_target=widen_target
+    )
 
 
 # --------------------------------------------------------------------------
@@ -4949,7 +4962,7 @@ def tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # widen: CPU-dense per-row Python (strip decode + DCT hash) behind
     # a 1-split scan — same mechanism as tiff_decode_lzw's measured
     # 4.6 s → 1.2 s A/B; no-op on a production-wide scan
-    docs = _t(spark, sf_dir, "documents", widen=True).select("doc_id")
+    docs = _t(spark, sf_dir, "documents", widen=True, widen_target=8).select("doc_id")
     return phash_tiff(synthesize_tiff_pixel_payload(docs, "doc_id")).select(
         "asset_id", "width", "height", "hash_hex"
     )
@@ -4984,7 +4997,7 @@ def tiff_decode_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4.6 s → 1.15 s (8 parts) / 1.36 s (32) in an interleaved
     # same-session A/B — widen_scan picks executor width, a no-op on a
     # production-wide scan (guide §2/§4: parallelize the CPU-dense map)
-    docs = _t(spark, sf_dir, "documents", widen=True).select("doc_id")
+    docs = _t(spark, sf_dir, "documents", widen=True, widen_target=8).select("doc_id")
     return phash_tiff(synthesize_tiff_cx_payload(docs, "doc_id")).select(
         "asset_id", "width", "height", "hash_hex"
     )
@@ -5095,7 +5108,7 @@ def audio_fingerprint_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsing a byte."""
     # widen: PCM decode + integer-DFT windows in Python behind a
     # 1-split scan (r15-opt forced-widen A/B: 1.19 s → 0.73 s)
-    docs = _t(spark, sf_dir, "documents", widen=True)
+    docs = _t(spark, sf_dir, "documents", widen=True, widen_target=8)
     assets = synthesize_tone_payload(docs, "doc_id")
     return fingerprint_wav(assets).select(
         "asset_id", "n_samples", "n_windows", "fingerprint"
@@ -5109,7 +5122,7 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pHash's brightness invariance, asserted end-to-end by the oracle's
     independent group reconstruction."""
     # widen: same fingerprint Python as the census (A/B 1.37 s → 1.04 s)
-    docs = _t(spark, sf_dir, "documents", widen=True)
+    docs = _t(spark, sf_dir, "documents", widen=True, widen_target=8)
     fps = fingerprint_wav(synthesize_tone_payload(docs, "doc_id"))
     return audio_fp_dup_groups(fps).select(
         "fingerprint", "n_assets", "keep_id", "drop_count"
@@ -5394,7 +5407,7 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     — so the hash only matches if every stage of the Spark decode→DCT
     →threshold pipeline is bit-exact."""
     # widen: BMP decode + DCT hash Python (A/B 1.01 s → 0.84 s)
-    docs = _t(spark, sf_dir, "documents", widen=True)
+    docs = _t(spark, sf_dir, "documents", widen=True, widen_target=8)
     hashes = phash_bmp(synthesize_bmp_payload(docs, "doc_id"))
     return phash_dedup_groups(hashes).select(
         "hash_hex", "n_assets", "keep_id", "drop_count"
@@ -5413,7 +5426,7 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (wrong band boundary, lost bucket, cap misfire) cannot cancel out
     between engines."""
     # widen: BMP decode + DCT hash Python (A/B 1.46 s → 1.21 s min-of-3)
-    docs = _t(spark, sf_dir, "documents", widen=True)
+    docs = _t(spark, sf_dir, "documents", widen=True, widen_target=8)
     hashes = phash_bmp(synthesize_bmp_payload(docs, "doc_id"))
     return phash_neardup_pairs(hashes, min_hamming=1, max_hamming=2).select(
         "id_a", "id_b", "hamming"
@@ -5513,7 +5526,7 @@ def video_phash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometry, and the whole pHash pipeline agree frame-by-frame."""
     # widen: per-frame Y4M walk + DCT hash is CPU-dense Python behind a
     # 1-split scan (r15-opt forced-widen A/B: 1.40 s → 0.65 s min-of-3)
-    docs = _t(spark, sf_dir, "documents", widen=True)
+    docs = _t(spark, sf_dir, "documents", widen=True, widen_target=8)
     assets = synthesize_y4m_payload(docs, "doc_id")
     return phash_y4m(assets).select(
         "asset_id", "width", "height", "n_frames", "video_fp"
@@ -5526,7 +5539,7 @@ def video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-class). One map-side-combinable groupBy; the oracle
     reconstructs the groups independently from the closed forms."""
     # widen: same Y4M decode as video_phash_census (A/B 1.70 s → 0.91 s)
-    docs = _t(spark, sf_dir, "documents", widen=True)
+    docs = _t(spark, sf_dir, "documents", widen=True, widen_target=8)
     fps = phash_y4m(synthesize_y4m_payload(docs, "doc_id"))
     return video_phash_dup_groups(fps).select(
         "video_fp", "n_assets", "keep_id", "drop_count"
@@ -12245,7 +12258,7 @@ def cluster_cohesion_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted per-row expressions over a 1-split scan (r15-opt
     # forced-widen A/B: 2.06 s → 1.85 s min-of-3)
     emb = (
-        _t(spark, sf_dir, "embeddings", widen=True)
+        _t(spark, sf_dir, "embeddings", widen=True, widen_target=8)
         .select("label", "vec_id", "embedding")
         .where(F.col("label").isNotNull())
     )
@@ -13828,7 +13841,7 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # widen: the stopword-vote scorer is a wide regex/token expression
     # evaluated per row behind a 1-split scan; partial aggregation
     # keeps the widened stage map-side (r15-opt A/B: 1.13 s → 0.89 s)
-    docs = _t(spark, sf_dir, "documents", widen=True).select(
+    docs = _t(spark, sf_dir, "documents", widen=True, widen_target=8).select(
         "doc_id", "lang", "text"
     )
     cells = (
@@ -14748,13 +14761,14 @@ REGISTRY = {
 # entries without a fresh driver row (the widen family, the wds walker
 # guards, weighted_quota_sample's overflow fix, label_prop_parts'
 # edges_canonical); (d) 27 of the 42-entry cohort whose last driver
-# evidence is round 11. The 15 r11 entries that did not fit the 50-slot
+# evidence is round 11. The 16 r11 entries that did not fit the 50-slot
 # front (a3_distinct_values, a8_inverted_index, asof_attribution,
 # cms_frequency, session_windows_per_user, sketch_quantiles,
 # sliding_window_half_hour, stratified_sample_docs, t3_order_by_limit,
 # t4_truncated_sample, tumbling_window_hourly, u1_union_all,
-# u4_except_all, w1_ratio_of_total, window_rank_lag — relational/window
-# entries whose code is unchanged since well before round 11) stay
+# u4_except_all, w1_ratio_of_total, window_rank_lag,
+# weighted_sample_docs — relational/window/sampling entries whose code
+# is unchanged since well before round 11) stay
 # covered by the committed ORACLE_SELF attestations and are first in
 # line for the r17 front.
 _R16_FRONT: tuple[str, ...] = (
@@ -14770,6 +14784,7 @@ _R16_FRONT: tuple[str, ...] = (
     "shortest_paths_parts",
     "rfm_segments",
     "semdedup_2level",
+    "cluster_cohesion_embeddings",
     # (c) r15-code-touched without a fresh driver row
     "weighted_quota_sample",
     "label_prop_parts",
@@ -14811,7 +14826,6 @@ _R16_FRONT: tuple[str, ...] = (
     "url_normalize_filter",
     "warc_ingest",
     "web_pipeline_e2e",
-    "weighted_sample_docs",
 )
 assert len(_R16_FRONT) == len(set(_R16_FRONT)) == 50
 REGISTRY = {

@@ -168,12 +168,24 @@ def _estimate_scan_splits(spark: SparkSession, files: list[str]) -> int:
 
 
 def read_table(
-    spark: SparkSession, sf_dir: str, name: str, widen: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    widen: bool = False,
+    widen_target: int | None = None,
 ) -> DataFrame:
     configure_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if widen:
-        df = widen_scan(df, raw_scan=True)
+        # widen_target bounds the width floor (never raises it above
+        # executor parallelism) — see widen_scan's docstring for when a
+        # LOW floor beats full width (Arrow per-partition setup).
+        target = (
+            None
+            if widen_target is None
+            else min(widen_target, spark.sparkContext.defaultParallelism)
+        )
+        df = widen_scan(df, raw_scan=True, target=target)
     # nanosAsLong surfaces TIMESTAMP(NANOS) columns as bigint; restore a
     # proper µs TimestampType column (the fixtures carry no sub-µs parts).
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
